@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operators the reference engine expresses by hand-written
+  * SQL or Go maps, re-expressed as declarative Spark plans.
+  *
+  * Scale notes (100 TB): each helper is a single shuffle (or none); nothing
+  * collects to the driver; window partitions are keyed so skew falls on the
+  * natural entity key (address / user), which AQE can split further.
+  */
+object Relational {
+
+  /** Latest row per key — the reference's greatest-n-per-group self-join
+    * (`/root/reference/store/account/account.go:187-209`, J1/W1) expressed
+    * as one window: a single hash-partition shuffle on `keys`, no join.
+    *
+    * `order` must be a total order within a key (pass a unique tiebreaker)
+    * so results are deterministic.
+    */
+  def latestPerKey(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Top-n rows per key (generalization of latestPerKey). */
+  def topNPerKey(df: DataFrame, keys: Seq[String], order: Seq[Column], n: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(_.desc): _*)
+    df.withColumn("rank_in_key", row_number().over(w))
+      .filter(col("rank_in_key") <= n)
+  }
+
+  /** As-of (point-in-time) join — the reference's
+    * `WHERE address = k AND block_number <= n ORDER BY block_number DESC
+    * LIMIT 1` probed per key (`store/account/account.go:64,175-185`, J5).
+    *
+    * Union-window formulation: tag both sides, union on (key, time), sort
+    * each key-partition once, carry the last build-side payload forward,
+    * keep probe rows. ONE shuffle on `key`, linear in |probe|+|build| —
+    * never the O(|probe|·|build|) range-join explosion, which is what makes
+    * it hold at 100 TB. Build rows sort BEFORE probe rows at equal time, so
+    * the match predicate is `build.time <= probe.time` (inclusive).
+    *
+    * @param probe  rows asking "state as of my `timeCol`"
+    * @param build  versioned rows supplying the state
+    * @param key    equi-join key column name (same name both sides)
+    * @param timeCol ordering column name (same name both sides)
+    * @param payload build-side columns to carry onto probe rows
+    */
+  def asOfJoin(
+      probe: DataFrame,
+      build: DataFrame,
+      key: String,
+      timeCol: String,
+      payload: Seq[String]
+  ): DataFrame = {
+    val probeCols = probe.columns.toSeq
+    // __side: build=0 sorts before probe=1 at equal time => inclusive <=
+    val b = build
+      .select(
+        Seq(col(key), col(timeCol), lit(0).as("__side")) ++
+          payload.map(c => col(c).as(s"__p_$c")) ++
+          probeCols.filterNot(c => c == key || c == timeCol).map(c => lit(null).cast(probe.schema(c).dataType).as(c)): _*
+      )
+    val p = probe
+      .select(
+        Seq(col(key), col(timeCol), lit(1).as("__side")) ++
+          payload.map(c => lit(null).cast(build.schema(c).dataType).as(s"__p_$c")) ++
+          probeCols.filterNot(c => c == key || c == timeCol).map(col): _*
+      )
+    val w = Window
+      .partitionBy(col(key))
+      .orderBy(col(timeCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = b.unionByName(p)
+      .select(
+        (Seq(col(key), col(timeCol), col("__side")) ++
+          probeCols.filterNot(c => c == key || c == timeCol).map(col) ++
+          payload.map(c => last(col(s"__p_$c"), ignoreNulls = true).over(w).as(c))): _*
+      )
+    carried.filter(col("__side") === 1).drop("__side")
+  }
+
+  /** Running (cumulative) aggregate per key — the reference's recursive
+    * `td = parent_td + difficulty` (`service/indexer/indexer.go:249-274`,
+    * A6/W2) as a window cumulative sum.
+    */
+  def cumSum(df: DataFrame, keys: Seq[String], order: Seq[Column], value: Column, as: String): DataFrame = {
+    val w0 = Window.orderBy(order: _*)
+    val w  = if (keys.isEmpty) w0 else Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn(as, sum(value).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Carry-forward last non-null value per key (W3 — the reference's
+    * "previous total balance, defaulting to zero"
+    * `store/transfer_processor.go:337-356`).
+    */
+  def carryForward(df: DataFrame, keys: Seq[String], order: Seq[Column], value: Column, default: Column, as: String): DataFrame = {
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(as, coalesce(last(value, ignoreNulls = true).over(w), default))
+  }
+
+  /** Deterministic pagination (O3 — `store/subscription/subscription.go:148-206`).
+    * `order` must be a total order for stable pages. Spark plans a global
+    * sort + limit pushed into TakeOrderedAndProject when possible.
+    */
+  def paginate(df: DataFrame, order: Seq[Column], page: Int, pageSize: Int): DataFrame = {
+    require(page >= 1 && pageSize >= 1, "invalid page/limit")
+    df.orderBy(order: _*).offset((page - 1) * pageSize).limit(pageSize)
+  }
+
+  /** Disjunctive semi-join: keep `left` rows where ANY of `leftKeys` hits the
+    * `right` key set (J2 — events kept when `from` OR `to` is subscribed,
+    * `store/transfer_processor.go:164-177`). An OR-condition join defeats
+    * hash joins, so each key gets its own equi LEFT SEMI (hash/broadcast-
+    * joinable) and the results are unioned + deduped by `dedupKeys`.
+    */
+  def semiJoinAny(left: DataFrame, right: DataFrame, leftKeys: Seq[String], rightKey: String, dedupKeys: Seq[String]): DataFrame = {
+    val hits = leftKeys.map { k =>
+      left.join(broadcast(right.select(col(rightKey)).distinct()), left(k) === col(rightKey), "left_semi")
+    }
+    hits.reduce(_.unionByName(_)).dropDuplicates(dedupKeys)
+  }
+}
