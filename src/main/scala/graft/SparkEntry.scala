@@ -14,7 +14,8 @@ import graft.queries._
 object SparkEntry {
 
   private def allDefs: Map[String, QueryDef] =
-    RelationalQueries.defs
+    RelationalQueries.defs ++ JoinQueries.defs ++ AggQueries.defs ++
+      FunctionQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

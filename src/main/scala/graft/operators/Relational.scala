@@ -45,44 +45,45 @@ object Relational {
     * it hold at 100 TB. Build rows sort BEFORE probe rows at equal time, so
     * the match predicate is `build.time <= probe.time` (inclusive).
     *
-    * @param probe  rows asking "state as of my `timeCol`"
-    * @param build  versioned rows supplying the state
-    * @param key    equi-join key column name (same name both sides)
-    * @param timeCol ordering column name (same name both sides)
-    * @param payload build-side columns to carry onto probe rows
+    * @param probe    rows asking "state as of my time"
+    * @param build    versioned rows supplying the state
+    * @param key      equi-join key column name (same name both sides)
+    * @param timeCols composite ordinal time, lexicographic (same names both
+    *                 sides); pass a unique tiebreaker last for determinism
+    * @param payload  build-side columns to carry onto probe rows (must not
+    *                 collide with probe column names — rename beforehand)
     */
   def asOfJoin(
       probe: DataFrame,
       build: DataFrame,
       key: String,
-      timeCol: String,
+      timeCols: Seq[String],
       payload: Seq[String]
   ): DataFrame = {
-    val probeCols = probe.columns.toSeq
+    val fixed  = key +: timeCols
+    val pExtra = probe.columns.toSeq.filterNot(fixed.contains)
     // __side: build=0 sorts before probe=1 at equal time => inclusive <=
-    val b = build
-      .select(
-        Seq(col(key), col(timeCol), lit(0).as("__side")) ++
-          payload.map(c => col(c).as(s"__p_$c")) ++
-          probeCols.filterNot(c => c == key || c == timeCol).map(c => lit(null).cast(probe.schema(c).dataType).as(c)): _*
-      )
-    val p = probe
-      .select(
-        Seq(col(key), col(timeCol), lit(1).as("__side")) ++
-          payload.map(c => lit(null).cast(build.schema(c).dataType).as(s"__p_$c")) ++
-          probeCols.filterNot(c => c == key || c == timeCol).map(col): _*
-      )
+    val b = build.select(
+      fixed.map(col) ++ Seq(lit(0).as("__side")) ++
+        payload.map(c => col(c).as(s"__p_$c")) ++
+        pExtra.map(c => lit(null).cast(probe.schema(c).dataType).as(c)): _*
+    )
+    val p = probe.select(
+      fixed.map(col) ++ Seq(lit(1).as("__side")) ++
+        payload.map(c => lit(null).cast(build.schema(c).dataType).as(s"__p_$c")) ++
+        pExtra.map(col): _*
+    )
     val w = Window
       .partitionBy(col(key))
-      .orderBy(col(timeCol), col("__side"))
+      .orderBy(timeCols.map(col) :+ col("__side"): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = b.unionByName(p)
+    b.unionByName(p)
       .select(
-        (Seq(col(key), col(timeCol), col("__side")) ++
-          probeCols.filterNot(c => c == key || c == timeCol).map(col) ++
-          payload.map(c => last(col(s"__p_$c"), ignoreNulls = true).over(w).as(c))): _*
+        fixed.map(col) ++ Seq(col("__side")) ++ pExtra.map(col) ++
+          payload.map(c => last(col(s"__p_$c"), ignoreNulls = true).over(w).as(c)): _*
       )
-    carried.filter(col("__side") === 1).drop("__side")
+      .filter(col("__side") === 1)
+      .drop("__side")
   }
 
   /** Running (cumulative) aggregate per key — the reference's recursive
@@ -119,13 +120,21 @@ object Relational {
   /** Disjunctive semi-join: keep `left` rows where ANY of `leftKeys` hits the
     * `right` key set (J2 — events kept when `from` OR `to` is subscribed,
     * `store/transfer_processor.go:164-177`). An OR-condition join defeats
-    * hash joins, so each key gets its own equi LEFT SEMI (hash/broadcast-
-    * joinable) and the results are unioned + deduped by `dedupKeys`.
+    * hash joins, so each key gets its own equi LEFT OUTER against the
+    * deduped key set (broadcast, hash-joinable; no row multiplication since
+    * the build side is distinct) and a row survives if any probe matched.
+    * Exact multiset semantics — duplicate left rows are preserved, unlike a
+    * union+dedup formulation.
     */
-  def semiJoinAny(left: DataFrame, right: DataFrame, leftKeys: Seq[String], rightKey: String, dedupKeys: Seq[String]): DataFrame = {
-    val hits = leftKeys.map { k =>
-      left.join(broadcast(right.select(col(rightKey)).distinct()), left(k) === col(rightKey), "left_semi")
+  def semiJoinAny(left: DataFrame, right: DataFrame, leftKeys: Seq[String], rightKey: String): DataFrame = {
+    val keySet = broadcast(right.select(col(rightKey).as("__match_key")).distinct())
+    val flagged = leftKeys.zipWithIndex.foldLeft(left) { case (df, (k, i)) =>
+      df.join(keySet, df(k) === col("__match_key"), "left_outer")
+        .withColumn(s"__hit_$i", col("__match_key").isNotNull)
+        .drop("__match_key")
     }
-    hits.reduce(_.unionByName(_)).dropDuplicates(dedupKeys)
+    flagged
+      .filter(leftKeys.indices.map(i => col(s"__hit_$i")).reduce(_ || _))
+      .drop(leftKeys.indices.map(i => s"__hit_$i"): _*)
   }
 }

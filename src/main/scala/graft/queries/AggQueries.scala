@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+import graft.sources.Tables
+
+/** SURVEY.md §2.4/§2.5/§2.6 aggregations, windows, sorts over testdata. */
+object AggQueries {
+  private val dec = DecimalType(38, 6)
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // A5 — fee rollup per subscribed sender (store/transfer_processor.go:224-249):
+    // semi-join with the watched set first, then join + group. The watched
+    // dimension broadcasts; only matching orders reach the big join.
+    "a5_fee_rollup" -> QueryDef.sql(
+      (s, d) => {
+        val t       = Tables(s, d)
+        val watched = t.customer.filter(col("c_acctbal") > 9000.0).select("c_custkey")
+        val subbed  = t.orders.join(broadcast(watched), col("o_custkey") === col("c_custkey"), "left_semi")
+        subbed.join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_custkey")
+          .agg(sum((col("l_extendedprice") * col("l_discount")).cast(dec)).as("fee"),
+            count(lit(1)).as("n_items"))
+          .orderBy("o_custkey")
+      },
+      """SELECT o_custkey,
+        |   sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS fee,
+        |   count(*) AS n_items
+        | FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        | WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0)
+        | GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+    ),
+
+    // A7 — fork-schedule reward arithmetic (common/utils.go:216-254:
+    // Frontier 5 / Byzantium 3 / Constantinople 2) as pure when/otherwise
+    // column math on era boundaries — no UDF.
+    "a7_reward_schedule" -> QueryDef.sql(
+      (s, d) => {
+        val era = when(col("o_orderdate") < lit("1997-01-01").cast("timestamp"), 5L)
+          .when(col("o_orderdate") < lit("1999-01-01").cast("timestamp"), 3L)
+          .otherwise(2L)
+        Tables(s, d).orders
+          .withColumn("base_reward", era)
+          .groupBy("base_reward")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(dec)).as("sum_price"))
+          .orderBy("base_reward")
+      },
+      """SELECT CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN 5
+        |             WHEN o_orderdate < TIMESTAMP '1999-01-01' THEN 3
+        |             ELSE 2 END AS base_reward,
+        |   count(*) AS n_orders,
+        |   sum(CAST(o_totalprice AS DECIMAL(38,6))) AS sum_price
+        | FROM orders GROUP BY 1 ORDER BY base_reward""".stripMargin
+    ),
+
+    // A8 — per-(group, token) totals rollup (store/transfer_processor.go:322-416)
+    "a8_group_token_rollup" -> QueryDef.sql(
+      (s, d) => Tables(s, d).events
+        .withColumn("grp", col("user_id") % 10L)
+        .groupBy("grp", "event_type")
+        .agg(sum(col("value").cast(dec)).as("total"),
+          count(lit(1)).as("n"))
+        .orderBy("grp", "event_type"),
+      """SELECT user_id % 10 AS grp, event_type,
+        |   sum(CAST(value AS DECIMAL(38,6))) AS total, count(*) AS n
+        | FROM events GROUP BY 1, 2 ORDER BY grp, event_type""".stripMargin
+    ),
+
+    // A9 — sentinel-classified reward diffs (store/transfer_processor.go:169-219;
+    // predicates model/types.go:215-224): conditional sums per account.
+    "a9_conditional_sums" -> QueryDef.sql(
+      (s, d) => Tables(s, d).events
+        .groupBy("user_id")
+        .agg(
+          coalesce(sum(when(col("event_type") === "purchase", col("value")).cast(dec)), lit(0).cast(dec)).as("purchase_total"),
+          coalesce(sum(when(col("event_type") === "error", col("value")).cast(dec)), lit(0).cast(dec)).as("error_total"))
+        .orderBy("user_id"),
+      """SELECT user_id,
+        |   coalesce(sum(CAST(CASE WHEN event_type = 'purchase' THEN value END AS DECIMAL(38,6))), 0) AS purchase_total,
+        |   coalesce(sum(CAST(CASE WHEN event_type = 'error' THEN value END AS DECIMAL(38,6))), 0) AS error_total
+        | FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+    ),
+
+    // A10 — seed totals per group (store/new_erc20.go:104-162)
+    "a10_seed_totals" -> QueryDef.sql(
+      (s, d) => Tables(s, d).embeddings
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          sum(element_at(col("embedding"), 1).cast("double").cast(dec)).as("sum_first_dim"))
+        .orderBy("label"),
+      """SELECT label, count(*) AS n,
+        |   sum(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(38,6))) AS sum_first_dim
+        | FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+    ),
+
+    // W3 — carry-forward last non-null per key with default
+    // (store/transfer_processor.go:337-356: previous total balance or zero)
+    "w3_carry_forward" -> QueryDef.sql(
+      (s, d) => Relational.carryForward(
+        Tables(s, d).events
+          .withColumn("purchase_value", when(col("event_type") === "purchase", col("value"))),
+        Seq("user_id"), Seq(col("ts"), col("event_id")),
+        col("purchase_value"), lit(0.0), "last_purchase_value")
+        .select("user_id", "event_id", "last_purchase_value")
+        .orderBy("user_id", "event_id"),
+      """SELECT user_id, event_id,
+        |   coalesce(last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |     OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS last_purchase_value
+        | FROM events ORDER BY user_id, event_id""".stripMargin
+    ),
+
+    // O2 — full descending sort of one entity's history
+    // (store/account/account.go:67,223-234)
+    "o2_sorted_history" -> QueryDef.sql(
+      (s, d) => Tables(s, d).events
+        .filter(col("user_id") === 5L)
+        .select("event_id", "ts", "event_type", "value")
+        .orderBy(desc("ts"), desc("event_id")),
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        | FROM events WHERE user_id = 5 ORDER BY ts DESC, event_id DESC""".stripMargin
+    ),
+
+    // W1 variant — top-n per key (rank ≤ 3 latest events per user)
+    "w1_topn_per_key" -> QueryDef.sql(
+      (s, d) => Relational.topNPerKey(
+        Tables(s, d).events, Seq("user_id"), Seq(col("ts"), col("event_id")), 3)
+        .select("user_id", "rank_in_key", "event_id", "event_type")
+        .orderBy("user_id", "rank_in_key"),
+      """SELECT user_id, rn AS rank_in_key, event_id, event_type FROM (
+        |   SELECT user_id, event_id, event_type,
+        |          row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |   FROM events) WHERE rn <= 3 ORDER BY user_id, rank_in_key""".stripMargin
+    )
+  )
+}

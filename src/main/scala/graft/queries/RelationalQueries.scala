@@ -25,8 +25,9 @@ object RelationalQueries {
 
     // P4 — all children of a parent key (store/transaction/transaction.go:39,71-78)
     "p4_rows_by_fk" -> QueryDef.sql(
-      (s, d) => Tables(s, d).lineitem.filter(col("l_orderkey") === 7L).orderBy("l_linenumber"),
-      "SELECT * FROM lineitem WHERE l_orderkey = 7 ORDER BY l_linenumber"
+      (s, d) => Tables(s, d).lineitem.filter(col("l_orderkey") === 7L)
+        .orderBy(JoinQueries.lineitemOrder.map(col): _*),
+      s"SELECT * FROM lineitem WHERE l_orderkey = 7 ORDER BY ${JoinQueries.lineitemOrderSql}"
     ),
 
     // P8 — IN-list membership (store/sqldb/db.go:183-193)
@@ -50,8 +51,8 @@ object RelationalQueries {
     "p10_range_scan" -> QueryDef.sql(
       (s, d) => Tables(s, d).lineitem
         .filter(col("l_orderkey").between(100L, 200L))
-        .orderBy("l_orderkey", "l_linenumber"),
-      "SELECT * FROM lineitem WHERE l_orderkey BETWEEN 100 AND 200 ORDER BY l_orderkey, l_linenumber"
+        .orderBy(JoinQueries.lineitemOrder.map(col): _*),
+      s"SELECT * FROM lineitem WHERE l_orderkey BETWEEN 100 AND 200 ORDER BY ${JoinQueries.lineitemOrderSql}"
     ),
 
     // P11/O3 — deterministic pagination (store/subscription/subscription.go:148-206)
