@@ -15,7 +15,7 @@ object SparkEntry {
 
   private def allDefs: Map[String, QueryDef] =
     RelationalQueries.defs ++ JoinQueries.defs ++ AggQueries.defs ++
-      FunctionQueries.defs
+      FunctionQueries.defs ++ PipelineQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

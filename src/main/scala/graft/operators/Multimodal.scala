@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads travel as opaque
+  * `binary` columns with a typed metadata struct, exactly as a 100 TB
+  * training pipeline carries them (decode happens late, next to the
+  * consumer, never at ingest).
+  *
+  * The actual media decode is STUBBED — codec libraries are not in this
+  * container — behind `decodeStub`, which produces a deterministic fake.
+  * Everything around it is real and tested: the schema contract, the
+  * mapPartitions batching (one decoder instance per partition, rows
+  * streamed through it), and the column-level metadata extraction.
+  */
+object Multimodal {
+
+  /** Canonical schema for a multimodal asset column family. */
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("byte_len", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("channels", IntegerType, nullable = true)
+    )), nullable = true)
+  ))
+
+  /** Wrap any (id, binary) DataFrame into the asset contract, deriving
+    * cheap metadata from the payload header bytes — pure column exprs,
+    * no decode.
+    */
+  def toAssets(df: DataFrame, idCol: String, payloadCol: String, mediaType: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("asset_id"),
+      lit(mediaType).as("media_type"),
+      col(payloadCol).as("payload"),
+      struct(
+        length(col(payloadCol)).cast("int").as("byte_len"),
+        // header-derived fake dimensions (see decodeStub): bytes 1-2 and 3-4
+        (conv(hex(substring(col(payloadCol), 1, 2)), 16, 10).cast("int") % 1920).as("width"),
+        (conv(hex(substring(col(payloadCol), 3, 2)), 16, 10).cast("int") % 1080).as("height"),
+        (conv(hex(substring(col(payloadCol), 5, 1)), 16, 10).cast("int") % 4 + 1).as("channels")
+      ).as("meta")
+    )
+
+  /** The decode seam. A real deployment plugs a codec here (JNI/FFI, one
+    * instance per partition). The stub derives deterministic "features"
+    * from the payload bytes so the plumbing is testable end-to-end.
+    */
+  def decodeStub(payload: Array[Byte]): Array[Float] = {
+    // ??? <- real image/audio decode goes here; deterministic fake instead:
+    if (payload == null || payload.isEmpty) Array.fill(8)(0.0f)
+    else {
+      val out = new Array[Float](8)
+      var i = 0
+      while (i < payload.length) {
+        out(i % 8) = out(i % 8) + (payload(i) & 0xFF).toFloat / 255.0f
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Feature extraction over asset batches: mapPartitions so the (stubbed)
+    * decoder is initialized once per partition and rows stream through —
+    * the Scala analogue of a Pandas UDF over mapInPandas, same batch shape.
+    */
+  def extractFeatures(spark: SparkSession, assets: DataFrame): DataFrame = {
+    val outSchema = StructType(assets.schema.fields :+
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = true))
+    val payloadIdx = assets.schema.fieldIndex("payload")
+    assets.mapPartitions { rows =>
+      // per-partition decoder init would happen here
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        Row.fromSeq(r.toSeq :+ decodeStub(payload).toSeq)
+      }
+    }(Encoders.row(outSchema))
+  }
+}

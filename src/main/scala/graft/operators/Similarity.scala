@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Two tiers, as a 100 TB pipeline needs:
+  *   - brute-force cosine top-k: exact; probes broadcast, corpus streamed —
+  *     one pass over the corpus, no shuffle of the corpus side;
+  *   - LSH-bucketed ANN (random-hyperplane signatures): candidates only
+  *     meet within a bucket, turning all-pairs into a keyed join.
+  *
+  * All math is column expressions (sequential left-to-right folds), which
+  * keeps results deterministic and plans inside whole-stage codegen.
+  */
+object Similarity {
+
+  /** Sequential dot product of two float-array columns in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column =
+    aggregate(transform(a, x => x.cast("double") * x.cast("double")), lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity; 0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val d  = dot(a, b)
+    val nn = sqrt(norm2(a)) * sqrt(norm2(b))
+    when(nn === 0.0, 0.0).otherwise(d / nn)
+  }
+
+  /** Exact top-k cosine neighbors for each probe vector.
+    *
+    * The probe set is broadcast (it is small by construction — a query
+    * batch), so the corpus is scanned once with no shuffle; the only
+    * shuffle is the final per-probe top-k window over |probes|·|corpus|
+    * candidate rows, which AQE coalesces. Self-matches are excluded.
+    *
+    * @param corpus (id, vec) as (Long, Array[Float]) columns named idCol/vecCol
+    * @param probes same schema; ids disjoint or equal to corpus ids
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val p = broadcast(probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pvec")))
+    val scored = corpus
+      .join(p, col(idCol) =!= col("probe_id"))
+      .withColumn("sim", round(cosine(col("__pvec"), col(vecCol)), 6))
+      .drop("__pvec")
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component: a fixed integer
+    * lattice mapped to [-9.5, 9.5], reproducible in any engine — the ANN
+    * variant stays testable against an oracle.
+    */
+  private def planeWeight(plane: Int, dim: Int): Double =
+    (((plane.toLong * 2654435761L + dim.toLong * 40503L + 12345L) % 19L + 19L) % 19L - 9L).toDouble
+
+  /** Sign-random-projection bucket id over `nPlanes` hyperplanes. */
+  def lshBucket(vec: Column, dim: Int, nPlanes: Int): Column = {
+    val bits = (0 until nPlanes).map { pl =>
+      val proj = (0 until dim).map { i =>
+        get(vec, lit(i)).cast("double") * lit(planeWeight(pl, i))
+      }.reduce(_ + _)
+      when(proj >= 0.0, lit(1L << pl)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Approximate NN: probes and corpus hash into sign-projection buckets;
+    * candidates meet only within a bucket (keyed equi-join — shuffle on
+    * bucket id instead of a cross product), then exact cosine + top-k.
+    * Recall is tuned by nPlanes (fewer planes = bigger buckets = higher
+    * recall, more compute).
+    */
+  def lshTopK(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, dim: Int, nPlanes: Int, k: Int): DataFrame = {
+    val c = corpus.withColumn("__bucket", lshBucket(col(vecCol), dim, nPlanes))
+    val p = probes
+      .select(col(idCol).as("probe_id"), col(vecCol).as("__pvec"))
+      .withColumn("__bucket", lshBucket(col("__pvec"), dim, nPlanes))
+    val scored = c.join(p, Seq("__bucket"))
+      .filter(col(idCol) =!= col("probe_id"))
+      .withColumn("sim", round(cosine(col("__pvec"), col(vecCol)), 6))
+      .drop("__pvec", "__bucket")
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting. All pure
+  * column expressions (whole-stage-codegen friendly, no UDFs) so they
+  * vectorize across a 100 TB corpus without serialization overhead.
+  */
+object TextOps {
+
+  /** Whitespace tokenization (the "whitespace + BPE-ish regex" baseline). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Word n-gram shingles: ["a b c", "b c d", ...] for n=3. Built with
+    * transform over token indices — no explode, no UDF.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    filter(
+      transform(toks, (_, i) => when(i <= size(toks) - n,
+        concat_ws(" ", slice(toks, i + 1, lit(n))))),
+      x => x.isNotNull)
+  }
+
+  /** Normalized text: lowercase, collapsed whitespace — the canonical form
+    * for exact dedup and fingerprinting.
+    */
+  def normalized(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Deterministic document fingerprint over normalized content. */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** 64-bit rolling content hash (xxhash64 of normalized text) for
+    * hash-partitionable dedup keys.
+    */
+  def fingerprint64(text: Column): Column = xxhash64(normalized(text))
+
+  /** Quality signals: length, token stats, punctuation/stopword ratios.
+    * Per-row IEEE double math only — deterministic across engines.
+    */
+  val englishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))
+
+  def stopwordCount(text: Column, stopwords: Seq[String] = englishStopwords): Column =
+    size(filter(tokens(text), t => array_contains(array(stopwords.map(lit): _*), t)))
+
+  /** Composite quality score in [0,1]-ish: penalizes very short docs, high
+    * punctuation density, and stopword-free (non-natural) text.
+    */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val nTok = tokenCount(text).cast("double")
+    Seq(
+      "n_tokens"       -> tokenCount(text),
+      "punct_ratio"    -> punctCount(text).cast("double") / greatest(length(text).cast("double"), lit(1.0)),
+      "stopword_ratio" -> stopwordCount(text).cast("double") / greatest(nTok, lit(1.0)),
+      "avg_token_len"  -> (length(regexp_replace(trim(text), "\\s+", "")).cast("double") / greatest(nTok, lit(1.0)))
+    )
+  }
+
+  /** Stopword-profile language ID. Counts language-marker tokens per
+    * candidate language and arg-maxes with a fixed preference order —
+    * an n-gram/stopword heuristic in pure column algebra.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "es" -> Seq("el", "la", "que", "los", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "和")
+  )
+
+  def langScore(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(lower(text)), t => array_contains(array(markers.map(lit): _*), t)))
+
+  /** Predicted language: highest marker count wins; ties resolve in
+    * `langMarkers` order; all-zero falls back to "und" (undetermined).
+    */
+  def langId(text: Column): Column = {
+    val scored = langMarkers.map { case (lang, m) => (lang, langScore(text, m)) }
+    val best   = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldRight(lit("und"): Column) { case ((lang, score), acc) =>
+      when(score === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+}

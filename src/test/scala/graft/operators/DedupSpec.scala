@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+    (2L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup of 1
+    (3L, "ALPHA  beta gamma delta epsilon zeta eta theta"), // normalized dup of 1
+    (4L, "alpha beta gamma delta epsilon zeta eta iota"),   // near dup (1 word differs)
+    (5L, "one two three four five six seven eight")         // unrelated
+  ).toDF("doc_id", "text")
+
+  test("exactDedup groups normalized duplicates under the lowest id") {
+    val got = Dedup.exactDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(got(1L) == 3L) // docs 1,2,3 collapse
+    assert(got(4L) == 1L)
+    assert(got(5L) == 1L)
+  }
+
+  test("minHash signatures are equal for identical docs, differ for unrelated") {
+    val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", shingleSize = 2, numHashes = 16)
+      .collect().map(r => r.getAs[Long]("doc_id") -> (1 to 16).map(i => r.getAs[Long](s"mh_${i - 1}")))
+      .toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(5L))
+  }
+
+  test("minHashLshNearDups finds the near-duplicate pair and skips unrelated") {
+    val pairs = Dedup.minHashLshNearDups(docs, "doc_id", "text",
+      shingleSize = 2, numHashes = 16, bands = 8, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 4L)) || pairs.contains((2L, 4L))) // near dup
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("verifyJaccard computes exact intersection/union counts") {
+    val pairs = Seq((1L, 4L)).toDF("id_a", "id_b")
+    val row = Dedup.verifyJaccard(docs, pairs, "doc_id", "text", shingleSize = 1).head()
+    // word sets: 8 tokens each, 7 shared → union 9
+    assert(row.getAs[Int]("inter") == 7)
+    assert(row.getAs[Int]("uni") == 9)
+  }
+
+  test("simHash of identical docs equal; near dup within small hamming") {
+    val h = Dedup.simHash64(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(2L))
+    val hamNear = java.lang.Long.bitCount(h(1L) ^ h(4L))
+    val hamFar  = java.lang.Long.bitCount(h(1L) ^ h(5L))
+    assert(hamNear < hamFar)
+  }
+
+  test("cosineNearDups flags identical vectors") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.5f, 0.2f)),
+      (2L, Array(1.0f, 0.0f, 0.5f, 0.2f)),
+      (3L, Array(-1.0f, 2.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.cosineNearDups(vecs, "vec_id", "embedding", dim = 4, nPlanes = 2, threshold = 0.99)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+  }
+}

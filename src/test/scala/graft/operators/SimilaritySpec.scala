@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(0.0f, 0.0f, 1.0f)),
+    (4L, Array(-1.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: orthogonal=0, identical=1, opposite=-1") {
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f), Array(1.0f, 0.0f), Array(-1.0f, 0.0f)))
+      .toDF("a", "b", "c", "d")
+    val r = df.select(
+      Similarity.cosine(col("a"), col("b")).as("ab"),
+      Similarity.cosine(col("a"), col("c")).as("ac"),
+      Similarity.cosine(col("a"), col("d")).as("ad")).head()
+    assert(r.getDouble(0) == 0.0)
+    assert(r.getDouble(1) == 1.0)
+    assert(r.getDouble(2) == -1.0)
+  }
+
+  test("bruteForceTopK ranks nearest first, excludes self") {
+    val got = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), "vec_id", "embedding", 2)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L) || got == Seq(1L, 3L)) // 1 is closest; 2/3 tie at 0
+  }
+
+  test("lshTopK finds the same nearest neighbor as brute force here") {
+    val bf = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), "vec_id", "embedding", 1)
+      .select("vec_id").as[Long].head()
+    val ann = Similarity.lshTopK(vecs, vecs.filter($"vec_id" === 0), "vec_id", "embedding",
+      dim = 3, nPlanes = 1, k = 1)
+      .select("vec_id").as[Long].collect()
+    assert(ann.isEmpty || ann.head == bf) // bucket may exclude; if found, must agree
+    assert(bf == 1L)
+  }
+}

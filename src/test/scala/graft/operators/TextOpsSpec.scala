@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps"),
+    (2L, "  The   quick  BROWN fox jumps "),
+    (3L, "der hund und die katze ist da"),
+    (4L, "xyzzy plugh")
+  ).toDF("doc_id", "text")
+
+  test("tokenCount splits on any whitespace run") {
+    val got = docs.select(col("doc_id"), TextOps.tokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 5, 2L -> 5, 3L -> 7, 4L -> 2))
+  }
+
+  test("shingles builds word n-grams") {
+    val got = docs.filter($"doc_id" === 1)
+      .select(TextOps.shingles(col("text"), 3))
+      .as[Seq[String]].head()
+    assert(got == Seq("the quick brown", "quick brown fox", "brown fox jumps"))
+  }
+
+  test("normalized collapses case and whitespace; fingerprints of 1 and 2 match") {
+    val fps = docs.filter($"doc_id".isin(1L, 2L))
+      .select(TextOps.fingerprint(col("text"))).as[String].collect().toSet
+    assert(fps.size == 1)
+  }
+
+  test("langId prefers the language with most marker hits") {
+    val got = docs.select(col("doc_id"), TextOps.langId(col("text")).as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en")
+    assert(got(3L) == "de")
+    assert(got(4L) == "und")
+  }
+
+  test("quality features: stopword ratio and punct ratio behave") {
+    val feats = TextOps.qualityFeatures(col("text"))
+    val row = docs.filter($"doc_id" === 1)
+      .select(feats.map { case (n, c) => c.as(n) }: _*).head()
+    assert(row.getAs[Int]("n_tokens") == 5)
+    assert(row.getAs[Double]("stopword_ratio") == 0.2) // "the" of 5 tokens
+    assert(row.getAs[Double]("punct_ratio") == 0.0)
+  }
+}
