@@ -21,12 +21,12 @@ object AggQueries {
         val subbed  = t.orders.join(broadcast(watched), col("o_custkey") === col("c_custkey"), "left_semi")
         subbed.join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
           .groupBy("o_custkey")
-          .agg(sum((col("l_extendedprice") * col("l_discount")).cast(dec)).as("fee"),
+          .agg(sum((col("l_extendedprice") * col("l_discount")).cast(dec)).cast("double").as("fee"),
             count(lit(1)).as("n_items"))
           .orderBy("o_custkey")
       },
       """SELECT o_custkey,
-        |   sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS fee,
+        |   CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS fee,
         |   count(*) AS n_items
         | FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         | WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0)
@@ -45,14 +45,14 @@ object AggQueries {
           .withColumn("base_reward", era)
           .groupBy("base_reward")
           .agg(count(lit(1)).as("n_orders"),
-            sum(col("o_totalprice").cast(dec)).as("sum_price"))
+            sum(col("o_totalprice").cast(dec)).cast("double").as("sum_price"))
           .orderBy("base_reward")
       },
       """SELECT CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN 5
         |             WHEN o_orderdate < TIMESTAMP '1999-01-01' THEN 3
         |             ELSE 2 END AS base_reward,
         |   count(*) AS n_orders,
-        |   sum(CAST(o_totalprice AS DECIMAL(38,6))) AS sum_price
+        |   CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
         | FROM orders GROUP BY 1 ORDER BY base_reward""".stripMargin
     ),
 
@@ -61,11 +61,11 @@ object AggQueries {
       (s, d) => Tables(s, d).events
         .withColumn("grp", col("user_id") % 10L)
         .groupBy("grp", "event_type")
-        .agg(sum(col("value").cast(dec)).as("total"),
+        .agg(sum(col("value").cast(dec)).cast("double").as("total"),
           count(lit(1)).as("n"))
         .orderBy("grp", "event_type"),
       """SELECT user_id % 10 AS grp, event_type,
-        |   sum(CAST(value AS DECIMAL(38,6))) AS total, count(*) AS n
+        |   CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total, count(*) AS n
         | FROM events GROUP BY 1, 2 ORDER BY grp, event_type""".stripMargin
     ),
 
@@ -75,12 +75,12 @@ object AggQueries {
       (s, d) => Tables(s, d).events
         .groupBy("user_id")
         .agg(
-          coalesce(sum(when(col("event_type") === "purchase", col("value")).cast(dec)), lit(0).cast(dec)).as("purchase_total"),
-          coalesce(sum(when(col("event_type") === "error", col("value")).cast(dec)), lit(0).cast(dec)).as("error_total"))
+          coalesce(sum(when(col("event_type") === "purchase", col("value")).cast(dec)), lit(0).cast(dec)).cast("double").as("purchase_total"),
+          coalesce(sum(when(col("event_type") === "error", col("value")).cast(dec)), lit(0).cast(dec)).cast("double").as("error_total"))
         .orderBy("user_id"),
       """SELECT user_id,
-        |   coalesce(sum(CAST(CASE WHEN event_type = 'purchase' THEN value END AS DECIMAL(38,6))), 0) AS purchase_total,
-        |   coalesce(sum(CAST(CASE WHEN event_type = 'error' THEN value END AS DECIMAL(38,6))), 0) AS error_total
+        |   CAST(coalesce(sum(CAST(CASE WHEN event_type = 'purchase' THEN value END AS DECIMAL(38,6))), 0) AS DOUBLE) AS purchase_total,
+        |   CAST(coalesce(sum(CAST(CASE WHEN event_type = 'error' THEN value END AS DECIMAL(38,6))), 0) AS DOUBLE) AS error_total
         | FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
     ),
 

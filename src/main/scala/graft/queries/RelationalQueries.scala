@@ -124,18 +124,21 @@ object RelationalQueries {
     ),
 
     // A4 — sums per group; doubles aggregated as DECIMAL so the result is
-    // exact and engine-order-independent (store/store.go:222-264 fee rollup)
+    // exact and engine-order-independent (store/store.go:222-264 fee rollup).
+    // Final columns cast to DOUBLE so the output representation is canonical
+    // across engines (decimal scale/rendering differs between Spark and the
+    // oracle even when values are identical).
     "a4_sum_per_group" -> QueryDef.sql(
       (s, d) => Tables(s, d).lineitem.groupBy("l_returnflag", "l_linestatus").agg(
-        sum(col("l_quantity").cast(dec)).as("sum_qty"),
-        sum(col("l_extendedprice").cast(dec)).as("sum_base"),
-        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec)).as("sum_disc_price"),
+        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec)).cast("double").as("sum_disc_price"),
         count(lit(1)).as("cnt")
       ).orderBy("l_returnflag", "l_linestatus"),
       """SELECT l_returnflag, l_linestatus,
-        | sum(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
-        | sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_base,
-        | sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS sum_disc_price,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
         | count(*) AS cnt
         | FROM lineitem GROUP BY l_returnflag, l_linestatus
         | ORDER BY l_returnflag, l_linestatus""".stripMargin
@@ -146,12 +149,13 @@ object RelationalQueries {
       (s, d) => Relational.cumSum(
         Tables(s, d).events, Seq("user_id"), Seq(col("ts"), col("event_id")),
         col("value").cast(dec), "running_value")
-        .select("user_id", "event_id", "running_value")
+        .select(col("user_id"), col("event_id"),
+          col("running_value").cast("double").as("running_value"))
         .orderBy("user_id", "event_id"),
       """SELECT user_id, event_id,
-        | sum(CAST(value AS DECIMAL(38,6))) OVER (
+        | CAST(sum(CAST(value AS DECIMAL(38,6))) OVER (
         |   PARTITION BY user_id ORDER BY ts, event_id
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
         | FROM events ORDER BY user_id, event_id""".stripMargin
     )
   )
