@@ -1,18 +1,25 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines, from exact to
   * near-duplicate. Scale design notes:
   *   - exact dedup is a single hash aggregation on the fingerprint (one
   *     shuffle, map-side partial);
-  *   - MinHash/SimHash candidate generation is LSH-keyed: pairs meet only
-  *     inside a band/chunk bucket, so the shuffle is on bucket keys and the
-  *     quadratic blow-up is bounded per bucket — the all-pairs cross join
-  *     never materializes;
+  *   - MinHash/SimHash signatures are computed ONCE per document (a single
+  *     aggregation emitting an array column), then banded/chunked via
+  *     posexplode — no per-band re-aggregation, no plan duplication;
+  *   - candidate pairs come from a groupBy on the bucket key (band hash /
+  *     chunk value) + in-row pair expansion, so the shuffle is on bucket
+  *     keys and the quadratic blow-up is bounded per bucket — the all-pairs
+  *     cross join never materializes and no self-join recomputes the
+  *     signature plan;
   *   - verification (exact Jaccard / Hamming) runs only on candidates.
+  *
+  * All content hashing is md5-based ("portable hashes"): the identical
+  * construction is expressible in ANSI/DuckDB SQL, so every stage of the
+  * pipeline is oracle-checkable, not just the verify step.
   */
 object Dedup {
 
@@ -32,19 +39,33 @@ object Dedup {
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
       .filter(col("n_copies") > 1)
 
-  // ---- MinHash + LSH --------------------------------------------------
+  // ---- Portable hashing -------------------------------------------------
+
+  /** 32-bit hashes from the md5 digest: first / second 8 hex digits parsed
+    * base-16. Deterministic, engine-agnostic (DuckDB mirrors them with
+    * instr-based hex parsing), and codegen'd in Spark (md5 + conv built-ins).
+    */
+  private[graft] def portableHashLo(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  private[graft] def portableHashHi(c: Column): Column =
+    conv(substring(md5(c), 9, 8), 16, 10).cast("long")
+
+  // ---- MinHash + LSH ----------------------------------------------------
 
   /** Deterministic universal-hash parameters (a·x + b mod p). Fixed rather
-    * than seeded at runtime so signatures are reproducible run-to-run.
+    * than seeded at runtime so signatures are reproducible run-to-run (and
+    * in the SQL oracle, which interpolates the same constants).
     * p = 2^31−1 keeps a·x < 2^62 — no long overflow under ANSI mode.
     */
-  private val MersennePrime = (1L << 31) - 1
-  private def hashA(i: Int): Long = {
+  private[graft] val MersennePrime = (1L << 31) - 1
+  /** Multiplier for the per-band polynomial fold over signature slices. */
+  private[graft] val BandFoldMult = 1000003L
+  private[graft] def hashA(i: Int): Long = {
     var x = 0x9E3779B97F4A7C15L * (i + 1)
     x ^= x >>> 32; x *= 0xBF58476D1CE4E5B9L; x ^= x >>> 29
     (x & Long.MaxValue) % (MersennePrime - 1) + 1
   }
-  private def hashB(i: Int): Long = {
+  private[graft] def hashB(i: Int): Long = {
     var x = 0xC2B2AE3D27D4EB4FL * (i + 1)
     x ^= x >>> 31; x *= 0x94D049BB133111EBL; x ^= x >>> 27
     (x & Long.MaxValue) % MersennePrime
@@ -57,47 +78,73 @@ object Dedup {
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int, numHashes: Int): DataFrame = {
     val shingled = df
-      .select(col(idCol), explode(TextOps.shingles(col(textCol), shingleSize)).as("__sh"))
-      .withColumn("__h", pmod(xxhash64(col("__sh")), lit(MersennePrime)))
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(TextOps.shinglesOfTokens(col("__toks"), shingleSize)).as("__sh"))
+      .withColumn("__h", pmod(portableHashLo(col("__sh")), lit(MersennePrime)))
     val minExprs = (0 until numHashes).map { i =>
       min(pmod(col("__h") * lit(hashA(i)) + lit(hashB(i)), lit(MersennePrime))).as(s"mh_$i")
     }
     shingled.groupBy(col(idCol)).agg(minExprs.head, minExprs.tail: _*)
   }
 
-  /** LSH banding: signature columns → (band, bandHash) rows. Docs sharing a
-    * band hash are candidate near-duplicates. bandsize r = numHashes/bands.
+  /** Signature as a single `sig: array<long>` column — the shape the
+    * banding stage consumes (slice + posexplode, zero recompute).
+    */
+  def minHashSignatureArray(df: DataFrame, idCol: String, textCol: String,
+                            shingleSize: Int, numHashes: Int): DataFrame =
+    minHashSignatures(df, idCol, textCol, shingleSize, numHashes)
+      .select(col(idCol), array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("sig"))
+
+  /** LSH banding over an array signature: ONE pass emits (band, band_hash)
+    * rows via posexplode of per-band polynomial folds — the signature
+    * aggregation upstream is computed exactly once, not per band.
+    * Band hash = fold acc·M + v mod p over the band's slice: equal slices
+    * always collide (no false negatives); the rare cross-slice collision is
+    * removed by exact verification downstream.
     */
   def lshBands(sigs: DataFrame, idCol: String, numHashes: Int, bands: Int): DataFrame = {
     val r = numHashes / bands
     require(r * bands == numHashes, "bands must divide numHashes")
-    val bandRows = (0 until bands).map { b =>
-      val cols = (b * r until (b + 1) * r).map(i => col(s"mh_$i"))
-      sigs.select(col(idCol), lit(b).as("band"), xxhash64(cols: _*).as("band_hash"))
-    }
-    bandRows.reduce(_.unionByName(_))
+    val bandHashes = transform(sequence(lit(0), lit(bands - 1)), b =>
+      aggregate(slice(col("sig"), b * r + 1, lit(r)), lit(0L),
+        (acc, v) => pmod(acc * lit(BandFoldMult) + v, lit(MersennePrime))))
+    sigs.select(col(idCol), posexplode(bandHashes).as(Seq("band", "band_hash")))
   }
 
-  /** Candidate pairs from shared LSH bands: self-join keyed on
-    * (band, band_hash) — the shuffle key is the bucket, never all-pairs.
+  /** All ordered pairs (i<j) from a sorted array, as one in-row expansion. */
+  private def orderedPairs(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + 2, size(ids)), y => struct(x.as("a"), y.as("b")))))
+
+  /** Candidate pairs from shared LSH buckets: groupBy the bucket key,
+    * expand pairs inside each bucket. One shuffle on the bucket key; the
+    * upstream banding plan is never duplicated (vs. a self-join, which
+    * would recompute it on both sides).
     */
   def candidatePairs(bands: DataFrame, idCol: String): DataFrame = {
-    val l = bands.select(col("band"), col("band_hash"), col(idCol).as("id_a"))
-    val r = bands.select(col("band"), col("band_hash"), col(idCol).as("id_b"))
-    l.join(r, Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    val buckets = bands.groupBy("band", "band_hash")
+      .agg(sort_array(collect_set(col(idCol))).as("__ids"))
+      .filter(size(col("__ids")) > 1)
+    buckets.select(explode(orderedPairs(col("__ids"))).as("__p"))
+      .select(col("__p.a").as("id_a"), col("__p.b").as("id_b"))
       .distinct()
   }
 
-  /** Exact word-set Jaccard for given pairs, via explode + equi-joins and
-    * integer counts (|A∩B|, |A|, |B|) — no floating point until the final
-    * ratio, and only candidates are verified.
+  /** Exact shingle-set Jaccard for given pairs, via two equi-joins carrying
+    * the per-doc set and an in-row intersect — integer counts (|A∩B|, |A|,
+    * |B|), no floating point until the final ratio, and only candidates are
+    * verified. Sets are the 32-bit portable hashes of the shingles, not the
+    * strings: long arrays shuffle ~5-10× less IO than string arrays and
+    * intersect without string compares; the rare 32-bit collision is
+    * deterministic and mirrored by the SQL oracle (same md5 construction).
     */
   def verifyJaccard(df: DataFrame, pairs: DataFrame, idCol: String, textCol: String,
                     shingleSize: Int): DataFrame = {
-    val sets = df.select(col(idCol).as("__vid"),
-      array_distinct(TextOps.shingles(col(textCol), shingleSize)).as("__set"))
+    val sets = df
+      .select(col(idCol).as("__vid"), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col("__vid"),
+        array_distinct(transform(TextOps.shinglesOfTokens(col("__toks"), shingleSize),
+          g => pmod(portableHashLo(g), lit(MersennePrime)))).as("__set"))
     val sized = sets.select(col("__vid"), col("__set"), size(col("__set")).as("__sz"))
     val a = sized.select(col("__vid").as("id_a"), col("__set").as("set_a"), col("__sz").as("sz_a"))
     val b = sized.select(col("__vid").as("id_b"), col("__set").as("set_b"), col("__sz").as("sz_b"))
@@ -108,54 +155,74 @@ object Dedup {
         (col("inter").cast("double") / col("uni").cast("double")).as("jaccard"))
   }
 
-  /** Full MinHash-LSH near-dup pipeline: shingle → sign → band → candidate
-    * → exact-verify ≥ threshold.
+  /** Full MinHash-LSH near-dup pipeline: shingle → sign (once, as an array)
+    * → band (posexplode) → candidate (bucket groupBy) → exact-verify ≥
+    * threshold. Four shuffles total; the signature aggregation runs once.
     */
   def minHashLshNearDups(df: DataFrame, idCol: String, textCol: String,
                          shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
                          threshold: Double = 0.8): DataFrame = {
-    val sigs  = minHashSignatures(df, idCol, textCol, shingleSize, numHashes)
+    val sigs  = minHashSignatureArray(df, idCol, textCol, shingleSize, numHashes)
     val cands = candidatePairs(lshBands(sigs, idCol, numHashes, bands), idCol)
     verifyJaccard(df, cands, idCol, textCol, shingleSize).filter(col("jaccard") >= threshold)
   }
 
   // ---- SimHash ---------------------------------------------------------
 
-  /** 64-bit SimHash per document: one aggregation with 64 conditional sums
-    * over exploded token hashes; bit j is set when the weighted bit-sum is
-    * non-negative.
+  /** SimHash as two 32-bit halves (bits 0-31 / 32-63), one aggregation with
+    * 64 conditional sums over exploded token hashes; bit j is set when the
+    * weighted bit-sum is non-negative. Halves (not one 64-bit value) keep
+    * every intermediate non-negative — exactly mirrorable in SQL engines
+    * without two's-complement edge cases at bit 63.
     */
-  def simHash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simHashHalves(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toked = df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("__t"))
-      .withColumn("__h", xxhash64(col("__t")))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(col("__h").bitwiseAND(lit(1L << j)) =!= 0L, 1).otherwise(-1)).as(s"bs_$j")
+      .withColumn("__lo", portableHashLo(col("__t")))
+      .withColumn("__hi", portableHashHi(col("__t")))
+    def bitSums(src: String, prefix: String) = (0 until 32).map { j =>
+      sum(when(col(src).bitwiseAND(lit(1L << j)) =!= 0L, 1).otherwise(-1)).as(s"${prefix}_$j")
     }
-    val agged = toked.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val hash = (0 until 64).map { j =>
-      when(col(s"bs_$j") >= 0, lit(1L << j)).otherwise(lit(0L))
+    val exprs = bitSums("__lo", "bl") ++ bitSums("__hi", "bh")
+    val agged = toked.groupBy(col(idCol)).agg(exprs.head, exprs.tail: _*)
+    def half(prefix: String): Column = (0 until 32).map { j =>
+      when(col(s"${prefix}_$j") >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
-    agged.select(col(idCol), hash.as("simhash"))
+    agged.select(col(idCol), half("bl").as("sh_lo"), half("bh").as("sh_hi"))
   }
 
+  /** 64-bit SimHash per document (halves packed; bit 63 may set the sign). */
+  def simHash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simHashHalves(df, idCol, textCol)
+      .select(col(idCol), shiftleft(col("sh_hi"), 32).bitwiseOR(col("sh_lo")).as("simhash"))
+
   /** SimHash near-dups: candidates share one of four 16-bit chunks (any
-    * pair within Hamming distance 3 must agree on ≥1 chunk — pigeonhole),
-    * verified by exact Hamming distance via bit_count(xor).
+    * pair within Hamming distance 3 must agree on ≥1 chunk — pigeonhole;
+    * larger maxHamming keeps the scheme as a recall-tuned LSH), verified by
+    * exact Hamming via bit_count(xor) on each half. The hash plan runs
+    * once: chunk rows come from posexplode, pairs from a bucket groupBy.
     */
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
-    val hashed = simHash64(df, idCol, textCol)
-    val chunked = (0 until 4).map { c =>
-      hashed.select(col(idCol), lit(c).as("chunk"),
-        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("chunk_val"),
-        col("simhash"))
-    }.reduce(_.unionByName(_))
-    val l = chunked.select(col("chunk"), col("chunk_val"), col(idCol).as("id_a"), col("simhash").as("sh_a"))
-    val r = chunked.select(col("chunk"), col("chunk_val"), col(idCol).as("id_b"), col("simhash").as("sh_b"))
-    l.join(r, Seq("chunk", "chunk_val"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+    val hashed = simHashHalves(df, idCol, textCol)
+    val chunkVals = array(
+      col("sh_lo").bitwiseAND(lit(0xFFFFL)),
+      shiftrightunsigned(col("sh_lo"), 16).bitwiseAND(lit(0xFFFFL)),
+      col("sh_hi").bitwiseAND(lit(0xFFFFL)),
+      shiftrightunsigned(col("sh_hi"), 16).bitwiseAND(lit(0xFFFFL)))
+    val chunked = hashed.select(
+      struct(col(idCol).as("id"), col("sh_lo").as("lo"), col("sh_hi").as("hi")).as("__doc"),
+      posexplode(chunkVals).as(Seq("chunk", "chunk_val")))
+    val buckets = chunked.groupBy("chunk", "chunk_val")
+      .agg(sort_array(collect_set(col("__doc"))).as("__ids"))
+      .filter(size(col("__ids")) > 1)
+    buckets.select(explode(orderedPairs(col("__ids"))).as("__p"))
+      .select(col("__p.a.id").as("id_a"), col("__p.b.id").as("id_b"),
+        col("__p.a.lo").as("lo_a"), col("__p.a.hi").as("hi_a"),
+        col("__p.b.lo").as("lo_b"), col("__p.b.hi").as("hi_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+          bit_count(col("hi_a").bitwiseXOR(col("hi_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
@@ -163,19 +230,22 @@ object Dedup {
   // ---- Embedding near-dup ----------------------------------------------
 
   /** Embedding-cosine near-dup: LSH-bucketed candidate pairs above a cosine
-    * threshold (reuses the similarity LSH; the quadratic check stays inside
-    * buckets).
+    * threshold. Buckets are grouped (not self-joined) so the projection
+    * plan runs once; the quadratic check stays inside buckets.
     */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                      nPlanes: Int = 8, threshold: Double = 0.95): DataFrame = {
-    val bucketed = df.withColumn("__bucket", Similarity.lshBucket(col(vecCol), dim, nPlanes))
-    val l = bucketed.select(col("__bucket"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val r = bucketed.select(col("__bucket"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
-    l.join(r, Seq("__bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", round(Similarity.cosine(col("vec_a"), col("vec_b")), 6))
+    val bucketed = df.select(
+      struct(col(idCol).as("id"), col(vecCol).as("vec")).as("__doc"),
+      Similarity.lshBucket(col(vecCol), dim, nPlanes).as("__bucket"),
+      lit(0).as("band"))
+    val buckets = bucketed.groupBy(col("band"), col("__bucket").as("band_hash"))
+      .agg(sort_array(collect_set(col("__doc"))).as("__ids"))
+      .filter(size(col("__ids")) > 1)
+    buckets.select(explode(orderedPairs(col("__ids"))).as("__p"))
+      .select(col("__p.a.id").as("id_a"), col("__p.b.id").as("id_b"),
+        round(Similarity.cosine(col("__p.a.vec"), col("__p.b.vec")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
-      .select("id_a", "id_b", "cos_sim")
       .distinct()
   }
 }

@@ -59,7 +59,7 @@ object Similarity {
     * lattice mapped to [-9.5, 9.5], reproducible in any engine — the ANN
     * variant stays testable against an oracle.
     */
-  private def planeWeight(plane: Int, dim: Int): Double =
+  private[graft] def planeWeight(plane: Int, dim: Int): Double =
     (((plane.toLong * 2654435761L + dim.toLong * 40503L + 12345L) % 19L + 19L) % 19L - 9L).toDouble
 
   /** Sign-random-projection bucket id over `nPlanes` hyperplanes. */

@@ -15,16 +15,24 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** Word n-gram shingles: ["a b c", "b c d", ...] for n=3. Built with
-    * transform over token indices — no explode, no UDF.
+  /** Word n-gram shingles over a PRE-MATERIALIZED token-array column.
+    * The lambda references the array via `size`/`slice`, which is O(1) on a
+    * bound attribute — always project `tokens(text)` into a column first in
+    * hot paths: passing the raw `tokens(text)` expression here would
+    * re-evaluate the regexp split per array element (quadratic per row).
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  def shinglesOfTokens(toks: Column, n: Int): Column =
     filter(
       transform(toks, (_, i) => when(i <= size(toks) - n,
         concat_ws(" ", slice(toks, i + 1, lit(n))))),
       x => x.isNotNull)
-  }
+
+  /** Word n-gram shingles: ["a b c", "b c d", ...] for n=3. Convenience
+    * form for small inputs — for scans over large corpora use the two-step
+    * `tokens` → `shinglesOfTokens` (see that method's warning).
+    */
+  def shingles(text: Column, n: Int): Column =
+    shinglesOfTokens(tokens(text), n)
 
   /** Normalized text: lowercase, collapsed whitespace — the canonical form
     * for exact dedup and fingerprinting.

@@ -31,14 +31,17 @@ object FunctionQueries {
     ),
 
     // F2 — decimal-string parse with positivity check (common/utils.go:77-83
-    // ParseTd rejects td <= 0)
+    // ParseTd rejects td <= 0). Parsed via DECIMAL(38,0) to model the full
+    // reference domain, then canonicalized to BIGINT for the oracle hash
+    // (extracted digit runs in this fixture are bounded — same final-cast
+    // pattern as a4-a9).
     "f2_decimal_parse" -> QueryDef.sql(
       (s, d) => Tables(s, d).events
         .withColumn("k", regexp_extract(col("props"), "(\\d+)", 1).cast(DecimalType(38, 0)))
         .filter(col("k") > 0)
-        .select("event_id", "k")
+        .select(col("event_id"), col("k").cast("long").as("k"))
         .orderBy("event_id"),
-      """SELECT event_id, CAST(regexp_extract(props, '(\d+)', 1) AS DECIMAL(38,0)) AS k
+      """SELECT event_id, CAST(CAST(regexp_extract(props, '(\d+)', 1) AS DECIMAL(38,0)) AS BIGINT) AS k
         | FROM events WHERE CAST(regexp_extract(props, '(\d+)', 1) AS DECIMAL(38,0)) > 0
         | ORDER BY event_id""".stripMargin
     ),

@@ -32,6 +32,112 @@ object PipelineQueries {
 
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
 
+  /** 8 hex digits of an md5 expr (starting after `offset` digits) → BIGINT:
+    * the SQL mirror of Dedup.portableHashLo / portableHashHi.
+    */
+  private def hex8(md5Expr: String, offset: Int): String =
+    s"list_reduce(list_transform(range(1,9), i -> CAST(instr('0123456789abcdef', substr($md5Expr, i + $offset, 1)) - 1 AS BIGINT)), (a,b) -> a*16 + b)"
+
+  /** Full MinHash-LSH oracle: the same shingle→hash→sign→band→candidate→
+    * verify pipeline as Dedup.minHashLshNearDups, with the hash constants
+    * interpolated from the same source (Dedup.hashA/hashB/MersennePrime).
+    * Fixed to d2's parameters: shingleSize=2, numHashes=64, bands=32 (r=2),
+    * threshold=0.2.
+    */
+  private def d2Sql: String = {
+    val p = Dedup.MersennePrime
+    val m = Dedup.BandFoldMult
+    val minExprs = (0 until 64)
+      .map(i => s"min((h * ${Dedup.hashA(i)} + ${Dedup.hashB(i)}) % $p) AS mh_$i")
+      .mkString(",\n    ")
+    val bandArr = (0 until 32)
+      .map(b => s"(mh_${2 * b} * $m + mh_${2 * b + 1}) % $p")
+      .mkString("[", ",\n    ", "]")
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+       | grams AS (SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS gram FROM toks),
+       | hashed AS (SELECT doc_id, ${hex8("md5(gram)", 0)} % $p AS h FROM grams),
+       | sigs AS (SELECT doc_id,
+       |    $minExprs
+       |  FROM hashed GROUP BY doc_id),
+       | br0 AS (SELECT doc_id, unnest(range(0, 32)) AS band,
+       |    $bandArr AS bhs
+       |  FROM sigs),
+       | bandrows AS (SELECT doc_id, band, bhs[band + 1] AS band_hash FROM br0),
+       | cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bandrows a JOIN bandrows b
+       |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+       | dg AS (SELECT DISTINCT doc_id, h FROM hashed),
+       | sizes AS (SELECT doc_id, count(*) AS sz FROM dg GROUP BY doc_id),
+       | inter AS (SELECT c.id_a, c.id_b, count(*) AS inter FROM cands c
+       |  JOIN dg a ON a.doc_id = c.id_a
+       |  JOIN dg b ON b.doc_id = c.id_b AND b.h = a.h
+       |  GROUP BY 1, 2)
+       | SELECT id_a, id_b, inter, uni, jaccard FROM (
+       |  SELECT c.id_a AS id_a, c.id_b AS id_b, coalesce(i.inter, 0) AS inter,
+       |    sa.sz + sb.sz - coalesce(i.inter, 0) AS uni,
+       |    CAST(coalesce(i.inter, 0) AS DOUBLE) / CAST(sa.sz + sb.sz - coalesce(i.inter, 0) AS DOUBLE) AS jaccard
+       |  FROM cands c
+       |  JOIN sizes sa ON sa.doc_id = c.id_a
+       |  JOIN sizes sb ON sb.doc_id = c.id_b
+       |  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b)
+       | WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** SimHash oracle: token→two 32-bit md5 halves→64 bit-sums→half hashes→
+    * 16-bit chunk buckets→Hamming verify, mirroring Dedup.simHashNearDups
+    * (d3's parameters: maxHamming=16).
+    */
+  private def d3Sql: String = {
+    def bitSums(src: String, prefix: String) = (0 until 32)
+      .map(j => s"sum(CASE WHEN ($src & ${1L << j}) != 0 THEN 1 ELSE -1 END) AS ${prefix}_$j")
+    val sums = (bitSums("lo", "bl") ++ bitSums("hi", "bh")).mkString(",\n    ")
+    def half(prefix: String) = (0 until 32)
+      .map(j => s"(CASE WHEN ${prefix}_$j >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+       | h AS (SELECT doc_id, ${hex8("md5(tok)", 0)} AS lo, ${hex8("md5(tok)", 8)} AS hi FROM toks),
+       | bits AS (SELECT doc_id,
+       |    $sums
+       |  FROM h GROUP BY doc_id),
+       | sh AS (SELECT doc_id, ${half("bl")} AS sh_lo, ${half("bh")} AS sh_hi FROM bits),
+       | ch AS (SELECT doc_id, sh_lo, sh_hi, unnest(range(0, 4)) AS chunk FROM sh),
+       | chunked AS (SELECT doc_id, sh_lo, sh_hi, chunk,
+       |    CASE chunk WHEN 0 THEN sh_lo & 65535 WHEN 1 THEN (sh_lo >> 16) & 65535
+       |         WHEN 2 THEN sh_hi & 65535 ELSE (sh_hi >> 16) & 65535 END AS chunk_val
+       |  FROM ch),
+       | cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.sh_lo AS lo_a, a.sh_hi AS hi_a, b.sh_lo AS lo_b, b.sh_hi AS hi_b
+       |  FROM chunked a JOIN chunked b
+       |    ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id)
+       | SELECT id_a, id_b, hamming FROM (
+       |  SELECT id_a, id_b, bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) AS hamming FROM cands)
+       | WHERE hamming <= 16 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Sign-projection bucket oracle for s2: per-plane weights interpolated
+    * from Similarity.planeWeight (same integer lattice), sequential
+    * left-to-right fold matching lshBucket's reduce order.
+    */
+  private def s2Sql: String = {
+    def proj(plane: Int): String = {
+      val ws = (0 until 64).map(i => s"CAST(${Similarity.planeWeight(plane, i).toLong} AS DOUBLE)")
+        .mkString("[", ", ", "]")
+      s"list_reduce(list_transform(range(1,65), i -> CAST(e.embedding[i] AS DOUBLE) * ($ws)[i]), (x,y) -> x + y)"
+    }
+    val bucket = (0 until 4)
+      .map(pl => s"(CASE WHEN ${proj(pl)} >= 0 THEN ${1L << pl} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH b AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings e)
+       | SELECT probe_id, nn_rank, neighbor_id, sim FROM (
+       |   SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |     round(${sqlCosine("p.embedding", "c.embedding")}, 6) AS sim,
+       |     row_number() OVER (PARTITION BY p.vec_id
+       |       ORDER BY round(${sqlCosine("p.embedding", "c.embedding")}, 6) DESC, c.vec_id) AS nn_rank
+       |   FROM b p JOIN b c ON c.bucket = p.bucket AND c.vec_id <> p.vec_id
+       |   WHERE p.vec_id < 5)
+       | WHERE nn_rank <= 10 ORDER BY probe_id, nn_rank""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // D1 — exact dedup by normalized-content fingerprint
@@ -44,18 +150,22 @@ object PipelineQueries {
     ),
 
     // D2 — MinHash + LSH near-dup (banded candidates, exact-Jaccard verify).
-    // Engine-private hash family → rows-only check.
-    "d2_minhash_lsh" -> QueryDef.rowsOnly(
+    // The md5-based portable hash family is mirrored stage-for-stage in the
+    // oracle (d2Sql) — the whole LSH pipeline is hash-checked, not rows-only.
+    "d2_minhash_lsh" -> QueryDef.sql(
       (s, d) => Dedup.minHashLshNearDups(
         Tables(s, d).documents, "doc_id", "text",
         shingleSize = 2, numHashes = 64, bands = 32, threshold = 0.2)
-        .orderBy("id_a", "id_b")
+        .orderBy("id_a", "id_b"),
+      d2Sql
     ),
 
-    // D3 — SimHash near-dup (chunked candidates, Hamming verify)
-    "d3_simhash" -> QueryDef.rowsOnly(
+    // D3 — SimHash near-dup (chunked candidates, Hamming verify), fully
+    // mirrored in SQL via the two-half portable hash
+    "d3_simhash" -> QueryDef.sql(
       (s, d) => Dedup.simHashNearDups(Tables(s, d).documents, "doc_id", "text", maxHamming = 16)
-        .orderBy("id_a", "id_b")
+        .orderBy("id_a", "id_b"),
+      d3Sql
     ),
 
     // D4 — exact n-gram Jaccard between consecutive doc pairs: integer
@@ -69,12 +179,12 @@ object PipelineQueries {
           .orderBy("id_a")
       },
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
-         | grams AS (SELECT doc_id, unnest(list_distinct(
-         |     [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])) AS gram
+         | grams AS (SELECT doc_id, unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS gram
          |   FROM toks),
-         | sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+         | dg AS (SELECT DISTINCT doc_id, ${hex8("md5(gram)", 0)} % ${Dedup.MersennePrime} AS h FROM grams),
+         | sizes AS (SELECT doc_id, count(*) AS sz FROM dg GROUP BY doc_id),
          | inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-         |   FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1 AND a.gram = b.gram
+         |   FROM dg a JOIN dg b ON b.doc_id = a.doc_id + 1 AND a.h = b.h
          |   GROUP BY 1, 2)
          | SELECT p.doc_id AS id_a, p.doc_id + 1 AS id_b,
          |   coalesce(i.inter, 0) AS inter,
@@ -126,8 +236,9 @@ object PipelineQueries {
     ),
 
     // S2 — LSH-bucketed ANN (sign random projection): the 100 TB scale path;
-    // bucket assignment is engine-side → rows-only
-    "s2_ann_lsh" -> QueryDef.rowsOnly(
+    // the integer-lattice plane weights are engine-agnostic, so the bucket
+    // assignment (and thus the full ANN result) is oracle-checked too
+    "s2_ann_lsh" -> QueryDef.sql(
       (s, d) => {
         val e = Tables(s, d).embeddings
         Similarity.lshTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
@@ -135,7 +246,8 @@ object PipelineQueries {
           .select(col("probe_id"), col("rank").as("nn_rank"),
             col("vec_id").as("neighbor_id"), col("sim"))
           .orderBy("probe_id", "nn_rank")
-      }
+      },
+      s2Sql
     ),
 
     // T1 — token counting
