@@ -96,7 +96,9 @@ object BalancePipeline {
       .join(broadcast(active.select("address").distinct()),
         txs("from") === col("address"), "left_semi")
       .groupBy(col("from").as("fee_payer"))
-      .agg(sum((col("gas_price") * col("gas_used")).cast(wei)).cast(wei).as("tx_fee"))
+      // Cast EACH operand to wei BEFORE multiplying: LongType×LongType wraps
+      // silently past 2^63−1 (500 gwei × 30M gas = 1.5e19 > 9.2e18).
+      .agg(sum(col("gas_price").cast(wei) * col("gas_used").cast(wei)).cast(wei).as("tx_fee"))
       .withColumnRenamed("fee_payer", "address")
 
   /** A9: miner/uncle reward diffs for subscribed coinbases, from the

@@ -8,9 +8,12 @@ import java.sql.Timestamp
   * /root/reference/model/types.go:54-263).
   *
   * Binary columns are raw bytes (hash 32, address 20, bloom 256, nonce 8 —
-  * model/types.go:56-70); big numeric columns are BigDecimal(38,0), which
-  * covers the reference's own varchar(32) domain (≤10^32−1 wei,
-  * model/types.go:72-81); timestamps are UTC.
+  * model/types.go:56-70). Wei-domain numerics are carried as STRINGS on the
+  * ingest structs — exactly the reference's varchar(32) storage
+  * (model/types.go:72-81) — and cast to Decimal(38,0) in Transforms. A Scala
+  * BigDecimal field would be encoded as Decimal(38,18), whose integral max
+  * (~1.7e20) silently nulls any amount above ~170 ETH at Dataset-encoding
+  * time, before any downstream cast can widen it. Timestamps are UTC.
   */
 object Schemas {
 
@@ -26,7 +29,7 @@ object Schemas {
       nonce: Long,
       gasPrice: Long, // bigint after 20180726081811_change_gp_to_be_big_int.rb
       gasLimit: Long,
-      amount: BigDecimal,
+      amount: String, // decimal wei string ≤10^38−1 (ref varchar(32), ≤10^32−1)
       payload: Array[Byte])
 
   case class Block(
@@ -69,7 +72,7 @@ object Schemas {
       txHash: Array[Byte],
       from: Array[Byte],
       to: Array[Byte],
-      value: BigDecimal,
+      value: String, // decimal wei string, see class note
       blockNumber: Long)
 
   /** Token registry row (model/types.go:238-244). blockNumber 0 = pending
@@ -78,7 +81,7 @@ object Schemas {
   case class ERC20(
       address: Array[Byte],
       blockNumber: Long,
-      totalSupply: Option[BigDecimal],
+      totalSupply: Option[String], // decimal string, see class note
       decimals: Int,
       name: String)
 
@@ -98,7 +101,7 @@ object Schemas {
       blockNumber: Long,
       token: Array[Byte], // Sentinels.EthToken for ETH
       address: Array[Byte],
-      balance: BigDecimal)
+      balance: String) // decimal wei string, see class note
 
   /** Reorg audit row (model/types.go:257-263; store/reorg/reorg.go:36-37). */
   case class Reorg(

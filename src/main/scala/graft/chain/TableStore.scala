@@ -2,48 +2,114 @@ package graft.chain
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
-/** Minimal transactional-enough table store over parquet directories:
-  * append for the normal ingest path, atomic directory-swap rewrite for
-  * retraction (the reference's DELETE WHERE block_number BETWEEN f AND t,
-  * store/store.go:319-378).
+/** Transactional-enough table store over parquet directories.
+  *
+  * Range-keyed tables (everything keyed by block number) are laid out in
+  * fixed-width block BUCKETS — `table/bucket=N/` directories via Spark's
+  * partitioned parquet writer — so that
+  *   - retraction (the reference's `DELETE WHERE block_number BETWEEN f AND
+  *     t`, store/store.go:319-378) rewrites ONLY the buckets overlapping
+  *     the range: fully-covered buckets drop as directory deletes, the ≤2
+  *     partially-covered edge buckets rewrite via an atomic directory swap.
+  *     Cost is O(retraction range), never O(table) — at 100 TB a 20-block
+  *     reorg must not rewrite years of history;
+  *   - bounded tip reads (`readRange`) carry an explicit bucket predicate,
+  *     so Spark's partition pruning skips every non-tip directory before
+  *     any file is opened.
   *
   * In a production deployment this seam is a Delta/Iceberg table —
   * `DELETE WHERE` + txn log replace the swap; the interface is shaped so
-  * only this class changes. Idempotency (T6) comes from keyed dedup at
-  * write time, mirroring the reference's duplicate-key tolerance
+  * only this class changes. Idempotency (T6) comes from the admission fold
+  * in ChainIngest, mirroring the reference's duplicate-key tolerance
   * (common/errors.go:48-57).
   */
-final case class TableStore(spark: SparkSession, root: String) {
+final case class TableStore(spark: SparkSession, root: String, bucketSize: Long = 100000L) {
 
   private def dir(table: String): Path = Paths.get(root, table)
+  private def bucketDir(table: String, b: Long): Path = Paths.get(root, table, s"bucket=$b")
+
+  def bucketOf(v: Long): Long = Math.floorDiv(v, bucketSize)
 
   def exists(table: String): Boolean = {
     val d = dir(table)
-    Files.exists(d) && Files.list(d).findFirst().isPresent
+    Files.exists(d) && {
+      val s = Files.list(d) // must close: each open stream holds a descriptor
+      try s.findFirst().isPresent finally s.close()
+    }
   }
 
   def read(table: String, schema: StructType): DataFrame =
-    if (exists(table)) spark.read.parquet(dir(table).toString)
+    if (exists(table)) readOr(table, null)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
   def readOr(table: String, fallback: => DataFrame): DataFrame =
-    if (exists(table)) spark.read.parquet(dir(table).toString) else fallback
+    if (exists(table)) {
+      val df = spark.read.parquet(dir(table).toString)
+      if (df.columns.contains("bucket")) df.drop("bucket") else df
+    } else fallback
 
+  /** Bounded read of a bucketed table: the bucket predicate prunes whole
+    * directories, the range predicate prunes row groups within them.
+    */
+  def readRange(table: String, rangeCol: String, from: Long, to: Long,
+                schema: StructType): DataFrame = {
+    if (!exists(table)) return read(table, schema)
+    val df = spark.read.parquet(dir(table).toString)
+    val pruned =
+      if (df.columns.contains("bucket"))
+        df.filter(col("bucket").between(bucketOf(from), bucketOf(to))).drop("bucket")
+      else df
+    pruned.filter(col(rangeCol).between(from, to))
+  }
+
+  /** Plain append for small non-range tables (reorg audit, head state). */
   def append(table: String, df: DataFrame): Unit =
     df.write.mode(SaveMode.Append).parquet(dir(table).toString)
 
-  /** Replace the table's content with `df` — used for retraction. Writes to
-    * a sibling tmp dir, then swaps, so a concurrent reader never sees a
-    * half-written table and the source can be derived from the table itself.
+  /** Append into the bucketed layout, bucketed on `rangeCol`. */
+  def appendBucketed(table: String, df: DataFrame, rangeCol: String): Unit =
+    df.withColumn("bucket", floor(col(rangeCol) / bucketSize).cast("long"))
+      .write.mode(SaveMode.Append).partitionBy("bucket")
+      .parquet(dir(table).toString)
+
+  /** Delete rows with rangeCol ∈ [from, to]: drop fully-covered bucket
+    * directories, swap-rewrite the partial edge buckets. O(range), not
+    * O(table).
     */
-  def replace(table: String, df: DataFrame): Unit = {
-    val tmp = Paths.get(root, s".${table}_tmp")
+  def deleteRange(table: String, rangeCol: String, from: Long, to: Long): Unit = {
+    if (!exists(table)) return
+    (bucketOf(from) to bucketOf(to)).foreach { b =>
+      val bd = bucketDir(table, b)
+      if (Files.exists(bd)) {
+        val bucketLo = b * bucketSize
+        val bucketHi = bucketLo + bucketSize - 1
+        if (from <= bucketLo && bucketHi <= to) {
+          deleteRecursive(bd) // fully covered: directory delete, no rewrite
+        } else {
+          val keep = spark.read.parquet(bd.toString)
+            .filter(!col(rangeCol).between(from, to))
+          swapInto(bd, keep)
+        }
+      }
+    }
+  }
+
+  /** Replace the table's whole content with `df` — for tiny state tables
+    * only (head_state); range tables retract via deleteRange.
+    */
+  def replace(table: String, df: DataFrame): Unit = swapInto(dir(table), df)
+
+  /** Write df to a sibling tmp dir, then atomically swap it into `target` —
+    * a concurrent reader never sees a half-written directory.
+    */
+  private def swapInto(target: Path, df: DataFrame): Unit = {
+    val tmp = target.resolveSibling("." + target.getFileName.toString + "_tmp")
     deleteRecursive(tmp)
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val target = dir(table)
-    val old    = Paths.get(root, s".${table}_old")
+    val old = target.resolveSibling("." + target.getFileName.toString + "_old")
     deleteRecursive(old)
     if (Files.exists(target)) Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
@@ -52,7 +118,9 @@ final case class TableStore(spark: SparkSession, root: String) {
 
   private def deleteRecursive(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.delete(f))
+      finally s.close()
     }
 }

@@ -69,11 +69,15 @@ object JoinQueries {
           .select("user_id", "event_id", "click_event_id")
           .orderBy("event_id")
       },
-      """SELECT s.user_id, s.event_id,
-        |   (SELECT max(c.event_id) FROM events c
-        |     WHERE c.user_id = s.user_id AND c.event_type = 'click'
-        |       AND (c.ts < s.ts OR (c.ts = s.ts AND c.event_id <= s.event_id))) AS click_event_id
-        | FROM events s WHERE s.event_type = 'signup' ORDER BY s.event_id""".stripMargin
+      """SELECT user_id, event_id, click_event_id FROM (
+        |   SELECT s.user_id, s.event_id, c.event_id AS click_event_id,
+        |     row_number() OVER (PARTITION BY s.event_id
+        |       ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |   FROM events s LEFT JOIN events c
+        |     ON c.user_id = s.user_id AND c.event_type = 'click'
+        |    AND (c.ts < s.ts OR (c.ts = s.ts AND c.event_id <= s.event_id))
+        |   WHERE s.event_type = 'signup')
+        | WHERE rn = 1 ORDER BY event_id""".stripMargin
     ),
 
     // J6 — lookup join with null handling: new-vs-old entity detection

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import scala.collection.mutable
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -12,24 +13,39 @@ import graft.chain._
   *     transfer logs — the per-block RPC fetches of indexer.go:443-467 made
   *     columnar). Tests drive a memory/file stream; production would plug a
   *     custom MicroBatchStream over the WS subscription.
-  *   - admission (T2): duplicate heads and lower-difficulty branches are
-  *     dropped (`Ignore old header`, indexer.go:141-144,361-364).
+  *   - admission (T2): a sequential fold with the reference's exact rules —
+  *     heads at ≤ the current height are ignored (indexer.go:141-144); a
+  *     non-contiguous head is admitted only when its total difficulty beats
+  *     the current chain's (TD-only, indexer.go:361-364 — length never
+  *     decides);
+  *   - reorg (T5): the winning branch is traced parent-by-parent to its
+  *     branch point (indexer.go:370-406); [lowest contradicted height, old
+  *     tip] retracts from every table as an O(range) bucket delete plus a
+  *     reorg audit row (store/reorg/reorg.go:50-54), then the new branch
+  *     inserts;
   *   - catch-up (T3): inserts proceed in ≤ `maxBlocksPerChunk` slices
-  *     (maxBlocksToInsert = 50, indexer.go:39,218-246).
-  *   - reorg (T5): an incoming block at an already-stored height with a
-  *     different hash branches the chain; if the new branch wins (longer,
-  *     or heavier at equal length), [branch, storedTip] retracts from every
-  *     table + a reorg audit row (indexer.go:331-440, store/store.go:175-212)
-  *     and the new branch inserts.
-  *   - state (T4): the current head is re-derived from the sink each batch
-  *     (the reference's `loadLocalState`, indexer.go:177-216) — restart-safe
-  *     with no extra checkpoint state.
-  *   - idempotency (T6): already-stored hashes skip (duplicate-key
-  *     tolerance, common/errors.go:48-57).
+  *     (maxBlocksToInsert = 50, indexer.go:39,218-246);
+  *   - state (T4): the head (number, hash, td) persists in a single-row
+  *     `head_state` table per batch; on restart it reloads, falling back to
+  *     re-derivation from the sink (`loadLocalState`, indexer.go:177-216);
+  *   - idempotency (T6): re-delivered heads fall under the ≤-height rule
+  *     and skip (duplicate-key tolerance, common/errors.go:48-57);
+  *   - TD: per-block td = parent td + difficulty, carried by the fold as
+  *     running state (insertTd, indexer.go:249-274) — never recomputed
+  *     from history.
   *
-  * Scale note: reorg decisions read ONLY (number, hash, parent_hash,
-  * difficulty) — one small row per block — to the driver; payload tables
-  * stay distributed.
+  * Scale invariants (the 100 TB lens):
+  *   - driver traffic per batch is O(batch + reorgWindow) tiny header rows
+  *     — the stored chain is read ONLY in [min(incoming) − reorgWindow,
+  *     head], a partition-pruned bucket read; payload tables never reach
+  *     the driver;
+  *   - retraction rewrites only the buckets overlapping the retracted
+  *     range (TableStore.deleteRange), not the table;
+  *   - TD is O(batch) new rows per batch, O(1) state — not a global window
+  *     over all history.
+  *
+  * Reorgs deeper than `reorgWindow` (default 512; mainnet's deepest
+  * observed is ~30) are rejected as untraceable rather than mis-applied.
   */
 object ChainIngest {
 
@@ -40,8 +56,32 @@ object ChainIngest {
   val TdTable        = "total_difficulty"
   val TransfersTable = "transfers"
   val ReorgsTable    = "reorgs"
+  val HeadTable      = "head_state"
 
-  private case class Hdr(number: Long, hash: Seq[Byte], parentHash: Seq[Byte], difficulty: Long)
+  final case class Hdr(number: Long, hash: Seq[Byte], parentHash: Seq[Byte], difficulty: Long)
+  final case class Head(number: Long, hash: Seq[Byte], td: BigInt)
+
+  /** T4: current head from the tiny head_state table; on a fresh restart
+    * without one, re-derive from the sink (indexer.go:177-216).
+    */
+  def loadHead(store: TableStore): Option[Head] =
+    if (store.exists(HeadTable)) {
+      store.readOr(HeadTable, null).collect().headOption.map { r =>
+        Head(r.getAs[Long]("number"), r.getAs[Array[Byte]]("hash").toSeq,
+          BigInt(r.getAs[String]("td")))
+      }
+    } else if (store.exists(HeadersTable)) {
+      store.readOr(HeadersTable, null)
+        .orderBy(col("number").desc).limit(1)
+        .select("number", "hash").collect().headOption.map { r =>
+          val n = r.getLong(0)
+          val h = r.getAs[Array[Byte]](1)
+          val td = store.readOr(TdTable, null)
+            .filter(col("hash") === lit(h)).select("td").collect().headOption
+            .map(x => BigInt(x.getDecimal(0).toBigInteger)).getOrElse(BigInt(0))
+          Head(n, h.toSeq, td)
+        }
+    } else None
 
   /** One micro-batch of the ingest DAG: admission → reorg handling →
     * transform → idempotent append. `bundles` columns: block (struct),
@@ -52,7 +92,8 @@ object ChainIngest {
       store: TableStore,
       bundles: DataFrame,
       tokens: DataFrame,
-      maxBlocksPerChunk: Int = 50): Unit = {
+      maxBlocksPerChunk: Int = 50,
+      reorgWindow: Long = 512L): Unit = {
     if (bundles.isEmpty) return
 
     val incoming: Array[Hdr] = bundles
@@ -60,107 +101,195 @@ object ChainIngest {
         col("block.difficulty"))
       .orderBy("number")
       .collect()
-      .map(r => Hdr(r.getLong(0), r.getSeq[Byte](1), r.getSeq[Byte](2), r.getLong(3)))
+      .map(r => Hdr(r.getLong(0), r.getAs[Array[Byte]](1).toSeq,
+        r.getAs[Array[Byte]](2).toSeq, r.getLong(3)))
 
-    val stored: Map[Long, Hdr] =
-      if (!store.exists(HeadersTable)) Map.empty
-      else store.readOr(HeadersTable, null)
-        .select("number", "hash", "parent_hash", "difficulty")
-        .collect()
-        .map(r => r.getLong(0) -> Hdr(r.getLong(0), r.getSeq[Byte](1), r.getSeq[Byte](2), r.getLong(3)))
-        .toMap
-    val storedMax = if (stored.isEmpty) -1L else stored.keys.max
+    var cur: Option[Head] = loadHead(store)
+    val windowLo = math.max(0L, incoming.head.number - reorgWindow)
 
-    // First contradicted height = branch point of a reorg candidate
-    val reorgAt: Option[Long] = incoming
-      .find(h => stored.get(h.number).exists(_.hash != h.hash))
-      .map(_.number)
-
-    val insertFrom: Long = reorgAt match {
-      case Some(branch) =>
-        val tip = incoming.last.number
-        // T2: drop losing branches — shorter, or lighter at equal length
-        val newWins =
-          tip > storedMax || {
-            val newTd = incoming.filter(h => h.number >= branch).map(_.difficulty).sum
-            val oldTd = (branch to storedMax).flatMap(stored.get).map(_.difficulty).sum
-            tip == storedMax && newTd > oldTd
+    // Bounded canonical-chain window + its TDs — O(reorgWindow) tiny rows
+    val chainByNumber = mutable.Map[Long, Hdr]()
+    val tdByHash      = mutable.Map[Seq[Byte], BigInt]()
+    cur.foreach { c =>
+      if (store.exists(HeadersTable)) {
+        store.readRange(HeadersTable, "number", windowLo, c.number, null)
+          .select("number", "hash", "parent_hash", "difficulty").collect()
+          .foreach { r =>
+            val h = Hdr(r.getLong(0), r.getAs[Array[Byte]](1).toSeq,
+              r.getAs[Array[Byte]](2).toSeq, r.getLong(3))
+            chainByNumber(h.number) = h
           }
-        if (!newWins) return
-        retract(spark, store, branch, storedMax)
-        branch
-      case None => storedMax + 1
+      }
+      if (store.exists(TdTable)) {
+        store.readRange(TdTable, "block", windowLo, c.number, null)
+          .select("hash", "td").collect()
+          .foreach(r => tdByHash(r.getAs[Array[Byte]](0).toSeq) =
+            BigInt(r.getDecimal(1).toBigInteger))
+      }
     }
 
-    // T6: skip duplicates/old heads; insert the admitted suffix in order
-    val toInsert = incoming.filter(_.number >= insertFrom).map(_.number)
-    if (toInsert.isEmpty) return
+    // Every header visible this batch, keyed by hash — both branches of any
+    // fork live here even though only one is canonical at a time
+    val byHash = mutable.Map[Seq[Byte], Hdr]()
+    chainByNumber.values.foreach(h => byHash(h.hash) = h)
+    incoming.foreach(h => byHash(h.hash) = h)
 
-    // T3: ≤ maxBlocksPerChunk blocks per sink transaction
-    toInsert.grouped(maxBlocksPerChunk).foreach { chunk =>
-      val slice = bundles.filter(col("block.number").between(chunk.head, chunk.last))
-      appendChunk(spark, store, slice, tokens)
+    val pending = mutable.ArrayBuffer[(Long, Seq[Byte], BigInt)]() // accepted (number, hash, td)
+
+    def flush(): Unit = {
+      if (pending.isEmpty) return
+      pending.grouped(maxBlocksPerChunk).foreach { chunk =>
+        val hashLits = chunk.map(c => lit(c._2.toArray))
+        val slice    = bundles.filter(col("block.hash").isin(hashLits.toSeq: _*))
+        appendChunk(spark, store, slice, tokens, chunk.toSeq)
+      }
+      pending.clear()
+    }
+
+    def accept(h: Hdr, td: BigInt): Unit = {
+      chainByNumber(h.number) = h
+      tdByHash(h.hash) = td
+      pending += ((h.number, h.hash, td))
+      cur = Some(Head(h.number, h.hash, td))
+    }
+
+    /** TD of a candidate head: walk ancestry accumulating difficulty until a
+      * hash with known TD (insertTd's parent lookup, indexer.go:249-264).
+      * None = unconnected orphan. An empty chain seeds prevTd = 0 (the
+      * reference's genesis/backfill start, indexer.go:255-258).
+      */
+    def tdOf(h: Hdr): Option[BigInt] = {
+      var acc = BigInt(h.difficulty)
+      var b   = h
+      while (true) {
+        tdByHash.get(b.parentHash) match {
+          case Some(ptd) => return Some(ptd + acc)
+          case None =>
+            byHash.get(b.parentHash) match {
+              case Some(p) => acc += p.difficulty; b = p
+              case None    => return if (cur.isEmpty || b.number == 0) Some(acc) else None
+            }
+        }
+      }
+      None // unreachable
+    }
+
+    incoming.foreach { h =>
+      cur match {
+        // T2/T6: "Ignore old header" — at or below current height
+        case Some(c) if c.number >= h.number => ()
+        // fast path: direct child of the current head (indexer.go:352-356)
+        case Some(c) if h.number == c.number + 1 && h.parentHash == c.hash =>
+          accept(h, c.td + h.difficulty)
+        case _ =>
+          tdOf(h) match {
+            case None => () // orphan: no traceable ancestry
+            case Some(td) if cur.exists(_.td >= td) => () // TD-only rule
+            case Some(td) =>
+              // Branch trace: walk parents to the branch point, recording the
+              // lowest contradicted canonical height (indexer.go:370-406)
+              val branch             = mutable.ArrayBuffer[Hdr](h)
+              var reorgFrom: Option[Long] = None
+              var traceable          = true
+              var done               = false
+              var b                  = h
+              while (!done && traceable) {
+                val pn = b.number - 1
+                chainByNumber.get(pn) match {
+                  case Some(st) if st.hash == b.parentHash => done = true
+                  case Some(_) =>
+                    reorgFrom = Some(pn)
+                    byHash.get(b.parentHash) match {
+                      case Some(p) => branch.prepend(p); b = p
+                      case None    => traceable = false
+                    }
+                  case None =>
+                    byHash.get(b.parentHash) match {
+                      case Some(p) => branch.prepend(p); b = p
+                      case None    => done = true // clean start below stored window
+                    }
+                }
+              }
+              if (traceable) {
+                reorgFrom.foreach { rf =>
+                  // this batch's earlier accepts may fall in the retracted
+                  // range — land them first so the delete covers both
+                  flush()
+                  val c = cur.get
+                  retract(spark, store, rf, c.number, chainByNumber)
+                  (rf to c.number).foreach(chainByNumber.remove)
+                }
+                var ptd = td - branch.map(x => BigInt(x.difficulty)).sum
+                branch.foreach { nb => ptd += nb.difficulty; accept(nb, ptd) }
+              }
+          }
+      }
+    }
+
+    flush()
+
+    // T4: persist the head for the next batch / restart
+    cur.foreach { c =>
+      import spark.implicits._
+      store.replace(HeadTable,
+        Seq((c.number, c.hash.toArray, c.td.toString)).toDF("number", "hash", "td"))
     }
   }
 
-  /** Retraction: delete [from, to] from every derived table (the reference
-    * does this chunked, newest-first, to bound MySQL lock time —
-    * store/store.go:75,198-210; a single swap/`DELETE WHERE` per table is
-    * already transactional here), plus the audit row
-    * (store/reorg/reorg.go:50-54).
+  /** Retraction (T5/S12): delete [from, to] from every derived table as an
+    * O(range) bucket delete (store/store.go:175-212,319-378), plus the
+    * audit row (store/reorg/reorg.go:50-54) carrying the OLD chain's
+    * hashes at the range ends.
     */
-  def retract(spark: SparkSession, store: TableStore, from: Long, to: Long): Unit = {
+  def retract(
+      spark: SparkSession,
+      store: TableStore,
+      from: Long,
+      to: Long,
+      oldChain: collection.Map[Long, Hdr]): Unit = {
     import spark.implicits._
-    if (store.exists(HeadersTable)) {
-      val hdrs    = store.readOr(HeadersTable, null)
-      val fromRow = hdrs.filter(col("number") === from).select("hash").collect().headOption
-      val toRow   = hdrs.filter(col("number") === to).select("hash").collect().headOption
-      (fromRow, toRow) match {
-        case (Some(f), Some(t0)) =>
-          store.append(ReorgsTable,
-            Seq((from, f.getSeq[Byte](0).toArray, to, t0.getSeq[Byte](0).toArray))
-              .toDF("from", "from_hash", "to", "to_hash"))
-        case _ => ()
-      }
-      store.replace(HeadersTable, hdrs.filter(!col("number").between(from, to)))
+    for (f <- oldChain.get(from); t <- oldChain.get(to)) {
+      store.append(ReorgsTable,
+        Seq((from, f.hash.toArray, to, t.hash.toArray))
+          .toDF("from", "from_hash", "to", "to_hash"))
     }
-    Seq(TxTable, ReceiptsTable, LogsTable, TransfersTable).foreach { t =>
-      if (store.exists(t)) {
-        store.replace(t, store.readOr(t, null).filter(!col("block_number").between(from, to)))
-      }
-    }
-    if (store.exists(TdTable)) {
-      store.replace(TdTable, store.readOr(TdTable, null).filter(!col("block").between(from, to)))
-    }
+    store.deleteRange(HeadersTable, "number", from, to)
+    Seq(TxTable, ReceiptsTable, LogsTable, TransfersTable)
+      .foreach(t => store.deleteRange(t, "block_number", from, to))
+    store.deleteRange(TdTable, "block", from, to)
   }
 
   /** Transform one admitted chunk and append to all sinks (stage 6 of the
-    * reference lifecycle, store/store.go:215-316).
+    * reference lifecycle, store/store.go:215-316). TD rows carry the
+    * fold-computed running values — no history recompute.
     */
   private def appendChunk(
       spark: SparkSession,
       store: TableStore,
       slice: DataFrame,
-      tokens: DataFrame): Unit = {
+      tokens: DataFrame,
+      tds: Seq[(Long, Seq[Byte], BigInt)]): Unit = {
+    import spark.implicits._
     val blocks       = slice.select("block.*")
     val receipts     = slice.select(explode(col("receipts")).as("r")).select("r.*")
     val transferLogs = slice.select(explode(col("transferLogs")).as("t")).select("t.*")
 
-    store.append(HeadersTable, Transforms.blockHeaders(blocks))
-    store.append(TxTable, Transforms.transactions(blocks))
-    store.append(ReceiptsTable, Transforms.transactionReceipts(receipts))
+    store.appendBucketed(HeadersTable, Transforms.blockHeaders(blocks), "number")
+    store.appendBucketed(TxTable, Transforms.transactions(blocks), "block_number")
+    store.appendBucketed(ReceiptsTable, Transforms.transactionReceipts(receipts), "block_number")
     val logs = Transforms.receiptLogs(receipts)
-    store.append(LogsTable, logs)
+    store.appendBucketed(LogsTable, logs, "block_number")
 
     val eth     = Transforms.ethTransfers(transferLogs)
     val erc20   = Transforms.erc20Transfers(logs, tokens)
     val rewards = Transforms.rewardTransfers(blocks)
-    store.append(TransfersTable, Transforms.allTransfers(eth, erc20, rewards))
+    store.appendBucketed(TransfersTable, Transforms.allTransfers(eth, erc20, rewards),
+      "block_number")
 
-    // TD is a running sum over the canonical chain (one tiny row per
-    // block) — recomputed from headers so parent-linked semantics stay
-    // exact across reorgs (A6, indexer.go:249-274).
-    store.replace(TdTable, Transforms.totalDifficulty(store.readOr(HeadersTable, null)))
+    val tdDf = tds.map { case (n, h, td) => (n, h.toArray, td.toString) }
+      .toDF("block", "hash", "td")
+      .select(col("block"), col("hash"), col("td").cast(Rewards.wei).as("td"))
+    store.appendBucketed(TdTable, tdDf, "block")
   }
 
   /** Wire the ingest DAG as a streaming query over a bundle stream. */

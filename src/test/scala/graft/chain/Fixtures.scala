@@ -48,10 +48,10 @@ object Fixtures {
   val carol: Array[Byte]   = addr20(3)
   val tokenX: Array[Byte]  = addr20(200)
 
-  def tx(seed: Int, from: Array[Byte], to: Array[Byte], amount: Long,
+  def tx(seed: Int, from: Array[Byte], to: Array[Byte], amount: BigInt,
          gasPrice: Long = 100L, gasLimit: Long = 21000L): Tx =
     Tx(hash32(1000 + seed), from, Option(to), seed.toLong, gasPrice, gasLimit,
-      BigDecimal(amount), Array.emptyByteArray)
+      amount.toString, Array.emptyByteArray)
 
   def block(number: Long, parent: Array[Byte], txs: Seq[Tx] = Nil,
             uncles: Seq[UncleRef] = Nil, difficulty: Long = 1000L,

@@ -1,0 +1,193 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.chain._
+import graft.chain.Fixtures._
+import graft.chain.Schemas._
+
+/** End-to-end reorg scenario from the reference's indexer tests
+  * (service/indexer/indexer_test.go:101-1014): ingest a chain, deliver a
+  * heavier fork, assert retraction + audit + TD + idempotency (T2/T3/T5/T6).
+  */
+class ChainIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshStore(): TableStore =
+    TableStore(spark, Files.createTempDirectory("graft-ingest").toString, bucketSize = 4L)
+
+  private val noTokens = Seq.empty[(Array[Byte], Long)].toDF("address", "block_number")
+
+  /** Build a linked chain of bundles from `start`, chaining parent hashes. */
+  private def chain(start: Long, end: Long, parent: Array[Byte],
+                    difficulty: Long = 1000L, hashSeedBase: Int = -1,
+                    txsAt: Map[Long, Seq[Tx]] = Map.empty): Seq[Bundle] = {
+    var p = parent
+    (start to end).map { n =>
+      val seed = if (hashSeedBase >= 0) hashSeedBase + n.toInt else n.toInt
+      val txs  = txsAt.getOrElse(n, Nil)
+      val b    = block(n, p, txs = txs, difficulty = difficulty, hashSeed = seed)
+      p = b.hash
+      Bundle(b, txs.map(t => receipt(t, n)), Nil)
+    }
+  }
+
+  private def toBundleDf(bs: Seq[Bundle]): DataFrame = bs.toDS().toDF()
+
+  private def ingest(store: TableStore, bs: Seq[Bundle]): Unit =
+    ChainIngest.ingestBatch(spark, store, toBundleDf(bs), noTokens)
+
+  private def headerNumbers(store: TableStore): Seq[Long] =
+    store.readOr(ChainIngest.HeadersTable, null)
+      .select("number").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("sequential ingest + catch-up chunks land all tables (T1/T3)") {
+    val store = freshStore()
+    val txs   = Map(3L -> Seq(tx(1, alice, bob, 500)))
+    ingest(store, chain(1, 120, hash32(0), txsAt = txs)) // > 2 chunks of 50
+
+    assert(headerNumbers(store) == (1L to 120L))
+    val head = ChainIngest.loadHead(store).get
+    assert(head.number == 120L)
+    assert(head.td == BigInt(120) * 1000)
+    val tds = store.readOr(ChainIngest.TdTable, null)
+      .orderBy("block").select("td").collect().map(_.getDecimal(0).longValue())
+    assert(tds.toSeq == (1L to 120L).map(_ * 1000))
+    assert(store.readOr(ChainIngest.TxTable, null).count() == 1)
+  }
+
+  test("duplicate re-delivery is a no-op (T6)") {
+    val store = freshStore()
+    val bs    = chain(1, 10, hash32(0))
+    ingest(store, bs)
+    ingest(store, bs) // full replay
+    ingest(store, bs.take(4)) // partial replay
+    assert(headerNumbers(store) == (1L to 10L))
+    assert(store.readOr(ChainIngest.TdTable, null).count() == 10)
+    assert(!store.exists(ChainIngest.ReorgsTable))
+  }
+
+  test("lighter and equal-TD forks are ignored; heavier fork reorgs (T2/T5)") {
+    val store = freshStore()
+    ingest(store, chain(1, 10, hash32(0), difficulty = 1000L))
+    val base6 = hash32(6) // canonical block 6's hash
+
+    // Fork at 7 with LOWER total difficulty (same height, lighter blocks):
+    // every header is at ≤ current height → ignored outright
+    ingest(store, chain(7, 10, base6, difficulty = 500L, hashSeedBase = 7000))
+    assert(headerNumbers(store) == (1L to 10L))
+    assert(!store.exists(ChainIngest.ReorgsTable))
+
+    // Fork at 7 reaching height 11, but LIGHTER in TD than the stored chain
+    // (5 × 700 = 3500 < 4 × 1000 + anything): TD-only rule rejects it even
+    // though it is LONGER (indexer.go:361-364)
+    ingest(store, chain(7, 11, base6, difficulty = 700L, hashSeedBase = 8000))
+    assert(headerNumbers(store) == (1L to 10L))
+    assert(!store.exists(ChainIngest.ReorgsTable))
+
+    // Heavier fork 7'..11' (5 × 2000 = 10000 > 4000): reorg
+    val fork = chain(7, 11, base6, difficulty = 2000L, hashSeedBase = 9000)
+    ingest(store, fork)
+    val nums = headerNumbers(store)
+    assert(nums == (1L to 11L))
+    // retracted heights carry the fork's hashes now
+    val storedHashes = store.readOr(ChainIngest.HeadersTable, null)
+      .filter(col("number") >= 7).select("number", "hash").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    fork.foreach(b => assert(storedHashes(b.block.number) == b.block.hash.toSeq))
+
+    // audit row: [7, old tip 10] with the OLD chain's hashes
+    val reorgs = store.readOr(ChainIngest.ReorgsTable, null).collect()
+    assert(reorgs.length == 1)
+    assert(reorgs(0).getAs[Long]("from") == 7L)
+    assert(reorgs(0).getAs[Long]("to") == 10L)
+    assert(reorgs(0).getAs[Array[Byte]]("from_hash").toSeq == hash32(7).toSeq)
+    assert(reorgs(0).getAs[Array[Byte]]("to_hash").toSeq == hash32(10).toSeq)
+
+    // TD recomputed on the new branch: 6×1000 + 5×2000
+    val head = ChainIngest.loadHead(store).get
+    assert(head.number == 11L && head.td == BigInt(16000))
+    val td11 = store.readOr(ChainIngest.TdTable, null)
+      .filter(col("block") === 11L).select("td").head().getDecimal(0).longValue()
+    assert(td11 == 16000L)
+
+    // no orphaned payload rows outside the canonical chain
+    assert(store.readOr(ChainIngest.TdTable, null).count() == 11)
+  }
+
+  test("reorg retracts payload rows from every table (T5/S12)") {
+    val store = freshStore()
+    val txs   = Map(8L -> Seq(tx(1, alice, bob, 500), tx(2, bob, carol, 700)))
+    ingest(store, chain(1, 10, hash32(0), txsAt = txs))
+    assert(store.readOr(ChainIngest.TxTable, null).count() == 2)
+
+    // fork at 7, heavier, with its own tx at 9'
+    val forkTxs = Map(9L -> Seq(tx(3, carol, alice, 900)))
+    ingest(store, chain(7, 11, hash32(6), difficulty = 3000L,
+      hashSeedBase = 9100, txsAt = forkTxs))
+
+    val txRows = store.readOr(ChainIngest.TxTable, null)
+      .select("block_number", "nonce").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(txRows == Set((9L, 3L))) // old-branch txs at 8 retracted
+    // transfers: only new-branch reward rows + no rows in [7,10] from old chain
+    val transferBlocks = store.readOr(ChainIngest.TransfersTable, null)
+      .select("block_number").distinct().collect().map(_.getLong(0)).toSet
+    assert(transferBlocks == (1L to 11L).toSet) // rewards exist per block
+  }
+
+  test("same-height competing blocks in one batch: first wins, rest ignored (T2)") {
+    val store = freshStore()
+    val a     = chain(1, 5, hash32(0))
+    val b5    = Bundle(block(5L, a(3).block.hash, difficulty = 9000L, hashSeed = 7777), Nil, Nil)
+    // sorted fold sees canonical 5 first (same height → 5' ignored, ref
+    // Listen: "Ignore old header"); exactly one row per height survives
+    ingest(store, a :+ b5)
+    val nums = store.readOr(ChainIngest.HeadersTable, null)
+      .groupBy("number").count().select("count").collect().map(_.getLong(0))
+    assert(nums.forall(_ == 1L))
+    assert(store.readOr(ChainIngest.TdTable, null).groupBy("block").count()
+      .select("count").collect().map(_.getLong(0)).forall(_ == 1L))
+  }
+
+  test("in-batch reorg: both branches delivered together, heavier wins (T5)") {
+    val store = freshStore()
+    val main  = chain(1, 10, hash32(0))
+    val fork  = chain(7, 11, hash32(6), difficulty = 2000L, hashSeedBase = 9200)
+    ingest(store, main ++ fork) // one batch carrying both branches
+    val head = ChainIngest.loadHead(store).get
+    assert(head.number == 11L)
+    assert(head.td == BigInt(6 * 1000 + 5 * 2000))
+    assert(headerNumbers(store) == (1L to 11L))
+    val reorgs = store.readOr(ChainIngest.ReorgsTable, null).collect()
+    assert(reorgs.length == 1 && reorgs(0).getAs[Long]("from") == 7L)
+  }
+
+  test("restart re-derives head from the sink when head_state is absent (T4)") {
+    val store = freshStore()
+    ingest(store, chain(1, 10, hash32(0)))
+    // simulate a pre-head_state store (or lost state file)
+    val hs = java.nio.file.Paths.get(store.root, ChainIngest.HeadTable)
+    val walked = Files.walk(hs)
+    try walked.sorted(java.util.Comparator.reverseOrder()).forEach(Files.delete(_))
+    finally walked.close()
+    val head = ChainIngest.loadHead(store).get
+    assert(head.number == 10L && head.td == BigInt(10000))
+    // and ingest continues from it
+    ingest(store, chain(11, 12, hash32(10)))
+    assert(headerNumbers(store) == (1L to 12L))
+  }
+
+  test("wei amounts above Decimal(38,18) range survive end-to-end") {
+    val store = freshStore()
+    // 10^30 wei (≈ 1e12 ETH) — nulls out under a BigDecimal-encoded schema
+    val big   = BigInt("1000000000000000000000000000000")
+    val txs   = Map(1L -> Seq(tx(1, alice, bob, big)))
+    ingest(store, chain(1, 1, hash32(0), txsAt = txs))
+    val amount = store.readOr(ChainIngest.TxTable, null)
+      .select("amount").head().getDecimal(0)
+    assert(amount.toBigInteger == big.bigInteger)
+  }
+}
