@@ -9,8 +9,8 @@ import graft.chain.Schemas.Sentinels
   * store/store.go:215-316 + transfer prep in common/utils.go) as pure
   * `DataFrame => DataFrame` functions over the nested `Dataset[Block]` /
   * `Dataset[Receipt]` inputs. Everything is declarative — Catalyst prunes,
-  * pushes down, and codegens; the only UDF is uint256 hex→decimal
-  * (upgraded to a native expression in graft.functions).
+  * pushes down, and codegens; uint256 bytes→decimal is the native
+  * graft.functions.Uint256ToDecimal expression (codegen'd, not a UDF).
   */
 object Transforms {
   import Rewards.wei
@@ -116,17 +116,10 @@ object Transforms {
 
   /** uint256 big-endian bytes → Decimal(38,0). conv() tops out at uint64,
     * so this needs real big-integer parsing; values beyond 10^38−1 (the
-    * reference's own varchar(32) cap is 10^32−1) would overflow and map to
-    * null. A codegen'd native expression replaces this UDF in
-    * graft.functions.
+    * reference's own varchar(32) cap is 10^32−1) overflow to null. Native
+    * codegen'd expression — no ScalaUDF row detour in the hot decode path.
     */
-  private val bytesToDecimalStr =
-    udf { (b: Array[Byte]) =>
-      if (b == null || b.isEmpty) "0"
-      else new java.math.BigInteger(1, b).toString
-    }
-
-  def bytesToDecimal(c: Column): Column = bytesToDecimalStr(c).cast(wei)
+  def bytesToDecimal(c: Column): Column = graft.functions.Uint256ToDecimal(c)
 
   /** Decoded ERC20 transfers: logs ⋉ broadcast(token registry) on contract
     * address, topic0 = Transfer signature, from/to = low 20 bytes of
