@@ -29,7 +29,8 @@ final case class ChainStore(
     transfers: DataFrame, // unified, token-tagged (ETH pseudo-token incl.)
     accounts: DataFrame,  // unified, token-tagged balance snapshots
     subscriptions: DataFrame,
-    reorgs: DataFrame) {
+    reorgs: DataFrame,
+    tokens: DataFrame) { // erc20 registry (model/types.go:238-244)
 
   // -- block_headers (P1/P2/A3; block_header.go:44-49) --------------------
   def findBlockByHash(hash: Array[Byte]): DataFrame =
@@ -100,6 +101,12 @@ final case class ChainStore(
 
   def countSubscriptions(group: Long): Long =
     subscriptions.filter(col("group") === group).count()
+
+  // -- token registry (P7; store/store.go:381-403) -------------------------
+  def findToken(address: Array[Byte]): DataFrame =
+    tokens.filter(col("address") === lit(address))
+
+  def listTokens(): DataFrame = tokens.orderBy("block_number", "address")
 
   // -- retraction (P10/S12/T5; store/store.go:319-378) ---------------------
   /** Rows outside a retraction interval — the DELETE WHERE block_number

@@ -30,6 +30,51 @@ object RelationalQueries {
       s"SELECT * FROM lineitem WHERE l_orderkey = 7 ORDER BY ${JoinQueries.lineitemOrderSql}"
     ),
 
+    // P2 — point lookup by secondary unique key (store/block_header/
+    // block_header.go:47,107-114: FindBlockByNumber vs ByHash)
+    "p2_point_lookup_number" -> QueryDef.sql(
+      (s, d) => Tables(s, d).part.filter(col("p_partkey") === 100L),
+      "SELECT * FROM part WHERE p_partkey = 100"
+    ),
+
+    // P3 — single-row fetch by unique id on a big fact table
+    // (store/transaction/transaction.go:38,62-69: FindTransaction by hash)
+    "p3_lookup_by_id" -> QueryDef.sql(
+      (s, d) => Tables(s, d).events.filter(col("event_id") === 4242L),
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+        | FROM events WHERE event_id = 4242""".stripMargin
+    ),
+
+    // P5 — parent row stitched with ordered children (store/
+    // transaction_receipt/transaction_receipt.go:97-120: receipt + its logs)
+    "p5_stitched_lookup" -> QueryDef.sql(
+      (s, d) => {
+        val t = Tables(s, d)
+        t.orders.filter(col("o_orderkey") === 7L)
+          .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+          .select("o_orderkey", "o_totalprice", "l_linenumber", "l_quantity", "l_extendedprice")
+          .orderBy("l_linenumber")
+      },
+      """SELECT o_orderkey, o_totalprice, l_linenumber, l_quantity, l_extendedprice
+        | FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        | WHERE o_orderkey = 7 ORDER BY l_linenumber""".stripMargin
+    ),
+
+    // P6 — scalar fact by key (store/store.go FindTd: one value per hash)
+    "p6_value_by_key" -> QueryDef.sql(
+      (s, d) => Tables(s, d).region.filter(col("r_name") === "ASIA")
+        .select("r_regionkey", "r_name"),
+      "SELECT r_regionkey, r_name FROM region WHERE r_name = 'ASIA'"
+    ),
+
+    // P7 — small-registry full scan, ordered (the erc20 token registry,
+    // store/store.go:381-403 ListERC20/FindERC20)
+    "p7_registry_scan" -> QueryDef.sql(
+      (s, d) => Tables(s, d).nation.select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey"),
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+    ),
+
     // P8 — IN-list membership (store/sqldb/db.go:183-193)
     "p8_in_list" -> QueryDef.sql(
       (s, d) => Tables(s, d).customer
