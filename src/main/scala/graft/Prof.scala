@@ -19,11 +19,11 @@ object Prof {
     time("warm")(docs.count())
     val sigs = Dedup.minHashSignatureArray(docs, "doc_id", "text", 2, 64)
     time("sigs")(sigs.queryExecution.toRdd.count())
-    val bands = Dedup.lshBands(sigs, "doc_id", 64, 32)
+    val bands = Dedup.lshBands(sigs, "doc_id", 64, 16)
     time("bands")(bands.queryExecution.toRdd.count())
     val cands = Dedup.candidatePairs(bands, "doc_id")
     time("cands")(cands.queryExecution.toRdd.count())
-    val full = Dedup.minHashLshNearDups(docs, "doc_id", "text", 2, 64, 32, 0.2)
+    val full = Dedup.minHashLshNearDups(docs, "doc_id", "text", 2, 64, 16, 0.8)
     time("full")(full.queryExecution.toRdd.count())
     time("full2")(full.queryExecution.toRdd.count())
     spark.stop()

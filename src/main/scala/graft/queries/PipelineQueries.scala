@@ -41,17 +41,25 @@ object PipelineQueries {
   /** Full MinHash-LSH oracle: the same shingle→hash→sign→band→candidate→
     * verify pipeline as Dedup.minHashLshNearDups, with the hash constants
     * interpolated from the same source (Dedup.hashA/hashB/MersennePrime).
-    * Fixed to d2's parameters: shingleSize=2, numHashes=64, bands=32 (r=2),
-    * threshold=0.2.
+    * Fixed to d2's parameters: shingleSize=2, numHashes=64, bands=16 (r=4),
+    * threshold=0.8 — the S-curve midpoint (1/16)^(1/4) ≈ 0.5 admits the
+    * ≥0.8-jaccard near-dup band with ~99.98% recall while false candidates
+    * collapse (∝ s⁴ per band, vs s² under the old r=2).
     */
   private def d2Sql: String = {
-    val p = Dedup.MersennePrime
-    val m = Dedup.BandFoldMult
+    val p     = Dedup.MersennePrime
+    val m     = Dedup.BandFoldMult
+    val bands = 16
+    val r     = 64 / bands
     val minExprs = (0 until 64)
       .map(i => s"min((h * ${Dedup.hashA(i)} + ${Dedup.hashB(i)}) % $p) AS mh_$i")
       .mkString(",\n    ")
-    val bandArr = (0 until 32)
-      .map(b => s"(mh_${2 * b} * $m + mh_${2 * b + 1}) % $p")
+    val bandArr = (0 until bands)
+      .map { b =>
+        (1 until r).foldLeft(s"mh_${b * r}") { (acc, j) =>
+          s"($acc * $m + mh_${b * r + j}) % $p"
+        }
+      }
       .mkString("[", ",\n    ", "]")
     s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
        | grams AS (SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS gram FROM toks),
@@ -59,7 +67,7 @@ object PipelineQueries {
        | sigs AS (SELECT doc_id,
        |    $minExprs
        |  FROM hashed GROUP BY doc_id),
-       | br0 AS (SELECT doc_id, unnest(range(0, 32)) AS band,
+       | br0 AS (SELECT doc_id, unnest(range(0, $bands)) AS band,
        |    $bandArr AS bhs
        |  FROM sigs),
        | bandrows AS (SELECT doc_id, band, bhs[band + 1] AS band_hash FROM br0),
@@ -155,7 +163,7 @@ object PipelineQueries {
     "d2_minhash_lsh" -> QueryDef.sql(
       (s, d) => Dedup.minHashLshNearDups(
         Tables(s, d).documents, "doc_id", "text",
-        shingleSize = 2, numHashes = 64, bands = 32, threshold = 0.2)
+        shingleSize = 2, numHashes = 64, bands = 16, threshold = 0.8)
         .orderBy("id_a", "id_b"),
       d2Sql
     ),
