@@ -128,15 +128,18 @@ object BalancePipeline {
       changed: DataFrame,
       active: DataFrame,
       accounts: DataFrame,
-      resolver: DataFrame): DataFrame = {
+      resolver: DataFrame,
+      accountsAreLatest: Boolean = false): DataFrame = {
     val touched = active
       .join(broadcast(changed), Seq("address"), "left_semi")
       .unionByName(active.filter(col("block_number") === 0L))
       .dropDuplicates("address")
       .select(col("address"), col("group"), (col("block_number") === 0L).as("is_new"))
-    val latestPrev = Relational.latestPerKey(
-      accounts.filter(col("block_number") < blockNumber),
-      Seq("token", "address"), Seq(col("block_number")))
+    // With compact one-row-per-key state (BalanceLedger) the window is
+    // skipped entirely — per-block cost O(touched), not O(history)
+    val prevRows = accounts.filter(col("block_number") < blockNumber)
+    val latestPrev = (if (accountsAreLatest) prevRows
+      else Relational.latestPerKey(prevRows, Seq("token", "address"), Seq(col("block_number"))))
       .select(col("token"), col("address"), col("balance").as("prev_balance"))
     resolver
       .join(touched, Seq("address"))
@@ -164,7 +167,8 @@ object BalancePipeline {
       fees: DataFrame,
       rewards: DataFrame,
       active: DataFrame,
-      prevTotals: DataFrame): DataFrame = {
+      prevTotals: DataFrame,
+      totalsAreLatest: Boolean = false): DataFrame = {
     val deltas = snapshots.groupBy("group", "token")
       .agg(sum(col("delta")).cast(wei).as("delta"))
     val subGroups = active.select("address", "group").dropDuplicates("address")
@@ -176,9 +180,9 @@ object BalancePipeline {
       .agg(sum(col("miner_reward")).cast(wei).as("miner_reward"),
         sum(col("uncles_reward")).cast(wei).as("uncles_reward"))
       .withColumn("token", lit(Sentinels.EthToken))
-    val prev = Relational.latestPerKey(
-      prevTotals.filter(col("block_number") < blockNumber),
-      Seq("group", "token"), Seq(col("block_number")))
+    val prevRows = prevTotals.filter(col("block_number") < blockNumber)
+    val prev = (if (totalsAreLatest) prevRows
+      else Relational.latestPerKey(prevRows, Seq("group", "token"), Seq(col("block_number"))))
       .select(col("group"), col("token"), col("balance").as("prev_balance"))
     deltas
       .join(feeByGroup, Seq("group", "token"), "full_outer")
@@ -195,15 +199,23 @@ object BalancePipeline {
         coalesce(col("uncles_reward"), zeroWei).cast(wei).as("uncles_reward"))
   }
 
-  /** Full per-block process (the §3.1 stage-6f DAG). */
-  def process(in: Inputs, newSubLimit: Int = 990): Outputs = {
+  /** Full per-block process (the §3.1 stage-6f DAG).
+    *
+    * `compactInputs = true` declares `in.accounts` / `in.prevTotals` are
+    * already one row per key (maintained by BalanceLedger) — the
+    * latest-per-key windows are skipped, so the per-block step costs
+    * O(touched keys) instead of re-windowing all history every block.
+    */
+  def process(in: Inputs, newSubLimit: Int = 990, compactInputs: Boolean = false): Outputs = {
     val active   = activeSubs(in.subs, newSubLimit).cache()
     val changed  = changedAddresses(in.transfers, in.txs)
     val matched  = matchedTransfers(in.transfers, active)
     val fees     = feesBySender(in.txs, in.receipts, active)
     val rewards  = rewardDiffs(in.transfers, active)
-    val snaps    = balanceSnapshots(in.blockNumber, changed, active, in.accounts, in.resolver)
-    val totals   = totalBalances(in.blockNumber, snaps, fees, rewards, active, in.prevTotals)
+    val snaps    = balanceSnapshots(in.blockNumber, changed, active, in.accounts, in.resolver,
+      accountsAreLatest = compactInputs)
+    val totals   = totalBalances(in.blockNumber, snaps, fees, rewards, active, in.prevTotals,
+      totalsAreLatest = compactInputs)
     // flip admitted new subs to active at N (BatchUpdateBlockNumber :315-320)
     val updated = admittedNewSubs(in.subs, newSubLimit)
       .withColumn("block_number", lit(in.blockNumber))
