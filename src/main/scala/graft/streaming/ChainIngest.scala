@@ -305,4 +305,29 @@ object ChainIngest {
         ingestBatch(batch.sparkSession, store, batch, tokens)
       }
       .start()
+
+  /** T7 — resubscribe/retry: the reference's Listen loop returns on a
+    * subscription error and re-enters after `retrySubscribeTime` (5s,
+    * indexer.go:49,167-171). Here a failed streaming query is re-created
+    * after a backoff; source offsets replay from the checkpoint and the
+    * admission fold makes re-delivery a no-op (T6), so a crash mid-batch
+    * cannot double-insert.
+    */
+  def runWithRestart(
+      mkQuery: () => StreamingQuery,
+      maxRestarts: Int = 5,
+      backoffMs: Long = 5000L): Unit = {
+    var restarts = 0
+    var done     = false
+    while (!done) {
+      val q = mkQuery()
+      try { q.awaitTermination(); done = true }
+      catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+          restarts += 1
+          if (restarts > maxRestarts) throw e
+          Thread.sleep(backoffMs)
+      }
+    }
+  }
 }
