@@ -103,6 +103,12 @@ object Schemas {
       address: Array[Byte],
       balance: String) // decimal wei string, see class note
 
+  /** One block's ingest bundle — the block plus its per-block RPC
+    * side-fetches (service/indexer/indexer.go:443-467), the row type of the
+    * S1 streaming source.
+    */
+  case class Bundle(block: Block, receipts: Seq[Receipt], transferLogs: Seq[TransferLog])
+
   /** Reorg audit row (model/types.go:257-263; store/reorg/reorg.go:36-37). */
   case class Reorg(
       from: Long,

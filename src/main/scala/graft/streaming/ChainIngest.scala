@@ -262,6 +262,14 @@ object ChainIngest {
   /** Transform one admitted chunk and append to all sinks (stage 6 of the
     * reference lifecycle, store/store.go:215-316). TD rows carry the
     * fold-computed running values — no history recompute.
+    *
+    * S10 idempotency: the chunk's height span is deleted before appending,
+    * so a checkpoint REPLAY of a batch that crashed between chunk flush and
+    * head_state update rewrites the same rows instead of duplicating them —
+    * the parquet-store equivalent of the reference's per-chunk transaction
+    * with duplicate-key tolerance (store/store.go:129-147,
+    * common/errors.go:48-57). On the happy path the deletes hit empty
+    * tip buckets and cost nothing.
     */
   private def appendChunk(
       spark: SparkSession,
@@ -270,6 +278,13 @@ object ChainIngest {
       tokens: DataFrame,
       tds: Seq[(Long, Seq[Byte], BigInt)]): Unit = {
     import spark.implicits._
+    val lo = tds.map(_._1).min
+    val hi = tds.map(_._1).max
+    store.deleteRange(HeadersTable, "number", lo, hi)
+    Seq(TxTable, ReceiptsTable, LogsTable, TransfersTable)
+      .foreach(t => store.deleteRange(t, "block_number", lo, hi))
+    store.deleteRange(TdTable, "block", lo, hi)
+
     val blocks       = slice.select("block.*")
     val receipts     = slice.select(explode(col("receipts")).as("r")).select("r.*")
     val transferLogs = slice.select(explode(col("transferLogs")).as("t")).select("t.*")

@@ -78,6 +78,4 @@ object Fixtures {
     Subscription(id, blockNumber, group, address,
       new Timestamp(0L), new Timestamp(0L))
 
-  /** The streaming bundle shape (block + its RPC side-fetches). */
-  case class Bundle(block: Block, receipts: Seq[Receipt], transferLogs: Seq[TransferLog])
 }
