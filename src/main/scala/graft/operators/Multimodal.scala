@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -64,6 +64,41 @@ object Multimodal {
       }
       out
     }
+  }
+
+  /** Frame sampling for video-typed assets: one output row per sampled
+    * frame, every `step`-th frame of `frameSize` bytes. Pure column
+    * exprs (sequence → posexplode + substring) — the fan-out is
+    * distributed and codegen'd, no driver loop, no decode; the emitted
+    * "frame" is exactly the payload slice a real codec would decode.
+    */
+  def sampleFrames(assets: DataFrame, frameSize: Int, step: Int): DataFrame =
+    assets
+      .withColumn("__n_frames", (col("meta.byte_len") / frameSize).cast("int"))
+      .filter(col("__n_frames") > 0)
+      .select(col("asset_id"), col("media_type"), col("payload"),
+        posexplode(sequence(lit(0), col("__n_frames") - 1, lit(step)))
+          .as(Seq("frame_rank", "frame_idx")))
+      .select(
+        col("asset_id"), col("frame_rank"), col("frame_idx"),
+        col("payload").substr(col("frame_idx") * frameSize + 1, lit(frameSize)).as("frame"))
+
+  /** Resize seam: a real deployment decodes, scales, re-encodes per
+    * partition (codec initialized once); the stub rewrites the metadata and
+    * keeps the payload, exercising the identical mapPartitions plumbing.
+    */
+  def resizeStub(spark: SparkSession, assets: DataFrame, width: Int, height: Int): DataFrame = {
+    val schema     = assets.schema
+    val payloadIdx = schema.fieldIndex("payload")
+    val metaIdx    = schema.fieldIndex("meta")
+    assets.mapPartitions { rows =>
+      // per-partition codec init would happen here (??? <- real resize)
+      rows.map { r =>
+        val meta = r.getStruct(metaIdx)
+        val newMeta = Row(meta.get(0), width, height, meta.get(3))
+        Row.fromSeq(r.toSeq.updated(metaIdx, newMeta))
+      }
+    }(Encoders.row(schema))
   }
 
   /** Feature extraction over asset batches: mapPartitions so the (stubbed)

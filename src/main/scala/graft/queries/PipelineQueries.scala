@@ -333,6 +333,26 @@ object PipelineQueries {
          |   ${hex4("substr(md5(text),5,4)")} % 1080 AS height,
          |   ${hex2("substr(md5(text),9,2)")} % 4 + 1 AS channels
          | FROM documents ORDER BY asset_id""".stripMargin
+    ),
+
+    // M2 — frame sampling: every 2nd 4-byte "frame" of a 16-byte payload,
+    // one row per sampled frame. The fan-out (sequence → posexplode +
+    // payload slice) is the real video-frame plumbing; the frame bytes are
+    // exactly what a codec would decode.
+    "m2_frame_sample" -> QueryDef.sql(
+      (s, d) => {
+        val fake = Tables(s, d).documents
+          .withColumn("payload", unhex(md5(col("text"))))
+        val assets = Multimodal.toAssets(fake, "doc_id", "payload", "video")
+        Multimodal.sampleFrames(assets, frameSize = 4, step = 2)
+          .select(col("asset_id"), col("frame_rank"), col("frame_idx"),
+            lower(hex(col("frame"))).as("frame_hex"))
+          .orderBy("asset_id", "frame_rank")
+      },
+      """WITH f AS (SELECT doc_id, md5(text) AS m, unnest([0, 1]) AS frame_rank FROM documents)
+        | SELECT doc_id AS asset_id, frame_rank, frame_rank * 2 AS frame_idx,
+        |   substr(m, frame_rank * 2 * 8 + 1, 8) AS frame_hex
+        | FROM f ORDER BY asset_id, frame_rank""".stripMargin
     )
   )
 }

@@ -20,6 +20,25 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getAs[Int]("channels") == 0x07 % 4 + 1)
   }
 
+  test("sampleFrames fans out every step-th payload slice, in-row") {
+    val assets = Multimodal.toAssets(raw, "id", "blob", "video")
+    // asset 1: byte_len 6, frameSize 2 → 3 frames, step 2 → frames 0, 2
+    val frames = Multimodal.sampleFrames(assets, frameSize = 2, step = 2)
+      .filter($"asset_id" === 1).orderBy("frame_rank").collect()
+    assert(frames.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 2))
+    assert(frames(0).getAs[Array[Byte]]("frame").toSeq == Seq[Byte](0x12, 0x34))
+    assert(frames(1).getAs[Array[Byte]]("frame").toSeq == Seq[Byte](0x07, 0x7f))
+  }
+
+  test("resizeStub rewrites metadata through the per-partition seam") {
+    val assets  = Multimodal.toAssets(raw, "id", "blob", "image")
+    val resized = Multimodal.resizeStub(spark, assets, 224, 224)
+    val metas = resized.select("asset_id", "meta.width", "meta.height", "meta.byte_len")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(metas.values.forall { case (w, h, _) => w == 224 && h == 224 })
+    assert(metas(1L)._3 == 6) // untouched fields carry through
+  }
+
   test("extractFeatures streams batches through the decode stub") {
     val assets = Multimodal.toAssets(raw, "id", "blob", "image")
     val feats = Multimodal.extractFeatures(spark, assets)
