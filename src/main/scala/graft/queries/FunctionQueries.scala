@@ -144,6 +144,71 @@ object FunctionQueries {
         |             WHEN event_type = 'error' THEN 'UNCLE_REWARD'
         |             ELSE 'TX' END AS kind, count(*) AS n
         | FROM events GROUP BY 1 ORDER BY kind""".stripMargin
+    ),
+
+    // F9 — EIP-155 signer recovery (common/utils.go:120-127 via geth
+    // types.Sender). Fixture txs are signed in-process with deterministic
+    // keys/nonces; Spark recovers the sender from (fields, v, r, s) through
+    // the secp256k1 UDF, while the oracle states the EXPECTED addresses
+    // derived directly from the private keys — two independent paths that
+    // must agree, hash-checked like any other query.
+    "f9_signer_recovery" -> QueryDef.sql(
+      (s, _) => {
+        import s.implicits._
+        F9Fixture.txs.toDF("tx_id", "nonce", "gas_price", "gas_limit", "to",
+            "amount", "payload", "v", "r", "sig_s")
+          .select(col("tx_id"),
+            lower(hex(graft.functions.ChainFunctions.recoverSigner(
+              col("nonce"), col("gas_price"), col("gas_limit"), col("to"),
+              col("amount"), col("payload"), col("v"), col("r"), col("sig_s"))))
+              .as("signer"))
+          .orderBy("tx_id")
+      },
+      F9Fixture.oracleSql
     )
   )
+}
+
+/** Deterministic signed-tx fixture for f9 (shaped like the reference's
+  * store/store_test.go:45-58 signed fixtures). Signing happens at class
+  * load with fixed keys and nonces; the oracle is the VALUES list of
+  * key-derived addresses — recovery must invert signing exactly.
+  */
+object F9Fixture {
+  import java.math.BigInteger
+  import graft.functions.{ChainFunctions, Secp256k1}
+
+  private def pad32(x: BigInteger): Array[Byte] = {
+    val out = new Array[Byte](32)
+    val raw = x.toByteArray.dropWhile(_ == 0)
+    System.arraycopy(raw, 0, out, 32 - raw.length, raw.length)
+    out
+  }
+
+  /** (txId, nonce, gasPrice, gasLimit, to, amountStr, payload, v, r, s) */
+  lazy val txs: Seq[(Long, Long, Long, Long, Array[Byte], String, Array[Byte], Long, Array[Byte], Array[Byte])] =
+    (1 to 40).map { i =>
+      val priv    = new BigInteger(f"$i%02x" * 32, 16)
+      val chainId = if (i % 4 == 0) 0L else 1L + (i % 3) // mix legacy + EIP-155
+      val to      = if (i % 5 == 0) null else java.util.Arrays.copyOf(BigInt(i).toByteArray, 20)
+      val amount  = (BigInt(10).pow(18) * i).toString
+      val payload = if (i % 3 == 0) Array[Byte](1, 2, i.toByte) else Array.emptyByteArray
+      val hash = ChainFunctions.signingHash(i.toLong, BigInteger.valueOf(1000000000L + i),
+        21000L + i, to, new BigInteger(amount), payload, chainId)
+      val (r, s, recId) = Secp256k1.signWithK(hash, priv,
+        new BigInteger(f"a${i}%03dc" * 8, 16))
+      val v = if (chainId > 0) 2 * chainId + 35 + recId else 27L + recId
+      (i.toLong, i.toLong, 1000000000L + i, 21000L + i, to, amount, payload, v, pad32(r), pad32(s))
+    }
+
+  lazy val oracleSql: String = {
+    val rows = (1 to 40).map { i =>
+      val priv = new BigInteger(f"$i%02x" * 32, 16)
+      val addr = Secp256k1.pointToAddress(Secp256k1.mul(Secp256k1.G, priv))
+        .map("%02x".format(_)).mkString
+      s"($i, '$addr')"
+    }.mkString(",\n   ")
+    s"""SELECT * FROM (VALUES
+       |   $rows) AS t(tx_id, signer) ORDER BY tx_id""".stripMargin
+  }
 }
