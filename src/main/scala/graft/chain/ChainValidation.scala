@@ -49,6 +49,20 @@ object ChainValidation {
           .as("n_uncle_recipients"))
       .filter(col("n_miner_recipients") > 1 || col("n_uncle_recipients") > maxUncles)
 
+  /** Parent-linkage audit — the reference's post-insert consistency check
+    * (store/store.go:149-172, ErrModifiedData: a concurrent writer broke
+    * the chain). Heights whose parent_hash does not match the stored hash
+    * one below, as a single self-join on number (shuffle on the join key;
+    * at 100 TB restrict to a recent-number window first).
+    */
+  def brokenParentLinks(headers: DataFrame): DataFrame =
+    headers.as("c")
+      .join(headers.as("p"), col("c.number") === col("p.number") + lit(1L))
+      .filter(col("c.parent_hash") =!= col("p.hash"))
+      .select(col("c.number").as("number"),
+        col("c.parent_hash").as("parent_hash"),
+        col("p.hash").as("stored_parent_hash"))
+
   /** Strict gate: throw on the first violation, like the reference's batch
     * abort. Checks are limit(1) probes — no full materialization on the
     * happy path.

@@ -58,6 +58,17 @@ class ValidationAndMetadataSpec extends SparkSpec {
     assert(bad(3L)._2 == 3L) // uncle recipients
   }
 
+  test("parent-linkage audit flags a broken chain (ErrModifiedData)") {
+    val headers = Seq(
+      (1L, hash32(1), hash32(0)),
+      (2L, hash32(2), hash32(1)),
+      (3L, hash32(3), hash32(99)) // parent mismatch: points at a foreign hash
+    ).toDF("number", "hash", "parent_hash")
+    val bad = ChainValidation.brokenParentLinks(headers).collect()
+    assert(bad.length == 1 && bad(0).getLong(0) == 3L)
+    assert(bad(0).getAs[Array[Byte]]("stored_parent_hash").toSeq == hash32(2).toSeq)
+  }
+
   test("S9: metadata resolves distributed with warn-and-default semantics") {
     val failing = addr20(9)
     val client  = FixtureMetadataClient(failing.toSeq)
