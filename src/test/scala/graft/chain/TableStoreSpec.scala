@@ -1,0 +1,66 @@
+package graft.chain
+
+import java.nio.file.{Files, Paths}
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Bucketed-layout invariants of the table store: range deletes touch only
+  * overlapping buckets, edge buckets rewrite, covered buckets drop as
+  * directory deletes.
+  */
+class TableStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(bucketSize: Long = 10L): TableStore =
+    TableStore(spark, Files.createTempDirectory("graft-ts").toString, bucketSize)
+
+  private def rows(store: TableStore, table: String): Seq[Long] =
+    store.readOr(table, null).select("n").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("deleteRange removes exactly the range across bucket kinds") {
+    val store = fresh()
+    store.appendBucketed("t", (0L until 100L).toDF("n"), "n")
+    // [15, 74]: bucket 1 partial, buckets 2-6 fully covered, bucket 7 partial
+    store.deleteRange("t", "n", 15L, 74L)
+    assert(rows(store, "t") == ((0L to 14L) ++ (75L to 99L)))
+    // fully-covered bucket dirs are gone (no rewrite), edge buckets remain
+    assert(!Files.exists(Paths.get(store.root, "t", "bucket=3")))
+    assert(Files.exists(Paths.get(store.root, "t", "bucket=1")))
+    assert(Files.exists(Paths.get(store.root, "t", "bucket=7")))
+  }
+
+  test("deleteRange aligned exactly on bucket boundaries") {
+    val store = fresh()
+    store.appendBucketed("t", (0L until 40L).toDF("n"), "n")
+    store.deleteRange("t", "n", 10L, 29L) // buckets 1-2 exactly
+    assert(rows(store, "t") == ((0L to 9L) ++ (30L to 39L)))
+    assert(!Files.exists(Paths.get(store.root, "t", "bucket=1")))
+    assert(!Files.exists(Paths.get(store.root, "t", "bucket=2")))
+  }
+
+  test("deleteRange beyond the data and on missing tables is a no-op") {
+    val store = fresh()
+    store.deleteRange("absent", "n", 0L, 100L) // missing table
+    store.appendBucketed("t", (0L until 5L).toDF("n"), "n")
+    store.deleteRange("t", "n", 50L, 90L) // empty overlap
+    assert(rows(store, "t") == (0L to 4L))
+  }
+
+  test("readRange prunes to the requested bucket span") {
+    val store = fresh()
+    store.appendBucketed("t", (0L until 100L).toDF("n"), "n")
+    val got = store.readRange("t", "n", 35L, 44L, null)
+    assert(got.select("n").collect().map(_.getLong(0)).sorted.toSeq == (35L to 44L))
+    // the physical scan carries a partition filter on bucket
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || plan.contains("bucket"))
+  }
+
+  test("append after a range delete lands in fresh bucket files") {
+    val store = fresh()
+    store.appendBucketed("t", (0L until 20L).toDF("n"), "n")
+    store.deleteRange("t", "n", 10L, 19L)
+    store.appendBucketed("t", (10L until 20L).map(n => n + 1000).toDF("n"), "n")
+    assert(rows(store, "t") == ((0L to 9L) ++ (1010L to 1019L)))
+  }
+}
