@@ -93,7 +93,9 @@ object PipelineQueries {
 
   /** SimHash oracle: token→two 32-bit md5 halves→64 bit-sums→half hashes→
     * 16-bit chunk buckets→Hamming verify, mirroring Dedup.simHashNearDups
-    * (d3's parameters: maxHamming=16).
+    * (d3's parameters: maxHamming=3 — the exact pigeonhole regime: any pair
+    * within Hamming 3 of 64 bits must agree on one of the four 16-bit
+    * chunks, so recall is guaranteed, not probabilistic).
     */
   private def d3Sql: String = {
     def bitSums(src: String, prefix: String) = (0 until 32)
@@ -119,7 +121,7 @@ object PipelineQueries {
        |    ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id)
        | SELECT id_a, id_b, hamming FROM (
        |  SELECT id_a, id_b, bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) AS hamming FROM cands)
-       | WHERE hamming <= 16 ORDER BY id_a, id_b""".stripMargin
+       | WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
   }
 
   /** Sign-projection bucket oracle for s2: per-plane weights interpolated
@@ -171,7 +173,7 @@ object PipelineQueries {
     // D3 — SimHash near-dup (chunked candidates, Hamming verify), fully
     // mirrored in SQL via the two-half portable hash
     "d3_simhash" -> QueryDef.sql(
-      (s, d) => Dedup.simHashNearDups(Tables(s, d).documents, "doc_id", "text", maxHamming = 16)
+      (s, d) => Dedup.simHashNearDups(Tables(s, d).documents, "doc_id", "text", maxHamming = 3)
         .orderBy("id_a", "id_b"),
       d3Sql
     ),
