@@ -95,12 +95,43 @@ final case class TableStore(spark: SparkSession, root: String, bucketSize: Long 
         }
       }
     }
+    refresh(table)
   }
 
   /** Replace the table's whole content with `df` — for tiny state tables
-    * only (head_state); range tables retract via deleteRange.
+    * only (head_state, ledger state, subscriptions); range tables retract
+    * via deleteRange. The input may read from the table being replaced:
+    * the write lands in a sibling tmp dir before the swap.
     */
-  def replace(table: String, df: DataFrame): Unit = swapInto(dir(table), df)
+  def replace(table: String, df: DataFrame): Unit = {
+    swapInto(dir(table), df)
+    refresh(table)
+  }
+
+  /** Replace several tables whose NEW contents may read each other's OLD
+    * files: every tmp dir is written first, then all swaps happen — no
+    * plan ever re-reads a directory that was already swapped under it.
+    */
+  def replaceAll(tables: Seq[(String, DataFrame)]): Unit = {
+    val staged = tables.map { case (t, df) =>
+      val target = dir(t)
+      val tmp    = target.resolveSibling("." + target.getFileName.toString + "_tmp")
+      deleteRecursive(tmp)
+      df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      (t, target, tmp)
+    }
+    staged.foreach { case (t, target, tmp) =>
+      promote(target, tmp)
+      refresh(t)
+    }
+  }
+
+  /** Drop Spark's cached file listing for the table's path — a swapped or
+    * deleted directory otherwise serves STALE part-file lists to later
+    * scans (FileNotFoundException mid-query).
+    */
+  private def refresh(table: String): Unit =
+    spark.catalog.refreshByPath(dir(table).toString)
 
   /** Write df to a sibling tmp dir, then atomically swap it into `target` —
     * a concurrent reader never sees a half-written directory.
@@ -109,6 +140,10 @@ final case class TableStore(spark: SparkSession, root: String, bucketSize: Long 
     val tmp = target.resolveSibling("." + target.getFileName.toString + "_tmp")
     deleteRecursive(tmp)
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    promote(target, tmp)
+  }
+
+  private def promote(target: Path, tmp: Path): Unit = {
     val old = target.resolveSibling("." + target.getFileName.toString + "_old")
     deleteRecursive(old)
     if (Files.exists(target)) Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)

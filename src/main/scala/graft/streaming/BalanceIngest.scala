@@ -1,0 +1,139 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.chain._
+import graft.chain.Schemas.Sentinels
+import graft.operators.Relational
+
+/** The reference's FULL per-block lifecycle composed over the ingested
+  * tables: after ChainIngest lands a block's rows, the transfer processor
+  * runs for that block (store/store.go:215-316 stage 6 →
+  * store/transfer_processor.go:85-418) — matched transfers, balance
+  * snapshots via the batched resolver, per-(group, token) running totals —
+  * and the compact ledger state persists for the next block.
+  *
+  * Scale shape per block: reads are partition-pruned single-block slices
+  * (readRange on the bucketed tables); the pipeline is O(touched keys +
+  * state); state tables (one row per key) swap atomically, which also
+  * truncates plan lineage so a 10k-block catch-up does not accrete a
+  * 10k-step logical plan.
+  */
+object BalanceIngest {
+
+  val AccountsTable  = "accounts"
+  val TotalsTable    = "total_balances"
+  val MatchedTable   = "matched_transfers"
+  val SubsTable      = "subscriptions"
+  val LatestAccounts = "latest_accounts"
+  val LatestTotals   = "latest_totals"
+
+  private def accSchema = StructType(Seq(
+    StructField("token", BinaryType), StructField("address", BinaryType),
+    StructField("block_number", LongType), StructField("balance", Rewards.wei)))
+
+  /** Load compact state; absent tables mean a fresh ledger. */
+  def loadState(spark: SparkSession, store: TableStore): BalanceLedger.State = {
+    val empty = BalanceLedger.empty(spark)
+    BalanceLedger.State(
+      latestAccounts = store.readOr(LatestAccounts, empty.latestAccounts),
+      latestTotals   = store.readOr(LatestTotals, empty.latestTotals))
+  }
+
+  private def saveState(store: TableStore, state: BalanceLedger.State): Unit =
+    // one staged swap: the totals plan reads the OLD accounts state
+    store.replaceAll(Seq(
+      LatestAccounts -> state.latestAccounts,
+      LatestTotals   -> state.latestTotals))
+
+  /** Rebuild compact state from full history — the recovery path after a
+    * reorg retraction (the reference re-reads its latest rows from MySQL
+    * the same way, store/transfer_processor.go:259-313).
+    */
+  def rebuildState(spark: SparkSession, store: TableStore): BalanceLedger.State = {
+    val empty = BalanceLedger.empty(spark)
+    val acc = store.readOr(AccountsTable, empty.latestAccounts)
+    val tot = store.readOr(TotalsTable, empty.latestTotals)
+    BalanceLedger.State(
+      latestAccounts = Relational.latestPerKey(
+        acc.select("token", "address", "block_number", "balance"),
+        Seq("token", "address"), Seq(col("block_number"))),
+      latestTotals = Relational.latestPerKey(
+        tot, Seq("group", "token"), Seq(col("block_number"))))
+  }
+
+  /** Process blocks [from, to] (already ingested by ChainIngest) through
+    * the balance pipeline, appending accounts/total_balances/matched rows
+    * and persisting the ledger + flipped subscriptions after each block —
+    * the reference's one-transaction-per-block bracket.
+    */
+  def processRange(
+      spark: SparkSession,
+      store: TableStore,
+      from: Long,
+      to: Long,
+      client: BalanceClient,
+      newSubLimit: Int = 990): Unit = {
+    import spark.implicits._
+    var state = loadState(spark, store)
+    (from to to).foreach { n =>
+      val transfers = store.readRange(ChainIngest.TransfersTable, "block_number", n, n, null)
+      val txs       = store.readRange(ChainIngest.TxTable, "block_number", n, n, null)
+      val receipts  = store.readRange(ChainIngest.ReceiptsTable, "block_number", n, n, null)
+      val subs      = store.readOr(SubsTable, null)
+      if (subs != null) {
+        val blockHash = store.readRange(ChainIngest.HeadersTable, "number", n, n, null)
+          .select("hash").collect().headOption.map(_.getAs[Array[Byte]](0))
+          .getOrElse(Array.emptyByteArray)
+
+        // resolver request set: every touched-or-new subscribed address ×
+        // every token seen in the block (plus ETH) — the same set the
+        // reference batches to geth (client/balancer.go:43-116)
+        val active  = BalancePipeline.activeSubs(subs, newSubLimit)
+        val touched = BalancePipeline.changedAddresses(transfers, txs)
+          .join(active.select("address"), Seq("address"), "left_semi")
+          .unionByName(BalancePipeline.admittedNewSubs(subs, newSubLimit).select("address"))
+          .dropDuplicates("address")
+        val tokens = transfers.select(col("token")).distinct()
+          .unionByName(Seq(Tuple1(Sentinels.EthToken)).toDF("token"))
+          .dropDuplicates("token")
+        val pairs    = tokens.crossJoin(touched)
+        val resolver = BalanceResolver.resolve(pairs, blockHash, client)
+
+        val in = BalancePipeline.Inputs(n, transfers, txs, receipts, subs,
+          accounts = null, resolver = resolver, prevTotals = null)
+        val (out, next) = BalanceLedger.step(state, in, newSubLimit)
+
+        store.appendBucketed(AccountsTable,
+          out.newAccounts.select("token", "address", "block_number", "balance", "group"),
+          "block_number")
+        store.appendBucketed(TotalsTable, out.totalBalances, "block_number")
+        store.appendBucketed(MatchedTable,
+          out.matchedTransfers.select("token", "from", "to", "value", "block_number"),
+          "block_number")
+
+        // persist state FIRST (atomic swap also truncates plan lineage) —
+        // `next`'s plans still read the un-flipped subscriptions table
+        saveState(store, next)
+        state = loadState(spark, store)
+
+        // flip admitted new subs to active at n (BatchUpdateBlockNumber);
+        // last mutation of the block so no pending plan re-reads the old files
+        val flippedIds = out.updatedSubs.select("id")
+        val newSubs = subs.join(flippedIds, Seq("id"), "left_anti")
+          .unionByName(out.updatedSubs)
+        store.replace(SubsTable, newSubs)
+      }
+    }
+  }
+
+  /** Reorg path: retract balance rows in [from, to] and rebuild the
+    * compact state from the surviving history.
+    */
+  def retract(spark: SparkSession, store: TableStore, from: Long, to: Long): Unit = {
+    Seq(AccountsTable, TotalsTable, MatchedTable)
+      .foreach(t => store.deleteRange(t, "block_number", from, to))
+    saveState(store, rebuildState(spark, store))
+  }
+}

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.util.LongAccumulator
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.chain._
+import graft.chain.Fixtures._
+import graft.chain.Schemas._
+
+/** Block-dependent fixture balances: g(address) + first payload byte of the
+  * block hash, so consecutive blocks produce nonzero deltas.
+  */
+final case class BlockAwareBalanceClient(calls: LongAccumulator) extends BalanceClient {
+  override def balances(blockHash: Array[Byte],
+                        pairs: Seq[(Array[Byte], Array[Byte])]): Seq[String] = {
+    calls.add(1)
+    val salt = if (blockHash.nonEmpty) (blockHash(0) & 0xff).toLong else 0L
+    pairs.map { case (_, a) => ((BigInt(1, a) % BigInt(10).pow(20)) + salt).toString }
+  }
+}
+
+/** The complete reference lifecycle: ChainIngest lands blocks, then the
+  * balance pipeline processes each one against compact persisted state —
+  * snapshots, fees, totals, subscription flips, and the reorg path.
+  */
+class BalanceIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val noTokens = Seq.empty[(Array[Byte], Long)].toDF("address", "block_number")
+
+  private def bal(addr: Array[Byte], blockHash: Array[Byte]): BigInt =
+    (BigInt(1, addr) % BigInt(10).pow(20)) + (blockHash(0) & 0xff).toLong
+
+  test("ingest → per-block balance processing → totals, fees, flips, reorg") {
+    val store = TableStore(spark, Files.createTempDirectory("graft-bi").toString, bucketSize = 4L)
+
+    // chain 1..3: block 2 carries alice→carol (tx + eth transfer log)
+    val t2 = tx(1, alice, carol, 500, gasPrice = 100L)
+    var parent = hash32(0)
+    val bundles = (1L to 3L).map { n =>
+      val txs = if (n == 2L) Seq(t2) else Nil
+      val b   = block(n, parent, txs = txs)
+      parent = b.hash
+      val logs = if (n == 2L) Seq(TransferLog(t2.hash, alice, carol, "500", 2L)) else Nil
+      Bundle(b, txs.map(receipt(_, n)), logs)
+    }
+    ChainIngest.ingestBatch(spark, store, bundles.toDS().toDF(), noTokens)
+
+    // subscriptions: alice active since 1 (group 1), bob NEW (group 2)
+    store.replace(BalanceIngest.SubsTable,
+      Seq((1L, 1L, 1L, alice), (2L, 0L, 2L, bob)).toDF("id", "block_number", "group", "address"))
+
+    val calls  = spark.sparkContext.longAccumulator("bi-calls")
+    val client = BlockAwareBalanceClient(calls)
+    BalanceIngest.processRange(spark, store, 1L, 3L, client)
+
+    val hashAt = (1L to 3L).map(n => n ->
+      store.readRange(ChainIngest.HeadersTable, "number", n, n, null)
+        .select("hash").head().getAs[Array[Byte]](0)).toMap
+
+    // bob (new at 1) seeded with the full balance at block 1
+    val accounts = store.readOr(BalanceIngest.AccountsTable, null).collect()
+      .map(r => (r.getAs[Array[Byte]]("address").toSeq, r.getAs[Long]("block_number")) ->
+        BigInt(r.getAs[java.math.BigDecimal]("balance").toBigInteger)).toMap
+    assert(accounts((bob.toSeq, 1L)) == bal(bob, hashAt(1L)))
+    // alice touched at block 2 (tx sender) → snapshot at 2
+    assert(accounts((alice.toSeq, 2L)) == bal(alice, hashAt(2L)))
+    assert(!accounts.contains((alice.toSeq, 1L))) // untouched at 1
+
+    // totals: group 2 at block 1 = bob's seed; carried to absence at 2
+    // (bob untouched at 2 → no delta row for group 2 at 2)
+    val totals = store.readOr(BalanceIngest.TotalsTable, null).collect()
+      .map(r => (r.getAs[Long]("block_number"), r.getAs[Long]("group")) ->
+        (BigInt(r.getAs[java.math.BigDecimal]("balance").toBigInteger),
+          BigInt(r.getAs[java.math.BigDecimal]("tx_fee").toBigInteger))).toMap
+    assert(totals((1L, 2L))._1 == bal(bob, hashAt(1L)))
+    // group 1 at block 2: alice's delta folded in, fee = 100 gas_price × 21000 gas
+    assert(totals((2L, 1L))._2 == BigInt(100L * 21000L))
+
+    // subscription flip: bob active since block 1 now
+    val flipped = store.readOr(BalanceIngest.SubsTable, null)
+      .filter(col("id") === 2L).head().getAs[Long]("block_number")
+    assert(flipped == 1L)
+
+    // compact state persisted: one row per key, latest block values
+    val state = BalanceIngest.loadState(spark, store)
+    assert(state.latestAccounts.groupBy("token", "address").count()
+      .select("count").collect().forall(_.getLong(0) == 1L))
+
+    // ---- reorg at 2: balance rows retract and state rebuilds -------------
+    BalanceIngest.retract(spark, store, 2L, 3L)
+    val after = store.readOr(BalanceIngest.AccountsTable, null)
+      .select("block_number").collect().map(_.getLong(0))
+    assert(after.forall(_ < 2L))
+    val rebuilt = BalanceIngest.loadState(spark, store)
+    val latestBob = rebuilt.latestAccounts.filter(col("address") === lit(bob)).head()
+    assert(latestBob.getAs[Long]("block_number") == 1L)
+
+    // reprocess 2..3 (e.g. the winning branch re-landed by ChainIngest)
+    BalanceIngest.processRange(spark, store, 2L, 3L, client)
+    val totals2 = store.readOr(BalanceIngest.TotalsTable, null)
+      .filter(col("block_number") === 2L && col("group") === 1L).head()
+    assert(BigInt(totals2.getAs[java.math.BigDecimal]("tx_fee").toBigInteger) ==
+      BigInt(100L * 21000L))
+  }
+}
