@@ -1,0 +1,78 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan contracts for the scale-critical queries: these assert the
+  * PLAN SHAPE (pushdown, broadcast, shuffle count, no cartesian blowup),
+  * not results — a regression here is invisible at sf0.001 correctness and
+  * fatal at 100 TB.
+  */
+class PlanContractSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def count(plan: String, needle: String): Int =
+    plan.linesIterator.count(_.contains(needle))
+
+  test("point lookups push their predicate into the parquet scan") {
+    Seq("p1_point_lookup" -> "o_orderkey", "p2_point_lookup_number" -> "p_partkey",
+      "p3_lookup_by_id" -> "event_id").foreach { case (q, key) =>
+      val plan = planOf(q)
+      assert(plan.contains(s"PushedFilters: [IsNotNull($key), EqualTo($key,"),
+        s"$q must push EqualTo($key) to the scan")
+    }
+  }
+
+  test("small dimensions broadcast; no shuffle join for j3/j6/p5") {
+    Seq("j3_broadcast_semi_join", "j6_lookup_join_nulls", "p5_stitched_lookup").foreach { q =>
+      val plan = planOf(q)
+      assert(count(plan, "BroadcastHashJoin") >= 1, s"$q must broadcast its small side")
+      assert(count(plan, "SortMergeJoin") == 0, s"$q must not sort-merge")
+    }
+  }
+
+  test("no cartesian or nested-loop joins anywhere in the inventory") {
+    graft.SparkEntry.queries.keys.foreach { q =>
+      val plan = planOf(q)
+      assert(count(plan, "CartesianProduct") == 0, s"$q plans a cartesian product")
+      // BroadcastNestedLoop is allowed only where it IS the design:
+      // j7 (intentional tiny cross join) and s1 (exact top-k tier —
+      // broadcast probe set against the corpus, streamed once; the scale
+      // path is s2's bucket-keyed LSH join)
+      if (q != "j7_cross_join" && q != "s1_cosine_topk")
+        assert(count(plan, "BroadcastNestedLoopJoin") == 0, s"$q plans a nested-loop join")
+    }
+  }
+
+  test("asOfJoin is a single hash-partition shuffle, not a range join") {
+    val plan = planOf("j5_asof_join")
+    // exchanges: 1 for the union-window key partition + 1 for the final
+    // presentation orderBy (rangepartitioning) — nothing else
+    assert(count(plan, "Exchange hashpartitioning") == 1,
+      s"asOfJoin must shuffle exactly once on the key:\n$plan")
+    assert(count(plan, "SortMergeJoin") == 0 && count(plan, "CartesianProduct") == 0)
+  }
+
+  test("aggregations keep map-side partials (a1/a4/d1)") {
+    Seq("a1_count", "a4_sum_per_group", "d1_dedup_exact").foreach { q =>
+      val plan = planOf(q)
+      // partial + final pairs: >= 2 HashAggregate nodes around one exchange
+      assert(count(plan, "HashAggregate") >= 2, s"$q lost map-side partial aggregation")
+    }
+  }
+
+  test("d2 LSH plan computes the signature aggregation exactly once") {
+    val plan = planOf("d2_minhash_lsh")
+    // the signature aggregation is the only aggregation over exploded
+    // shingles keyed by doc_id; the banding must not duplicate it
+    val shingleAggs = plan.linesIterator.count(l =>
+      l.contains("HashAggregate") && l.contains("mh_0#"))
+    assert(shingleAggs <= 2, // partial + final of ONE aggregation
+      s"signature aggregation appears duplicated ($shingleAggs nodes)")
+  }
+}
