@@ -146,9 +146,14 @@ object Dedup {
         array_distinct(transform(TextOps.shinglesOfTokens(col("__toks"), shingleSize),
           g => pmod(portableHashLo(g), lit(MersennePrime)))).as("__set"))
     val sized = sets.select(col("__vid"), col("__set"), size(col("__set")).as("__sz"))
-    val a = sized.select(col("__vid").as("id_a"), col("__set").as("set_a"), col("__sz").as("sz_a"))
-    val b = sized.select(col("__vid").as("id_b"), col("__set").as("set_b"), col("__sz").as("sz_b"))
-    pairs.join(a, "id_a").join(b, "id_b")
+    // Join the SAME `sized` plan for both sides, renaming AFTER each join —
+    // keeps the exchange subtrees canonically equal so the planner MAY
+    // dedupe them (ReuseExchange); pre-renamed copies can never be reused.
+    pairs
+      .join(sized, pairs("id_a") === sized("__vid"))
+      .withColumnRenamed("__set", "set_a").withColumnRenamed("__sz", "sz_a").drop("__vid")
+      .join(sized, col("id_b") === sized("__vid"))
+      .withColumnRenamed("__set", "set_b").withColumnRenamed("__sz", "sz_b").drop("__vid")
       .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))))
       .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
