@@ -186,6 +186,18 @@ class ChainIngestSpec extends SparkSpec {
     assert(headerNumbers(store) == (1L to 12L))
   }
 
+  test("a gapped delivery (missing ancestors) inserts nothing, not partially") {
+    val store = freshStore()
+    ingest(store, chain(1, 10, hash32(0)))
+    // blocks 15..20 arrive but 11..14 never delivered: unconnected orphans
+    ingest(store, chain(15, 20, hash32(14)))
+    assert(headerNumbers(store) == (1L to 10L))
+    assert(ChainIngest.loadHead(store).exists(_.number == 10L))
+    // once the gap fills, the whole run lands
+    ingest(store, chain(11, 20, hash32(10)))
+    assert(headerNumbers(store) == (1L to 20L))
+  }
+
   test("runWithRestart resumes a failing query from its checkpoint (T7)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
