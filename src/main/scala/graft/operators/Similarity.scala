@@ -93,4 +93,52 @@ object Similarity {
     val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Nearest-centroid assignment: each vector gets the id of its
+    * highest-cosine centroid (ties → lowest centroid id). Centroids
+    * broadcast (they are the small dimension); one window per vector id.
+    */
+  def assignToCentroids(df: DataFrame, centroids: DataFrame,
+                        idCol: String, vecCol: String): DataFrame = {
+    val c = broadcast(centroids.select(col(idCol).as("__cid"), col(vecCol).as("__cvec")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(round(cosine(col(vecCol), col("__cvec")), 6).desc, col("__cid"))
+    df.crossJoin(c)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(df.columns.map(col) :+ col("__cid").as("centroid_id"): _*)
+  }
+
+  /** IVF (inverted-file) ANN — the classic coarse-quantizer scale path:
+    * the corpus is assigned once to its nearest coarse centroid (the
+    * posting lists); a probe ranks centroids, visits only its `nProbe`
+    * nearest lists, and runs exact cosine inside them. Versus LSH buckets
+    * this trades hash independence for data-adaptive cells. The centroid
+    * set is caller-supplied (deterministic sample or trained means), so
+    * results are reproducible in any engine.
+    *
+    * Scale shape: assignment is a broadcast cross join (no corpus
+    * shuffle), posting-list probing is an equi-join on centroid_id —
+    * |probes|·nProbe lists instead of the full corpus.
+    */
+  def ivfTopK(
+      corpus: DataFrame, probes: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    val posted = assignToCentroids(corpus, centroids, idCol, vecCol)
+    val c = broadcast(centroids.select(col(idCol).as("__cid"), col(vecCol).as("__cvec")))
+    val pw = Window.partitionBy(col("probe_id"))
+      .orderBy(round(cosine(col("__pvec"), col("__cvec")), 6).desc, col("__cid"))
+    val probeLists = probes
+      .select(col(idCol).as("probe_id"), col(vecCol).as("__pvec"))
+      .crossJoin(c)
+      .withColumn("__rn", row_number().over(pw))
+      .filter(col("__rn") <= nProbe)
+      .select(col("probe_id"), col("__pvec"), col("__cid").as("centroid_id"))
+    val scored = posted.join(probeLists, Seq("centroid_id"))
+      .filter(col(idCol) =!= col("probe_id"))
+      .withColumn("sim", round(cosine(col("__pvec"), col(vecCol)), 6))
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col(idCol), col("sim"))
+  }
 }

@@ -148,6 +148,34 @@ object PipelineQueries {
        | WHERE nn_rank <= 10 ORDER BY probe_id, nn_rank""".stripMargin
   }
 
+  /** IVF oracle: same centroid sample, same nearest-centroid assignment,
+    * same nProbe=2 probing and exact in-list cosine as Similarity.ivfTopK.
+    */
+  private def s3Sql: String = {
+    val cosEC = sqlCosine("e.embedding", "c.cvec")
+    val cosPC = sqlCosine("p.embedding", "c.cvec")
+    val cosPA = sqlCosine("pl.pvec", "a.embedding")
+    s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 97 = 0),
+       | assign AS (SELECT vec_id, embedding, cid FROM (
+       |   SELECT e.vec_id, e.embedding, c.cid,
+       |     row_number() OVER (PARTITION BY e.vec_id
+       |       ORDER BY round($cosEC, 6) DESC, c.cid) AS rn
+       |   FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+       | plists AS (SELECT probe_id, pvec, cid FROM (
+       |   SELECT p.vec_id AS probe_id, p.embedding AS pvec, c.cid,
+       |     row_number() OVER (PARTITION BY p.vec_id
+       |       ORDER BY round($cosPC, 6) DESC, c.cid) AS rn
+       |   FROM embeddings p CROSS JOIN cents c WHERE p.vec_id < 5) WHERE rn <= 2)
+       | SELECT probe_id, nn_rank, neighbor_id, sim FROM (
+       |   SELECT pl.probe_id, a.vec_id AS neighbor_id,
+       |     round($cosPA, 6) AS sim,
+       |     row_number() OVER (PARTITION BY pl.probe_id
+       |       ORDER BY round($cosPA, 6) DESC, a.vec_id) AS nn_rank
+       |   FROM plists pl JOIN assign a ON a.cid = pl.cid
+       |   WHERE a.vec_id <> pl.probe_id)
+       | WHERE nn_rank <= 10 ORDER BY probe_id, nn_rank""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // D1 — exact dedup by normalized-content fingerprint
@@ -258,6 +286,22 @@ object PipelineQueries {
           .orderBy("probe_id", "nn_rank")
       },
       s2Sql
+    ),
+
+    // S3 — IVF ANN: coarse centroids (deterministic corpus sample), probes
+    // visit only their nProbe nearest posting lists. The data-adaptive
+    // counterpart of s2's hash buckets; fully oracle-mirrored.
+    "s3_ann_ivf" -> QueryDef.sql(
+      (s, d) => {
+        val e = Tables(s, d).embeddings
+        Similarity.ivfTopK(e, e.filter(col("vec_id") < 5),
+            e.filter(col("vec_id") % 97 === 0), "vec_id", "embedding",
+            k = 10, nProbe = 2)
+          .select(col("probe_id"), col("rank").as("nn_rank"),
+            col("vec_id").as("neighbor_id"), col("sim"))
+          .orderBy("probe_id", "nn_rank")
+      },
+      s3Sql
     ),
 
     // T1 — token counting
