@@ -41,10 +41,11 @@ class PlanContractSpec extends SparkSpec {
       val plan = planOf(q)
       assert(count(plan, "CartesianProduct") == 0, s"$q plans a cartesian product")
       // BroadcastNestedLoop is allowed only where it IS the design:
-      // j7 (intentional tiny cross join) and s1 (exact top-k tier —
-      // broadcast probe set against the corpus, streamed once; the scale
-      // path is s2's bucket-keyed LSH join)
-      if (q != "j7_cross_join" && q != "s1_cosine_topk")
+      // j7 (intentional tiny cross join), s1 (exact top-k tier — broadcast
+      // probe set against the corpus, streamed once), and s3 (IVF: the
+      // broadcast centroid set × corpus/probes is the coarse quantizer;
+      // posting-list probing itself is an equi-join)
+      if (!Set("j7_cross_join", "s1_cosine_topk", "s3_ann_ivf").contains(q))
         assert(count(plan, "BroadcastNestedLoopJoin") == 0, s"$q plans a nested-loop join")
     }
   }
