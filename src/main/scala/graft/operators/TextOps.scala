@@ -43,6 +43,32 @@ object TextOps {
   /** Deterministic document fingerprint over normalized content. */
   def fingerprint(text: Column): Column = md5(normalized(text))
 
+  /** BPE-style pre-tokenization count: the GPT-ish segmentation regex
+    * (contraction suffix | space?-letters | space?-digits | space?-punct
+    * run), restricted to RE2-safe constructs so any engine's regex library
+    * reproduces it exactly. A cheap proxy for "LLM tokens" vs whitespace
+    * words — the standard cost estimate over a training corpus.
+    */
+  val BpeTokenRegex = "'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenRegex), lit(0)))
+
+  /** Winnowing fingerprints (the MOSS rolling-hash scheme): k-gram hashes →
+    * min per window of `w` consecutive hashes → distinct mins. Guarantees
+    * any shared run of ≥ w+k−1 tokens yields a shared fingerprint, while
+    * local edits perturb only nearby windows — the document-fingerprint
+    * operator for overlap mining at corpus scale. Pure column algebra over
+    * a bound token array; one value set per document, no shuffle.
+    */
+  def winnowedFingerprints(toks: Column, k: Int, w: Int): Column = {
+    val hs = transform(shinglesOfTokens(toks, k),
+      g => pmod(Dedup.portableHashLo(g), lit(Dedup.MersennePrime)))
+    array_distinct(filter(
+      transform(hs, (_, i) => when(i <= size(hs) - w, array_min(slice(hs, i + 1, lit(w))))),
+      x => x.isNotNull))
+  }
+
   /** 64-bit rolling content hash (xxhash64 of normalized text) for
     * hash-partitionable dedup keys.
     */

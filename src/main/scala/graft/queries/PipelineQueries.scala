@@ -359,6 +359,40 @@ object PipelineQueries {
         | FROM documents ORDER BY doc_id""".stripMargin
     ),
 
+    // T5 — BPE-style token counting (the "LLM token" cost proxy), same
+    // RE2-safe regex in both engines
+    "t5_bpe_token_count" -> QueryDef.sql(
+      (s, d) => Tables(s, d).documents
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("ws_tokens"),
+          TextOps.bpeTokenCount(col("text")).as("bpe_tokens"))
+        .orderBy("doc_id"),
+      s"""SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
+         |   len(regexp_extract_all(text, '${TextOps.BpeTokenRegex.replace("'", "''")}')) AS bpe_tokens
+         | FROM documents ORDER BY doc_id""".stripMargin
+    ),
+
+    // T6 — winnowing fingerprints (rolling k-gram hash, min per window):
+    // one row per (doc, fingerprint); shared ≥(w+k−1)-token runs between
+    // documents are guaranteed to share a fingerprint
+    "t6_winnow_fingerprint" -> QueryDef.sql(
+      (s, d) => Tables(s, d).documents
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"),
+          explode(TextOps.winnowedFingerprints(col("__toks"), k = 3, w = 4)).as("fp"))
+        .orderBy("doc_id", "fp"),
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         | grams AS (SELECT doc_id,
+         |     [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] AS gs
+         |   FROM toks),
+         | hs AS (SELECT doc_id,
+         |     [${hex8("md5(g)", 0)} % ${Dedup.MersennePrime} for g in gs] AS h
+         |   FROM grams),
+         | wins AS (SELECT doc_id,
+         |     list_distinct([list_min(h[i:i+3]) for i in range(1, len(h) - 2)]) AS fps
+         |   FROM hs WHERE len(h) >= 4)
+         | SELECT doc_id, unnest(fps) AS fp FROM wins ORDER BY doc_id, fp""".stripMargin
+    ),
+
     // M1 — multimodal asset plumbing: opaque binary payload + typed header
     // metadata (decode itself is the stubbed seam, see Multimodal.decodeStub)
     "m1_multimodal_meta" -> QueryDef.sql(
