@@ -121,10 +121,17 @@ object Dedup {
     * upstream banding plan is never duplicated (vs. a self-join, which
     * would recompute it on both sides).
     */
-  def candidatePairs(bands: DataFrame, idCol: String): DataFrame = {
-    val buckets = bands.groupBy("band", "band_hash")
+  def candidatePairs(bands: DataFrame, idCol: String,
+                     maxBucket: Option[Int] = None): DataFrame = {
+    val grouped = bands.groupBy("band", "band_hash")
       .agg(sort_array(collect_set(col(idCol))).as("__ids"))
       .filter(size(col("__ids")) > 1)
+    // Skew valve for 100 TB runs: a degenerate bucket (e.g. the signature
+    // of boilerplate shared by millions of docs) is quadratic in-bucket
+    // and near-useless as a discriminator — production LSH drops buckets
+    // above a cap and lets the remaining bands provide recall. Off by
+    // default so small-scale results stay exact.
+    val buckets = maxBucket.fold(grouped)(m => grouped.filter(size(col("__ids")) <= m))
     buckets.select(explode(orderedPairs(col("__ids"))).as("__p"))
       .select(col("__p.a").as("id_a"), col("__p.b").as("id_b"))
       .distinct()

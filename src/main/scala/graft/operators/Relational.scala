@@ -117,6 +117,23 @@ object Relational {
     df.orderBy(order: _*).offset((page - 1) * pageSize).limit(pageSize)
   }
 
+  /** Two-phase salted aggregation for skewed keys: partials aggregate on
+    * (key, salt) — spreading a hot key over `saltBuckets` reducers — then
+    * finals merge per key. Same result as a direct groupBy for any
+    * associative aggregate; use when one key dominates (a hot contract
+    * address, an empty-string token) and AQE's skew handling can't help
+    * because the skew is in the AGGREGATION key, not a join.
+    */
+  def saltedSum(df: DataFrame, keys: Seq[String], value: Column, as: String,
+                saltBuckets: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(sum(value).as("__partial"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__partial")).as(as))
+  }
+
   /** Disjunctive semi-join: keep `left` rows where ANY of `leftKeys` hits the
     * `right` key set (J2 — events kept when `from` OR `to` is subscribed,
     * `store/transfer_processor.go:164-177`). An OR-condition join defeats

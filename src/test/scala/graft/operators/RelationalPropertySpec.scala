@@ -71,6 +71,18 @@ class RelationalPropertySpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("saltedSum == direct groupBy sum under heavy key skew") {
+    // 90% of rows share one key — the salted two-phase must still be exact
+    val rows = lcg(7).take(500).toSeq.zipWithIndex.map { case (x, i) =>
+      (if (i % 10 == 0) (math.abs(x) % 5).toInt else 99, (math.abs(x) % 1000).toInt)
+    }
+    val df = rows.toDF("k", "v")
+    val got = Relational.saltedSum(df, Seq("k"), col("v"), "total", saltBuckets = 8)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val expect = rows.groupBy(_._1).map { case (k, g) => k -> g.map(_._2.toLong).sum }
+    assert(got == expect)
+  }
+
   test("carryForward == brute-force last-non-null scan") {
     val rows = events.take(200).map { case (k, t, id, v) =>
       (k, t, id, if (v % 3 == 0) Some(v) else None)
