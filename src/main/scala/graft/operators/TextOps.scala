@@ -54,20 +54,26 @@ object TextOps {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpeTokenRegex), lit(0)))
 
-  /** Winnowing fingerprints (the MOSS rolling-hash scheme): k-gram hashes →
+  /** k-gram rolling hashes of a PRE-MATERIALIZED token array, as an array
+    * column — step 1 of winnowing. Project this into a column before
+    * windowing (same re-evaluation warning as shinglesOfTokens).
+    */
+  def shingleHashArray(toks: Column, k: Int): Column =
+    transform(shinglesOfTokens(toks, k),
+      g => pmod(Dedup.portableHashLo(g), lit(Dedup.MersennePrime)))
+
+  /** Winnowing fingerprints (the MOSS rolling-hash scheme) over a
+    * PRE-MATERIALIZED hash array (`shingleHashArray` bound to a column):
     * min per window of `w` consecutive hashes → distinct mins. Guarantees
     * any shared run of ≥ w+k−1 tokens yields a shared fingerprint, while
-    * local edits perturb only nearby windows — the document-fingerprint
-    * operator for overlap mining at corpus scale. Pure column algebra over
-    * a bound token array; one value set per document, no shuffle.
+    * local edits perturb only nearby windows. Passing an unbound hash
+    * expression here re-evaluates the whole shingle+md5 array PER WINDOW —
+    * quadratic per row (measured 20× on real documents).
     */
-  def winnowedFingerprints(toks: Column, k: Int, w: Int): Column = {
-    val hs = transform(shinglesOfTokens(toks, k),
-      g => pmod(Dedup.portableHashLo(g), lit(Dedup.MersennePrime)))
+  def winnowedFingerprintsOfHashes(hs: Column, w: Int): Column =
     array_distinct(filter(
       transform(hs, (_, i) => when(i <= size(hs) - w, array_min(slice(hs, i + 1, lit(w))))),
       x => x.isNotNull))
-  }
 
   /** 64-bit rolling content hash (xxhash64 of normalized text) for
     * hash-partitionable dedup keys.

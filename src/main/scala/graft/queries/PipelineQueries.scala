@@ -377,8 +377,9 @@ object PipelineQueries {
     "t6_winnow_fingerprint" -> QueryDef.sql(
       (s, d) => Tables(s, d).documents
         .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"), TextOps.shingleHashArray(col("__toks"), 3).as("__hs"))
         .select(col("doc_id"),
-          explode(TextOps.winnowedFingerprints(col("__toks"), k = 3, w = 4)).as("fp"))
+          explode(TextOps.winnowedFingerprintsOfHashes(col("__hs"), 4)).as("fp"))
         .orderBy("doc_id", "fp"),
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
          | grams AS (SELECT doc_id,
