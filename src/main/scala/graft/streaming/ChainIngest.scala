@@ -105,7 +105,9 @@ object ChainIngest {
         r.getAs[Array[Byte]](2).toSeq, r.getLong(3)))
 
     var cur: Option[Head] = loadHead(store)
-    val windowLo = math.max(0L, incoming.head.number - reorgWindow)
+    // Window anchored to the HEAD, not min(incoming): a single replayed
+    // ancient header must not widen the driver read to the whole chain
+    val windowLo = cur.map(c => math.max(0L, c.number - reorgWindow)).getOrElse(0L)
 
     // Bounded canonical-chain window + its TDs — O(reorgWindow) tiny rows
     val chainByNumber = mutable.Map[Long, Hdr]()
@@ -203,6 +205,11 @@ object ChainIngest {
                       case Some(p) => branch.prepend(p); b = p
                       case None    => traceable = false
                     }
+                  case None if cur.isDefined && pn >= 0 && pn < windowLo =>
+                    // branch point deeper than reorgWindow below the head:
+                    // out of policy — reject rather than insert a second
+                    // chain without retracting the first
+                    traceable = false
                   case None =>
                     byHash.get(b.parentHash) match {
                       case Some(p) => branch.prepend(p); b = p

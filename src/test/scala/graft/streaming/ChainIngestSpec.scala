@@ -186,6 +186,20 @@ class ChainIngestSpec extends SparkSpec {
     assert(headerNumbers(store) == (1L to 12L))
   }
 
+  test("a reorg deeper than reorgWindow is rejected, not half-applied") {
+    val store = freshStore()
+    ingest(store, chain(1, 10, hash32(0)))
+    // heavier fork branching at 2 — depth 8 > reorgWindow 3: out of policy
+    val fork = chain(2, 11, hash32(1), difficulty = 9000L, hashSeedBase = 9300)
+    ChainIngest.ingestBatch(spark, store, toBundleDf(fork), noTokens, reorgWindow = 3L)
+    assert(headerNumbers(store) == (1L to 10L)) // untouched
+    assert(ChainIngest.loadHead(store).exists(_.number == 10L))
+    assert(!store.exists(ChainIngest.ReorgsTable))
+    // the same fork IS applied once the window allows it
+    ChainIngest.ingestBatch(spark, store, toBundleDf(fork), noTokens, reorgWindow = 512L)
+    assert(ChainIngest.loadHead(store).exists(_.number == 11L))
+  }
+
   test("a gapped delivery (missing ancestors) inserts nothing, not partially") {
     val store = freshStore()
     ingest(store, chain(1, 10, hash32(0)))
