@@ -39,6 +39,16 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("candidatePairs maxBucket valve drops only oversized buckets") {
+    val sigs  = Dedup.minHashSignatureArray(docs, "doc_id", "text", 2, 16)
+    val bands = Dedup.lshBands(sigs, "doc_id", 16, 8)
+    val all    = Dedup.candidatePairs(bands, "doc_id").count()
+    val capped = Dedup.candidatePairs(bands, "doc_id", maxBucket = Some(2)).count()
+    val none   = Dedup.candidatePairs(bands, "doc_id", maxBucket = Some(1)).count()
+    assert(capped <= all)
+    assert(none == 0L) // every >1-member bucket exceeds cap 1
+  }
+
   test("verifyJaccard computes exact intersection/union counts") {
     val pairs = Seq((1L, 4L)).toDF("id_a", "id_b")
     val row = Dedup.verifyJaccard(docs, pairs, "doc_id", "text", shingleSize = 1).head()
