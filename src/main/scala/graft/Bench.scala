@@ -6,9 +6,11 @@ import java.nio.file.{Files, Paths}
   * (and mirrored to SPARK_GRAFT_BENCH_OUT if set, default bench_out.json).
   *
   * Measurement rules:
-  *   - a warmup pass at sf0.001 runs every query shape first, so JVM/JIT/
-  *     codegen startup is not billed to whichever query happens to run
-  *     first;
+  *   - each query warms up at sf0.001 IMMEDIATELY before its timed run
+  *     (not one bulk pass): Spark's generated-class cache is bounded, so a
+  *     bulk warmup of 60+ queries evicts the early entries before they are
+  *     timed and the measurement silently includes multi-second Janino
+  *     compiles instead of execution;
   *   - timing materializes the FULL physical plan via
   *     `queryExecution.toRdd.count()` — `.count()` on the DataFrame would
   *     let Catalyst prune every unreferenced projection and measure a
@@ -30,12 +32,12 @@ object Bench {
       catch { case _: Throwable => -1L }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // Warmup: same query shapes, smallest SF. Warms parquet footer reader,
-    // codegen compiler, shuffle + broadcast machinery, JIT.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    names.foreach(materialize(_, warmDir))
+    // one throwaway query to absorb session/VM startup
+    names.headOption.foreach(materialize(_, warmDir))
 
     val results = names.map { name =>
+      materialize(name, warmDir) // warm THIS query's codegen, then time it
       val t0 = System.nanoTime()
       materialize(name, sfDir)
       name -> (System.nanoTime() - t0) / 1e9

@@ -31,6 +31,20 @@ final case class Tables(spark: SparkSession, dir: String) {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t("events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
-  def documents: DataFrame  = t("documents")
-  def embeddings: DataFrame = t("embeddings")
+  /** documents/embeddings ship as ONE parquet row group, so a plain scan
+    * gives every downstream query a single input partition — all shingle/
+    * hash/signature map work would run on one core before the first
+    * shuffle. A 100 TB corpus arrives in thousands of splits; a ~600 KB
+    * test file does not, so fan the rows out once (a sub-MB round-robin
+    * exchange) and let the heavy map stages use the whole machine.
+    */
+  private def fannedOut(name: String): DataFrame = {
+    val df = t(name)
+    if (df.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
+      df.repartition(spark.sparkContext.defaultParallelism)
+    else df
+  }
+
+  def documents: DataFrame  = fannedOut("documents")
+  def embeddings: DataFrame = fannedOut("embeddings")
 }
