@@ -1,0 +1,65 @@
+package graft.chain
+
+import java.sql.DriverManager
+import java.util.Properties
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** S10's JDBC face: a relational mirror of the chain tables behind the
+  * same append/deleteRange verbs as TableStore, driven from foreachBatch —
+  * the reference's MySQL sink (hand-built INSERTs + `DELETE WHERE
+  * block_number BETWEEN`, store/store.go:129-147,319-378) expressed
+  * through Spark's JDBC writer.
+  *
+  *   - appends go through `df.write.jdbc` (batched inserts, executor-side
+  *     parallel connections — one per partition);
+  *   - retraction is the reference's own range DELETE, one driver-side
+  *     statement per table: the predicate touches an indexed column, so
+  *     the work is the database's, not a table rewrite;
+  *   - wide decimals (wei, Decimal(38,0)) are stored as VARCHAR exactly
+  *     like the reference's varchar(32) columns (model/types.go:72-81) —
+  *     most JDBC engines cap DECIMAL below 38 digits (Derby: 31), and the
+  *     reference made the same call for MySQL.
+  *
+  * Tested against embedded Derby (on Spark's classpath); any JDBC url
+  * works the same way.
+  */
+final case class JdbcMirror(spark: SparkSession, url: String) {
+
+  private def props: Properties = new Properties()
+
+  /** Append a DataFrame; wei-wide decimal columns travel as strings. */
+  def append(table: String, df: DataFrame): Unit =
+    stringifyWideDecimals(df).write.mode(SaveMode.Append).jdbc(url, table, props)
+
+  /** The reference's retraction statement, verbatim semantics. */
+  def deleteRange(table: String, rangeCol: String, from: Long, to: Long): Unit = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.prepareStatement(
+        s"""DELETE FROM $table WHERE "$rangeCol" BETWEEN ? AND ?""")
+      try { st.setLong(1, from); st.setLong(2, to); st.executeUpdate() }
+      finally st.close()
+    } finally conn.close()
+  }
+
+  def read(table: String): DataFrame = spark.read.jdbc(url, table, props)
+
+  def exists(table: String): Boolean = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, table.toUpperCase, null)
+      try rs.next() finally rs.close()
+    } finally conn.close()
+  }
+
+  private def stringifyWideDecimals(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      f.dataType match {
+        case d: DecimalType if d.precision > 31 =>
+          acc.withColumn(f.name, col(f.name).cast("string"))
+        case _ => acc
+      }
+    }
+}
