@@ -22,6 +22,13 @@ class SignerRecoverySpec extends AnyFunSuite {
     assert(Keccak256.hash(long).length == 32)
   }
 
+  test("keccak256 derives the ERC20 Transfer event signature constant") {
+    // the sentinel hardcoded from store/event_erc20.go:32-35 must equal
+    // keccak256 of the canonical event signature — cross-validates both
+    assert(Keccak256.hash("Transfer(address,address,uint256)").toSeq ==
+      graft.chain.Schemas.Sentinels.TransferSig.toSeq)
+  }
+
   test("secp256k1 base-point arithmetic sanity") {
     import Secp256k1._
     assert(onCurve(G))
