@@ -167,16 +167,51 @@ object Dedup {
         (col("inter").cast("double") / col("uni").cast("double")).as("jaccard"))
   }
 
-  /** Full MinHash-LSH near-dup pipeline: shingle → sign (once, as an array)
-    * → band (posexplode) → candidate (bucket groupBy) → exact-verify ≥
-    * threshold. Four shuffles total; the signature aggregation runs once.
+  /** Full MinHash-LSH near-dup pipeline: ONE aggregation over the exploded
+    * shingle hashes yields BOTH the signature (64 mins) and the distinct
+    * hash set per document; banding (posexplode), candidates (bucket
+    * groupBy), and exact verification all consume that per-doc relation.
+    *
+    * `persistIntermediates` (default true) persists the per-doc relation
+    * MEMORY_AND_DISK: the corpus is then tokenized/shingled/hashed exactly
+    * ONCE no matter how many downstream consumers reference it — at 100 TB
+    * the difference between one scan and three. Catalyst cannot dedupe the
+    * common subtree on its own; without persist the plan re-executes it
+    * per consumer (set false for tiny one-shot inputs).
     */
   def minHashLshNearDups(df: DataFrame, idCol: String, textCol: String,
                          shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
-                         threshold: Double = 0.8): DataFrame = {
-    val sigs  = minHashSignatureArray(df, idCol, textCol, shingleSize, numHashes)
+                         threshold: Double = 0.8,
+                         persistIntermediates: Boolean = true): DataFrame = {
+    val shingled = df
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(TextOps.shinglesOfTokens(col("__toks"), shingleSize)).as("__sh"))
+      .withColumn("__h", pmod(portableHashLo(col("__sh")), lit(MersennePrime)))
+    val aggs = (0 until numHashes).map { i =>
+      min(pmod(col("__h") * lit(hashA(i)) + lit(hashB(i)), lit(MersennePrime))).as(s"mh_$i")
+    } :+ collect_set(col("__h")).as("__set")
+    val perDoc0 = shingled.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val perDoc =
+      if (persistIntermediates)
+        perDoc0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else perDoc0
+
+    val sigs  = perDoc.select(col(idCol),
+      array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("sig"))
     val cands = candidatePairs(lshBands(sigs, idCol, numHashes, bands), idCol)
-    verifyJaccard(df, cands, idCol, textCol, shingleSize).filter(col("jaccard") >= threshold)
+
+    val sized = perDoc.select(col(idCol).as("__vid"), col("__set"),
+      size(col("__set")).as("__sz"))
+    cands
+      .join(sized, cands("id_a") === sized("__vid"))
+      .withColumnRenamed("__set", "set_a").withColumnRenamed("__sz", "sz_a").drop("__vid")
+      .join(sized, col("id_b") === sized("__vid"))
+      .withColumnRenamed("__set", "set_b").withColumnRenamed("__sz", "sz_b").drop("__vid")
+      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
+        (col("inter").cast("double") / col("uni").cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   // ---- SimHash ---------------------------------------------------------

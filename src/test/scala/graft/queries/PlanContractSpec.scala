@@ -67,13 +67,16 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
-  test("d2 LSH plan computes the signature aggregation exactly once") {
+  test("d2 LSH plan computes the shingle aggregation exactly once") {
     val plan = planOf("d2_minhash_lsh")
-    // the signature aggregation is the only aggregation over exploded
-    // shingles keyed by doc_id; the banding must not duplicate it
+    // Either the per-doc (signature + set) relation is cached — every
+    // consumer reads InMemoryTableScan and the aggregation executes once
+    // by construction (textual repeats under InMemoryRelation don't
+    // execute) — or, uncached, at most partial+final of ONE aggregation.
+    val cachedReads = plan.linesIterator.count(_.contains("InMemoryTableScan"))
     val shingleAggs = plan.linesIterator.count(l =>
       l.contains("HashAggregate") && l.contains("mh_0#"))
-    assert(shingleAggs <= 2, // partial + final of ONE aggregation
-      s"signature aggregation appears duplicated ($shingleAggs nodes)")
+    assert(cachedReads >= 3 || shingleAggs <= 2,
+      s"signature aggregation appears duplicated (aggs=$shingleAggs, cachedReads=$cachedReads)")
   }
 }
