@@ -118,16 +118,28 @@ object TextOps {
   )
 
   def langScore(text: Column, markers: Seq[String]): Column =
-    size(filter(tokens(lower(text)), t => array_contains(array(markers.map(lit): _*), t)))
+    langScoreOfTokens(tokens(lower(text)), markers)
 
-  /** Predicted language: highest marker count wins; ties resolve in
-    * `langMarkers` order; all-zero falls back to "und" (undetermined).
+  def langScoreOfTokens(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => array_contains(array(markers.map(lit): _*), t)))
+
+  /** Predicted language over a PRE-MATERIALIZED lowercase token array:
+    * highest marker count wins; ties resolve in `langMarkers` order;
+    * all-zero falls back to "und" (undetermined). Each score expression is
+    * referenced several times (argmax comparison), so the token array must
+    * be a bound attribute — an inline `tokens(lower(text))` would
+    * re-tokenize the document once per language × comparison.
     */
-  def langId(text: Column): Column = {
-    val scored = langMarkers.map { case (lang, m) => (lang, langScore(text, m)) }
+  def langIdOfTokens(toks: Column): Column = {
+    val scored = langMarkers.map { case (lang, m) => (lang, langScoreOfTokens(toks, m)) }
     val best   = scored.map(_._2).reduce((a, b) => greatest(a, b))
     scored.foldRight(lit("und"): Column) { case ((lang, score), acc) =>
       when(score === best && best > 0, lit(lang)).otherwise(acc)
     }
   }
+
+  /** Convenience form for small inputs — hot paths should bind the token
+    * array first (see langIdOfTokens).
+    */
+  def langId(text: Column): Column = langIdOfTokens(tokens(lower(text)))
 }

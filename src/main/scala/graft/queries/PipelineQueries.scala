@@ -335,7 +335,8 @@ object PipelineQueries {
     // T3 — stopword-profile language ID (n-gram heuristic)
     "t3_lang_id" -> QueryDef.sql(
       (s, d) => Tables(s, d).documents
-        .select(col("doc_id"), TextOps.langId(col("text")).as("pred_lang"))
+        .select(col("doc_id"), TextOps.tokens(lower(col("text"))).as("__lt"))
+        .select(col("doc_id"), TextOps.langIdOfTokens(col("__lt")).as("pred_lang"))
         .orderBy("doc_id"),
       {
         val score = TextOps.langMarkers.map { case (lang, ms) =>
