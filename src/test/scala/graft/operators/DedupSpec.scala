@@ -22,6 +22,19 @@ class DedupSpec extends SparkSpec {
     assert(got(5L) == 1L)
   }
 
+  test("duplicateGroups reports only multi-member groups with the keeper id") {
+    val got = Dedup.duplicateGroups(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(got == Map(1L -> 3L)) // docs 1,2,3; singletons absent
+  }
+
+  test("fingerprint64 collapses normalized duplicates like the md5 form") {
+    val fps = docs.select(col("doc_id"), TextOps.fingerprint64(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L) && fps(1L) == fps(3L))
+    assert(fps(1L) != fps(5L))
+  }
+
   test("minHash signatures are equal for identical docs, differ for unrelated") {
     val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", shingleSize = 2, numHashes = 16)
       .collect().map(r => r.getAs[Long]("doc_id") -> (1 to 16).map(i => r.getAs[Long](s"mh_${i - 1}")))

@@ -32,6 +32,26 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq(1L, 2L) || got == Seq(1L, 3L)) // 1 is closest; 2/3 tie at 0
   }
 
+  test("assignToCentroids picks the highest-cosine centroid, ties to lowest id") {
+    val centroids = vecs.filter($"vec_id".isin(0L, 2L, 3L))
+    val got = Similarity.assignToCentroids(vecs, centroids, "vec_id", "embedding")
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("centroid_id")).toMap
+    assert(got(1L) == 0L) // (0.9, 0.1, 0) nearest to x-axis centroid
+    assert(got(2L) == 2L) // itself
+    assert(got(4L) == 2L) // -x: cos 0 vs centroids 2/3, -1 vs 0 → tie 2 vs 3 → lowest id
+    assert(got.size == 5)
+  }
+
+  test("ivfTopK with all centroids probed equals brute force") {
+    val centroids = vecs.filter($"vec_id".isin(0L, 2L))
+    val ivf = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" === 0), centroids,
+      "vec_id", "embedding", k = 2, nProbe = 2)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("vec_id"))).sorted
+    val bf = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), "vec_id", "embedding", 2)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("vec_id"))).sorted
+    assert(ivf.toSeq == bf.toSeq) // nProbe = all lists → exact
+  }
+
   test("lshTopK finds the same nearest neighbor as brute force here") {
     val bf = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), "vec_id", "embedding", 1)
       .select("vec_id").as[Long].head()
