@@ -105,6 +105,11 @@ object BalanceIngest {
           accounts = null, resolver = resolver, prevTotals = null)
         val (out, next) = BalanceLedger.step(state, in, newSubLimit)
 
+        // replay-idempotent bracket (same as ChainIngest.appendChunk): a
+        // reprocessed block rewrites its rows instead of duplicating them
+        Seq(AccountsTable, TotalsTable, MatchedTable)
+          .foreach(t => store.deleteRange(t, "block_number", n, n))
+
         store.appendBucketed(AccountsTable,
           out.newAccounts.select("token", "address", "block_number", "balance", "group"),
           "block_number")

@@ -103,5 +103,16 @@ class BalanceIngestSpec extends SparkSpec {
       .filter(col("block_number") === 2L && col("group") === 1L).head()
     assert(BigInt(totals2.getAs[java.math.BigDecimal]("tx_fee").toBigInteger) ==
       BigInt(100L * 21000L))
+
+    // replaying a block is idempotent: no duplicated (block, group, token)
+    BalanceIngest.processRange(spark, store, 3L, 3L, client)
+    val dupTotals = store.readOr(BalanceIngest.TotalsTable, null)
+      .groupBy("block_number", "group", "token").count()
+      .filter(col("count") > 1).count()
+    assert(dupTotals == 0L)
+    val dupAccounts = store.readOr(BalanceIngest.AccountsTable, null)
+      .groupBy("block_number", "token", "address").count()
+      .filter(col("count") > 1).count()
+    assert(dupAccounts == 0L)
   }
 }
