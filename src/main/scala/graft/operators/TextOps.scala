@@ -90,20 +90,29 @@ object TextOps {
     length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))
 
   def stopwordCount(text: Column, stopwords: Seq[String] = englishStopwords): Column =
-    size(filter(tokens(text), t => array_contains(array(stopwords.map(lit): _*), t)))
+    stopwordCountOfTokens(tokens(text), stopwords)
 
-  /** Composite quality score in [0,1]-ish: penalizes very short docs, high
-    * punctuation density, and stopword-free (non-natural) text.
+  def stopwordCountOfTokens(toks: Column, stopwords: Seq[String] = englishStopwords): Column =
+    size(filter(toks, t => array_contains(array(stopwords.map(lit): _*), t)))
+
+  /** Quality signals over a PRE-MATERIALIZED token array (bind
+    * `tokens(text)` to a column first — an inline expression would
+    * re-tokenize the document once per feature): penalizes very short
+    * docs, high punctuation density, and stopword-free (non-natural) text.
     */
-  def qualityFeatures(text: Column): Seq[(String, Column)] = {
-    val nTok = tokenCount(text).cast("double")
+  def qualityFeaturesOfTokens(text: Column, toks: Column): Seq[(String, Column)] = {
+    val nTok = size(toks).cast("double")
     Seq(
-      "n_tokens"       -> tokenCount(text),
+      "n_tokens"       -> size(toks),
       "punct_ratio"    -> punctCount(text).cast("double") / greatest(length(text).cast("double"), lit(1.0)),
-      "stopword_ratio" -> stopwordCount(text).cast("double") / greatest(nTok, lit(1.0)),
+      "stopword_ratio" -> stopwordCountOfTokens(toks).cast("double") / greatest(nTok, lit(1.0)),
       "avg_token_len"  -> (length(regexp_replace(trim(text), "\\s+", "")).cast("double") / greatest(nTok, lit(1.0)))
     )
   }
+
+  /** Convenience form for small inputs — hot paths bind the tokens first. */
+  def qualityFeatures(text: Column): Seq[(String, Column)] =
+    qualityFeaturesOfTokens(text, tokens(text))
 
   /** Stopword-profile language ID. Counts language-marker tokens per
     * candidate language and arg-maxes with a fixed preference order —

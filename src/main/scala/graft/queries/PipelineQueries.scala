@@ -315,8 +315,9 @@ object PipelineQueries {
     // T2 — quality scoring: length/punct/stopword/token-shape signals
     "t2_quality_score" -> QueryDef.sql(
       (s, d) => {
-        val feats = TextOps.qualityFeatures(col("text"))
+        val feats = TextOps.qualityFeaturesOfTokens(col("text"), col("__toks"))
         Tables(s, d).documents
+          .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("__toks"))
           .select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
           .orderBy("doc_id")
       },
