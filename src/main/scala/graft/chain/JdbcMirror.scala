@@ -33,12 +33,25 @@ final case class JdbcMirror(spark: SparkSession, url: String) {
   def append(table: String, df: DataFrame): Unit =
     stringifyWideDecimals(df).write.mode(SaveMode.Append).jdbc(url, table, props)
 
-  /** The reference's retraction statement, verbatim semantics. */
+  /** The reference's retraction statement, verbatim semantics. The range
+    * COLUMN is quoted with the DRIVER'S quote string from connection
+    * metadata (backticks on MySQL, double quotes on Derby/Postgres) —
+    * hardcoded ANSI quotes would break on the reference's actual MySQL
+    * backend. Spark's JDBC writer quotes column names (case-preserving)
+    * but passes the TABLE name raw in `CREATE TABLE`, so the table must
+    * stay raw here too or the identifiers stop matching on
+    * case-normalizing engines like Derby.
+    */
   def deleteRange(table: String, rangeCol: String, from: Long, to: Long): Unit = {
+    require(table.matches("[A-Za-z0-9_.]+"), s"unsafe table name: $table")
     val conn = DriverManager.getConnection(url)
     try {
+      val q = Option(conn.getMetaData.getIdentifierQuoteString)
+        .map(_.trim).filter(_.nonEmpty).getOrElse("")
+      def qt(id: String) =
+        if (q.isEmpty) id else q + id.replace(q, q + q) + q
       val st = conn.prepareStatement(
-        s"""DELETE FROM $table WHERE "$rangeCol" BETWEEN ? AND ?""")
+        s"DELETE FROM $table WHERE ${qt(rangeCol)} BETWEEN ? AND ?")
       try { st.setLong(1, from); st.setLong(2, to); st.executeUpdate() }
       finally st.close()
     } finally conn.close()

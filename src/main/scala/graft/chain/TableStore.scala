@@ -33,11 +33,26 @@ final case class TableStore(spark: SparkSession, root: String, bucketSize: Long 
 
   def bucketOf(v: Long): Long = Math.floorDiv(v, bucketSize)
 
+  /** A table exists only if it holds at least one DATA file: an append of
+    * an empty DataFrame leaves a `_SUCCESS`-only directory, and swap
+    * machinery can leave hidden `.bucket=N_tmp`/`_old` siblings — counting
+    * those would send `spark.read.parquet` into "Unable to infer schema".
+    * Hidden subtrees (any path component starting with `.` or `_`) are
+    * skipped entirely, matching what Spark's file index would list.
+    */
   def exists(table: String): Boolean = {
     val d = dir(table)
     Files.exists(d) && {
-      val s = Files.list(d) // must close: each open stream holds a descriptor
-      try s.findFirst().isPresent finally s.close()
+      val s = Files.walk(d) // must close: each open stream holds a descriptor
+      try s.anyMatch { p =>
+        Files.isRegularFile(p) && {
+          val rel = d.relativize(p)
+          (0 until rel.getNameCount).forall { i =>
+            val n = rel.getName(i).toString
+            !(n.startsWith(".") || n.startsWith("_"))
+          }
+        }
+      } finally s.close()
     }
   }
 

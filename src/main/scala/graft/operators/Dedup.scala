@@ -172,12 +172,19 @@ object Dedup {
     * hash set per document; banding (posexplode), candidates (bucket
     * groupBy), and exact verification all consume that per-doc relation.
     *
-    * `persistIntermediates` (default true) persists the per-doc relation
-    * MEMORY_AND_DISK: the corpus is then tokenized/shingled/hashed exactly
-    * ONCE no matter how many downstream consumers reference it — at 100 TB
-    * the difference between one scan and three. Catalyst cannot dedupe the
-    * common subtree on its own; without persist the plan re-executes it
-    * per consumer (set false for tiny one-shot inputs).
+    * `persistIntermediates` (default true) materializes the per-doc
+    * relation once via an eager `localCheckpoint`: the corpus is then
+    * tokenized/shingled/hashed exactly ONCE no matter how many downstream
+    * consumers reference it — at 100 TB the difference between one scan
+    * and three. Catalyst cannot dedupe the common subtree on its own.
+    * localCheckpoint (MEMORY_AND_DISK blocks, lineage cut) is used instead
+    * of `Dataset.persist` deliberately: persist registers the relation in
+    * the session's CacheManager, which holds a strong reference for the
+    * session lifetime — every invocation would leak a corpus-sized cache
+    * entry in long-lived services. Checkpoint blocks are reclaimed by the
+    * ContextCleaner as soon as the returned plan is garbage-collected.
+    * (Set false for tiny one-shot inputs; on a multi-executor cluster,
+    * note localCheckpoint recomputes from scratch on executor loss.)
     */
   def minHashLshNearDups(df: DataFrame, idCol: String, textCol: String,
                          shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
@@ -192,8 +199,7 @@ object Dedup {
     } :+ collect_set(col("__h")).as("__set")
     val perDoc0 = shingled.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
     val perDoc =
-      if (persistIntermediates)
-        perDoc0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (persistIntermediates) perDoc0.localCheckpoint(true)
       else perDoc0
 
     val sigs  = perDoc.select(col(idCol),

@@ -123,10 +123,18 @@ object Relational {
     * associative aggregate; use when one key dominates (a hot contract
     * address, an empty-string token) and AQE's skew handling can't help
     * because the skew is in the AGGREGATION key, not a join.
+    *
+    * The salt is a DETERMINISTIC row hash (xxhash64 over every input
+    * column): a task retried after a shuffle-fetch failure re-derives the
+    * same (key, salt) partials, so no row is double-counted or lost
+    * (SPARK-23207 class). spark_partition_id/monotonically_increasing_id
+    * would differ across recomputation. Rows identical in every column
+    * share a salt — spreading still happens whenever any non-key column
+    * varies, which is what makes a key hot in the first place.
     */
   def saltedSum(df: DataFrame, keys: Seq[String], value: Column, as: String,
                 saltBuckets: Int = 16): DataFrame = {
-    val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val salted = df.withColumn("__salt", pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets)))
     salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(sum(value).as("__partial"))

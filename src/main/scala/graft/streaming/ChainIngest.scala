@@ -76,8 +76,12 @@ object ChainIngest {
         .select("number", "hash").collect().headOption.map { r =>
           val n = r.getLong(0)
           val h = r.getAs[Array[Byte]](1)
-          val td = store.readOr(TdTable, null)
-            .filter(col("hash") === lit(h)).select("td").collect().headOption
+          // TdTable may be absent even when headers exist (partial/legacy
+          // sink) — seed td=0 rather than NPE on a null relation.
+          val td = (if (store.exists(TdTable))
+              store.readOr(TdTable, null)
+                .filter(col("hash") === lit(h)).select("td").collect().headOption
+            else None)
             .map(x => BigInt(x.getDecimal(0).toBigInteger)).getOrElse(BigInt(0))
           Head(n, h.toSeq, td)
         }

@@ -56,6 +56,27 @@ class TableStoreSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") || plan.contains("bucket"))
   }
 
+  test("exists requires a data file: empty appends and hidden leftovers don't count") {
+    val store = fresh()
+    // an append of an EMPTY DataFrame writes only _SUCCESS — the table must
+    // still read as absent or spark.read.parquet dies on schema inference
+    store.appendBucketed("e", Seq.empty[Long].toDF("n"), "n")
+    assert(!store.exists("e"))
+    assert(store.readOr("e", null) == null)
+
+    // hidden swap leftovers (.bucket=N_old) alone must not count either
+    val leftover = Paths.get(store.root, "l", ".bucket=0_old")
+    Files.createDirectories(leftover)
+    Files.writeString(leftover.resolve("part-0.parquet"), "junk")
+    Files.writeString(Paths.get(store.root, "l", "_SUCCESS"), "")
+    assert(!store.exists("l"))
+
+    // a real data file flips it
+    store.appendBucketed("l", Seq(1L).toDF("n"), "n")
+    assert(store.exists("l"))
+    assert(rows(store, "l") == Seq(1L))
+  }
+
   test("append after a range delete lands in fresh bucket files") {
     val store = fresh()
     store.appendBucketed("t", (0L until 20L).toDF("n"), "n")

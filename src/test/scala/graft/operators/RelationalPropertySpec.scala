@@ -81,6 +81,12 @@ class RelationalPropertySpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val expect = rows.groupBy(_._1).map { case (k, g) => k -> g.map(_._2.toLong).sum }
     assert(got == expect)
+    // the salt must be a deterministic row function: a task retried after a
+    // shuffle-fetch failure re-derives identical (key, salt) partials
+    val plan = Relational.saltedSum(df, Seq("k"), col("v"), "total")
+      .queryExecution.analyzed.toString
+    assert(!plan.contains("monotonically_increasing_id") && !plan.contains("spark_partition_id"))
+    assert(plan.contains("xxhash64"))
   }
 
   test("carryForward == brute-force last-non-null scan") {

@@ -67,6 +67,16 @@ class BundleStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("loadHead re-derives from headers with td=0 when total_difficulty is absent") {
+    // partial/legacy sink: headers landed, head_state and total_difficulty
+    // did not — re-derivation must seed td=0, not NPE on a null relation
+    val store = freshStore()
+    store.append(ChainIngest.HeadersTable,
+      Seq((7L, hash32(7)), (8L, hash32(8))).toDF("number", "hash"))
+    val head = ChainIngest.loadHead(store)
+    assert(head.exists(h => h.number == 8L && h.td == BigInt(0)))
+  }
+
   test("restart from checkpoint resumes at the committed offset (S1/T4)") {
     val store = freshStore()
     val subId = "s1-restart"
