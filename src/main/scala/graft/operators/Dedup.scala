@@ -301,4 +301,74 @@ object Dedup {
       .filter(col("cos_sim") >= threshold)
       .distinct()
   }
+
+  // ---- Duplicate-cluster connected components ---------------------------
+
+  /** Near-dup candidate edges from shared winnowing fingerprints (the t6
+    * construction): docs sharing ≥ `minShared` winnowed k-gram mins are
+    * linked — the MOSS criterion, which guarantees an edge for any pair
+    * sharing ≥ minShared disjoint runs of w+k−1 tokens. Pairs expand
+    * inside fingerprint buckets (groupBy, not a self-join — the fingerprint
+    * plan runs once), and `maxBucket` is the same skew valve as
+    * candidatePairs: a fingerprint shared by millions of boilerplate docs
+    * is quadratic in-bucket and useless as a signal.
+    */
+  def winnowEdges(df: DataFrame, idCol: String, textCol: String,
+                  shingleSize: Int = 3, window: Int = 4, minShared: Int = 2,
+                  maxBucket: Option[Int] = None): DataFrame = {
+    val wf = df
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), TextOps.shingleHashArray(col("__toks"), shingleSize).as("__hs"))
+      .select(col(idCol),
+        explode(TextOps.winnowedFingerprintsOfHashes(col("__hs"), window)).as("fp"))
+    val grouped = wf.groupBy("fp")
+      .agg(sort_array(collect_set(col(idCol))).as("__ids"))
+      .filter(size(col("__ids")) > 1)
+    val buckets = maxBucket.fold(grouped)(m => grouped.filter(size(col("__ids")) <= m))
+    buckets.select(explode(orderedPairs(col("__ids"))).as("__p"))
+      .select(col("__p.a").as("id_a"), col("__p.b").as("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select("id_a", "id_b")
+  }
+
+  /** Connected components over an edge list by iterative min-label
+    * propagation: every node's label converges to the smallest id reachable
+    * from it — the canonical representative of its duplicate cluster.
+    *
+    * Each round is one shuffle (neighbor-min aggregation) over the
+    * CURRENT labels, eagerly localCheckpoint'ed: without the checkpoint
+    * the lineage doubles per round and round k replays rounds 1..k−1.
+    * Rounds needed = component diameter; near-dup clusters are dense in
+    * practice (diameter ≪ size), and `maxIter` bounds pathological chains
+    * — the loop stops early the first round no label changes. Checkpoint
+    * blocks are ContextCleaner-reclaimed (not CacheManager-pinned), so
+    * repeated invocations don't accumulate session-lifetime cache entries.
+    *
+    * Output: (id, component) for every node with ≥1 edge; component = min
+    * node id of the cluster. Isolated docs need no row — they are their
+    * own cluster by definition.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 30): DataFrame = {
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val und = sym.union(sym.select(col("dst"), col("src")))
+      .distinct().localCheckpoint(true)
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val next = und.join(labels, und("dst") === labels("id"))
+        .select(und("src").as("id"), col("label")) // each neighbor's label
+        .union(labels)                             // keep own label
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("label", "__old"), "id")
+        .filter(col("label") < col("__old")).count()
+      labels = next
+      it += 1
+    }
+    labels
+  }
 }

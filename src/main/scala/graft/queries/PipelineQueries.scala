@@ -253,6 +253,46 @@ object PipelineQueries {
          | ORDER BY id_a""".stripMargin
     ),
 
+    // D6 — duplicate-CLUSTER assignment: connected components over the
+    // near-dup graph (docs sharing ≥2 winnowing fingerprints, the t6/MOSS
+    // construction). Pairwise dedup under-retracts — A≈B and B≈C must
+    // collapse to ONE cluster even when A≉C — so the min-reachable-id
+    // label is the real "keep one per group" key. Oracle: the same graph
+    // closed under a recursive CTE.
+    "d6_dup_components" -> QueryDef.sql(
+      (s, d) => {
+        val docs  = Tables(s, d).documents
+        val edges = Dedup.winnowEdges(docs, "doc_id", "text",
+          shingleSize = 3, window = 4, minShared = 2)
+        Dedup.connectedComponents(edges, "id_a", "id_b")
+          .select(col("id").as("doc_id"), col("label").as("component"))
+          .orderBy("doc_id")
+      },
+      s"""WITH RECURSIVE
+         | toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         | grams AS (SELECT doc_id,
+         |     [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] AS gs
+         |   FROM toks),
+         | hs AS (SELECT doc_id,
+         |     [${hex8("md5(g)", 0)} % ${Dedup.MersennePrime} for g in gs] AS h
+         |   FROM grams),
+         | wins AS (SELECT doc_id,
+         |     list_distinct([list_min(h[i:i+3]) for i in range(1, len(h) - 2)]) AS fps
+         |   FROM hs WHERE len(h) >= 4),
+         | wf AS (SELECT doc_id, unnest(fps) AS fp FROM wins),
+         | pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |   FROM wf a JOIN wf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |   GROUP BY 1, 2 HAVING count(*) >= 2),
+         | edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |   UNION SELECT id_b, id_a FROM pairs),
+         | cc(id, label) AS (
+         |   SELECT src, src FROM edges
+         |   UNION
+         |   SELECT e.dst, c.label FROM cc c JOIN edges e ON e.src = c.id)
+         | SELECT id AS doc_id, min(label) AS component FROM cc
+         | GROUP BY id ORDER BY doc_id""".stripMargin
+    ),
+
     // S1 — brute-force cosine top-k (exact ANN baseline): probes broadcast,
     // corpus scanned once
     "s1_cosine_topk" -> QueryDef.sql(

@@ -89,4 +89,31 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 2L)))
   }
+
+  test("connectedComponents labels every node with its cluster's min id") {
+    // components: {1,2,3,4} (a 3-hop chain), {10,11}, isolated 99 has no edges
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("winnowEdges links docs sharing >=minShared fingerprints, transitively clusterable") {
+    // 1,2,3 share long runs; 4 shares a shorter run with 1 only; 5 unrelated
+    val chain = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "XX alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (5L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val edges = Dedup.winnowEdges(chain, "doc_id", "text", minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges.contains((1L, 2L)) && edges.contains((2L, 3L)))
+    assert(!edges.exists { case (a, b) => a == 5L || b == 5L })
+    val comps = Dedup.connectedComponents(
+        Dedup.winnowEdges(chain, "doc_id", "text", minShared = 2), "id_a", "id_b")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
 }
