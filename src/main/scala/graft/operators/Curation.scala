@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a training-data pipeline runs between dedup
+  * and packing: repetition screens, deterministic sampling, and sequence
+  * packing. All hashing is the md5-based portable family (Dedup), so every
+  * operator is oracle-checkable in ANSI SQL, and every sample is
+  * REPRODUCIBLE — re-running the pipeline on the same corpus selects the
+  * same rows, with no RNG state to ship between executors.
+  */
+object Curation {
+
+  /** Repetition signals (the Gopher-style quality screens): distinct-token
+    * ratio, top-unigram fraction, top-bigram fraction. Heavily repetitive
+    * docs (boilerplate, keyword stuffing, decoding loops) score high
+    * top-fractions and low distinct ratios.
+    *
+    * Shape: explode → two-level aggregation, both with map-side partial
+    * combine on (doc, term) then (doc) — at 100 TB the reducers see one
+    * row per distinct term per doc, never the raw token stream. The
+    * bigram branch reuses the bound token array (never re-tokenizes).
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toked = df.select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
+    val uni = toked.select(col(idCol), explode(col("__t")).as("__w"))
+      .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(max("__c").as("__topc"), sum("__c").as("__n"), count(lit(1)).as("__nd"))
+    val bi = toked
+      .select(col(idCol), explode(TextOps.shinglesOfTokens(col("__t"), 2)).as("__g"))
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol)).agg(max("__c").as("__topb"), sum("__c").as("__nb"))
+    // left join: a one-token doc has no bigrams → fractions default to 0
+    uni.join(bi, Seq(idCol), "left")
+      .select(col(idCol), col("__n").as("n_tokens"),
+        (col("__nd").cast("double") / col("__n")).as("distinct_ratio"),
+        (col("__topc").cast("double") / col("__n")).as("top_unigram_frac"),
+        coalesce(col("__topb").cast("double") / col("__nb"), lit(0.0)).as("top_bigram_frac"))
+  }
+
+  /** Sequence packing: concatenate documents in `idCol` order and cut the
+    * stream into fixed token-budget bins — bin = ⌊exclusive-prefix-sum /
+    * budget⌋, the streaming packing an LLM pre-training loader applies.
+    *
+    * A global ordered prefix sum is the textbook "one window, one
+    * partition" trap — `Window.orderBy` with no partition key funnels the
+    * corpus through a single task. This is the distributed two-level scan
+    * instead: per-row cumsum WITHIN coarse id ranges (a partitioned
+    * window), plus each range's exclusive offset computed on the
+    * tiny per-range totals relation and broadcast back. Only
+    * #ranges rows ever pass through an unpartitioned window.
+    */
+  def sequencePacking(df: DataFrame, idCol: String, nTokens: Column,
+                      budget: Long, rangeWidth: Long = 1000L): DataFrame = {
+    require(budget > 0 && rangeWidth > 0, "budget and rangeWidth must be positive")
+    val base = df.select(col(idCol), nTokens.cast("long").as("n_tokens"))
+      .withColumn("__r", floor(col(idCol) / rangeWidth).cast("long"))
+    val offsets = base.groupBy("__r").agg(sum("n_tokens").as("__rt"))
+      .withColumn("__off", coalesce(
+        sum("__rt").over(Window.orderBy("__r")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__rt")
+    val w = Window.partitionBy("__r").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(offsets), Seq("__r"))
+      .withColumn("__prefix", coalesce(sum("n_tokens").over(w), lit(0L)) + col("__off"))
+      .select(col(idCol), col("n_tokens"),
+        expr(s"CAST(__prefix DIV $budget AS BIGINT)").as("bin"))
+  }
+
+  private def keyHash(idCol: Column): Column =
+    pmod(Dedup.portableHashLo(idCol.cast("string")), lit(1000))
+
+  /** Deterministic stratified sampling: keep a row iff the portable hash of
+    * its id lands under its stratum's permille rate. No RNG, no seed
+    * plumbing — the sample is a pure filter (predicate-pushdown friendly,
+    * embarrassingly parallel) and stable across runs, which training-data
+    * reproducibility requires. Rates are exact in expectation per stratum;
+    * the hash is uniform over [0, 1000).
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       permille: Map[String, Int], defaultPermille: Int): DataFrame = {
+    val rate = permille.foldLeft(lit(defaultPermille)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(keyHash(col(idCol)) < rate)
+  }
+
+  /** Deterministic k-per-group sample: rank rows inside each group by the
+    * portable hash of their id (id as tiebreak) and keep the first k —
+    * a reproducible uniform-without-replacement draw per group, one
+    * shuffle on the group key. The per-group reservoir of the streaming
+    * world, expressed as a window.
+    */
+  def perGroupSample(df: DataFrame, groupCols: Seq[String], idCol: String,
+                     k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(pmod(Dedup.portableHashLo(col(idCol).cast("string")),
+        lit(Dedup.MersennePrime)), col(idCol))
+    df.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+}

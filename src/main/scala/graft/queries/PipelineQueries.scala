@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextOps}
 import graft.sources.Tables
 
 /** Training-data pipeline operators over documents/embeddings: dedup,
@@ -434,6 +434,69 @@ object PipelineQueries {
          |     list_distinct([list_min(h[i:i+3]) for i in range(1, len(h) - 2)]) AS fps
          |   FROM hs WHERE len(h) >= 4)
          | SELECT doc_id, unnest(fps) AS fp FROM wins ORDER BY doc_id, fp""".stripMargin
+    ),
+
+    // T7 — repetition screens (Gopher-style): distinct-token ratio and
+    // top-unigram/bigram fractions, the standard boilerplate filters
+    "t7_repetition" -> QueryDef.sql(
+      (s, d) => Curation.repetitionStats(Tables(s, d).documents, "doc_id", "text")
+        .orderBy("doc_id"),
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         | uni AS (SELECT doc_id, unnest(t) AS w FROM toks),
+         | uc AS (SELECT doc_id, w, count(*) AS c FROM uni GROUP BY 1, 2),
+         | us AS (SELECT doc_id, max(c) AS topc, sum(c) AS n, count(*) AS nd FROM uc GROUP BY 1),
+         | big AS (SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS g FROM toks),
+         | bc AS (SELECT doc_id, g, count(*) AS c FROM big GROUP BY 1, 2),
+         | bs AS (SELECT doc_id, max(c) AS topb, sum(c) AS nb FROM bc GROUP BY 1)
+         | SELECT u.doc_id, CAST(u.n AS BIGINT) AS n_tokens,
+         |   CAST(u.nd AS DOUBLE) / u.n AS distinct_ratio,
+         |   CAST(u.topc AS DOUBLE) / u.n AS top_unigram_frac,
+         |   coalesce(CAST(b.topb AS DOUBLE) / b.nb, 0.0) AS top_bigram_frac
+         | FROM us u LEFT JOIN bs b ON b.doc_id = u.doc_id ORDER BY u.doc_id""".stripMargin
+    ),
+
+    // T8 — sequence packing: cut the id-ordered token stream into fixed
+    // 2000-token bins via a DISTRIBUTED two-level prefix sum (the oracle's
+    // single global window is exactly the plan the Spark side avoids)
+    "t8_sequence_packing" -> QueryDef.sql(
+      (s, d) => {
+        val docs = Tables(s, d).documents
+        Curation.sequencePacking(docs, "doc_id",
+          TextOps.tokenCount(col("text")), budget = 2000L, rangeWidth = 100L)
+          .orderBy("doc_id")
+      },
+      s"""WITH n AS (SELECT doc_id, len($toksSql) AS n_tokens FROM documents)
+         | SELECT doc_id, n_tokens,
+         |   CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000 AS BIGINT) AS bin
+         | FROM n ORDER BY doc_id""".stripMargin
+    ),
+
+    // R1 — deterministic stratified sampling by language: portable-hash
+    // permille filter, reproducible with no RNG state
+    "r1_stratified_sample" -> QueryDef.sql(
+      (s, d) => Curation.stratifiedSample(Tables(s, d).documents, "doc_id", "lang",
+          Map("en" -> 100, "de" -> 300, "fr" -> 300), defaultPermille = 500)
+        .select("doc_id", "lang").orderBy("doc_id"),
+      s"""SELECT doc_id, lang FROM documents
+         | WHERE ${hex8("md5(CAST(doc_id AS VARCHAR))", 0)} % 1000 <
+         |   CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 300 WHEN 'fr' THEN 300 ELSE 500 END
+         | ORDER BY doc_id""".stripMargin
+    ),
+
+    // R2 — deterministic k-per-group sample (reservoir-equivalent draw):
+    // 3 customers per nation ranked by portable id-hash
+    "r2_group_sample" -> QueryDef.sql(
+      (s, d) => Curation.perGroupSample(Tables(s, d).customer,
+          Seq("c_nationkey"), "c_custkey", k = 3)
+        .select("c_nationkey", "c_custkey", "rk")
+        .orderBy("c_nationkey", "rk"),
+      s"""SELECT c_nationkey, c_custkey, rk FROM (
+         |   SELECT c_nationkey, c_custkey,
+         |     row_number() OVER (PARTITION BY c_nationkey
+         |       ORDER BY ${hex8("md5(CAST(c_custkey AS VARCHAR))", 0)} % 2147483647, c_custkey) AS rk
+         |   FROM customer)
+         | WHERE rk <= 3 ORDER BY c_nationkey, rk""".stripMargin
     ),
 
     // M1 — multimodal asset plumbing: opaque binary payload + typed header

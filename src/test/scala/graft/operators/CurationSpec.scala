@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetitionStats computes distinct/top fractions incl. the no-bigram edge") {
+    val docs = Seq(
+      (1L, "a a a b"),     // n=4, nd=2, topc=3; bigrams: "a a"x2, "a b" → topb=2/3
+      (2L, "x")            // single token: no bigrams → top_bigram_frac 0
+    ).toDF("doc_id", "text")
+    val got = Curation.repetitionStats(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("distinct_ratio"),
+          r.getAs[Double]("top_unigram_frac"), r.getAs[Double]("top_bigram_frac")))).toMap
+    assert(got(1L) == ((4L, 0.5, 0.75, 2.0 / 3)))
+    assert(got(2L) == ((1L, 1.0, 1.0, 0.0)))
+  }
+
+  test("sequencePacking bins equal the single-window exclusive prefix sum") {
+    // ids crossing range boundaries (rangeWidth 4) with a tiny budget
+    val docs = (0L until 25L).map(i => (i, "w " * (i % 7 + 1).toInt)).toDF("doc_id", "text")
+    val got = Curation.sequencePacking(docs, "doc_id",
+        TextOps.tokenCount(col("text")), budget = 10L, rangeWidth = 4L)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"), r.getAs[Long]("bin")))
+    var prefix = 0L
+    got.foreach { case (id, n, bin) =>
+      assert(n == id % 7 + 1, s"doc $id token count")
+      assert(bin == prefix / 10L, s"doc $id bin")
+      prefix += n
+    }
+    // bins are contiguous from 0
+    assert(got.map(_._3).distinct.sorted.sameElements(0L to got.map(_._3).max))
+  }
+
+  test("stratifiedSample is a deterministic per-stratum permille filter") {
+    val rows = (0L until 2000L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "s")
+    val s1 = Curation.stratifiedSample(rows, "id", "s", Map("a" -> 100), 700)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val s2 = Curation.stratifiedSample(rows, "id", "s", Map("a" -> 100), 700)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(s1 == s2) // reproducible, no RNG
+    val aRate = s1.count(_._2 == "a") / 1000.0
+    val bRate = s1.count(_._2 == "b") / 1000.0
+    assert(aRate > 0.05 && aRate < 0.15, s"a rate $aRate")
+    assert(bRate > 0.6 && bRate < 0.8, s"b rate $bRate")
+  }
+
+  test("perGroupSample keeps exactly k deterministic rows per group") {
+    val rows = (0L until 300L).map(i => (i % 5, i)).toDF("g", "id")
+    val got = Curation.perGroupSample(rows, Seq("g"), "id", k = 4)
+      .collect().map(r => (r.getAs[Long]("g"), r.getAs[Long]("id"), r.getAs[Long]("rk")))
+    assert(got.length == 20)
+    got.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.sameElements(1L to 4L))
+    }
+    val again = Curation.perGroupSample(rows, Seq("g"), "id", k = 4)
+      .collect().map(r => (r.getAs[Long]("g"), r.getAs[Long]("id"))).toSet
+    assert(again == got.map(t => (t._1, t._2)).toSet)
+  }
+}
