@@ -71,6 +71,49 @@ object Curation {
         expr(s"CAST(__prefix DIV $budget AS BIGINT)").as("bin"))
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing any n-gram
+    * with an evaluation set (the GPT-3-style 13-gram collision test, the
+    * screen every training corpus runs before release). Grams travel as
+    * portable 32-bit hashes, not strings — the eval side collapses to a
+    * DISTINCT hash set that broadcasts (benchmarks are tiny next to a
+    * 100 TB corpus), so the check is a broadcast LEFT SEMI join against
+    * the corpus gram stream: no shuffle of corpus data at all. A hash
+    * collision can only over-flag (safe direction for decontamination)
+    * and is deterministic + mirrored by the SQL oracle.
+    */
+  def contaminatedIds(corpus: DataFrame, evalDocs: DataFrame, idCol: String,
+                      textCol: String, gramSize: Int = 13): DataFrame = {
+    def grams(df: DataFrame, cols: Column*): DataFrame = df
+      .select(cols :+ TextOps.tokens(col(textCol)).as("__t"): _*)
+      .select(cols :+ explode(TextOps.shingleHashArray(col("__t"), gramSize)).as("__g"): _*)
+    val evalGrams = grams(evalDocs).select(col("__g")).distinct()
+    grams(corpus, col(idCol))
+      .join(broadcast(evalGrams), "__g", "left_semi")
+      .select(idCol).distinct()
+  }
+
+  /** Characteristic terms per document: top-k by term frequency, ties to
+    * the globally RARER term (lower document frequency), then lexicographic
+    * — tf-idf's ranking with integer-only arithmetic, so the result is
+    * bit-identical across engines (no log/float tie ambiguity).
+    *
+    * The document-frequency relation is the tf relation re-aggregated
+    * (tf's (doc, term) rows are already distinct), so the token stream is
+    * scanned once; df joins back on the term key.
+    */
+  def characteristicTerms(df: DataFrame, idCol: String, textCol: String,
+                          k: Int = 3): DataFrame = {
+    val tf = df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("rk"), col("term"), col("tf"), col("df"))
+  }
+
   private def keyHash(idCol: Column): Column =
     pmod(Dedup.portableHashLo(idCol.cast("string")), lit(1000))
 

@@ -436,6 +436,47 @@ object PipelineQueries {
          | SELECT doc_id, unnest(fps) AS fp FROM wins ORDER BY doc_id, fp""".stripMargin
     ),
 
+    // D7 — benchmark decontamination: corpus docs sharing any 4-gram with
+    // the held-out set (source src0) are flagged, the screen every
+    // training corpus runs before release. Grams compare as portable
+    // hashes on both sides (broadcast semi-join on the Spark side).
+    "d7_decontaminate" -> QueryDef.sql(
+      (s, d) => {
+        val docs = Tables(s, d).documents
+        Curation.contaminatedIds(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", gramSize = 4)
+          .orderBy("doc_id")
+      },
+      s"""WITH toks AS (SELECT doc_id, source, $toksSql AS t FROM documents),
+         | grams AS (SELECT doc_id, source,
+         |     unnest([${hex8("md5(array_to_string(t[j:j+3], ' '))", 0)} % ${Dedup.MersennePrime}
+         |             for j in range(1, len(t) - 2)]) AS g
+         |   FROM toks),
+         | eval_g AS (SELECT DISTINCT g FROM grams WHERE source = 'src0')
+         | SELECT DISTINCT doc_id FROM grams
+         | WHERE source <> 'src0' AND g IN (SELECT g FROM eval_g)
+         | ORDER BY doc_id""".stripMargin
+    ),
+
+    // T9 — characteristic terms: top-3 per doc by (tf desc, df asc, term)
+    // — tf-idf's ranking in integer-only arithmetic, bit-stable
+    "t9_characteristic_terms" -> QueryDef.sql(
+      (s, d) => Curation.characteristicTerms(Tables(s, d).documents, "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rk"),
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         | uni AS (SELECT doc_id, unnest(t) AS w FROM toks),
+         | tf AS (SELECT doc_id, w, count(*) AS tf FROM uni GROUP BY 1, 2),
+         | df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+         | ranked AS (SELECT t.doc_id, t.w AS term, t.tf, d.df,
+         |     row_number() OVER (PARTITION BY t.doc_id
+         |       ORDER BY t.tf DESC, d.df ASC, t.w) AS rk
+         |   FROM tf t JOIN df d ON d.w = t.w)
+         | SELECT doc_id, rk, term, tf, df FROM ranked WHERE rk <= 3
+         | ORDER BY doc_id, rk""".stripMargin
+    ),
+
     // T7 — repetition screens (Gopher-style): distinct-token ratio and
     // top-unigram/bigram fractions, the standard boilerplate filters
     "t7_repetition" -> QueryDef.sql(

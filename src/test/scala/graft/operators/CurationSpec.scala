@@ -49,6 +49,34 @@ class CurationSpec extends SparkSpec {
     assert(bRate > 0.6 && bRate < 0.8, s"b rate $bRate")
   }
 
+  test("contaminatedIds flags exactly the corpus docs sharing an n-gram with the eval set") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated text with different words entirely"),
+      (3L, "another doc where quick brown fox jumps appears midway")
+    ).toDF("doc_id", "text")
+    val evalSet = Seq((100L, "watch the quick brown fox jumps today")).toDF("doc_id", "text")
+    val got = Curation.contaminatedIds(corpus, evalSet, "doc_id", "text", gramSize = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L)) // both contain "quick brown fox jumps"
+  }
+
+  test("characteristicTerms ranks by tf desc, then rarer term, then lexicographic") {
+    val docs = Seq(
+      (1L, "apple apple banana cherry"),  // tf: apple 2; banana/cherry 1
+      (2L, "banana banana cherry date"),  // banana df=2, cherry df=2, date df=1
+      (3L, "cherry date elderberry fig")
+    ).toDF("doc_id", "text")
+    val got = Curation.characteristicTerms(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rk")) -> r.getAs[String]("term")).toMap
+    assert(got((1L, 1L)) == "apple")
+    // doc 1 rank 2: banana vs cherry both tf=1; banana df=2, cherry df=3 → banana
+    assert(got((1L, 2L)) == "banana")
+    assert(got((2L, 1L)) == "banana")
+    // doc 2 rank 2: cherry/date tf=1; date df=2... cherry df=3 → date wins
+    assert(got((2L, 2L)) == "date")
+  }
+
   test("perGroupSample keeps exactly k deterministic rows per group") {
     val rows = (0L until 300L).map(i => (i % 5, i)).toDF("g", "id")
     val got = Curation.perGroupSample(rows, Seq("g"), "id", k = 4)
