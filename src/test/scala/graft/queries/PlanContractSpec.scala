@@ -67,6 +67,23 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("t8 sequence packing: only the tiny range-offsets relation is single-partitioned") {
+    val plan = planOf("t8_sequence_packing")
+    // the corpus flows through partitioned windows; exactly one
+    // SinglePartition exchange may exist — the per-range totals (#ranges
+    // rows), broadcast back to the corpus side
+    assert(count(plan, "Exchange SinglePartition") <= 1,
+      s"corpus-sized relation funneled into one partition:\n$plan")
+    assert(count(plan, "BroadcastHashJoin") >= 1, "range offsets must broadcast")
+    assert(count(plan, "SortMergeJoin") == 0)
+  }
+
+  test("d7 decontamination: eval grams broadcast, corpus never shuffles for the probe") {
+    val plan = planOf("d7_decontaminate")
+    assert(count(plan, "BroadcastHashJoin") >= 1, "eval gram set must broadcast")
+    assert(count(plan, "SortMergeJoin") == 0, "corpus must not sort-merge against the eval set")
+  }
+
   test("d2 LSH plan computes the shingle aggregation exactly once") {
     val plan = planOf("d2_minhash_lsh")
     // Either the per-doc (signature + set) relation is cached — every
