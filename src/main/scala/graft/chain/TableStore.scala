@@ -56,15 +56,40 @@ final case class TableStore(spark: SparkSession, root: String, bucketSize: Long 
     }
   }
 
+  // ---- schema sidecar ----------------------------------------------------
+  // Every write records the table's logical schema in a hidden
+  // `.schema.json` (invisible to Spark's file listing and to exists()).
+  // A table whose current content is zero DATA files — an append of an
+  // empty DataFrame, or a retraction that emptied it — then still reads
+  // as a TYPED empty DataFrame instead of crashing schema inference or
+  // forcing every caller to carry a fallback StructType.
+
+  private def schemaPath(table: String): Path = dir(table).resolve(".schema.json")
+
+  private def rememberSchema(table: String, schema: StructType): Unit = {
+    Files.createDirectories(dir(table))
+    Files.writeString(schemaPath(table), schema.json)
+  }
+
+  private def rememberedSchema(table: String): Option[StructType] =
+    if (Files.exists(schemaPath(table)))
+      Some(org.apache.spark.sql.types.DataType.fromJson(Files.readString(schemaPath(table)))
+        .asInstanceOf[StructType])
+    else None
+
+  private def emptyOf(schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
   def read(table: String, schema: StructType): DataFrame =
     if (exists(table)) readOr(table, null)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else emptyOf(Option(schema).orElse(rememberedSchema(table)).getOrElse(
+      throw new IllegalStateException(s"no schema known for empty table '$table'")))
 
   def readOr(table: String, fallback: => DataFrame): DataFrame =
     if (exists(table)) {
       val df = spark.read.parquet(dir(table).toString)
       if (df.columns.contains("bucket")) df.drop("bucket") else df
-    } else fallback
+    } else rememberedSchema(table).map(emptyOf).getOrElse(fallback)
 
   /** Bounded read of a bucketed table: the bucket predicate prunes whole
     * directories, the range predicate prunes row groups within them.
@@ -81,14 +106,18 @@ final case class TableStore(spark: SparkSession, root: String, bucketSize: Long 
   }
 
   /** Plain append for small non-range tables (reorg audit, head state). */
-  def append(table: String, df: DataFrame): Unit =
+  def append(table: String, df: DataFrame): Unit = {
     df.write.mode(SaveMode.Append).parquet(dir(table).toString)
+    rememberSchema(table, df.schema)
+  }
 
   /** Append into the bucketed layout, bucketed on `rangeCol`. */
-  def appendBucketed(table: String, df: DataFrame, rangeCol: String): Unit =
+  def appendBucketed(table: String, df: DataFrame, rangeCol: String): Unit = {
     df.withColumn("bucket", floor(col(rangeCol) / bucketSize).cast("long"))
       .write.mode(SaveMode.Append).partitionBy("bucket")
       .parquet(dir(table).toString)
+    rememberSchema(table, df.schema) // pre-bucket shape — reads drop `bucket`
+  }
 
   /** Delete rows with rangeCol ∈ [from, to]: drop fully-covered bucket
     * directories, swap-rewrite the partial edge buckets. O(range), not
@@ -119,7 +148,9 @@ final case class TableStore(spark: SparkSession, root: String, bucketSize: Long 
     * the write lands in a sibling tmp dir before the swap.
     */
   def replace(table: String, df: DataFrame): Unit = {
+    val schema = df.schema // capture BEFORE the swap deletes the old dir
     swapInto(dir(table), df)
+    rememberSchema(table, schema)
     refresh(table)
   }
 
@@ -139,6 +170,7 @@ final case class TableStore(spark: SparkSession, root: String, bucketSize: Long 
       promote(target, tmp)
       refresh(t)
     }
+    tables.foreach { case (t, df) => rememberSchema(t, df.schema) }
   }
 
   /** Drop Spark's cached file listing for the table's path — a swapped or

@@ -62,7 +62,10 @@ class TableStoreSpec extends SparkSpec {
     // still read as absent or spark.read.parquet dies on schema inference
     store.appendBucketed("e", Seq.empty[Long].toDF("n"), "n")
     assert(!store.exists("e"))
-    assert(store.readOr("e", null) == null)
+    // …but the schema sidecar still yields a TYPED empty frame
+    val empty = store.readOr("e", null)
+    assert(empty != null && empty.columns.sameElements(Array("n")) && empty.count() == 0L)
+    assert(store.read("e", null).schema.fieldNames.sameElements(Array("n")))
 
     // hidden swap leftovers (.bucket=N_old) alone must not count either
     val leftover = Paths.get(store.root, "l", ".bucket=0_old")

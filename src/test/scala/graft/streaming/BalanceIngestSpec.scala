@@ -32,6 +32,31 @@ class BalanceIngestSpec extends SparkSpec {
   private def bal(addr: Array[Byte], blockHash: Array[Byte]): BigInt =
     (BigInt(1, addr) % BigInt(10).pow(20)) + (blockHash(0) & 0xff).toLong
 
+  test("a first chunk of tx-less blocks leaves readable-empty tables (no schema-inference crash)") {
+    // the advisor's scenario: every block in the first ingested chunk has
+    // zero transactions, so transactions/receipts/logs land as
+    // _SUCCESS-only dirs — exists() must read them as absent and the
+    // balance pass must run to completion
+    val store = TableStore(spark, Files.createTempDirectory("graft-bi0").toString, bucketSize = 4L)
+    var parent = hash32(0)
+    val bundles = (1L to 2L).map { n =>
+      val b = block(n, parent); parent = b.hash; Bundle(b, Nil, Nil)
+    }
+    ChainIngest.ingestBatch(spark, store, bundles.toDS().toDF(), noTokens)
+    assert(!store.exists(ChainIngest.TxTable) || store.readOr(ChainIngest.TxTable, null) != null)
+
+    store.replace(BalanceIngest.SubsTable, // block_number 0 = NEW → seeded at 1
+      Seq((1L, 0L, 1L, alice)).toDF("id", "block_number", "group", "address"))
+    val client = BlockAwareBalanceClient(spark.sparkContext.longAccumulator("bi0"))
+    BalanceIngest.processRange(spark, store, 1L, 2L, client) // must not throw
+    // alice seeded at block 1; no fees anywhere (no transactions existed)
+    val totals = store.readOr(BalanceIngest.TotalsTable, null).collect()
+      .map(r => r.getAs[Long]("block_number") ->
+        BigInt(r.getAs[java.math.BigDecimal]("tx_fee").toBigInteger)).toMap
+    assert(totals.values.forall(_ == BigInt(0)))
+    assert(totals.contains(1L))
+  }
+
   test("ingest → per-block balance processing → totals, fees, flips, reorg") {
     val store = TableStore(spark, Files.createTempDirectory("graft-bi").toString, bucketSize = 4L)
 
