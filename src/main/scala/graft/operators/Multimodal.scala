@@ -83,6 +83,23 @@ object Multimodal {
         col("asset_id"), col("frame_rank"), col("frame_idx"),
         col("payload").substr(col("frame_idx") * frameSize + 1, lit(frameSize)).as("frame"))
 
+  /** Audio framing for audio-typed assets: OVERLAPPING `windowSize`-byte
+    * windows every `hop` bytes — the STFT/filterbank framing a speech
+    * pipeline applies before feature extraction (sampleFrames' disjoint
+    * stride doesn't overlap; spectral features need hop < window). Same
+    * distributed sequence → posexplode fan-out, no decode, no driver loop.
+    */
+  def audioWindows(assets: DataFrame, windowSize: Int, hop: Int): DataFrame =
+    assets
+      .filter(col("meta.byte_len") >= windowSize)
+      .withColumn("__n_win",
+        ((col("meta.byte_len") - windowSize) / hop).cast("int") + 1)
+      .select(col("asset_id"), col("payload"),
+        posexplode(sequence(lit(0), (col("__n_win") - 1) * hop, lit(hop)))
+          .as(Seq("win_rank", "start_byte")))
+      .select(col("asset_id"), col("win_rank"), col("start_byte"),
+        col("payload").substr(col("start_byte") + 1, lit(windowSize)).as("window"))
+
   /** Resize seam: a real deployment decodes, scales, re-encodes per
     * partition (codec initialized once); the stub rewrites the metadata and
     * keeps the payload, exercising the identical mapPartitions plumbing.

@@ -562,6 +562,25 @@ object PipelineQueries {
          | FROM documents ORDER BY asset_id""".stripMargin
     ),
 
+    // M3 — audio framing: overlapping 6-byte windows every 4 bytes of the
+    // 16-byte payload (3 windows: starts 0/4/8) — hop < window, the
+    // STFT-style overlap sampleFrames' disjoint stride can't express
+    "m3_audio_windows" -> QueryDef.sql(
+      (s, d) => {
+        val fake = Tables(s, d).documents
+          .withColumn("payload", unhex(md5(col("text"))))
+        val assets = Multimodal.toAssets(fake, "doc_id", "payload", "audio")
+        Multimodal.audioWindows(assets, windowSize = 6, hop = 4)
+          .select(col("asset_id"), col("win_rank"), col("start_byte"),
+            lower(hex(col("window"))).as("window_hex"))
+          .orderBy("asset_id", "win_rank")
+      },
+      """WITH w AS (SELECT doc_id, md5(text) AS m, unnest([0, 1, 2]) AS win_rank FROM documents)
+        | SELECT doc_id AS asset_id, win_rank, win_rank * 4 AS start_byte,
+        |   substr(m, win_rank * 4 * 2 + 1, 12) AS window_hex
+        | FROM w ORDER BY asset_id, win_rank""".stripMargin
+    ),
+
     // M2 — frame sampling: every 2nd 4-byte "frame" of a 16-byte payload,
     // one row per sampled frame. The fan-out (sequence → posexplode +
     // payload slice) is the real video-frame plumbing; the frame bytes are

@@ -30,6 +30,19 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(1).getAs[Array[Byte]]("frame").toSeq == Seq[Byte](0x07, 0x7f))
   }
 
+  test("audioWindows emits overlapping hop-strided windows; short payloads drop") {
+    val assets = Multimodal.toAssets(raw, "id", "blob", "audio")
+    // asset 1: byte_len 6, window 4, hop 2 → starts 0 and 2 (4+4 > 6 stops it)
+    val wins = Multimodal.audioWindows(assets, windowSize = 4, hop = 2)
+      .filter($"asset_id" === 1).orderBy("win_rank").collect()
+    assert(wins.map(_.getAs[Int]("start_byte")).toSeq == Seq(0, 2))
+    assert(wins(0).getAs[Array[Byte]]("window").toSeq == Seq[Byte](0x12, 0x34, 0x00, 0x40))
+    assert(wins(1).getAs[Array[Byte]]("window").toSeq == Seq[Byte](0x00, 0x40, 0x07, 0x7f))
+    // windows overlap: byte 0x40 appears in both (hop < window)
+    val none = Multimodal.audioWindows(assets, windowSize = 100, hop = 2).count()
+    assert(none == 0L) // payload shorter than one window → no rows
+  }
+
   test("resizeStub rewrites metadata through the per-partition seam") {
     val assets  = Multimodal.toAssets(raw, "id", "blob", "image")
     val resized = Multimodal.resizeStub(spark, assets, 224, 224)
