@@ -336,14 +336,20 @@ object Dedup {
     * propagation: every node's label converges to the smallest id reachable
     * from it — the canonical representative of its duplicate cluster.
     *
-    * Each round is one shuffle (neighbor-min aggregation) over the
-    * CURRENT labels, eagerly localCheckpoint'ed: without the checkpoint
+    * Each round aggregates the min over {own label, every neighbor's
+    * label, own label's label} — the last term is pointer jumping (path
+    * halving), which cuts convergence from O(diameter) to O(log diameter)
+    * rounds for one extra self-join of the (tiny) label relation. The
+    * jump only joins in from round 3: real near-dup graphs are DENSE
+    * (clusters converge in 1-2 neighbor rounds, where the extra stage is
+    * pure overhead); the logarithmic ramp matters exactly when rounds 1-2
+    * did NOT converge — long chains and giant sparse components. Each
+    * round's result is eagerly localCheckpoint'ed: without the checkpoint
     * the lineage doubles per round and round k replays rounds 1..k−1.
-    * Rounds needed = component diameter; near-dup clusters are dense in
-    * practice (diameter ≪ size), and `maxIter` bounds pathological chains
-    * — the loop stops early the first round no label changes. Checkpoint
-    * blocks are ContextCleaner-reclaimed (not CacheManager-pinned), so
-    * repeated invocations don't accumulate session-lifetime cache entries.
+    * `maxIter` bounds pathological chains — the loop stops early the
+    * first round no label changes. Checkpoint blocks are
+    * ContextCleaner-reclaimed (not CacheManager-pinned), so repeated
+    * invocations don't accumulate session-lifetime cache entries.
     *
     * Output: (id, component) for every node with ≥1 edge; component = min
     * node id of the cluster. Isolated docs need no row — they are their
@@ -359,9 +365,16 @@ object Dedup {
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
-      val next = und.join(labels, und("dst") === labels("id"))
+      val propagated = und.join(labels, und("dst") === labels("id"))
         .select(und("src").as("id"), col("label")) // each neighbor's label
         .union(labels)                             // keep own label
+      val withJump =
+        if (it < 2) propagated
+        else propagated.union( // pointer jump: label-of-label
+          labels.select(col("id"), col("label").as("__via"))
+            .join(labels.select(col("id").as("__via"), col("label").as("__ll")), "__via")
+            .select(col("id"), col("__ll").as("label")))
+      val next = withJump
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("label", "__old"), "id")

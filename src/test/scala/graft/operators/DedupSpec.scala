@@ -99,6 +99,25 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents == brute-force union-find on a random graph (incl. long chains)") {
+    // deterministic LCG edges over 200 nodes + an adversarial 40-node chain
+    // (diameter 39 — exercises the pointer-jumping path, maxIter default 30
+    // would NOT reach it by neighbor propagation alone)
+    var x = 12345L
+    def nxt(): Long = { x = (x * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue; x }
+    val rand  = (1 to 150).map(_ => (nxt() % 200, nxt() % 200)).filter(p => p._1 != p._2)
+    val chain = (500L until 539L).map(i => (i, i + 1))
+    val edges = (rand ++ chain).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
+    // brute-force union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(a: Long): Long = { val p = parent.getOrElseUpdate(a, a); if (p == a) a else { val r = find(p); parent(a) = r; r } }
+    (rand ++ chain).foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val expect = parent.keys.map(k => k -> find(k)).toMap
+    assert(got == expect)
+  }
+
   test("winnowEdges links docs sharing >=minShared fingerprints, transitively clusterable") {
     // 1,2,3 share long runs; 4 shares a shorter run with 1 only; 5 unrelated
     val chain = Seq(
