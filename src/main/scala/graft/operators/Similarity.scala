@@ -109,6 +109,29 @@ object Similarity {
       .select(df.columns.map(col) :+ col("__cid").as("centroid_id"): _*)
   }
 
+  /** One Lloyd iteration's M-step for training the IVF coarse quantizer,
+    * in map-reduce form: after nearest-centroid assignment, emit per
+    * (centroid, dimension) the member count and the EXACT component sum —
+    * the consumer divides sum/n for the new centroid (and reseeds empty
+    * cells). Components round to 4 decimals (under float32's noise floor)
+    * and sum as DECIMAL, so the result is independent of partition order
+    * and bit-identical across engines — a raw double sum would differ
+    * run-to-run with Spark's nondeterministic reduce order.
+    *
+    * Scale shape: assignment broadcasts the centroids (no corpus
+    * shuffle); the explode keeps rows narrow (centroid, dim, component);
+    * the aggregation map-side combines down to k·dim rows.
+    */
+  def kmeansStep(df: DataFrame, centroids: DataFrame,
+                 idCol: String, vecCol: String): DataFrame =
+    assignToCentroids(df, centroids, idCol, vecCol)
+      .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("dim", "__comp")))
+      .groupBy("centroid_id", "dim")
+      .agg(
+        sum(round(col("__comp").cast("double"), 4).cast("decimal(38,6)"))
+          .cast("double").as("comp_sum"),
+        count(lit(1)).as("n"))
+
   /** IVF (inverted-file) ANN — the classic coarse-quantizer scale path:
     * the corpus is assigned once to its nearest coarse centroid (the
     * posting lists); a probe ranks centroids, visits only its `nProbe`

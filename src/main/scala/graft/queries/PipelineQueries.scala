@@ -344,6 +344,31 @@ object PipelineQueries {
       s3Sql
     ),
 
+    // S4 — IVF quantizer training: one Lloyd M-step over the s3 centroid
+    // seed — per (centroid, dim) exact decimal component sums + counts
+    // (new centroid = sum/n on the consumer side)
+    "s4_kmeans_step" -> QueryDef.sql(
+      (s, d) => {
+        val e = Tables(s, d).embeddings
+        Similarity.kmeansStep(e, e.filter(col("vec_id") % 97 === 0), "vec_id", "embedding")
+          .orderBy("centroid_id", "dim")
+      },
+      {
+        val cosEC = sqlCosine("e.embedding", "c.cvec")
+        s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 97 = 0),
+           | assign AS (SELECT vec_id, embedding, cid FROM (
+           |   SELECT e.vec_id, e.embedding, c.cid,
+           |     row_number() OVER (PARTITION BY e.vec_id
+           |       ORDER BY round($cosEC, 6) DESC, c.cid) AS rn
+           |   FROM embeddings e CROSS JOIN cents c) WHERE rn = 1)
+           | SELECT cid AS centroid_id, d.i - 1 AS dim,
+           |   CAST(sum(CAST(round(CAST(embedding[d.i] AS DOUBLE), 4) AS DECIMAL(38,6))) AS DOUBLE) AS comp_sum,
+           |   count(*) AS n
+           | FROM assign CROSS JOIN range(1, 65) AS d(i)
+           | GROUP BY 1, 2 ORDER BY centroid_id, dim""".stripMargin
+      }
+    ),
+
     // T1 — token counting
     "t1_token_count" -> QueryDef.sql(
       (s, d) => Tables(s, d).documents

@@ -52,6 +52,20 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.toSeq == bf.toSeq) // nProbe = all lists → exact
   }
 
+  test("kmeansStep emits exact per-(centroid, dim) sums and counts") {
+    val pts = Seq(
+      (0L, Array(1.0f, 0.0f)),   // centroid seed A
+      (1L, Array(0.9f, 0.1f)),   // → A
+      (2L, Array(0.0f, 1.0f)),   // centroid seed B
+      (3L, Array(0.1f, 0.9f))    // → B
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kmeansStep(pts, pts.filter($"vec_id".isin(0L, 2L)), "vec_id", "embedding")
+      .collect().map(r => (r.getAs[Long]("centroid_id"), r.getAs[Int]("dim")) ->
+        ((r.getAs[Double]("comp_sum"), r.getAs[Long]("n")))).toMap
+    assert(got((0L, 0)) == ((1.9, 2L)) && got((0L, 1)) == ((0.1, 2L)))
+    assert(got((2L, 0)) == ((0.1, 2L)) && got((2L, 1)) == ((1.9, 2L)))
+  }
+
   test("lshTopK finds the same nearest neighbor as brute force here") {
     val bf = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), "vec_id", "embedding", 1)
       .select("vec_id").as[Long].head()
