@@ -114,6 +114,60 @@ object Curation {
       .select(col(idCol), col("rk"), col("term"), col("tf"), col("df"))
   }
 
+  /** Corpus mixture sampling — the pretraining data-mixing primitive:
+    * draw a fixed TOKEN budget from every stratum (source/language),
+    * admitting documents in portable-hash order until the stratum's
+    * budget is exhausted (the straddling doc counts fully — the standard
+    * overshoot-by-one-doc rule). Deterministic: re-running draws the
+    * same mixture; changing the budget only extends/truncates the draw,
+    * it never reshuffles what was already admitted.
+    *
+    * Same distributed two-level prefix sum as sequencePacking: per-row
+    * cumsum inside (stratum, hash-range) window partitions, plus a
+    * broadcast of the tiny (stratum × nRanges) exclusive offsets — no
+    * stratum ever funnels through a single partition.
+    */
+  def mixtureSample(df: DataFrame, idCol: String, strataCol: String,
+                    nTokens: Column, tokenBudget: Long, nRanges: Int = 64): DataFrame = {
+    require(tokenBudget > 0 && nRanges > 0, "tokenBudget and nRanges must be positive")
+    val rangeWidth = Dedup.MersennePrime / nRanges + 1
+    val base = df.select(col(idCol), col(strataCol), nTokens.cast("long").as("n_tokens"))
+      .withColumn("__h", pmod(Dedup.portableHashLo(col(idCol).cast("string")),
+        lit(Dedup.MersennePrime)))
+      .withColumn("__r", floor(col("__h") / rangeWidth).cast("int"))
+    val offsets = base.groupBy(col(strataCol), col("__r")).agg(sum("n_tokens").as("__rt"))
+      .withColumn("__off", coalesce(
+        sum("__rt").over(Window.partitionBy(strataCol).orderBy("__r")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__rt")
+    val w = Window.partitionBy(col(strataCol), col("__r")).orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(offsets), Seq(strataCol, "__r"))
+      .withColumn("__start", coalesce(sum("n_tokens").over(w), lit(0L)) + col("__off"))
+      .filter(col("__start") < tokenBudget)
+      .select(col(idCol), col(strataCol), col("n_tokens"))
+  }
+
+  /** Exact per-group quantiles by rank selection: the value at row
+    * ceil(p·n) of the group's sort order (percentile_disc semantics,
+    * integer-only — no interpolation, so engines agree bit-for-bit).
+    * Exact quantiles need the group ordered; at 100 TB prefer a sketch
+    * (t-digest/KLL) unless exactness is the point — this is the
+    * exactness tier, one shuffle + per-group sort.
+    */
+  def groupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                     tieBreak: String, ps: Seq[Double]): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(col(valueCol), col(tieBreak))
+    val ranked = df
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(groupCol)))
+    val aggs = ps.map { p =>
+      max(when(col("__rk") === ceil(col("__cnt") * p), col(valueCol)))
+        .as(s"p${(p * 100).toInt}")
+    }
+    ranked.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
+  }
+
   private def keyHash(idCol: Column): Column =
     pmod(Dedup.portableHashLo(idCol.cast("string")), lit(1000))
 

@@ -550,6 +550,45 @@ object PipelineQueries {
          | ORDER BY doc_id""".stripMargin
     ),
 
+    // R3 — corpus mixture sampling: a 3000-token budget drawn per language
+    // in hash order (the pretraining data-mixing primitive), distributed
+    // two-level prefix sum underneath
+    "r3_mixture_sample" -> QueryDef.sql(
+      (s, d) => Curation.mixtureSample(Tables(s, d).documents, "doc_id", "lang",
+          TextOps.tokenCount(col("text")), tokenBudget = 3000L)
+        .orderBy("doc_id"),
+      s"""WITH n AS (SELECT doc_id, lang, len($toksSql) AS n_tokens,
+         |    ${hex8("md5(CAST(doc_id AS VARCHAR))", 0)} % ${Dedup.MersennePrime} AS h
+         |  FROM documents),
+         | c AS (SELECT doc_id, lang, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+         |  FROM n)
+         | SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens
+         | FROM c WHERE start < 3000 ORDER BY doc_id""".stripMargin
+    ),
+
+    // T10 — per-language exact length quantiles (rank selection,
+    // percentile_disc semantics — integer-only, engine-exact)
+    "t10_length_quantiles" -> QueryDef.sql(
+      (s, d) => {
+        val docs = Tables(s, d).documents
+          .select(col("doc_id"), col("lang"), TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        Curation.groupQuantiles(docs, "lang", "n_tokens", "doc_id", Seq(0.5, 0.9, 1.0))
+          .orderBy("lang")
+      },
+      s"""WITH n AS (SELECT lang, doc_id, len($toksSql) AS n_tokens FROM documents),
+         | rk AS (SELECT lang, n_tokens,
+         |    row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS r,
+         |    count(*) OVER (PARTITION BY lang) AS cnt
+         |  FROM n)
+         | SELECT lang,
+         |   max(CASE WHEN r = CAST(ceil(cnt * 0.5) AS BIGINT) THEN n_tokens END) AS p50,
+         |   max(CASE WHEN r = CAST(ceil(cnt * 0.9) AS BIGINT) THEN n_tokens END) AS p90,
+         |   max(CASE WHEN r = CAST(ceil(cnt * 1.0) AS BIGINT) THEN n_tokens END) AS p100
+         | FROM rk GROUP BY lang ORDER BY lang""".stripMargin
+    ),
+
     // R2 — deterministic k-per-group sample (reservoir-equivalent draw):
     // 3 customers per nation ranked by portable id-hash
     "r2_group_sample" -> QueryDef.sql(

@@ -77,6 +77,39 @@ class CurationSpec extends SparkSpec {
     assert(got((2L, 2L)) == "date")
   }
 
+  test("mixtureSample draws each stratum's token budget in hash order, overshoot-by-one") {
+    val docs = (0L until 400L).map(i => (i, if (i % 2 == 0) "a" else "b", "w " * (i % 9 + 1).toInt))
+      .toDF("id", "src", "text")
+    val got = Curation.mixtureSample(docs, "id", "src",
+        TextOps.tokenCount(col("text")), tokenBudget = 100L, nRanges = 8)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("src"), r.getAs[Long]("n_tokens")))
+    // brute force: same hash order, same admission rule
+    import org.apache.spark.sql.functions.{md5 => _, _}
+    val hashed = docs.select(col("id"),
+        pmod(Dedup.portableHashLo(col("id").cast("string")), lit(Dedup.MersennePrime)).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq("a", "b").foreach { s =>
+      val inOrder = (0L until 400L).filter(i => (if (i % 2 == 0) "a" else "b") == s)
+        .sortBy(i => (hashed(i), i))
+      var start = 0L
+      val expect = inOrder.takeWhile { i => val ok = start < 100L; start += i % 9 + 1; ok }.toSet
+      assert(got.filter(_._2 == s).map(_._1).toSet == expect, s"stratum $s")
+    }
+    // per-stratum token draw is within one doc of the budget
+    Seq("a", "b").foreach { s =>
+      val tot = got.filter(_._2 == s).map(_._3).sum
+      assert(tot >= 100L && tot < 100L + 9L, s"stratum $s drew $tot")
+    }
+  }
+
+  test("groupQuantiles returns the exact rank-selected values") {
+    val df = (1L to 10L).map(i => ("g", i, i * 10L)).toDF("g", "id", "v")
+    val got = Curation.groupQuantiles(df, "g", "v", "id", Seq(0.5, 0.9, 1.0)).head()
+    assert(got.getAs[Long]("p50") == 50L)   // ceil(10*0.5)=5 → 5th value
+    assert(got.getAs[Long]("p90") == 90L)
+    assert(got.getAs[Long]("p100") == 100L)
+  }
+
   test("perGroupSample keeps exactly k deterministic rows per group") {
     val rows = (0L until 300L).map(i => (i % 5, i)).toDF("g", "id")
     val got = Curation.perGroupSample(rows, Seq("g"), "id", k = 4)
