@@ -41,6 +41,45 @@ object StreamingText {
       }
   }
 
+  final case class PackedDoc(shard: String, doc_id: Long, n_tokens: Long, bin: Long)
+
+  /** JVM-side token count, bit-consistent with the column `TextOps.tokens`
+    * (trim + split on runs of whitespace; an empty string still counts 1,
+    * matching Spark's and DuckDB's split semantics).
+    */
+  private[graft] def tokenCountLocal(s: String): Long =
+    s.trim.split("\\s+").length.toLong
+
+  /** Online sequence packing: the streaming face of
+    * Curation.sequencePacking — documents arrive over micro-batches and
+    * are cut into fixed token-budget bins whose numbering CONTINUES across
+    * batches. State is one running token total per shard (a source/worker
+    * key so packing parallelizes; bins are per-shard sequences, exactly
+    * how a multi-worker pretraining loader shards its stream). Within a
+    * batch, docs pack in doc_id order, so a replayed batch re-derives the
+    * identical bins.
+    */
+  def packedStream(docs: Dataset[Doc], shardOf: Doc => String,
+                   budget: Long): Dataset[PackedDoc] = {
+    import docs.sparkSession.implicits._
+    require(budget > 0, "budget must be positive")
+    docs
+      .groupByKey(shardOf)
+      .flatMapGroupsWithState[Long, PackedDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (shard: String, rows: Iterator[Doc], state: GroupState[Long]) =>
+          var start = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+            val n = tokenCountLocal(d.text)
+            val packed = PackedDoc(shard, d.doc_id, n, start / budget)
+            start += n
+            packed
+          }
+          state.update(start)
+          out.iterator
+      }
+  }
+
   /** Watermarked per-window arrival counts + mean quality features: the
     * standard event-time aggregation (append mode emits a window once the
     * watermark passes; stragglers later than `lateness` are dropped, which

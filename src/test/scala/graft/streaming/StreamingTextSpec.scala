@@ -27,6 +27,30 @@ class StreamingTextSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("packedStream continues bin numbering across micro-batches per shard") {
+    val in  = MemoryStream[StreamingText.Doc]
+    val out = StreamingText.packedStream(in.toDS(), d => s"shard${d.doc_id % 2}", budget = 5L)
+    val q = out.writeStream.format("memory").queryName("pack_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // shard0 gets docs 0,2 (3 tokens each); shard1 gets 1,3
+      in.addData(
+        StreamingText.Doc(0L, "a b c"), StreamingText.Doc(1L, "d e f"),
+        StreamingText.Doc(2L, "g h i"), StreamingText.Doc(3L, "j k l"))
+      q.processAllAvailable()
+      // batch 2: shard0 continues at 6 tokens → doc 4 starts in bin 1
+      in.addData(StreamingText.Doc(4L, "m n o"), StreamingText.Doc(6L, "p q"))
+      q.processAllAvailable()
+      val got = spark.table("pack_out").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bin")).toMap
+      // shard0: doc0 start 0 → bin 0; doc2 start 3 → bin 0; doc4 start 6 → bin 1;
+      //         doc6 start 9 → bin 1
+      assert(got(0L) == 0L && got(2L) == 0L && got(4L) == 1L && got(6L) == 1L)
+      // shard1: doc1 start 0 → bin 0; doc3 start 3 → bin 0
+      assert(got(1L) == 0L && got(3L) == 0L)
+    } finally q.stop()
+  }
+
   test("windowedQuality emits watermark-finalized windows and drops stragglers") {
     val in = MemoryStream[(Timestamp, String)]
     val out = StreamingText.windowedQuality(
