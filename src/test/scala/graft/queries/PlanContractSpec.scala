@@ -42,10 +42,11 @@ class PlanContractSpec extends SparkSpec {
       assert(count(plan, "CartesianProduct") == 0, s"$q plans a cartesian product")
       // BroadcastNestedLoop is allowed only where it IS the design:
       // j7 (intentional tiny cross join), s1 (exact top-k tier — broadcast
-      // probe set against the corpus, streamed once), and s3 (IVF: the
-      // broadcast centroid set × corpus/probes is the coarse quantizer;
-      // posting-list probing itself is an equi-join)
-      if (!Set("j7_cross_join", "s1_cosine_topk", "s3_ann_ivf").contains(q))
+      // probe set against the corpus, streamed once), and s3/s4 (the
+      // broadcast centroid set × corpus is the coarse quantizer —
+      // assignment and its Lloyd training step; posting-list probing
+      // itself is an equi-join)
+      if (!Set("j7_cross_join", "s1_cosine_topk", "s3_ann_ivf", "s4_kmeans_step").contains(q))
         assert(count(plan, "BroadcastNestedLoopJoin") == 0, s"$q plans a nested-loop join")
     }
   }
