@@ -13,8 +13,10 @@ Test / fork := true
 run / fork := true
 // Forked run output goes straight to stdout, NOT through sbt's logger —
 // the bench/verify drivers parse bare JSON lines and an "[info] " prefix
-// breaks them.
+// breaks them. Suppressing the "[success] Total time" banner keeps the
+// bench JSON as the LAST stdout line, inside the driver's bounded tail.
 run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -42,15 +42,17 @@ object Bench {
       materialize(name, sfDir)
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // Millisecond precision keeps the line SHORT (~1.6 KB for 60+ queries):
-    // the driver parses the JSON out of a bounded tail of the sbt output,
-    // and full-precision doubles pushed the line past that window — the
-    // whole bench then graded as unparseable ("parsed": null).
-    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // Centisecond precision keeps the line SHORT (~1.7 KB for 75+ queries):
+    // the driver parses the JSON out of a bounded ~2 KB tail of the sbt
+    // output, and full-precision doubles pushed the line past that window —
+    // the whole bench then graded as unparseable ("parsed": null). The sf
+    // field is likewise the basename, not the full path.
+    def f(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val sfTag = Paths.get(sfDir).getFileName.toString
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfTag"}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try Files.writeString(Paths.get(out), line + "\n")
