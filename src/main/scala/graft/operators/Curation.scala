@@ -186,6 +186,86 @@ object Curation {
     df.filter(keyHash(col(idCol)) < rate)
   }
 
+  /** Temperature-scaled mixture weights — the multilingual/multi-domain
+    * rebalancing rule (exponent α < 1 upsamples rare strata, α = 1 is
+    * proportional): weight_s = n_s^α / Σ_t n_t^α, and a global token
+    * budget divides as ⌊weight_s · budget⌋.
+    *
+    * Determinism across engines: the per-stratum pow lands in a
+    * round-6 DECIMAL before the cross-stratum sum (decimal addition is
+    * exact and associative — a raw double sum would depend on partition
+    * order), and the budget multiply runs in DECIMAL so the floor can't
+    * straddle a double ulp. The strata relation is tiny (one row per
+    * source/language), so the totals cross-join broadcasts.
+    */
+  def temperatureMixture(df: DataFrame, strataCol: String, nTokens: Column,
+                         alpha: Double, tokenBudget: Long): DataFrame = {
+    require(alpha > 0 && tokenBudget > 0, "alpha and tokenBudget must be positive")
+    val perStratum = df.groupBy(strataCol).agg(sum(nTokens.cast("long")).as("n_tokens"))
+      .withColumn("__p",
+        round(pow(col("n_tokens").cast("double"), lit(alpha)), 6).cast("decimal(28,6)"))
+    val total = perStratum.agg(sum("__p").as("__tot"))
+    perStratum.crossJoin(broadcast(total))
+      .withColumn("weight",
+        round(col("__p").cast("double") / col("__tot").cast("double"), 6))
+      .withColumn("alloc_tokens",
+        floor(col("weight").cast("decimal(12,6)") * lit(tokenBudget)).cast("long"))
+      .select(col(strataCol), col("n_tokens"), col("weight"), col("alloc_tokens"))
+  }
+
+  /** Leakage-safe train/val/test assignment: every member of an exact-dup
+    * group (same md5 of the full text) follows its group REPRESENTATIVE
+    * (min id) into the same split, so a duplicated document can never sit
+    * in train while its twin sits in eval — the contamination mode a naive
+    * per-doc hash split creates. Near-dup closure composes upstream: run
+    * after minHashLshNearDups-driven canonicalization and the same rule
+    * covers fuzzy twins. The split itself is the portable permille hash of
+    * the representative — deterministic, no RNG.
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String,
+                       trainPermille: Int, valPermille: Int): DataFrame = {
+    require(trainPermille > 0 && valPermille >= 0
+      && trainPermille + valPermille <= 1000, "permilles must partition [0,1000]")
+    val rep = df.select(col(idCol), md5(col(textCol)).as("__fp"))
+      .withColumn("rep", min(col(idCol)).over(Window.partitionBy("__fp")))
+    val h = pmod(Dedup.portableHashLo(col("rep").cast("string")), lit(1000))
+    rep.select(col(idCol), col("rep"),
+      when(h < trainPermille, "train")
+        .when(h < trainPermille + valPermille, "val")
+        .otherwise("test").as("split"))
+  }
+
+  /** Per-document mean unigram log-probability under the corpus' own
+    * unigram distribution — the cheap perplexity proxy quality screens
+    * rank on (rare-token-soup and OCR noise score low; natural prose
+    * scores near the corpus mode).
+    *
+    * Shape: one token scan → (doc, term, tf) with map-side combine; the
+    * vocabulary relation (term, count) is that relation re-aggregated, so
+    * the text is tokenized once; the vocab joins back on the term key.
+    * Each term's ln(p) is rounded to 9 decimals and carried as DECIMAL,
+    * so the per-doc SUM is exact and partition-order-independent. The sum
+    * ships (with n_tokens), not the mean: sum/n routinely lands exactly
+    * on a rounding half-way point (a 9-decimal total over a small n), and
+    * engines disagree there by one ulp of the rounding scale — the
+    * consumer divides in whatever precision domain it ranks in.
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy("term").agg(sum("tf").as("__cnt"))
+    val total = vocab.agg(sum("__cnt").as("__total"))
+    // operand precisions stay small (18,9)×(10,0) → decimal(29,9): a wider
+    // product would pass Spark's 38-digit cap and silently REDUCE the
+    // scale to 6, rounding every term before the sum
+    val lnp = round(log(col("__cnt").cast("double") / col("__total").cast("double")), 9)
+      .cast("decimal(18,9)")
+    tf.join(vocab, "term").crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(sum("tf").as("n_tokens"),
+        sum(col("tf").cast("decimal(10,0)") * lnp).cast("double").as("sum_logprob"))
+  }
+
   /** Deterministic k-per-group sample: rank rows inside each group by the
     * portable hash of their id (id as tiebreak) and keep the first k —
     * a reproducible uniform-without-replacement draw per group, one

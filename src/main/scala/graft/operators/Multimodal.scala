@@ -100,6 +100,27 @@ object Multimodal {
       .select(col("asset_id"), col("win_rank"), col("start_byte"),
         col("payload").substr(col("start_byte") + 1, lit(windowSize)).as("window"))
 
+  /** ViT-style patch-grid geometry from asset metadata: how many
+    * `patchSize`×`patchSize` patches an image tiles into after
+    * right/bottom zero-padding to a patch multiple — the numbers a
+    * vision-tower preprocessor needs to budget sequence length
+    * (n_patches is the image's token count) and allocate the padded
+    * canvas. Pure integer column math on the meta struct; the payload is
+    * never touched, so the planner prunes it from the scan entirely.
+    */
+  def patchGrid(assets: DataFrame, patchSize: Int): DataFrame = {
+    require(patchSize > 0, "patchSize must be positive")
+    val nx = ceil(col("meta.width").cast("double") / patchSize).cast("int")
+    val ny = ceil(col("meta.height").cast("double") / patchSize).cast("int")
+    assets
+      .filter(col("meta.width") > 0 && col("meta.height") > 0)
+      .select(col("asset_id"),
+        nx.as("patches_x"), ny.as("patches_y"),
+        (nx * ny).as("n_patches"),
+        (nx * patchSize - col("meta.width")).as("pad_x"),
+        (ny * patchSize - col("meta.height")).as("pad_y"))
+  }
+
   /** Resize seam: a real deployment decodes, scales, re-encodes per
     * partition (codec initialized once); the stub rewrites the metadata and
     * keeps the payload, exercising the identical mapPartitions plumbing.

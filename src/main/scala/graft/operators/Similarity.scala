@@ -132,6 +132,49 @@ object Similarity {
           .cast("double").as("comp_sum"),
         count(lit(1)).as("n"))
 
+  /** Deterministic product-quantization codebook entry: component t of
+    * centroid j in subspace m, on an exact quarter-integer lattice in
+    * [-2.25, 2.25]. Quarters are binary-exact doubles, so distances (and
+    * therefore code assignment) are bit-identical in any IEEE engine —
+    * the PQ layer stays oracle-checkable, like the lattice LSH planes.
+    */
+  private[graft] def pqCodeWeight(sub: Int, j: Int, t: Int): Double =
+    ((sub * 131 + j * 17 + t * 7) % 19 - 9) / 4.0
+
+  /** Product-quantization encoding — the memory tier under IVF for
+    * billion-vector search (IVF-PQ): the vector splits into `m`
+    * subvectors, each snapping to its nearest of `k` per-subspace
+    * centroids (squared L2, first index wins ties); the code packs into
+    * one BIGINT, nibble per subspace for the default m=8, k=16 — a
+    * 256-byte float vector compresses to 8 bytes, which is what lets a
+    * posting list live in executor memory at corpus scale.
+    *
+    * Pure per-row column math: no shuffle, no join, whole-stage codegen;
+    * distances fold left-to-right over exact-lattice codebooks
+    * (`pqCodeWeight`), so codes are reproducible across engines.
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               dim: Int = 64, m: Int = 8, k: Int = 16): DataFrame = {
+    require(m > 0 && dim % m == 0, "dim must divide into m subspaces")
+    require(k > 1 && m * math.log(k) / math.log(2) <= 62,
+      "packed code must fit a long")
+    val dsub = dim / m
+    val codes = (0 until m).map { sub =>
+      val dists = array((0 until k).map { j =>
+        (0 until dsub).map { t =>
+          val d = get(col(vecCol), lit(sub * dsub + t)).cast("double") -
+            lit(pqCodeWeight(sub, j, t))
+          d * d
+        }.reduce(_ + _)
+      }: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("long")
+    }
+    val packed = codes.zipWithIndex
+      .map { case (c, i) => c * lit(math.pow(k, i).toLong) }
+      .reduce(_ + _)
+    df.select(col(idCol), packed.as("pq_code"))
+  }
+
   /** IVF (inverted-file) ANN — the classic coarse-quantizer scale path:
     * the corpus is assigned once to its nearest coarse centroid (the
     * posting lists); a probe ranks centroids, visits only its `nProbe`

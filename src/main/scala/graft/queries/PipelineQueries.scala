@@ -663,6 +663,115 @@ object PipelineQueries {
         | SELECT doc_id AS asset_id, frame_rank, frame_rank * 2 AS frame_idx,
         |   substr(m, frame_rank * 2 * 8 + 1, 8) AS frame_hex
         | FROM f ORDER BY asset_id, frame_rank""".stripMargin
+    ),
+
+    // M4 — ViT patch-grid geometry: patches per axis, total patch (token)
+    // count, and pad-to-multiple margins from the asset metadata alone —
+    // the payload column is pruned out of the scan entirely
+    "m4_image_patches" -> QueryDef.sql(
+      (s, d) => {
+        val fake = Tables(s, d).documents
+          .withColumn("payload", unhex(md5(col("text"))))
+        val assets = Multimodal.toAssets(fake, "doc_id", "payload", "image")
+        Multimodal.patchGrid(assets, patchSize = 16).orderBy("asset_id")
+      },
+      s"""WITH meta AS (SELECT doc_id AS asset_id,
+         |    ${hex4("substr(md5(text),1,4)")} % 1920 AS w,
+         |    ${hex4("substr(md5(text),5,4)")} % 1080 AS h
+         |  FROM documents),
+         | g AS (SELECT asset_id, w, h,
+         |    CAST(ceil(CAST(w AS DOUBLE) / 16) AS INTEGER) AS patches_x,
+         |    CAST(ceil(CAST(h AS DOUBLE) / 16) AS INTEGER) AS patches_y
+         |  FROM meta WHERE w > 0 AND h > 0)
+         | SELECT asset_id, patches_x, patches_y,
+         |   patches_x * patches_y AS n_patches,
+         |   patches_x * 16 - w AS pad_x, patches_y * 16 - h AS pad_y
+         | FROM g ORDER BY asset_id""".stripMargin
+    ),
+
+    // R4 — temperature-scaled mixture weights (α = 0.5): per-source token
+    // mass, upweighted toward rare sources, and the per-source slice of a
+    // 1M-token budget. Decimal-carried pow and budget multiply keep the
+    // result partition-order-independent and engine-exact.
+    "r4_temperature_mix" -> QueryDef.sql(
+      (s, d) => Curation.temperatureMixture(Tables(s, d).documents, "source",
+          TextOps.tokenCount(col("text")), alpha = 0.5, tokenBudget = 1000000L)
+        .orderBy("source"),
+      s"""WITH per AS (SELECT source, CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         | p AS (SELECT source, n_tokens,
+         |    CAST(round(pow(CAST(n_tokens AS DOUBLE), 0.5), 6) AS DECIMAL(28,6)) AS pp
+         |  FROM per),
+         | tot AS (SELECT sum(pp) AS tt FROM p),
+         | w AS (SELECT source, n_tokens,
+         |    round(CAST(pp AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS weight
+         |  FROM p, tot)
+         | SELECT source, n_tokens, weight,
+         |   CAST(floor(CAST(weight AS DECIMAL(12,6)) * 1000000) AS BIGINT) AS alloc_tokens
+         | FROM w ORDER BY source""".stripMargin
+    ),
+
+    // R5 — leakage-safe train/val/test split: exact-dup groups (md5 of the
+    // full text) follow their min-id representative into one split, so a
+    // duplicated doc can never train while its twin evaluates
+    "r5_leakage_split" -> QueryDef.sql(
+      (s, d) => Curation.leakageSafeSplit(Tables(s, d).documents, "doc_id", "text",
+          trainPermille = 900, valPermille = 50)
+        .orderBy("doc_id"),
+      s"""WITH rep AS (SELECT doc_id,
+         |    min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+         |  FROM documents),
+         | h AS (SELECT doc_id, rep,
+         |    ${hex8("md5(CAST(rep AS VARCHAR))", 0)} % 1000 AS hv
+         |  FROM rep)
+         | SELECT doc_id, rep,
+         |   CASE WHEN hv < 900 THEN 'train' WHEN hv < 950 THEN 'val' ELSE 'test' END AS split
+         | FROM h ORDER BY doc_id""".stripMargin
+    ),
+
+    // T11 — unigram log-probability mass under the corpus' own unigram
+    // distribution: the cheap perplexity proxy quality screens rank on.
+    // ln(p) rounds to 9 decimals into DECIMAL before the per-doc sum
+    // (exact, order-independent); the sum ships, not the mean — sum/n
+    // lands on rounding half-way points where engines disagree.
+    "t11_unigram_logprob" -> QueryDef.sql(
+      (s, d) => Curation.unigramLogProb(Tables(s, d).documents, "doc_id", "text")
+        .orderBy("doc_id"),
+      s"""WITH tf AS (SELECT doc_id, tok AS term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+         |  GROUP BY 1, 2),
+         | vocab AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY term),
+         | tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab)
+         | SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |   CAST(sum(tf * CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)), 9)
+         |       AS DECIMAL(28,9))) AS DOUBLE) AS sum_logprob
+         | FROM tf JOIN vocab USING (term), tot
+         | GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ),
+
+    // S5 — product-quantization encoding (the IVF-PQ memory tier): each
+    // 64-dim vector splits into 8 subvectors, snaps to the nearest of 16
+    // exact-lattice centroids per subspace, and packs nibble-per-subspace
+    // into one BIGINT. Ties break to the lowest centroid index on both
+    // sides (array_position / lexicographic list_min).
+    "s5_pq_encode" -> QueryDef.sql(
+      (s, d) => Similarity.pqEncode(Tables(s, d).embeddings, "vec_id", "embedding",
+          dim = 64, m = 8, k = 16)
+        .orderBy("vec_id"),
+      {
+        def codeM(m: Int): String =
+          s"""CAST(list_min(list_transform(range(0, 16), j ->
+             |    [list_reduce(list_transform(list_transform(range(0, 8), t ->
+             |         CAST(embedding[${m * 8} + t + 1] AS DOUBLE)
+             |           - CAST((${m * 131} + j*17 + t*7) %% 19 - 9 AS DOUBLE) / 4.0),
+             |       x -> x * x), (a, b) -> a + b),
+             |     CAST(j AS DOUBLE)]))[2] AS BIGINT)""".stripMargin.replace("%%", "%")
+        val packed = (0 until 8)
+          .map(m => s"(${codeM(m)}) * ${math.pow(16, m).toLong}")
+          .mkString("\n  + ")
+        s"""SELECT vec_id, $packed AS pq_code
+           | FROM embeddings ORDER BY vec_id""".stripMargin
+      }
     )
   )
 }

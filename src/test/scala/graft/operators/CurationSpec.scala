@@ -110,6 +110,44 @@ class CurationSpec extends SparkSpec {
     assert(got.getAs[Long]("p100") == 100L)
   }
 
+  test("temperatureMixture upweights rare strata and splits the budget exactly") {
+    // token masses 100 and 400; α=0.5 → sqrt masses 10/20 → weights 1/3, 2/3
+    val df = Seq(("rare", 100L), ("big", 400L)).toDF("s", "n")
+    val got = Curation.temperatureMixture(df, "s", col("n"), alpha = 0.5, tokenBudget = 900L)
+      .collect().map(r => r.getAs[String]("s") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("weight"), r.getAs[Long]("alloc_tokens")))).toMap
+    assert(got("rare") == ((100L, 0.333333, 299L))) // floor(0.333333*900) = 299
+    assert(got("big") == ((400L, 0.666667, 600L)))  // floor(0.666667*900) = 600
+  }
+
+  test("leakageSafeSplit sends every exact-dup twin into its representative's split") {
+    val docs = Seq(
+      (5L, "same text"), (1L, "same text"), (9L, "same text"),
+      (3L, "other text"), (7L, "third text")
+    ).toDF("doc_id", "text")
+    val got = Curation.leakageSafeSplit(docs, "doc_id", "text", 900, 50)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("rep"), r.getAs[String]("split")))).toMap
+    assert(got.size == 5)
+    assert(Seq(1L, 5L, 9L).map(got(_)._1).forall(_ == 1L)) // min-id representative
+    assert(Seq(1L, 5L, 9L).map(got(_)._2).distinct.size == 1) // one split per group
+    assert(got.values.map(_._2).forall(Set("train", "val", "test")))
+    // degenerate partition: everything lands in train
+    val all = Curation.leakageSafeSplit(docs, "doc_id", "text", 1000, 0)
+      .select("split").distinct().collect().map(_.getString(0)).toSeq
+    assert(all == Seq("train"))
+  }
+
+  test("unigramLogProb sums per-token ln(p) under the corpus distribution") {
+    // corpus: a,a,b,b → p(a)=p(b)=0.5; ln(0.5) rounded to 9 = -0.693147181
+    val docs = Seq((1L, "a a b"), (2L, "b")).toDF("doc_id", "text")
+    val got = Curation.unigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("sum_logprob")))).toMap
+    assert(got(1L)._1 == 3L && math.abs(got(1L)._2 - (-2.079441543)) < 1e-12)
+    assert(got(2L)._1 == 1L && math.abs(got(2L)._2 - (-0.693147181)) < 1e-12)
+  }
+
   test("perGroupSample keeps exactly k deterministic rows per group") {
     val rows = (0L until 300L).map(i => (i % 5, i)).toDF("g", "id")
     val got = Curation.perGroupSample(rows, Seq("g"), "id", k = 4)

@@ -52,6 +52,19 @@ class MultimodalSpec extends SparkSpec {
     assert(metas(1L)._3 == 6) // untouched fields carry through
   }
 
+  test("patchGrid tiles images into padded patch multiples") {
+    val assets = Seq((1L, 33, 16), (2L, 16, 16), (3L, 0, 10)).toDF("asset_id", "w", "h")
+      .select(col("asset_id"), struct(lit(0).as("byte_len"), col("w").as("width"),
+        col("h").as("height"), lit(1).as("channels")).as("meta"))
+    val got = Multimodal.patchGrid(assets, patchSize = 16)
+      .collect().map(r => r.getAs[Long]("asset_id") ->
+        ((r.getAs[Int]("patches_x"), r.getAs[Int]("patches_y"), r.getAs[Int]("n_patches"),
+          r.getAs[Int]("pad_x"), r.getAs[Int]("pad_y")))).toMap
+    assert(got(1L) == ((3, 1, 3, 15, 0)))
+    assert(got(2L) == ((1, 1, 1, 0, 0)))
+    assert(!got.contains(3L)) // zero-width assets are dropped
+  }
+
   test("extractFeatures streams batches through the decode stub") {
     val assets = Multimodal.toAssets(raw, "id", "blob", "image")
     val feats = Multimodal.extractFeatures(spark, assets)

@@ -66,6 +66,28 @@ class SimilaritySpec extends SparkSpec {
     assert(got((2L, 0)) == ((0.1, 2L)) && got((2L, 1)) == ((1.9, 2L)))
   }
 
+  test("pqEncode matches a scalar reference argmin and packs nibbles") {
+    val vec = Array.tabulate(64)(i => ((i % 5) - 2) / 2.0f)
+    val df = Seq((7L, vec)).toDF("vec_id", "embedding")
+    val got = Similarity.pqEncode(df, "vec_id", "embedding").head()
+    // scalar mirror: same codebook lattice, same left-to-right fold
+    var expected = 0L
+    for (m <- 0 until 8) {
+      var best = 0; var bestD = Double.MaxValue
+      for (j <- 0 until 16) {
+        var dist = 0.0
+        for (t <- 0 until 8) {
+          val d = vec(m * 8 + t).toDouble - Similarity.pqCodeWeight(m, j, t)
+          dist += d * d
+        }
+        if (dist < bestD) { bestD = dist; best = j }
+      }
+      expected += best.toLong * math.pow(16, m).toLong
+    }
+    assert(got.getAs[Long]("pq_code") == expected)
+    assert(got.getAs[Long]("pq_code") >= 0L && got.getAs[Long]("pq_code") < (1L << 32))
+  }
+
   test("lshTopK finds the same nearest neighbor as brute force here") {
     val bf = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), "vec_id", "embedding", 1)
       .select("vec_id").as[Long].head()
