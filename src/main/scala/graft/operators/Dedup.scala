@@ -332,9 +332,11 @@ object Dedup {
       .select("id_a", "id_b")
   }
 
-  /** Connected components over an edge list by iterative min-label
-    * propagation: every node's label converges to the smallest id reachable
-    * from it — the canonical representative of its duplicate cluster.
+  /** Connected components over an edge list: every node's label converges
+    * to the smallest id reachable from it — the canonical representative of
+    * its duplicate cluster. Hybrid execution: edge lists under
+    * `driverMaxEdges` run a driver union-find (see inline comment); larger
+    * graphs run iterative min-label propagation below.
     *
     * Each round aggregates the min over {own label, every neighbor's
     * label, own label's label} — the last term is pointer jumping (path
@@ -356,10 +358,49 @@ object Dedup {
     * own cluster by definition.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 30): DataFrame = {
-    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val und = sym.union(sym.select(col("dst"), col("src")))
-      .distinct().localCheckpoint(true)
+                          maxIter: Int = 30,
+                          driverMaxEdges: Int = 2000000): DataFrame = {
+    val sym = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val undBase = sym.union(sym.select(col("dst"), col("src"))).distinct()
+    // Small-graph fast path: a near-dup edge list is orders of magnitude
+    // smaller than its corpus (candidates survive banding AND verification),
+    // so it routinely fits the driver even when the corpus is 100 TB. Under
+    // `driverMaxEdges` (~64 MB of long pairs at the default), a driver
+    // union-find replaces the iterative join loop: ONE limit-probed collect
+    // (which doubles as the size check) instead of O(log d) rounds ×
+    // (join + aggregate + checkpoint) jobs — the rounds are pure scheduling
+    // overhead at this size. Union-by-min keeps the invariant root = min id
+    // of the component, so both paths emit identical labels; graphs above
+    // the threshold take the distributed loop below.
+    val probed =
+      if (driverMaxEdges > 0 && driverMaxEdges < Int.MaxValue)
+        undBase.limit(driverMaxEdges + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    if (driverMaxEdges > 0 && driverMaxEdges < Int.MaxValue
+        && probed.length <= driverMaxEdges) {
+      val parent = new java.util.HashMap[java.lang.Long, java.lang.Long](probed.length * 2 + 16)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (c != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
+        r
+      }
+      probed.foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        parent.putIfAbsent(a, a)
+        parent.putIfAbsent(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+      val spark = edges.sparkSession
+      import spark.implicits._
+      import scala.jdk.CollectionConverters._
+      return parent.keySet().asScala.toSeq.map(_.longValue).sorted
+        .map(k => (k, find(k))).toDF("id", "label")
+    }
+    val und = undBase.localCheckpoint(true)
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(true)
     var changed = 1L

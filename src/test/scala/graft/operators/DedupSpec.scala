@@ -110,12 +110,16 @@ class DedupSpec extends SparkSpec {
     val edges = (rand ++ chain).toDF("id_a", "id_b")
     val got = Dedup.connectedComponents(edges, "id_a", "id_b")
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
+    // distributed min-label loop (driver fast path disabled) must agree
+    val gotLoop = Dedup.connectedComponents(edges, "id_a", "id_b", driverMaxEdges = 0)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
     // brute-force union-find
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(a: Long): Long = { val p = parent.getOrElseUpdate(a, a); if (p == a) a else { val r = find(p); parent(a) = r; r } }
     (rand ++ chain).foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
     val expect = parent.keys.map(k => k -> find(k)).toMap
     assert(got == expect)
+    assert(gotLoop == expect)
   }
 
   test("winnowEdges links docs sharing >=minShared fingerprints, transitively clusterable") {
