@@ -56,22 +56,18 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component: a fixed integer
-    * lattice mapped to [-9.5, 9.5], reproducible in any engine — the ANN
+    * lattice mapped to [-9, 9], reproducible in any engine — the ANN
     * variant stays testable against an oracle.
     */
   private[graft] def planeWeight(plane: Int, dim: Int): Double =
-    (((plane.toLong * 2654435761L + dim.toLong * 40503L + 12345L) % 19L + 19L) % 19L - 9L).toDouble
+    graft.functions.SignProjection.planeWeight(plane, dim)
 
-  /** Sign-random-projection bucket id over `nPlanes` hyperplanes. */
-  def lshBucket(vec: Column, dim: Int, nPlanes: Int): Column = {
-    val bits = (0 until nPlanes).map { pl =>
-      val proj = (0 until dim).map { i =>
-        get(vec, lit(i)).cast("double") * lit(planeWeight(pl, i))
-      }.reduce(_ + _)
-      when(proj >= 0.0, lit(1L << pl)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  /** Sign-random-projection bucket id over `nPlanes` hyperplanes, via the
+    * native `SignProjectionExpr` (codegen'd loops — the declarative
+    * nPlanes·dim-term tree evaluated ~1000 boxed nodes per row).
+    */
+  def lshBucket(vec: Column, dim: Int, nPlanes: Int): Column =
+    graft.functions.SignProjection(vec, dim, nPlanes)
 
   /** Approximate NN: probes and corpus hash into sign-projection buckets;
     * candidates meet only within a bucket (keyed equi-join — shuffle on
@@ -132,14 +128,11 @@ object Similarity {
           .cast("double").as("comp_sum"),
         count(lit(1)).as("n"))
 
-  /** Deterministic product-quantization codebook entry: component t of
-    * centroid j in subspace m, on an exact quarter-integer lattice in
-    * [-2.25, 2.25]. Quarters are binary-exact doubles, so distances (and
-    * therefore code assignment) are bit-identical in any IEEE engine —
-    * the PQ layer stays oracle-checkable, like the lattice LSH planes.
+  /** Deterministic product-quantization codebook entry (exact
+    * quarter-integer lattice — see graft.functions.PqEncode.codeWeight).
     */
   private[graft] def pqCodeWeight(sub: Int, j: Int, t: Int): Double =
-    ((sub * 131 + j * 17 + t * 7) % 19 - 9) / 4.0
+    graft.functions.PqEncode.codeWeight(sub, j, t)
 
   /** Product-quantization encoding — the memory tier under IVF for
     * billion-vector search (IVF-PQ): the vector splits into `m`
@@ -149,30 +142,20 @@ object Similarity {
     * 256-byte float vector compresses to 8 bytes, which is what lets a
     * posting list live in executor memory at corpus scale.
     *
-    * Pure per-row column math: no shuffle, no join, whole-stage codegen;
-    * distances fold left-to-right over exact-lattice codebooks
-    * (`pqCodeWeight`), so codes are reproducible across engines.
+    * Per-row math with no shuffle or join, via the native
+    * `PqEncodeExpr` Catalyst expression (`doGenCode` → tight JVM loops
+    * inside whole-stage codegen): the declarative dim·k-term tree this
+    * replaces evaluated thousands of boxed nodes per row. Codes are
+    * reproducible across engines — exact-lattice codebooks, fixed fold
+    * order, lowest-index tie-break.
     */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
                dim: Int = 64, m: Int = 8, k: Int = 16): DataFrame = {
     require(m > 0 && dim % m == 0, "dim must divide into m subspaces")
     require(k > 1 && m * math.log(k) / math.log(2) <= 62,
       "packed code must fit a long")
-    val dsub = dim / m
-    val codes = (0 until m).map { sub =>
-      val dists = array((0 until k).map { j =>
-        (0 until dsub).map { t =>
-          val d = get(col(vecCol), lit(sub * dsub + t)).cast("double") -
-            lit(pqCodeWeight(sub, j, t))
-          d * d
-        }.reduce(_ + _)
-      }: _*)
-      (array_position(dists, array_min(dists)) - 1).cast("long")
-    }
-    val packed = codes.zipWithIndex
-      .map { case (c, i) => c * lit(math.pow(k, i).toLong) }
-      .reduce(_ + _)
-    df.select(col(idCol), packed.as("pq_code"))
+    df.select(col(idCol),
+      graft.functions.PqEncode(col(vecCol), dim, m, k).as("pq_code"))
   }
 
   /** IVF (inverted-file) ANN — the classic coarse-quantizer scale path:
