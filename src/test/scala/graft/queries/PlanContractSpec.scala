@@ -42,11 +42,13 @@ class PlanContractSpec extends SparkSpec {
       assert(count(plan, "CartesianProduct") == 0, s"$q plans a cartesian product")
       // BroadcastNestedLoop is allowed only where it IS the design:
       // j7 (intentional tiny cross join), s1 (exact top-k tier — broadcast
-      // probe set against the corpus, streamed once), and s3/s4 (the
+      // probe set against the corpus, streamed once), s3/s4 (the
       // broadcast centroid set × corpus is the coarse quantizer —
       // assignment and its Lloyd training step; posting-list probing
-      // itself is an equi-join)
-      if (!Set("j7_cross_join", "s1_cosine_topk", "s3_ann_ivf", "s4_kmeans_step").contains(q))
+      // itself is an equi-join), and r4/t11 (a broadcast ONE-ROW corpus
+      // total joined keylessly onto a small/narrow relation)
+      if (!Set("j7_cross_join", "s1_cosine_topk", "s3_ann_ivf", "s4_kmeans_step",
+          "r4_temperature_mix", "t11_unigram_logprob").contains(q))
         assert(count(plan, "BroadcastNestedLoopJoin") == 0, s"$q plans a nested-loop join")
     }
   }
@@ -83,6 +85,47 @@ class PlanContractSpec extends SparkSpec {
     val plan = planOf("d7_decontaminate")
     assert(count(plan, "BroadcastHashJoin") >= 1, "eval gram set must broadcast")
     assert(count(plan, "SortMergeJoin") == 0, "corpus must not sort-merge against the eval set")
+  }
+
+  test("s5 PQ encoding is pure per-row math: no join, no pre-sort shuffle") {
+    val plan = planOf("s5_pq_encode")
+    assert(count(plan, "Join") == 0, s"PQ encode must not join:\n$plan")
+    assert(count(plan, "Exchange hashpartitioning") == 0,
+      s"PQ encode must not shuffle (only the presentation sort may range-partition):\n$plan")
+    assert(plan.contains("pq_encode"), "native PqEncodeExpr must appear in the plan")
+  }
+
+  test("m4 patch grids prune the payload column out of a stored asset scan") {
+    // over an asset TABLE (payload at rest next to meta — the 100 TB
+    // layout), geometry must touch only the metadata struct: a scan that
+    // drags gigabyte payload pages through memory for integer math is the
+    // failure mode this pins down
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("payload", unhex(md5(col("text"))))
+    val assets = graft.operators.Multimodal.toAssets(docs, "doc_id", "payload", "image")
+    val dir = java.nio.file.Files.createTempDirectory("m4assets").toString
+    assets.write.mode("overwrite").parquet(dir)
+    val plan = graft.operators.Multimodal.patchGrid(spark.read.parquet(dir), 16)
+      .queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scanLine.contains("meta") && !scanLine.contains("payload"),
+      s"payload not pruned from the asset scan:\n$plan")
+    assert(count(plan, "Join") == 0)
+  }
+
+  test("r5 leakage split shuffles once on the fingerprint, no join") {
+    val plan = planOf("r5_leakage_split")
+    assert(count(plan, "Join") == 0, s"split assignment must not join:\n$plan")
+    // one hash exchange for the per-fingerprint window; the final orderBy
+    // adds a range exchange
+    assert(count(plan, "Exchange hashpartitioning") == 1,
+      s"expected exactly one window shuffle:\n$plan")
+  }
+
+  test("t11 log-prob keeps map-side partials and broadcasts only the scalar total") {
+    val plan = planOf("t11_unigram_logprob")
+    assert(count(plan, "HashAggregate") >= 4, "tf and vocab aggregations need partial+final")
+    assert(count(plan, "CartesianProduct") == 0)
   }
 
   test("d2 LSH plan computes the shingle aggregation exactly once") {
