@@ -44,6 +44,43 @@ case class PqEncodeExpr(child: Expression, dim: Int, m: Int, k: Int)
     copy(child = newChild)
 }
 
+/** Asymmetric distance computation (ADC) between a raw probe vector and a
+  * packed PQ code: Σ over subspaces of the squared L2 distance from the
+  * probe's subvector to the CODE's reconstructed centroid — the ranking
+  * step of IVF-PQ search, where the corpus side is 8-byte codes instead of
+  * raw vectors. Native expression for the same reason as PqEncodeExpr: the
+  * kernel is a per-(probe, code) numeric loop, not a join or shuffle.
+  *
+  * Accumulation order is per-subspace inner sums added in ascending
+  * subspace order (matching the SQL oracle's nested list_reduce folds), so
+  * distances are bit-identical across engines — no rounding needed.
+  */
+case class PqAdcExpr(left: Expression, right: Expression,
+                     dim: Int, m: Int, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (ARRAY<FLOAT>, BIGINT), got (${l.catalogString}, ${r.catalogString})")
+    }
+
+  override protected def nullSafeEval(vec: Any, code: Any): Any =
+    PqEncode.adc(vec.asInstanceOf[ArrayData], code.asInstanceOf[Long], dim, m, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, c) =>
+      s"${ev.value} = graft.functions.PqEncode.adc($v, $c, $dim, $m, $k);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object PqEncode {
 
   /** Deterministic codebook entry: component t of centroid j in subspace
@@ -82,6 +119,36 @@ object PqEncode {
     packed
   }
 
+  /** Static ADC target for both interpreted and generated code: squared
+    * L2 from `vec`'s subvectors to the centroids named by `code`'s
+    * nibbles (base-k digits), per-subspace inner sums added in ascending
+    * subspace order.
+    */
+  def adc(vec: ArrayData, code: Long, dim: Int, m: Int, k: Int): Double = {
+    val dsub = dim / m
+    var total = 0.0
+    var rest = code
+    var sub = 0
+    while (sub < m) {
+      val j = (rest % k).toInt
+      rest /= k
+      var inner = 0.0
+      var t = 0
+      while (t < dsub) {
+        val d = vec.getFloat(sub * dsub + t).toDouble - codeWeight(sub, j, t)
+        inner += d * d
+        t += 1
+      }
+      total += inner
+      sub += 1
+    }
+    total
+  }
+
   def apply(c: Column, dim: Int, m: Int, k: Int): Column =
     GraftSqlBridge.column(PqEncodeExpr(GraftSqlBridge.expression(c), dim, m, k))
+
+  def adcColumn(vec: Column, code: Column, dim: Int, m: Int, k: Int): Column =
+    GraftSqlBridge.column(PqAdcExpr(
+      GraftSqlBridge.expression(vec), GraftSqlBridge.expression(code), dim, m, k))
 }

@@ -158,6 +158,35 @@ object Similarity {
       graft.functions.PqEncode(col(vecCol), dim, m, k).as("pq_code"))
   }
 
+  /** PQ-approximate top-k by asymmetric distance computation (ADC) — the
+    * search half of IVF-PQ: the corpus participates as 8-BYTE packed codes
+    * (from `pqEncode`), probes stay raw, and each (probe, code) pair costs
+    * one native `PqAdcExpr` evaluation instead of a 64-dim float scan.
+    *
+    * Scale shape: identical join topology to the exact tier (probes
+    * broadcast, corpus streamed once — the s1 pattern), but the streamed
+    * side is 32× narrower; at a billion vectors the code relation is what
+    * actually fits in executor memory. Ranking is ascending approximate
+    * distance, ties to the lower id; distances are bit-exact across
+    * engines (lattice codebooks, fixed fold order), so the whole ANN
+    * result is oracle-checkable.
+    */
+  def pqAdcTopK(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      dim: Int = 64, m: Int = 8, kCent: Int = 16): DataFrame = {
+    val codes = pqEncode(corpus, idCol, vecCol, dim, m, kCent)
+    val p = broadcast(probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pvec")))
+    val scored = codes
+      .join(p, col(idCol) =!= col("probe_id"))
+      .withColumn("adist",
+        graft.functions.PqEncode.adcColumn(col("__pvec"), col("pq_code"), dim, m, kCent))
+      .drop("__pvec")
+    val w = Window.partitionBy("probe_id").orderBy(col("adist"), col(idCol))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col(idCol), col("adist"))
+  }
+
   /** IVF (inverted-file) ANN — the classic coarse-quantizer scale path:
     * the corpus is assigned once to its nearest coarse centroid (the
     * posting lists); a probe ranks centroids, visits only its `nProbe`

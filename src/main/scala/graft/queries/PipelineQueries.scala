@@ -758,20 +758,61 @@ object PipelineQueries {
       (s, d) => Similarity.pqEncode(Tables(s, d).embeddings, "vec_id", "embedding",
           dim = 64, m = 8, k = 16)
         .orderBy("vec_id"),
-      {
-        def codeM(m: Int): String =
-          s"""CAST(list_min(list_transform(range(0, 16), j ->
-             |    [list_reduce(list_transform(list_transform(range(0, 8), t ->
-             |         CAST(embedding[${m * 8} + t + 1] AS DOUBLE)
-             |           - CAST((${m * 131} + j*17 + t*7) %% 19 - 9 AS DOUBLE) / 4.0),
-             |       x -> x * x), (a, b) -> a + b),
-             |     CAST(j AS DOUBLE)]))[2] AS BIGINT)""".stripMargin.replace("%%", "%")
-        val packed = (0 until 8)
-          .map(m => s"(${codeM(m)}) * ${math.pow(16, m).toLong}")
-          .mkString("\n  + ")
-        s"""SELECT vec_id, $packed AS pq_code
-           | FROM embeddings ORDER BY vec_id""".stripMargin
-      }
+      s"""SELECT vec_id, $pqPackedSql AS pq_code
+         | FROM embeddings ORDER BY vec_id""".stripMargin
+    ),
+
+    // S6 — PQ-approximate ANN by asymmetric distance (the search half of
+    // IVF-PQ): the corpus ranks as 8-byte codes, probes stay raw; the
+    // exact-lattice codebooks and fixed fold order make the approximate
+    // distances — and hence the whole top-k — bit-identical in the oracle
+    "s6_pq_adc_topk" -> QueryDef.sql(
+      (s, d) => {
+        val e = Tables(s, d).embeddings
+        Similarity.pqAdcTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+          .select(col("probe_id"), col("rank").as("nn_rank"),
+            col("vec_id").as("neighbor_id"), col("adist"))
+          .orderBy("probe_id", "nn_rank")
+      },
+      s"""WITH codes AS (SELECT vec_id, $pqPackedSql AS pq_code FROM embeddings),
+         | scored AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |    ${pqAdcSql("p.embedding", "c.pq_code")} AS adist
+         |  FROM codes c JOIN embeddings p ON c.vec_id <> p.vec_id
+         |  WHERE p.vec_id < 5)
+         | SELECT probe_id, nn_rank, neighbor_id, adist FROM (
+         |   SELECT probe_id, neighbor_id, adist,
+         |     row_number() OVER (PARTITION BY probe_id
+         |       ORDER BY adist, neighbor_id) AS nn_rank
+         |   FROM scored)
+         | WHERE nn_rank <= 10 ORDER BY probe_id, nn_rank""".stripMargin
     )
   )
+
+  /** SQL mirror of PqEncode.codeWeight's argmin for subspace m over the
+    * `embedding` column: lexicographic list_min over [distance, j] pairs —
+    * smallest distance, ties to the lowest centroid index, exactly
+    * array_position-on-first-min semantics.
+    */
+  private def pqCodeMSql(m: Int, vecExpr: String): String =
+    s"""CAST(list_min(list_transform(range(0, 16), j ->
+       |    [list_reduce(list_transform(list_transform(range(0, 8), t ->
+       |         CAST($vecExpr[${m * 8} + t + 1] AS DOUBLE)
+       |           - CAST((${m * 131} + j*17 + t*7) %% 19 - 9 AS DOUBLE) / 4.0),
+       |       x -> x * x), (a, b) -> a + b),
+       |     CAST(j AS DOUBLE)]))[2] AS BIGINT)""".stripMargin.replace("%%", "%")
+
+  private def pqPackedSql: String = (0 until 8)
+    .map(m => s"(${pqCodeMSql(m, "embedding")}) * ${math.pow(16, m).toLong}")
+    .mkString("\n  + ")
+
+  /** SQL mirror of PqEncode.adc: per-subspace inner sums over ascending t,
+    * added in ascending subspace order (same FP association as the native
+    * kernel's loops).
+    */
+  private def pqAdcSql(vecExpr: String, codeExpr: String): String =
+    s"""list_reduce(list_transform(range(0, 8), m ->
+       |    list_reduce(list_transform(list_transform(range(0, 8), t ->
+       |        CAST($vecExpr[m*8 + t + 1] AS DOUBLE)
+       |          - CAST((m*131 + (($codeExpr // CAST(round(pow(16, m), 0) AS BIGINT)) %% 16)*17 + t*7) %% 19 - 9 AS DOUBLE) / 4.0),
+       |      x -> x * x), (a, b) -> a + b)), (a, b) -> a + b)""".stripMargin.replace("%%", "%")
 }

@@ -88,6 +88,33 @@ class SimilaritySpec extends SparkSpec {
     assert(got.getAs[Long]("pq_code") >= 0L && got.getAs[Long]("pq_code") < (1L << 32))
   }
 
+  test("pqAdcTopK ranks by the exact scalar ADC against packed codes") {
+    val vs = (0L until 6L).map(i =>
+      (i, Array.tabulate(64)(t => ((t * (i + 1)) % 7 - 3) / 2.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.pqAdcTopK(vs, vs.filter($"vec_id" === 0L), "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("rank"), r.getAs[Double]("adist")))
+    val codes = Similarity.pqEncode(vs, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probe = Array.tabulate(64)(t => ((t % 7) - 3) / 2.0f) // i = 0
+    def adc(code: Long): Double = {
+      var total = 0.0; var rest = code
+      for (m <- 0 until 8) {
+        val j = (rest % 16).toInt; rest /= 16
+        var inner = 0.0
+        for (t <- 0 until 8) {
+          val d = probe(m * 8 + t).toDouble - Similarity.pqCodeWeight(m, j, t)
+          inner += d * d
+        }
+        total += inner
+      }
+      total
+    }
+    assert(got.length == 5)
+    got.foreach { case (id, _, adist) => assert(adist == adc(codes(id)), s"adist of $id") }
+    val expectOrder = (1L until 6L).sortBy(id => (adc(codes(id)), id))
+    assert(got.sortBy(_._2).map(_._1).toSeq == expectOrder)
+  }
+
   test("lshTopK finds the same nearest neighbor as brute force here") {
     val bf = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), "vec_id", "embedding", 1)
       .select("vec_id").as[Long].head()

@@ -45,10 +45,12 @@ class PlanContractSpec extends SparkSpec {
       // probe set against the corpus, streamed once), s3/s4 (the
       // broadcast centroid set × corpus is the coarse quantizer —
       // assignment and its Lloyd training step; posting-list probing
-      // itself is an equi-join), and r4/t11 (a broadcast ONE-ROW corpus
-      // total joined keylessly onto a small/narrow relation)
+      // itself is an equi-join), r4/t11 (a broadcast ONE-ROW corpus
+      // total joined keylessly onto a small/narrow relation), and s6
+      // (broadcast probes against the corpus CODE relation — the s1
+      // topology with an 8-byte streamed side)
       if (!Set("j7_cross_join", "s1_cosine_topk", "s3_ann_ivf", "s4_kmeans_step",
-          "r4_temperature_mix", "t11_unigram_logprob").contains(q))
+          "r4_temperature_mix", "t11_unigram_logprob", "s6_pq_adc_topk").contains(q))
         assert(count(plan, "BroadcastNestedLoopJoin") == 0, s"$q plans a nested-loop join")
     }
   }
