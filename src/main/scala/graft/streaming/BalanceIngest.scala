@@ -133,12 +133,26 @@ object BalanceIngest {
     }
   }
 
-  /** Reorg path: retract balance rows in [from, to] and rebuild the
-    * compact state from the surviving history.
+  /** Reorg path: retract balance rows in [from, to], RESET subscriptions
+    * whose admission watermark fell inside the retracted range back to
+    * pending (block_number 0 — store/subscription/subscription.go's
+    * `Reset`, called from store/store.go:339-342), and rebuild the compact
+    * state from the surviving history. The reset is what re-seeds those
+    * addresses on the winning branch: their admission block no longer
+    * exists, so they must re-enter through the new-subscription path. A
+    * caller-persisted token registry composes the same way (the reference
+    * resets erc20.block_number for tokens initialized in-range,
+    * store/store.go:357-375).
     */
   def retract(spark: SparkSession, store: TableStore, from: Long, to: Long): Unit = {
     Seq(AccountsTable, TotalsTable, MatchedTable)
       .foreach(t => store.deleteRange(t, "block_number", from, to))
+    val subs = store.readOr(SubsTable, null)
+    if (subs != null) {
+      store.replace(SubsTable, subs.withColumn("block_number",
+        when(col("block_number").between(from, to), lit(0L))
+          .otherwise(col("block_number"))))
+    }
     saveState(store, rebuildState(spark, store))
   }
 }

@@ -139,5 +139,19 @@ class BalanceIngestSpec extends SparkSpec {
       .groupBy("block_number", "token", "address").count()
       .filter(col("count") > 1).count()
     assert(dupAccounts == 0L)
+
+    // ---- subscription watermark reset: a sub admitted INSIDE a retracted
+    // range returns to pending (subscription.go Reset via store.go:339-342)
+    // while subs admitted before the range keep their watermark
+    store.replace(BalanceIngest.SubsTable,
+      store.readOr(BalanceIngest.SubsTable, null).unionByName(
+        Seq((3L, 0L, 3L, carol)).toDF("id", "block_number", "group", "address")))
+    BalanceIngest.processRange(spark, store, 3L, 3L, client) // admits carol at 3
+    def subBlock(id: Long): Long = store.readOr(BalanceIngest.SubsTable, null)
+      .filter(col("id") === id).head().getAs[Long]("block_number")
+    assert(subBlock(3L) == 3L)
+    BalanceIngest.retract(spark, store, 3L, 3L)
+    assert(subBlock(3L) == 0L, "in-range admission must reset to pending")
+    assert(subBlock(2L) == 1L, "pre-range admission must keep its watermark")
   }
 }
