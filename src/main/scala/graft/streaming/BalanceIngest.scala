@@ -26,6 +26,7 @@ object BalanceIngest {
   val TotalsTable    = "total_balances"
   val MatchedTable   = "matched_transfers"
   val SubsTable      = "subscriptions"
+  val RegistryTable  = "erc20"
   val LatestAccounts = "latest_accounts"
   val LatestTotals   = "latest_totals"
 
@@ -103,17 +104,58 @@ object BalanceIngest {
 
         val in = BalancePipeline.Inputs(n, transfers, txs, receipts, subs,
           accounts = null, resolver = resolver, prevTotals = null)
-        val (out, next) = BalanceLedger.step(state, in, newSubLimit)
+        val (out, next0) = BalanceLedger.step(state, in, newSubLimit)
+
+        // New-token admission (initNewERC20, store/new_erc20.go:41-175):
+        // every PENDING registry row seeds a balance for every ACTIVE
+        // subscription at n through the same batched resolver, plus the
+        // per-(group, token) starting totals (A10), and its watermark
+        // flips to n+1 — the reference's "next block" convention, so the
+        // token's events are transfer-processed from n+1 on. The pending
+        // set includes tokens already flipped to n+1 so that REPLAYING
+        // block n re-seeds exactly the rows its delete bracket wipes.
+        val registry = store.readOr(RegistryTable, null)
+        val seeds = Option(registry).map { reg =>
+          reg.filter(col("block_number") === 0L || col("block_number") === n + 1)
+            .select(col("address").as("token"))
+        }.filter(_.limit(1).collect().nonEmpty).map { pend =>
+          val oldSubs = subs.filter(col("block_number") > 0L)
+            .select("address", "group").dropDuplicates("address")
+          val sBal = BalanceResolver.resolve(
+            oldSubs.select("address").crossJoin(broadcast(pend)), blockHash, client)
+          val sAcc = sBal.join(oldSubs, Seq("address"))
+            .select(col("token"), col("address"), lit(n).as("block_number"),
+              col("balance"), col("group"))
+            .localCheckpoint(true) // must survive the registry swap below
+          val zero = lit(0L).cast(Rewards.wei)
+          val sTot = sAcc.groupBy("group", "token")
+            .agg(sum("balance").cast(Rewards.wei).as("balance"))
+            .select(lit(n).as("block_number"), col("token"), col("group"),
+              col("balance"), zero.as("tx_fee"), zero.as("miner_reward"),
+              zero.as("uncles_reward"))
+          (sAcc, sTot)
+        }
+        val next = seeds.fold(next0) { case (sAcc, sTot) =>
+          BalanceLedger.State(
+            latestAccounts = BalanceLedger.upsert(next0.latestAccounts,
+              sAcc.select("token", "address", "block_number", "balance"),
+              Seq("token", "address")),
+            latestTotals = BalanceLedger.upsert(next0.latestTotals, sTot,
+              Seq("group", "token")))
+        }
 
         // replay-idempotent bracket (same as ChainIngest.appendChunk): a
         // reprocessed block rewrites its rows instead of duplicating them
         Seq(AccountsTable, TotalsTable, MatchedTable)
           .foreach(t => store.deleteRange(t, "block_number", n, n))
 
+        val accRows = out.newAccounts
+          .select("token", "address", "block_number", "balance", "group")
         store.appendBucketed(AccountsTable,
-          out.newAccounts.select("token", "address", "block_number", "balance", "group"),
+          seeds.fold(accRows)(s => accRows.unionByName(s._1)), "block_number")
+        store.appendBucketed(TotalsTable,
+          seeds.fold(out.totalBalances)(s => out.totalBalances.unionByName(s._2)),
           "block_number")
-        store.appendBucketed(TotalsTable, out.totalBalances, "block_number")
         store.appendBucketed(MatchedTable,
           out.matchedTransfers.select("token", "from", "to", "value", "block_number"),
           "block_number")
@@ -122,6 +164,14 @@ object BalanceIngest {
         // `next`'s plans still read the un-flipped subscriptions table
         saveState(store, next)
         state = loadState(spark, store)
+
+        // flip seeded tokens to n+1 (BatchUpdateERC20BlockNumber); the
+        // seed plans are checkpointed, so the registry swap is safe
+        seeds.foreach { _ =>
+          store.replace(RegistryTable, registry.withColumn("block_number",
+            when(col("block_number") === 0L, lit(n + 1))
+              .otherwise(col("block_number"))))
+        }
 
         // flip admitted new subs to active at n (BatchUpdateBlockNumber);
         // last mutation of the block so no pending plan re-reads the old files

@@ -57,6 +57,62 @@ class BalanceIngestSpec extends SparkSpec {
     assert(totals.contains(1L))
   }
 
+  test("new-token admission: pending registry rows seed active subs and flip to n+1") {
+    val store = TableStore(spark, Files.createTempDirectory("graft-bi2").toString, bucketSize = 4L)
+    var parent = hash32(0)
+    val bundles = (1L to 2L).map { n =>
+      val b = block(n, parent); parent = b.hash; Bundle(b, Nil, Nil)
+    }
+    ChainIngest.ingestBatch(spark, store, bundles.toDS().toDF(), noTokens)
+    store.replace(BalanceIngest.SubsTable,
+      Seq((1L, 0L, 1L, alice), (2L, 0L, 2L, bob))
+        .toDF("id", "block_number", "group", "address"))
+    val client = BlockAwareBalanceClient(spark.sparkContext.longAccumulator("bi2"))
+    BalanceIngest.processRange(spark, store, 1L, 1L, client) // both flip active at 1
+
+    // register token T as pending, then process block 2
+    val tokenT = addr20(9)
+    store.replace(BalanceIngest.RegistryTable,
+      Seq((tokenT, 0L, 21, "TOK")).toDF("address", "block_number", "decimals", "name"))
+    BalanceIngest.processRange(spark, store, 2L, 2L, client)
+
+    // registry flipped to n+1 = 3 (the reference's "next block" rule)
+    val regBlock = store.readOr(BalanceIngest.RegistryTable, null)
+      .head().getAs[Long]("block_number")
+    assert(regBlock == 3L)
+
+    // both active subs seeded for T at block 2, client-derived balances
+    val seeded = store.readOr(BalanceIngest.AccountsTable, null)
+      .filter(col("token") === lit(tokenT)).collect()
+      .map(r => (BigInt(1, r.getAs[Array[Byte]]("address")),
+        r.getAs[Long]("block_number"),
+        BigInt(r.getAs[java.math.BigDecimal]("balance").toBigInteger))).toSet
+    assert(seeded == Set(
+      (BigInt(1, alice), 2L, bal(alice, hashAt(2L))),
+      (BigInt(1, bob), 2L, bal(bob, hashAt(2L)))))
+
+    // per-group starting totals (A10) with zeroed fee/reward components
+    val seedTotals = store.readOr(BalanceIngest.TotalsTable, null)
+      .filter(col("token") === lit(tokenT)).collect()
+      .map(r => r.getAs[Long]("group") ->
+        ((BigInt(r.getAs[java.math.BigDecimal]("balance").toBigInteger),
+          BigInt(r.getAs[java.math.BigDecimal]("tx_fee").toBigInteger)))).toMap
+    assert(seedTotals == Map(
+      1L -> ((bal(alice, hashAt(2L)), BigInt(0))),
+      2L -> ((bal(bob, hashAt(2L)), BigInt(0)))))
+
+    // compact state includes the seeds
+    val st = BalanceIngest.loadState(spark, store)
+    assert(st.latestAccounts.filter(col("token") === lit(tokenT)).count() == 2L)
+
+    // replaying block 2 re-seeds the wiped rows: still exactly one row per sub
+    BalanceIngest.processRange(spark, store, 2L, 2L, client)
+    assert(store.readOr(BalanceIngest.AccountsTable, null)
+      .filter(col("token") === lit(tokenT)).count() == 2L)
+    assert(store.readOr(BalanceIngest.RegistryTable, null)
+      .head().getAs[Long]("block_number") == 3L)
+  }
+
   test("ingest → per-block balance processing → totals, fees, flips, reorg") {
     val store = TableStore(spark, Files.createTempDirectory("graft-bi").toString, bucketSize = 4L)
 
