@@ -91,8 +91,17 @@ object PqEncode {
   def codeWeight(sub: Int, j: Int, t: Int): Double =
     ((sub * 131 + j * 17 + t * 7) % 19 - 9) / 4.0
 
+  /** Input rows shorter than the declared dim would otherwise read past the
+    * array inside generated code — surface a clear error instead.
+    */
+  private def requireDim(vec: ArrayData, dim: Int): Unit =
+    if (vec.numElements() < dim)
+      throw new IllegalArgumentException(
+        s"pq kernel: input vector has ${vec.numElements()} elements, expected >= $dim")
+
   /** Static encode target for both interpreted and generated code. */
   def encode(vec: ArrayData, dim: Int, m: Int, k: Int): Long = {
+    requireDim(vec, dim)
     val dsub = dim / m
     var packed = 0L
     var mult = 1L
@@ -125,6 +134,7 @@ object PqEncode {
     * subspace order.
     */
   def adc(vec: ArrayData, code: Long, dim: Int, m: Int, k: Int): Double = {
+    requireDim(vec, dim)
     val dsub = dim / m
     var total = 0.0
     var rest = code

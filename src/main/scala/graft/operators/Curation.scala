@@ -197,6 +197,16 @@ object Curation {
     * order), and the budget multiply runs in DECIMAL so the floor can't
     * straddle a double ulp. The strata relation is tiny (one row per
     * source/language), so the totals cross-join broadcasts.
+    *
+    * Budget conservation is enforced, not assumed: the display weights are
+    * rounded independently, so Σ⌊weight·budget⌋ can exceed the budget by a
+    * few tokens when many strata all round up. A cumulative-sum clamp in
+    * stratum order (water-filling: each stratum keeps at most what remains
+    * of the budget after every earlier stratum) makes Σ alloc ≤ budget an
+    * identity — the prefix sums telescope — while leaving the common case
+    * (Σ raw ≤ budget) byte-identical. The single-partition window is safe
+    * here: it runs on the post-aggregation strata relation (one row per
+    * source), never on document rows.
     */
   def temperatureMixture(df: DataFrame, strataCol: String, nTokens: Column,
                          alpha: Double, tokenBudget: Long): DataFrame = {
@@ -205,11 +215,16 @@ object Curation {
       .withColumn("__p",
         round(pow(col("n_tokens").cast("double"), lit(alpha)), 6).cast("decimal(28,6)"))
     val total = perStratum.agg(sum("__p").as("__tot"))
+    val cum = Window.orderBy(strataCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     perStratum.crossJoin(broadcast(total))
       .withColumn("weight",
         round(col("__p").cast("double") / col("__tot").cast("double"), 6))
-      .withColumn("alloc_tokens",
+      .withColumn("__raw",
         floor(col("weight").cast("decimal(12,6)") * lit(tokenBudget)).cast("long"))
+      .withColumn("__cum", sum("__raw").over(cum))
+      .withColumn("alloc_tokens",
+        greatest(lit(0L), col("__raw") - greatest(lit(0L), col("__cum") - lit(tokenBudget))))
       .select(col(strataCol), col("n_tokens"), col("weight"), col("alloc_tokens"))
   }
 

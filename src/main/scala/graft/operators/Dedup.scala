@@ -360,25 +360,41 @@ object Dedup {
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 30,
                           driverMaxEdges: Int = 2000000): DataFrame = {
-    val sym = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
+    // The long-normalization (and the driver fast path it enables) only
+    // applies to integral id columns; any other orderable type (string,
+    // binary, decimal ids) keeps its native type and takes the distributed
+    // min-label loop, where `min` works on every orderable type.
+    val integralIds = Seq(srcCol, dstCol).forall { c =>
+      edges.schema(c).dataType match {
+        case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+    }
+    val sym =
+      if (integralIds)
+        edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      else edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val undBase = sym.union(sym.select(col("dst"), col("src"))).distinct()
     // Small-graph fast path: a near-dup edge list is orders of magnitude
     // smaller than its corpus (candidates survive banding AND verification),
     // so it routinely fits the driver even when the corpus is 100 TB. Under
-    // `driverMaxEdges` (~64 MB of long pairs at the default), a driver
-    // union-find replaces the iterative join loop: ONE limit-probed collect
-    // (which doubles as the size check) instead of O(log d) rounds ×
+    // `driverMaxEdges` (~64 MB of specialized (Long, Long) pairs at the
+    // default — collected as a primitive-tuple Dataset, not GenericRows), a
+    // driver union-find replaces the iterative join loop: ONE limit-probed
+    // collect (which doubles as the size check) instead of O(log d) rounds ×
     // (join + aggregate + checkpoint) jobs — the rounds are pure scheduling
     // overhead at this size. Union-by-min keeps the invariant root = min id
     // of the component, so both paths emit identical labels; graphs above
     // the threshold take the distributed loop below.
-    val probed =
-      if (driverMaxEdges > 0 && driverMaxEdges < Int.MaxValue)
-        undBase.limit(driverMaxEdges + 1).collect()
-      else Array.empty[org.apache.spark.sql.Row]
-    if (driverMaxEdges > 0 && driverMaxEdges < Int.MaxValue
-        && probed.length <= driverMaxEdges) {
+    val tryDriver = integralIds && driverMaxEdges > 0 && driverMaxEdges < Int.MaxValue
+    val probed: Array[(Long, Long)] =
+      if (tryDriver) {
+        val spark = edges.sparkSession
+        import spark.implicits._
+        undBase.as[(Long, Long)].limit(driverMaxEdges + 1).collect()
+      } else Array.empty[(Long, Long)]
+    if (tryDriver && probed.length <= driverMaxEdges) {
       val parent = new java.util.HashMap[java.lang.Long, java.lang.Long](probed.length * 2 + 16)
       def find(x: Long): Long = {
         var r = x
@@ -387,8 +403,7 @@ object Dedup {
         while (c != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
         r
       }
-      probed.foreach { row =>
-        val a = row.getLong(0); val b = row.getLong(1)
+      probed.foreach { case (a, b) =>
         parent.putIfAbsent(a, a)
         parent.putIfAbsent(b, b)
         val ra = find(a); val rb = find(b)

@@ -705,10 +705,17 @@ object PipelineQueries {
          | tot AS (SELECT sum(pp) AS tt FROM p),
          | w AS (SELECT source, n_tokens,
          |    round(CAST(pp AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS weight
-         |  FROM p, tot)
+         |  FROM p, tot),
+         | a AS (SELECT source, n_tokens, weight,
+         |    CAST(floor(CAST(weight AS DECIMAL(12,6)) * 1000000) AS BIGINT) AS raw
+         |  FROM w),
+         | c AS (SELECT source, n_tokens, weight, raw,
+         |    CAST(sum(raw) OVER (ORDER BY source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM a)
          | SELECT source, n_tokens, weight,
-         |   CAST(floor(CAST(weight AS DECIMAL(12,6)) * 1000000) AS BIGINT) AS alloc_tokens
-         | FROM w ORDER BY source""".stripMargin
+         |   greatest(0, raw - greatest(0, cum - 1000000)) AS alloc_tokens
+         | FROM c ORDER BY source""".stripMargin
     ),
 
     // R5 — leakage-safe train/val/test split: exact-dup groups (md5 of the

@@ -119,8 +119,14 @@ object BalanceIngest {
           reg.filter(col("block_number") === 0L || col("block_number") === n + 1)
             .select(col("address").as("token"))
         }.filter(_.limit(1).collect().nonEmpty).map { pend =>
+          // flip-before-seed ordering (transfer_processor.go:316 before
+          // new_erc20.go's ListOldSubscriptions): subs admitted THIS block
+          // are already active when the new token seeds, so union them in —
+          // otherwise the (sub, token) seed row is missed and never heals
           val oldSubs = subs.filter(col("block_number") > 0L)
-            .select("address", "group").dropDuplicates("address")
+            .select("address", "group")
+            .unionByName(out.updatedSubs.select("address", "group"))
+            .dropDuplicates("address")
           val sBal = BalanceResolver.resolve(
             oldSubs.select("address").crossJoin(broadcast(pend)), blockHash, client)
           val sAcc = sBal.join(oldSubs, Seq("address"))
