@@ -32,6 +32,11 @@ class BalanceIngestSpec extends SparkSpec {
   private def bal(addr: Array[Byte], blockHash: Array[Byte]): BigInt =
     (BigInt(1, addr) % BigInt(10).pow(20)) + (blockHash(0) & 0xff).toLong
 
+  /** Landed hash of block n, read back through the store. */
+  private def hashAt(store: TableStore, n: Long): Array[Byte] =
+    store.readRange(ChainIngest.HeadersTable, "number", n, n, null)
+      .select("hash").head().getAs[Array[Byte]](0)
+
   test("a first chunk of tx-less blocks leaves readable-empty tables (no schema-inference crash)") {
     // the advisor's scenario: every block in the first ingested chunk has
     // zero transactions, so transactions/receipts/logs land as
@@ -88,8 +93,8 @@ class BalanceIngestSpec extends SparkSpec {
         r.getAs[Long]("block_number"),
         BigInt(r.getAs[java.math.BigDecimal]("balance").toBigInteger))).toSet
     assert(seeded == Set(
-      (BigInt(1, alice), 2L, bal(alice, hashAt(2L))),
-      (BigInt(1, bob), 2L, bal(bob, hashAt(2L)))))
+      (BigInt(1, alice), 2L, bal(alice, hashAt(store, 2L))),
+      (BigInt(1, bob), 2L, bal(bob, hashAt(store, 2L)))))
 
     // per-group starting totals (A10) with zeroed fee/reward components
     val seedTotals = store.readOr(BalanceIngest.TotalsTable, null)
@@ -98,8 +103,8 @@ class BalanceIngestSpec extends SparkSpec {
         ((BigInt(r.getAs[java.math.BigDecimal]("balance").toBigInteger),
           BigInt(r.getAs[java.math.BigDecimal]("tx_fee").toBigInteger)))).toMap
     assert(seedTotals == Map(
-      1L -> ((bal(alice, hashAt(2L)), BigInt(0))),
-      2L -> ((bal(bob, hashAt(2L)), BigInt(0)))))
+      1L -> ((bal(alice, hashAt(store, 2L)), BigInt(0))),
+      2L -> ((bal(bob, hashAt(store, 2L)), BigInt(0)))))
 
     // compact state includes the seeds
     val st = BalanceIngest.loadState(spark, store)
@@ -136,17 +141,13 @@ class BalanceIngestSpec extends SparkSpec {
     val client = BlockAwareBalanceClient(calls)
     BalanceIngest.processRange(spark, store, 1L, 3L, client)
 
-    val hashAt = (1L to 3L).map(n => n ->
-      store.readRange(ChainIngest.HeadersTable, "number", n, n, null)
-        .select("hash").head().getAs[Array[Byte]](0)).toMap
-
     // bob (new at 1) seeded with the full balance at block 1
     val accounts = store.readOr(BalanceIngest.AccountsTable, null).collect()
       .map(r => (r.getAs[Array[Byte]]("address").toSeq, r.getAs[Long]("block_number")) ->
         BigInt(r.getAs[java.math.BigDecimal]("balance").toBigInteger)).toMap
-    assert(accounts((bob.toSeq, 1L)) == bal(bob, hashAt(1L)))
+    assert(accounts((bob.toSeq, 1L)) == bal(bob, hashAt(store, 1L)))
     // alice touched at block 2 (tx sender) → snapshot at 2
-    assert(accounts((alice.toSeq, 2L)) == bal(alice, hashAt(2L)))
+    assert(accounts((alice.toSeq, 2L)) == bal(alice, hashAt(store, 2L)))
     assert(!accounts.contains((alice.toSeq, 1L))) // untouched at 1
 
     // totals: group 2 at block 1 = bob's seed; carried to absence at 2
@@ -155,7 +156,7 @@ class BalanceIngestSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("block_number"), r.getAs[Long]("group")) ->
         (BigInt(r.getAs[java.math.BigDecimal]("balance").toBigInteger),
           BigInt(r.getAs[java.math.BigDecimal]("tx_fee").toBigInteger))).toMap
-    assert(totals((1L, 2L))._1 == bal(bob, hashAt(1L)))
+    assert(totals((1L, 2L))._1 == bal(bob, hashAt(store, 1L)))
     // group 1 at block 2: alice's delta folded in, fee = 100 gas_price × 21000 gas
     assert(totals((2L, 1L))._2 == BigInt(100L * 21000L))
 
