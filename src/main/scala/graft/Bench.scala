@@ -14,7 +14,12 @@ import java.nio.file.{Files, Paths}
   *   - timing materializes the FULL physical plan via
   *     `queryExecution.toRdd.count()` — `.count()` on the DataFrame would
   *     let Catalyst prune every unreferenced projection and measure a
-  *     different (smaller) plan than the one users run.
+  *     different (smaller) plan than the one users run;
+  *   - each query is timed `TRIALS` times and the MEDIAN is reported:
+  *     round 6 ran on byte-identical code and single-run times still
+  *     swung 3-9× both directions (GC, page cache, thread scheduling), so
+  *     a single sample cannot promote or demote a plan. The median of 3
+  *     discards one outlier in either direction.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -36,11 +41,15 @@ object Bench {
     // one throwaway query to absorb session/VM startup
     names.headOption.foreach(materialize(_, warmDir))
 
+    val trials = sys.env.get("SPARK_GRAFT_BENCH_TRIALS").map(_.toInt).getOrElse(3)
     val results = names.map { name =>
       materialize(name, warmDir) // warm THIS query's codegen, then time it
-      val t0 = System.nanoTime()
-      materialize(name, sfDir)
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (0 until trials).map { _ =>
+        val t0 = System.nanoTime()
+        materialize(name, sfDir)
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.length / 2) // median
     }
     // Centisecond precision keeps the line SHORT (~1.7 KB for 75+ queries):
     // the driver parses the JSON out of a bounded ~2 KB tail of the sbt

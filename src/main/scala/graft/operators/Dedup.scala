@@ -253,9 +253,17 @@ object Dedup {
     * larger maxHamming keeps the scheme as a recall-tuned LSH), verified by
     * exact Hamming via bit_count(xor) on each half. The hash plan runs
     * once: chunk rows come from posexplode, pairs from a bucket groupBy.
+    *
+    * `maxBucket` is the same skew valve as `candidatePairs`: a hot 16-bit
+    * chunk value (short/boilerplate docs hash near zero) would otherwise
+    * collect an unbounded array into one row and explode O(n²) pairs.
+    * Off by default so small-scale results stay exact; at corpus scale a
+    * bucket above the cap is both quadratic and useless as a discriminator,
+    * and the other three chunks still provide recall.
     */
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3,
+                      maxBucket: Option[Int] = None): DataFrame = {
     val hashed = simHashHalves(df, idCol, textCol)
     val chunkVals = array(
       col("sh_lo").bitwiseAND(lit(0xFFFFL)),
@@ -265,9 +273,10 @@ object Dedup {
     val chunked = hashed.select(
       struct(col(idCol).as("id"), col("sh_lo").as("lo"), col("sh_hi").as("hi")).as("__doc"),
       posexplode(chunkVals).as(Seq("chunk", "chunk_val")))
-    val buckets = chunked.groupBy("chunk", "chunk_val")
+    val grouped = chunked.groupBy("chunk", "chunk_val")
       .agg(sort_array(collect_set(col("__doc"))).as("__ids"))
       .filter(size(col("__ids")) > 1)
+    val buckets = maxBucket.fold(grouped)(m => grouped.filter(size(col("__ids")) <= m))
     buckets.select(explode(orderedPairs(col("__ids"))).as("__p"))
       .select(col("__p.a.id").as("id_a"), col("__p.b.id").as("id_b"),
         col("__p.a.lo").as("lo_a"), col("__p.a.hi").as("hi_a"),
