@@ -1,0 +1,88 @@
+package graft.chain
+
+import java.util.{Collections, LinkedHashMap => JLinkedHashMap, Map => JMap}
+import org.apache.spark.sql.{DataFrame, Row}
+import scala.collection.immutable.ArraySeq
+
+/** Read-through cache over the hot point lookups of [[ChainStore]] — the
+  * Spark face of the reference's ARC cache middlewares, which wrap every
+  * serving-path store in a 128-entry block/TD cache
+  * (store/block_header/cache.go:36-138, client/cache.go:29-141).
+  *
+  * An entry holds the COLLECTED rows of one point lookup (≤1 row each), so
+  * a hit is replanned from a LocalRelation: no file scan, no shuffle, no
+  * job against the backing tables — the exact work the reference's cache
+  * saves its SQL backend. The reference uses ARC; here a bounded
+  * access-ordered LRU gives the same contract (bounded memory, hot keys
+  * survive) without ARC's ghost lists, which earn their keep against
+  * scan-polluted DB buffer pools, not a point-lookup memo.
+  *
+  * Retraction invalidates (the analogue of the eviction the reference's
+  * indexer performs when a reorg rewinds its stores): `invalidateRange`
+  * drops every entry whose cached row sits in the retracted block interval
+  * — and every EMPTY (negative) entry, because the winning branch can
+  * materialize a block that was previously absent.
+  *
+  * Thread-safe; the map is the JDK synchronized wrapper and sweeps hold
+  * its monitor, matching `Collections.synchronizedMap`'s iteration rule.
+  */
+final class CachedChainStore(val underlying: ChainStore, maxEntries: Int = 128) {
+  require(maxEntries > 0, "maxEntries must be positive")
+
+  private type Key = (String, ArraySeq[Byte])
+  private final case class Entry(rows: Array[Row], blockNumbers: Seq[Long])
+
+  private val cache: JMap[Key, Entry] =
+    Collections.synchronizedMap(
+      new JLinkedHashMap[Key, Entry](16, 0.75f, true) {
+        override def removeEldestEntry(e: JMap.Entry[Key, Entry]): Boolean =
+          this.size() > maxEntries
+      })
+
+  /** Serve `kind`/`key` from cache, else collect the lookup once and
+    * remember it. `numberCol` names the block-height column of the result
+    * — the invalidation key a retraction sweeps on.
+    */
+  private def memo(kind: String, key: Array[Byte], lookup: => DataFrame,
+                   numberCol: String): DataFrame = {
+    val k: Key = (kind, ArraySeq.unsafeWrapArray(key))
+    val df = lookup // plan construction only — nothing executes here
+    val hit = cache.get(k)
+    val entry =
+      if (hit != null) hit
+      else {
+        val rows = df.collect()
+        val e = Entry(rows, ArraySeq.unsafeWrapArray(rows.map(_.getAs[Long](numberCol))))
+        cache.put(k, e)
+        e
+      }
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(entry.rows: _*), df.schema)
+  }
+
+  // -- the reference's cached lookups (block_header/cache.go, client/cache.go)
+  def findBlockByHash(hash: Array[Byte]): DataFrame =
+    memo("blockByHash", hash, underlying.findBlockByHash(hash), "number")
+
+  def findBlockByNumber(n: Long): DataFrame =
+    memo("blockByNumber", java.nio.ByteBuffer.allocate(8).putLong(n).array(),
+      underlying.findBlockByNumber(n), "number")
+
+  def findTd(hash: Array[Byte]): DataFrame =
+    memo("td", hash, underlying.findTd(hash), "block")
+
+  /** Drop every entry touching the retracted interval [from, to], plus all
+    * negative (empty) entries — a reorg may have created what was missing.
+    */
+  def invalidateRange(from: Long, to: Long): Unit = cache.synchronized {
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      val nums = it.next().getValue.blockNumbers
+      if (nums.isEmpty || nums.exists(n => n >= from && n <= to)) it.remove()
+    }
+  }
+
+  def invalidateAll(): Unit = cache.clear()
+
+  def size: Int = cache.size()
+}

@@ -33,6 +33,23 @@ final case class JdbcMirror(spark: SparkSession, url: String) {
   def append(table: String, df: DataFrame): Unit =
     stringifyWideDecimals(df).write.mode(SaveMode.Append).jdbc(url, table, props)
 
+  /** Replay-tolerant append for a known block range — the reference treats
+    * duplicate-key on re-insert as benign (common/errors.go:48-57, replayed
+    * in service/indexer/indexer.go:151-163) because a crashed loop replays
+    * its last chunk. Spark's JDBC writer has no INSERT IGNORE, so the same
+    * idempotency is delete-then-append keyed by the chunk's range: the
+    * DELETE is a no-op on first write (and when the table doesn't exist
+    * yet) and clears the partial residue on replay, making
+    * `appendRange(t, df, c, f, to)` safe to run any number of times.
+    * Callers that already retracted (reorg handling) lose nothing — the
+    * second DELETE matches zero rows.
+    */
+  def appendRange(table: String, df: DataFrame, rangeCol: String,
+                  from: Long, to: Long): Unit = {
+    if (exists(table)) deleteRange(table, rangeCol, from, to)
+    append(table, df)
+  }
+
   /** The reference's retraction statement, verbatim semantics. The range
     * COLUMN is quoted with the DRIVER'S quote string from connection
     * metadata (backticks on MySQL, double quotes on Derby/Postgres) —

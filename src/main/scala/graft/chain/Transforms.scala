@@ -174,13 +174,30 @@ object Transforms {
   /** total_difficulty: td = parent_td + difficulty
     * (service/indexer/indexer.go:249-274) — a cumulative sum in block
     * order over the canonical chain. Sequential by construction; in
-    * streaming the running value is carried as state, in batch it is a
-    * window. (A global window is acceptable because headers are tiny
-    * relative to payload tables — one row per block.)
+    * streaming the running value is carried as state (the admission fold),
+    * in batch it is this distributed two-level scan — the same shape as
+    * `Curation.sequencePacking`: per-block cumsum WITHIN coarse number
+    * ranges (a partitioned window), plus each range's exclusive offset
+    * computed on the tiny per-range totals relation and broadcast back.
+    * A bare `Window.orderBy("number")` would funnel ALL history through
+    * one task; here only #ranges rows (one per `rangeWidth` blocks —
+    * ~200 rows for the full chain at the default) ever cross an
+    * unpartitioned window.
     */
-  def totalDifficulty(headers: DataFrame): DataFrame =
-    headers.select(col("number").as("block"), col("hash"),
-      sum(col("difficulty").cast(wei))
-        .over(Window.orderBy("number").rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast(wei).as("td"))
+  def totalDifficulty(headers: DataFrame, rangeWidth: Long = 100000L): DataFrame = {
+    require(rangeWidth > 0, "rangeWidth must be positive")
+    val base = headers.select(col("number"), col("hash"),
+        col("difficulty").cast(wei).as("__d"))
+      .withColumn("__r", floor(col("number") / rangeWidth).cast("long"))
+    val offsets = base.groupBy("__r").agg(sum("__d").as("__rt"))
+      .withColumn("__off", coalesce(
+        sum("__rt").over(Window.orderBy("__r")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0).cast(wei)))
+      .drop("__rt")
+    val w = Window.partitionBy("__r").orderBy("number")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(offsets), Seq("__r"))
+      .select(col("number").as("block"), col("hash"),
+        (sum("__d").over(w) + col("__off")).cast(wei).as("td"))
+  }
 }

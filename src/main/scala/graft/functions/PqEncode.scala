@@ -92,12 +92,23 @@ object PqEncode {
     ((sub * 131 + j * 17 + t * 7) % 19 - 9) / 4.0
 
   /** Input rows shorter than the declared dim would otherwise read past the
-    * array inside generated code — surface a clear error instead.
+    * array inside generated code, and NULL elements would read as 0.0f
+    * through `getFloat` and encode silently-wrong codes — surface a clear
+    * error for both instead. (The null scan is a per-element bit test on
+    * UnsafeArrayData — noise next to the k·dim distance loop.)
     */
-  private def requireDim(vec: ArrayData, dim: Int): Unit =
+  private def requireDim(vec: ArrayData, dim: Int): Unit = {
     if (vec.numElements() < dim)
       throw new IllegalArgumentException(
         s"pq kernel: input vector has ${vec.numElements()} elements, expected >= $dim")
+    var i = 0
+    while (i < dim) {
+      if (vec.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"pq kernel: input vector has a NULL element at index $i")
+      i += 1
+    }
+  }
 
   /** Static encode target for both interpreted and generated code. */
   def encode(vec: ArrayData, dim: Int, m: Int, k: Int): Long = {

@@ -200,12 +200,19 @@ object Curation {
     *
     * Budget conservation is enforced, not assumed: the display weights are
     * rounded independently, so Σ⌊weight·budget⌋ can exceed the budget by a
-    * few tokens when many strata all round up. A cumulative-sum clamp in
-    * stratum order (water-filling: each stratum keeps at most what remains
-    * of the budget after every earlier stratum) makes Σ alloc ≤ budget an
-    * identity — the prefix sums telescope — while leaving the common case
-    * (Σ raw ≤ budget) byte-identical. The single-partition window is safe
-    * here: it runs on the post-aggregation strata relation (one row per
+    * few tokens when many strata all round up. The excess is given back by
+    * LARGEST REMAINDER: every stratum returns ⌊excess/n⌋ tokens, and the
+    * last `excess mod n` come from the strata whose floored allocation
+    * kept the SMALLEST fractional remainder — they sit closest to their
+    * exact entitlement, so the dock is spread by proximity instead of
+    * always falling on the lexicographically-last stratum (the bias a
+    * stratum-ordered cumulative clamp has). Ties break by stratum name;
+    * the common case (Σ raw ≤ budget) stays byte-identical to no clamp,
+    * and when the excess path fires Σ alloc == budget exactly (barring a
+    * stratum clamped at 0, which only under-allocates — the safe
+    * direction). The remainder is compared as an exact DECIMAL, so both
+    * engines rank identically. The single-partition windows are safe
+    * here: they run on the post-aggregation strata relation (one row per
     * source), never on document rows.
     */
   def temperatureMixture(df: DataFrame, strataCol: String, nTokens: Column,
@@ -215,16 +222,21 @@ object Curation {
       .withColumn("__p",
         round(pow(col("n_tokens").cast("double"), lit(alpha)), 6).cast("decimal(28,6)"))
     val total = perStratum.agg(sum("__p").as("__tot"))
-    val cum = Window.orderBy(strataCol)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perStratum.crossJoin(broadcast(total))
+    val sized = perStratum.crossJoin(broadcast(total))
       .withColumn("weight",
         round(col("__p").cast("double") / col("__tot").cast("double"), 6))
-      .withColumn("__raw",
-        floor(col("weight").cast("decimal(12,6)") * lit(tokenBudget)).cast("long"))
-      .withColumn("__cum", sum("__raw").over(cum))
+      .withColumn("__rawd", col("weight").cast("decimal(12,6)") * lit(tokenBudget))
+      .withColumn("__raw", floor(col("__rawd")).cast("long"))
+      .withColumn("__frac", col("__rawd") - col("__raw"))
+    val excess = sized.agg(
+      greatest(lit(0L), sum("__raw") - lit(tokenBudget)).as("__x"),
+      count(lit(1)).as("__n"))
+    val rk = Window.orderBy(col("__frac").asc, col(strataCol).asc)
+    sized.crossJoin(broadcast(excess))
+      .withColumn("__rk", row_number().over(rk).cast("long"))
       .withColumn("alloc_tokens",
-        greatest(lit(0L), col("__raw") - greatest(lit(0L), col("__cum") - lit(tokenBudget))))
+        greatest(lit(0L), col("__raw") - expr("__x DIV __n") -
+          when(col("__rk") <= expr("__x % __n"), lit(1L)).otherwise(lit(0L))))
       .select(col(strataCol), col("n_tokens"), col("weight"), col("alloc_tokens"))
   }
 

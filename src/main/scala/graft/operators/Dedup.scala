@@ -380,6 +380,15 @@ object Dedup {
         case _ => false
       }
     }
+    // Non-integral ids must already share one type: the symmetrizing union
+    // below is positional, and Spark would otherwise insert a silent common
+    // cast (string vs decimal → double, …) that changes label identity.
+    if (!integralIds) {
+      val (st, dt) = (edges.schema(srcCol).dataType, edges.schema(dstCol).dataType)
+      require(st == dt,
+        s"connectedComponents: id columns must share one type, got " +
+          s"${st.catalogString} vs ${dt.catalogString} — cast both to a common type first")
+    }
     val sym =
       if (integralIds)
         edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))

@@ -707,15 +707,20 @@ object PipelineQueries {
          |    round(CAST(pp AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS weight
          |  FROM p, tot),
          | a AS (SELECT source, n_tokens, weight,
-         |    CAST(floor(CAST(weight AS DECIMAL(12,6)) * 1000000) AS BIGINT) AS raw
+         |    CAST(weight AS DECIMAL(12,6)) * 1000000 AS rawd
          |  FROM w),
-         | c AS (SELECT source, n_tokens, weight, raw,
-         |    CAST(sum(raw) OVER (ORDER BY source
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
-         |  FROM a)
+         | b AS (SELECT source, n_tokens, weight,
+         |    CAST(floor(rawd) AS BIGINT) AS raw,
+         |    rawd - CAST(floor(rawd) AS BIGINT) AS frac
+         |  FROM a),
+         | e AS (SELECT greatest(0, CAST(sum(raw) AS BIGINT) - 1000000) AS x,
+         |    count(*) AS n FROM b),
+         | r AS (SELECT b.*, e.x, e.n,
+         |    row_number() OVER (ORDER BY frac ASC, source ASC) AS rk
+         |  FROM b, e)
          | SELECT source, n_tokens, weight,
-         |   greatest(0, raw - greatest(0, cum - 1000000)) AS alloc_tokens
-         | FROM c ORDER BY source""".stripMargin
+         |   greatest(0, raw - x // n - (CASE WHEN rk <= x % n THEN 1 ELSE 0 END)) AS alloc_tokens
+         | FROM r ORDER BY source""".stripMargin
     ),
 
     // R5 — leakage-safe train/val/test split: exact-dup groups (md5 of the

@@ -42,6 +42,22 @@ class JdbcMirrorSpec extends SparkSpec {
     assert(db.read("block_headers").count() == 20L)
   }
 
+  test("appendRange replays the same chunk idempotently (common/errors.go:48-57)") {
+    val db = freshDb()
+    def chunk(tag: String) = (5L to 9L).map(n => (n, s"$tag$n")).toDF("block_number", "v")
+    db.appendRange("replay", chunk("a"), "block_number", 5L, 9L) // table created
+    db.appendRange("replay", chunk("a"), "block_number", 5L, 9L) // crashed-loop replay
+    assert(db.read("replay").count() == 5L) // no duplicates, no error
+    // a replay carrying the WINNING branch's rows replaces the old chunk
+    db.appendRange("replay", chunk("b"), "block_number", 5L, 9L)
+    val got = db.read("replay").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == (5L to 9L).map(n => n -> s"b$n").toMap)
+    // rows outside the declared range are untouched
+    db.append("replay", Seq((1L, "keep")).toDF("block_number", "v"))
+    db.appendRange("replay", chunk("c"), "block_number", 5L, 9L)
+    assert(db.read("replay").count() == 6L)
+  }
+
   test("usable as a foreachBatch mirror target") {
     val db  = freshDb()
     val hdr = Seq((1L, hash32(1), 1000L)).toDF("number", "hash", "difficulty")

@@ -82,6 +82,23 @@ class TransformsSpec extends SparkSpec {
     assert(got == Seq(100L, 350L, 400L))
   }
 
+  test("totalDifficulty two-level scan: range-partitioned, same result at any width") {
+    val headers = Transforms.blockHeaders(
+      (1L to 20L).map(n => block(n, hash32(n.toInt - 1), difficulty = 100L + n)).toDS().toDF())
+    val naive = (1L to 20L).scanLeft(0L)((acc, n) => acc + 100L + n).drop(1)
+    Seq(3L, 7L, 100000L).foreach { width =>
+      val got = Transforms.totalDifficulty(headers, rangeWidth = width)
+        .orderBy("block").select("td").collect().map(_.getDecimal(0).longValue()).toSeq
+      assert(got == naive, s"rangeWidth=$width")
+    }
+    // plan contract: history flows through a __r-partitioned window; only
+    // the per-range offsets relation may cross a single-partition exchange
+    val plan = Transforms.totalDifficulty(headers, rangeWidth = 3L)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Exchange SinglePartition")) <= 1,
+      s"full history must not funnel through one task:\n$plan")
+  }
+
   test("rewardTransfers synthesizes sentinel miner/uncle rows (U1/F10)") {
     val b = block(7L, hash32(6), uncles = Seq(UncleRef(hash32(55), uncleA, 6L)))
     val got = Transforms.rewardTransfers(Seq(b).toDS().toDF()).collect()

@@ -120,6 +120,26 @@ class CurationSpec extends SparkSpec {
     assert(got("big") == ((400L, 0.666667, 600L)))  // floor(0.666667*900) = 600
   }
 
+  test("temperatureMixture apportions rounding excess by largest remainder") {
+    // α=1, masses 1/1/4 → weights 0.166667/0.166667/0.666667 (each rounds
+    // UP, Σ=1.000001). B=1e6: raw floors are 166667/166667/666667,
+    // Σ=1000001 → excess 1, all fracs tie at 0 → the name tie-break docks
+    // "a" alone (not the lexicographically-LAST stratum, the old bias).
+    val df = Seq(("a", 1L), ("b", 1L), ("c", 4L)).toDF("s", "n")
+    val got = Curation.temperatureMixture(df, "s", col("n"), alpha = 1.0, tokenBudget = 1000000L)
+      .collect().map(r => r.getAs[String]("s") -> r.getAs[Long]("alloc_tokens")).toMap
+    assert(got == Map("a" -> 166666L, "b" -> 166667L, "c" -> 666667L))
+    assert(got.values.sum == 1000000L) // excess path lands exactly on budget
+
+    // B=3000001: fracs differ (.166667/.166667/.666667), excess 2 — the
+    // two SMALLEST remainders (a, b) give back a token; c, closest to its
+    // exact entitlement, is spared.
+    val got2 = Curation.temperatureMixture(df, "s", col("n"), alpha = 1.0, tokenBudget = 3000001L)
+      .collect().map(r => r.getAs[String]("s") -> r.getAs[Long]("alloc_tokens")).toMap
+    assert(got2 == Map("a" -> 500000L, "b" -> 500000L, "c" -> 2000001L))
+    assert(got2.values.sum == 3000001L)
+  }
+
   test("leakageSafeSplit sends every exact-dup twin into its representative's split") {
     val docs = Seq(
       (5L, "same text"), (1L, "same text"), (9L, "same text"),

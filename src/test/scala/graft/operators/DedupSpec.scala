@@ -70,6 +70,22 @@ class DedupSpec extends SparkSpec {
     assert(row.getAs[Int]("uni") == 9)
   }
 
+  test("simHashNearDups maxBucket valve bounds degenerate chunk buckets") {
+    // many short docs that all hash to the same 16-bit chunk values —
+    // the boilerplate-corpus degeneracy the valve exists for
+    val degenerate = (1L to 12L).map(i => (i, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val all = Dedup.simHashNearDups(degenerate, "doc_id", "text").count()
+    assert(all == 12L * 11 / 2) // uncapped: full quadratic pair set
+    val capped = Dedup.simHashNearDups(degenerate, "doc_id", "text", maxBucket = Some(4))
+    assert(capped.count() == 0L) // every bucket exceeds the cap → dropped whole
+    // the valve must not disturb non-degenerate pairs: docs 1/2/4 still link
+    val normal = Dedup.simHashNearDups(docs, "doc_id", "text",
+      maxHamming = 10, maxBucket = Some(8))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(normal.contains((1L, 2L)))
+  }
+
   test("simHash of identical docs equal; near dup within small hamming") {
     val h = Dedup.simHash64(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -120,6 +136,20 @@ class DedupSpec extends SparkSpec {
     val expect = parent.keys.map(k => k -> find(k)).toMap
     assert(got == expect)
     assert(gotLoop == expect)
+  }
+
+  test("connectedComponents works on string ids and rejects mismatched id types") {
+    val sedges = Seq(("b", "a"), ("b", "c"), ("x", "y")).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(sedges, "id_a", "id_b")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+    // string src vs decimal dst would union positionally through a silent
+    // common cast — must be rejected, not coerced
+    val bad = Seq(("a", java.math.BigDecimal.ONE)).toDF("id_a", "id_b")
+    val err = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(bad, "id_a", "id_b")
+    }
+    assert(err.getMessage.contains("common type"))
   }
 
   test("winnowEdges links docs sharing >=minShared fingerprints, transitively clusterable") {

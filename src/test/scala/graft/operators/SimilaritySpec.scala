@@ -14,6 +14,23 @@ class SimilaritySpec extends SparkSpec {
     (4L, Array(-1.0f, 0.0f, 0.0f))
   ).toDF("vec_id", "embedding")
 
+  test("pq kernels reject NULL vector elements instead of reading them as 0.0") {
+    val df = spark.range(1).select(
+      expr("array(cast(1.0 as float), cast(null as float), cast(0.5 as float), cast(0.5 as float))")
+        .as("v"))
+    val enc = intercept[Exception] {
+      df.select(graft.functions.PqEncode(col("v"), dim = 4, m = 2, k = 4)).collect()
+    }
+    assert(exceptionChain(enc).exists(t => Option(t.getMessage).exists(_.contains("NULL element"))))
+    val adc = intercept[Exception] {
+      df.select(graft.functions.PqEncode.adcColumn(col("v"), lit(3L), dim = 4, m = 2, k = 4)).collect()
+    }
+    assert(exceptionChain(adc).exists(t => Option(t.getMessage).exists(_.contains("NULL element"))))
+  }
+
+  private def exceptionChain(t: Throwable): List[Throwable] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toList
+
   test("cosine: orthogonal=0, identical=1, opposite=-1") {
     val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f), Array(1.0f, 0.0f), Array(-1.0f, 0.0f)))
       .toDF("a", "b", "c", "d")
