@@ -173,6 +173,16 @@ final case class TableStore(spark: SparkSession, root: String, bucketSize: Long 
     tables.foreach { case (t, df) => rememberSchema(t, df.schema) }
   }
 
+  /** Remove a table entirely — for state tables that drain to empty (the
+    * ingest side pool): unlike replacing with an empty DataFrame, a dropped
+    * table reads as absent, so steady-state paths that branch on `exists`
+    * pay nothing for it.
+    */
+  def drop(table: String): Unit = {
+    deleteRecursive(dir(table))
+    refresh(table)
+  }
+
   /** Drop Spark's cached file listing for the table's path — a swapped or
     * deleted directory otherwise serves STALE part-file lists to later
     * scans (FileNotFoundException mid-query).

@@ -29,6 +29,25 @@ object BalanceIngest {
   val RegistryTable  = "erc20"
   val LatestAccounts = "latest_accounts"
   val LatestTotals   = "latest_totals"
+  val BalanceHeadTable = "balance_head"
+
+  /** Highest block the balance pipeline has processed — the single-row
+    * watermark that makes the composed stream replay-safe: a micro-batch
+    * re-delivered after a crash re-enters here and only the unprocessed
+    * tail [watermark+1, chain head] runs (the reference gets the same
+    * property from its per-block transaction bracket,
+    * store/store.go:129-147).
+    */
+  def processedThrough(store: TableStore): Option[Long] =
+    Option(store.readOr(BalanceHeadTable, null))
+      .flatMap(_.collect().headOption.map(_.getAs[Long]("number")))
+
+  private def advanceWatermark(spark: SparkSession, store: TableStore, n: Long): Unit = {
+    import spark.implicits._
+    // monotonic: replaying an old block must not lower "processed through"
+    if (!processedThrough(store).exists(_ >= n))
+      store.replace(BalanceHeadTable, Seq(Tuple1(n)).toDF("number"))
+  }
 
   private def accSchema = StructType(Seq(
     StructField("token", BinaryType), StructField("address", BinaryType),
@@ -186,6 +205,7 @@ object BalanceIngest {
           .unionByName(out.updatedSubs)
         store.replace(SubsTable, newSubs)
       }
+      advanceWatermark(spark, store, n)
     }
   }
 
@@ -201,6 +221,7 @@ object BalanceIngest {
     * store/store.go:357-375).
     */
   def retract(spark: SparkSession, store: TableStore, from: Long, to: Long): Unit = {
+    import spark.implicits._
     Seq(AccountsTable, TotalsTable, MatchedTable)
       .foreach(t => store.deleteRange(t, "block_number", from, to))
     val subs = store.readOr(SubsTable, null)
@@ -210,5 +231,9 @@ object BalanceIngest {
           .otherwise(col("block_number"))))
     }
     saveState(store, rebuildState(spark, store))
+    // the retracted range is unprocessed again: the winning branch's blocks
+    // at those heights must flow through the pipeline on reprocess
+    if (processedThrough(store).exists(_ >= from))
+      store.replace(BalanceHeadTable, Seq(Tuple1(from - 1)).toDF("number"))
   }
 }

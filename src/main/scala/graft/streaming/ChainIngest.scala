@@ -32,7 +32,13 @@ import graft.chain._
   *     and skip (duplicate-key tolerance, common/errors.go:48-57);
   *   - TD: per-block td = parent td + difficulty, carried by the fold as
   *     running state (insertTd, indexer.go:249-274) — never recomputed
-  *     from history.
+  *     from history;
+  *   - side pool: bundles not admitted this batch (a fork's early blocks
+  *     arriving at ≤ head height under the trigger cap, orphans, lighter
+  *     branches) persist in a reorgWindow-bounded `side_bundles` table so
+  *     a later batch can trace THROUGH them when the fork tip finally
+  *     wins — the push-feed equivalent of the reference re-fetching
+  *     ancestors by hash during branch tracing (indexer.go:370-406).
   *
   * Scale invariants (the 100 TB lens):
   *   - driver traffic per batch is O(batch + reorgWindow) tiny header rows
@@ -57,9 +63,22 @@ object ChainIngest {
   val TransfersTable = "transfers"
   val ReorgsTable    = "reorgs"
   val HeadTable      = "head_state"
+  val SideTable      = "side_bundles"
 
   final case class Hdr(number: Long, hash: Seq[Byte], parentHash: Seq[Byte], difficulty: Long)
   final case class Head(number: Long, hash: Seq[Byte], td: BigInt)
+
+  /** What one micro-batch did to the store — the composition seam for the
+    * full `Listen` lifecycle (FullIngest): `landed` is the height span of
+    * blocks accepted this batch (new-branch blocks after a reorg included);
+    * `retracted` is the union span of this batch's reorg retractions, which
+    * downstream state (balances, subscriptions) must retract too before
+    * reprocessing — the reference deletes those tables in the same
+    * transaction (store/store.go:319-378).
+    */
+  final case class BatchSummary(
+      landed: Option[(Long, Long)],
+      retracted: Option[(Long, Long)])
 
   /** T4: current head from the tiny head_state table; on a fresh restart
     * without one, re-derive from the sink (indexer.go:177-216).
@@ -89,7 +108,9 @@ object ChainIngest {
 
   /** One micro-batch of the ingest DAG: admission → reorg handling →
     * transform → idempotent append. `bundles` columns: block (struct),
-    * receipts (array), transferLogs (array).
+    * receipts (array), transferLogs (array). Returns what the batch did
+    * (None when nothing was admitted or retracted) so a composed pipeline
+    * can retract and reprocess downstream state.
     */
   def ingestBatch(
       spark: SparkSession,
@@ -97,8 +118,8 @@ object ChainIngest {
       bundles: DataFrame,
       tokens: DataFrame,
       maxBlocksPerChunk: Int = 50,
-      reorgWindow: Long = 512L): Unit = {
-    if (bundles.isEmpty) return
+      reorgWindow: Long = 512L): Option[BatchSummary] = {
+    if (bundles.isEmpty) return None
 
     val incoming: Array[Hdr] = bundles
       .select(col("block.number"), col("block.hash"), col("block.parentHash"),
@@ -134,19 +155,51 @@ object ChainIngest {
       }
     }
 
+    // Side pool: bundles delivered in EARLIER batches but not admitted. A
+    // fork split across triggers by the admission cap arrives at ≤ head
+    // height first — those bundles must survive until the fork tip wins or
+    // they age out of the reorg window. The reference gets this for free by
+    // re-fetching ancestors over RPC during branch tracing
+    // (indexer.go:370-406); with a push feed, a stored reorgWindow-bounded
+    // pool is the source-complete equivalent. Tiny by construction: only
+    // non-canonical in-window headers ever persist.
+    val sideDf = if (store.exists(SideTable)) store.readOr(SideTable, null) else null
+    val sideHdrs: Array[Hdr] =
+      if (sideDf == null) Array.empty
+      else sideDf
+        .select(col("block.number"), col("block.hash"), col("block.parentHash"),
+          col("block.difficulty"))
+        .collect()
+        .map(r => Hdr(r.getLong(0), r.getAs[Array[Byte]](1).toSeq,
+          r.getAs[Array[Byte]](2).toSeq, r.getLong(3)))
+
+    // payload source for admitted blocks: this batch plus the side pool,
+    // hash-deduplicated (a replayed head can sit in both)
+    val bundlesAll =
+      if (sideDf == null) bundles
+      else bundles.unionByName(sideDf)
+        .withColumn("__h", hex(col("block.hash")))
+        .dropDuplicates("__h").drop("__h")
+
     // Every header visible this batch, keyed by hash — both branches of any
     // fork live here even though only one is canonical at a time
     val byHash = mutable.Map[Seq[Byte], Hdr]()
     chainByNumber.values.foreach(h => byHash(h.hash) = h)
+    sideHdrs.foreach(h => byHash(h.hash) = h)
     incoming.foreach(h => byHash(h.hash) = h)
 
     val pending = mutable.ArrayBuffer[(Long, Seq[Byte], BigInt)]() // accepted (number, hash, td)
+    val acceptedHashes = mutable.Set[Seq[Byte]]()
+    var landedLo = Long.MaxValue
+    var landedHi = Long.MinValue
+    var retLo: Option[Long] = None
+    var retHi: Option[Long] = None
 
     def flush(): Unit = {
       if (pending.isEmpty) return
       pending.grouped(maxBlocksPerChunk).foreach { chunk =>
         val hashLits = chunk.map(c => lit(c._2.toArray))
-        val slice    = bundles.filter(col("block.hash").isin(hashLits.toSeq: _*))
+        val slice    = bundlesAll.filter(col("block.hash").isin(hashLits.toSeq: _*))
         appendChunk(spark, store, slice, tokens, chunk.toSeq)
       }
       pending.clear()
@@ -156,6 +209,9 @@ object ChainIngest {
       chainByNumber(h.number) = h
       tdByHash(h.hash) = td
       pending += ((h.number, h.hash, td))
+      acceptedHashes += h.hash
+      landedLo = math.min(landedLo, h.number)
+      landedHi = math.max(landedHi, h.number)
       cur = Some(Head(h.number, h.hash, td))
     }
 
@@ -228,6 +284,8 @@ object ChainIngest {
                   flush()
                   val c = cur.get
                   retract(spark, store, rf, c.number, chainByNumber)
+                  retLo = Some(retLo.fold(rf)(math.min(_, rf)))
+                  retHi = Some(retHi.fold(c.number)(math.max(_, c.number)))
                   (rf to c.number).foreach(chainByNumber.remove)
                 }
                 var ptd = td - branch.map(x => BigInt(x.difficulty)).sum
@@ -239,12 +297,34 @@ object ChainIngest {
 
     flush()
 
+    // Refresh the side pool: headers seen (old pool + this batch) that are
+    // neither canonical nor accepted stay, pruned to the reorg window below
+    // the new head. Empty-to-empty skips the write — the hot path (every
+    // head admitted) never touches the table.
+    val finalLo = cur.map(c => math.max(0L, c.number - reorgWindow)).getOrElse(0L)
+    val keep = (sideHdrs.iterator ++ incoming.iterator)
+      .filter(h => !acceptedHashes.contains(h.hash) &&
+        h.number >= finalLo &&
+        !chainByNumber.get(h.number).exists(_.hash == h.hash))
+      .map(_.hash).toSet
+    if (keep.nonEmpty) {
+      val keepLits = keep.toSeq.map(h => lit(h.toArray))
+      store.replace(SideTable, bundlesAll.filter(col("block.hash").isin(keepLits: _*)))
+    } else if (sideDf != null) {
+      store.drop(SideTable) // drained: absent table keeps the hot path free
+    }
+
     // T4: persist the head for the next batch / restart
     cur.foreach { c =>
       import spark.implicits._
       store.replace(HeadTable,
         Seq((c.number, c.hash.toArray, c.td.toString)).toDF("number", "hash", "td"))
     }
+
+    val landed = if (landedLo <= landedHi) Some((landedLo, landedHi)) else None
+    val retracted = for (lo <- retLo; hi <- retHi) yield (lo, hi)
+    if (landed.isEmpty && retracted.isEmpty) None
+    else Some(BatchSummary(landed, retracted))
   }
 
   /** Retraction (T5/S12): delete [from, to] from every derived table as an
@@ -328,7 +408,7 @@ object ChainIngest {
       .trigger(Trigger.ProcessingTime(0L))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        ingestBatch(batch.sparkSession, store, batch, tokens)
+        ingestBatch(batch.sparkSession, store, batch, tokens): Unit
       }
       .start()
 

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.chain._
+
+/** The reference's complete `Listen` entry point as ONE checkpointed
+  * Structured Streaming query (service/indexer/indexer.go:122-246 composed
+  * with store/store.go:215-378): the DSv2 bundle source feeds chain ingest
+  * (admission, catch-up chunking, reorg retraction), and each landed block
+  * then flows through the balance pipeline (snapshots, fees, totals,
+  * subscription flips, token seeding) against compact persisted state.
+  *
+  * Composition contract per micro-batch:
+  *   1. `ChainIngest.ingestBatch` lands/retracts chain tables and reports a
+  *      `BatchSummary`;
+  *   2. a reorg retraction propagates to the balance tables BEFORE any
+  *      reprocessing — subs admitted in-range reset to pending and the
+  *      compact ledger rebuilds (the reference deletes accounts /
+  *      subscriptions / erc20 state in the same reorg transaction,
+  *      store/store.go:319-378);
+  *   3. the balance pipeline runs [watermark+1, chain head] — driven by the
+  *      persisted `balance_head` watermark, NOT by what this batch landed,
+  *      so a checkpoint replay of an already-ingested batch (which admits
+  *      nothing) still completes any balance work the crash interrupted;
+  *   4. the ERC20 registry is re-read from the store each batch: tokens
+  *      registered mid-stream start decoding transfers from their admission
+  *      block (SubscribeErc20Tokens composed with Listen).
+  *
+  * Scale shape: identical to the parts — per batch, driver traffic is
+  * O(batch + reorgWindow) header rows; balance reads are partition-pruned
+  * single-block slices; state tables are O(keys) and swap atomically.
+  */
+object FullIngest {
+
+  private def registryTokens(spark: SparkSession, store: TableStore): DataFrame = {
+    val reg = store.readOr(BalanceIngest.RegistryTable, null)
+    if (reg != null) reg.select("address", "block_number")
+    else {
+      import spark.implicits._
+      Seq.empty[(Array[Byte], Long)].toDF("address", "block_number")
+    }
+  }
+
+  /** One micro-batch of the full lifecycle; see the composition contract. */
+  def processBatch(
+      spark: SparkSession,
+      store: TableStore,
+      batch: DataFrame,
+      client: BalanceClient,
+      maxBlocksPerChunk: Int = 50,
+      reorgWindow: Long = 512L,
+      newSubLimit: Int = 990): Unit = {
+    val summary = ChainIngest.ingestBatch(spark, store, batch,
+      registryTokens(spark, store), maxBlocksPerChunk, reorgWindow)
+
+    summary.flatMap(_.retracted).foreach { case (lo, hi) =>
+      BalanceIngest.retract(spark, store, lo, hi)
+    }
+
+    ChainIngest.loadHead(store).foreach { head =>
+      val from = BalanceIngest.processedThrough(store).getOrElse(0L) + 1L
+      if (head.number >= from)
+        BalanceIngest.processRange(spark, store, from, head.number, client, newSubLimit)
+    }
+  }
+
+  /** Wire the full lifecycle as a streaming query over a bundle stream
+    * (typically the DSv2 `BundleStreamProvider` source). Offsets replay
+    * from the checkpoint; admission (T2/T6) plus the balance watermark make
+    * re-delivery idempotent end-to-end.
+    */
+  def start(
+      bundles: Dataset[_],
+      store: TableStore,
+      client: BalanceClient,
+      checkpoint: String,
+      maxBlocksPerChunk: Int = 50,
+      reorgWindow: Long = 512L,
+      newSubLimit: Int = 990): StreamingQuery =
+    bundles.toDF().writeStream
+      .trigger(Trigger.ProcessingTime(0L))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(batch.sparkSession, store, batch, client,
+          maxBlocksPerChunk, reorgWindow, newSubLimit)
+      }
+      .start()
+}

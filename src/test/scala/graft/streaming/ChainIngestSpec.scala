@@ -249,6 +249,48 @@ class ChainIngestSpec extends SparkSpec {
     assert(RestartProbe.batchesSeen.get() == 3)
   }
 
+  test("a fork split across batches lands via the side pool (T2/T5 piecewise)") {
+    val store = freshStore()
+    ingest(store, chain(1, 10, hash32(0), txsAt = Map(8L -> Seq(tx(1, alice, bob, 500)))))
+    assert(ChainIngest.loadHead(store).exists(_.number == 10L))
+
+    // fork 7'..12' @5000 arrives in two batches under the trigger cap: the
+    // first piece is entirely at ≤ head height and admits nothing — its
+    // bundles (including 8''s payload) must survive in the side pool
+    val forkTx = tx(2, bob, carol, 700)
+    val fork = chain(7, 12, hash32(6), difficulty = 5000L, hashSeedBase = 9000,
+      txsAt = Map(8L -> Seq(forkTx)))
+    val s1 = ChainIngest.ingestBatch(spark, store, toBundleDf(fork.take(3)), noTokens)
+    assert(s1.isEmpty, "no admission, no retraction")
+    assert(ChainIngest.loadHead(store).exists(_.number == 10L))
+    assert(store.readOr(ChainIngest.SideTable, null).count() == 3L)
+
+    // second piece: the tip beats the canonical TD and the branch traces
+    // THROUGH the side pool back to the branch point at 6
+    val s2 = ChainIngest.ingestBatch(spark, store, toBundleDf(fork.drop(3)), noTokens)
+    assert(s2.contains(ChainIngest.BatchSummary(Some((7L, 12L)), Some((7L, 10L)))))
+    val head = ChainIngest.loadHead(store).get
+    assert(head.number == 12L)
+    assert(head.td == BigInt(6 * 1000 + 6 * 5000))
+    assert(headerNumbers(store) == (1L to 12L))
+    val dups = store.readOr(ChainIngest.HeadersTable, null)
+      .groupBy("number").count().filter(col("count") > 1).count()
+    assert(dups == 0L)
+    val reorgs = store.readOr(ChainIngest.ReorgsTable, null).collect()
+    assert(reorgs.length == 1 && reorgs(0).getAs[Long]("from") == 7L &&
+      reorgs(0).getAs[Long]("to") == 10L)
+
+    // the winning branch's payload landed from the POOLED bundle, and the
+    // losing branch's tx retracted
+    val txFroms = store.readOr(ChainIngest.TxTable, null)
+      .select("from").collect().map(_.getAs[Array[Byte]](0).toSeq).toSeq
+    assert(txFroms == Seq(bob.toSeq))
+
+    // accepted blocks leave the pool — a drained pool is DROPPED so the
+    // steady-state ingest path pays nothing for it
+    assert(!store.exists(ChainIngest.SideTable))
+  }
+
   test("wei amounts above Decimal(38,18) range survive end-to-end") {
     val store = freshStore()
     // 10^30 wei (≈ 1e12 ETH) — nulls out under a BigDecimal-encoded schema
