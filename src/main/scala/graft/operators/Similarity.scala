@@ -55,6 +55,55 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training: per probe, the top-k
+    * most-similar corpus vectors whose label DIFFERS from the probe's —
+    * the highest-value negatives for a triplet/InfoNCE batch (random
+    * negatives are mostly easy and teach the model little). Same
+    * broadcast-probe / stream-corpus shape as [[bruteForceTopK]]: one
+    * corpus pass, the only shuffle is the per-probe top-k window.
+    */
+  def hardNegatives(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val p = broadcast(probes.select(col(idCol).as("probe_id"),
+      col(vecCol).as("__pvec"), col(labelCol).as("__plabel")))
+    val scored = corpus
+      .join(p, col(idCol) =!= col("probe_id") && col(labelCol) =!= col("__plabel"))
+      .withColumn("sim", round(cosine(col("__pvec"), col(vecCol)), 6))
+      .drop("__pvec", "__plabel")
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Per-label centroid cohesion scoring — the embedding-space quality
+    * filter (CLIP-score-style outlier screening): each vector scores by
+    * cosine to its OWN label's mean vector; low scores are mislabeled or
+    * off-distribution candidates a curation pass drops.
+    *
+    * Determinism at scale: centroid components accumulate as
+    * round(·,4)-then-DECIMAL sums (the [[kmeansStep]] trick), so the
+    * centroid — and therefore every score — is independent of partition
+    * order and bit-identical across engines; a raw double sum would drift
+    * run-to-run. Shape: one narrow (label, dim, component) aggregation
+    * with map-side combine, then a broadcast join of |labels| centroids
+    * back onto the corpus — the corpus itself never shuffles.
+    */
+  def labelCentroidScores(
+      df: DataFrame, idCol: String, vecCol: String, labelCol: String): DataFrame = {
+    val comps = df
+      .select(col(labelCol).as("__lbl"), posexplode(col(vecCol)).as(Seq("__dim", "__c")))
+      .groupBy("__lbl", "__dim")
+      .agg((sum(round(col("__c").cast("double"), 4).cast("decimal(38,6)"))
+        .cast("double") / count(lit(1))).as("__mean"))
+    val centroids = comps
+      .groupBy("__lbl")
+      .agg(transform(array_sort(collect_list(struct(col("__dim"), col("__mean")))),
+        s => s.getField("__mean")).as("__cvec"))
+    df.join(broadcast(centroids), col(labelCol) === col("__lbl"))
+      .withColumn("centroid_sim", round(cosine(col(vecCol), col("__cvec")), 6))
+      .drop("__lbl", "__cvec")
+  }
+
   /** Deterministic pseudo-random hyperplane component: a fixed integer
     * lattice mapped to [-9, 9], reproducible in any engine — the ANN
     * variant stays testable against an oracle.

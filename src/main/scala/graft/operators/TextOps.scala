@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -14,6 +14,28 @@ object TextOps {
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** One distributed BPE-trainer step: corpus-wide adjacent character-pair
+    * frequencies, the argmax of which is the next merge rule (Sennrich
+    * et al.'s algorithm in map-reduce form — the text counterpart of
+    * `Similarity.kmeansStep` for quantizer training).
+    *
+    * Scale shape: the corpus FIRST collapses to a word-frequency
+    * vocabulary (orders of magnitude smaller than the corpus — this
+    * aggregation map-side combines), and pairs then explode over DISTINCT
+    * words only, weighted by frequency. Exploding pairs straight off the
+    * corpus would shuffle O(total characters) rows; this shuffles
+    * O(|vocab| · word length).
+    */
+  def bpePairCounts(docs: DataFrame, textCol: Column): DataFrame = {
+    val vocab = docs.select(explode(tokens(textCol)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    vocab.filter(length(col("w")) >= 2)
+      .select(col("freq"),
+        explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+      .groupBy("pair").agg(sum("freq").as("pair_freq"))
+  }
 
   /** Word n-gram shingles over a PRE-MATERIALIZED token-array column.
     * The lambda references the array via `size`/`slice`, which is O(1) on a

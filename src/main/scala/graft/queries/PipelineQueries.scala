@@ -797,6 +797,67 @@ object PipelineQueries {
          |       ORDER BY adist, neighbor_id) AS nn_rank
          |   FROM scored)
          | WHERE nn_rank <= 10 ORDER BY probe_id, nn_rank""".stripMargin
+    ),
+
+    // S7 — hard-negative mining for contrastive training: per probe, the
+    // top-k most-similar vectors with a DIFFERENT label (the negatives
+    // that actually move a triplet/InfoNCE loss). s1's plan shape with a
+    // label-inequality join condition.
+    "s7_hard_negatives" -> QueryDef.sql(
+      (s, d) => {
+        val e = Tables(s, d).embeddings
+        Similarity.hardNegatives(e, e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", "label", 10)
+          .select(col("probe_id"), col("rank").as("neg_rank"),
+            col("vec_id").as("neighbor_id"), col("label"), col("sim"))
+          .orderBy("probe_id", "neg_rank")
+      },
+      s"""SELECT probe_id, neg_rank, neighbor_id, label, sim FROM (
+         |   SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, c.label,
+         |     round(${sqlCosine("p.embedding", "c.embedding")}, 6) AS sim,
+         |     row_number() OVER (PARTITION BY p.vec_id
+         |       ORDER BY round(${sqlCosine("p.embedding", "c.embedding")}, 6) DESC, c.vec_id) AS neg_rank
+         |   FROM embeddings p JOIN embeddings c
+         |     ON c.vec_id <> p.vec_id AND c.label <> p.label
+         |   WHERE p.vec_id < 5)
+         | WHERE neg_rank <= 10 ORDER BY probe_id, neg_rank""".stripMargin
+    ),
+
+    // S8 — per-label centroid cohesion scores: the embedding-space quality
+    // filter (each vector vs its own label's exact-decimal mean vector).
+    // Bounded to vec_id < 500 so the output stays a sample, not a dump.
+    "s8_centroid_scores" -> QueryDef.sql(
+      (s, d) => {
+        val e = Tables(s, d).embeddings
+        Similarity.labelCentroidScores(e, "vec_id", "embedding", "label")
+          .filter(col("vec_id") < 500)
+          .select(col("vec_id"), col("label"), col("centroid_sim"))
+          .orderBy("vec_id")
+      },
+      s"""WITH comps AS (SELECT label, d.i - 1 AS dim,
+         |     CAST(sum(CAST(round(CAST(embedding[d.i] AS DOUBLE), 4) AS DECIMAL(38,6))) AS DOUBLE)
+         |       / count(*) AS m
+         |   FROM embeddings CROSS JOIN range(1, 65) AS d(i) GROUP BY 1, 2),
+         | cents AS (SELECT label, list(m ORDER BY dim) AS cvec FROM comps GROUP BY label)
+         | SELECT e.vec_id, e.label,
+         |   round(${sqlCosine("e.embedding", "c.cvec")}, 6) AS centroid_sim
+         | FROM embeddings e JOIN cents c ON e.label = c.label
+         | WHERE e.vec_id < 500 ORDER BY e.vec_id""".stripMargin
+    ),
+
+    // T12 — one BPE-trainer step: the corpus collapses to a word-frequency
+    // vocabulary, adjacent char pairs count weighted by word frequency,
+    // and the top pairs (the next merge rules) come back. kmeansStep's
+    // role for the tokenizer.
+    "t12_bpe_merge_step" -> QueryDef.sql(
+      (s, d) => TextOps.bpePairCounts(Tables(s, d).documents, col("text"))
+        .orderBy(col("pair_freq").desc, col("pair")).limit(20),
+      s"""WITH freqs AS (SELECT w, count(*) AS freq FROM
+         |     (SELECT unnest($toksSql) AS w FROM documents) GROUP BY w),
+         | pairs AS (SELECT freq, unnest([substr(w, i, 2) for i in range(1, len(w))]) AS pair
+         |   FROM freqs WHERE len(w) >= 2)
+         | SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_freq FROM pairs
+         | GROUP BY pair ORDER BY pair_freq DESC, pair LIMIT 20""".stripMargin
     )
   )
 

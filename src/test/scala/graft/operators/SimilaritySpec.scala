@@ -49,6 +49,37 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq(1L, 2L) || got == Seq(1L, 3L)) // 1 is closest; 2/3 tie at 0
   }
 
+  test("hardNegatives skips same-label vectors however similar") {
+    // vec 1 is nearly identical to probe 0 but shares its label: the top
+    // negative must be the best DIFFERENT-label vector (2 or 3, tied at 0)
+    val labeled = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 7),
+      (1L, Array(0.9f, 0.1f, 0.0f), 7),
+      (2L, Array(0.0f, 1.0f, 0.0f), 8),
+      (3L, Array(0.0f, 0.0f, 1.0f), 9),
+      (4L, Array(-1.0f, 0.0f, 0.0f), 8)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(labeled, labeled.filter($"vec_id" === 0),
+        "vec_id", "embedding", "label", 3)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    assert(!got.contains(1L))
+    assert(got == Seq(2L, 3L, 4L)) // ties broken by id; -1-direction last
+  }
+
+  test("labelCentroidScores: singleton label scores 1.0 against itself") {
+    val labeled = Seq(
+      (0L, Array(1.0f, 0.0f), 1), // label 1: centroid = (0.5, 0.5)
+      (1L, Array(0.0f, 1.0f), 1),
+      (2L, Array(0.0f, 1.0f), 2)  // label 2: singleton — its own centroid
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelCentroidScores(labeled, "vec_id", "embedding", "label")
+      .select("vec_id", "centroid_sim").as[(Long, Double)].collect().toMap
+    assert(got(2L) == 1.0)
+    // both label-1 members sit at 45° from the (0.5, 0.5) centroid
+    assert(math.abs(got(0L) - 0.707107) < 1e-6)
+    assert(got(0L) == got(1L))
+  }
+
   test("assignToCentroids picks the highest-cosine centroid, ties to lowest id") {
     val centroids = vecs.filter($"vec_id".isin(0L, 2L, 3L))
     val got = Similarity.assignToCentroids(vecs, centroids, "vec_id", "embedding")

@@ -48,4 +48,13 @@ class TextOpsSpec extends SparkSpec {
     assert(row.getAs[Double]("stopword_ratio") == 0.2) // "the" of 5 tokens
     assert(row.getAs[Double]("punct_ratio") == 0.0)
   }
+
+  test("bpePairCounts weights pairs by word frequency, skips 1-char words") {
+    val docs = Seq((1L, "abab ab a"), (2L, "abab")).toDF("doc_id", "text")
+    val got = TextOps.bpePairCounts(docs, col("text"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // vocab: abab×2 (pairs ab,ba,ab each), ab×1 (pair ab), a×1 (no pairs)
+    // → ab: 2·2 + 1 = 5, ba: 2·1 = 2
+    assert(got == Map("ab" -> 5L, "ba" -> 2L))
+  }
 }

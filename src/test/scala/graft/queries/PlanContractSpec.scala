@@ -49,8 +49,11 @@ class PlanContractSpec extends SparkSpec {
       // total joined keylessly onto a small/narrow relation), and s6
       // (broadcast probes against the corpus CODE relation — the s1
       // topology with an 8-byte streamed side)
+      // s7 is s1's topology with an extra label-inequality predicate —
+      // same broadcast probe set, same single corpus pass
       if (!Set("j7_cross_join", "s1_cosine_topk", "s3_ann_ivf", "s4_kmeans_step",
-          "r4_temperature_mix", "t11_unigram_logprob", "s6_pq_adc_topk").contains(q))
+          "r4_temperature_mix", "t11_unigram_logprob", "s6_pq_adc_topk",
+          "s7_hard_negatives").contains(q))
         assert(count(plan, "BroadcastNestedLoopJoin") == 0, s"$q plans a nested-loop join")
     }
   }
@@ -128,6 +131,32 @@ class PlanContractSpec extends SparkSpec {
     val plan = planOf("t11_unigram_logprob")
     assert(count(plan, "HashAggregate") >= 4, "tf and vocab aggregations need partial+final")
     assert(count(plan, "CartesianProduct") == 0)
+  }
+
+  test("no unpartitioned window over potentially unbounded input anywhere") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // Single-partition windows are allowed ONLY where the windowed relation
+    // is tiny by construction — t8's ~O(#ranges) offsets table in its
+    // two-level prefix sum (its own contract asserts the offsets relation
+    // is the only single-partition stage) and r4's per-stratum budget
+    // table (≤ #sources rows). History/corpus relations must never appear
+    // here — this is the contract that keeps the Transforms.totalDifficulty
+    // regression class out of the whole inventory.
+    val allowed = Set("t8_sequence_packing", "r4_temperature_mix")
+    // AQE wraps the tree in an adaptive leaf; disable it so collect() sees
+    // the real operators
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val offenders = graft.SparkEntry.queries.toSeq.flatMap { case (q, fn) =>
+        val bad = fn(spark, sf).queryExecution.executedPlan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }
+        if (bad.nonEmpty && !allowed.contains(q)) Some(q) else None
+      }
+      assert(offenders.isEmpty,
+        s"unpartitioned windows outside the allowed set: ${offenders.sorted.mkString(", ")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
   test("d2 LSH plan computes the shingle aggregation exactly once") {
