@@ -164,4 +164,30 @@ class FullIngestSpec extends SparkSpec {
       assert(dupHdr == 0L)
     } finally if (q.isActive) q.stop()
   }
+
+  test("crash between ingest and balance work: the replayed batch completes it") {
+    // the claimed replay contract: a batch that crashed AFTER chain ingest
+    // but BEFORE balance processing re-delivers; admission ignores every
+    // already-landed head (summary None) yet the balance watermark still
+    // drives the interrupted work to the chain head
+    val store = TableStore(spark, Files.createTempDirectory("graft-crash").toString, bucketSize = 4L)
+    store.replace(BalanceIngest.SubsTable,
+      Seq((1L, 1L, 1L, alice)).toDF("id", "block_number", "group", "address"))
+    val client = BlockAwareBalanceClient(spark.sparkContext.longAccumulator("crash"))
+
+    // "crash": chain ingest landed 1..3, balance pipeline never ran
+    val t2 = tx(1, alice, carol, 500, gasPrice = 100L)
+    val bundles = mkChain(1, 3, hash32(0), txsAt = Map(2L -> Seq(t2)))
+    ChainIngest.ingestBatch(spark, store, bundles.toDS().toDF(),
+      Seq.empty[(Array[Byte], Long)].toDF("address", "block_number"))
+    assert(BalanceIngest.processedThrough(store).isEmpty)
+
+    // replayed delivery of the same bundles: nothing admits, balances catch up
+    FullIngest.processBatch(spark, store, bundles.toDS().toDF(), client)
+    assert(BalanceIngest.processedThrough(store).contains(3L))
+    val aliceRow = facade(store).findAccount(Sentinels.EthToken, alice).head()
+    assert(aliceRow.getAs[Long]("block_number") == 2L)
+    assert(BigInt(aliceRow.getAs[java.math.BigDecimal]("balance").toBigInteger) ==
+      bal(alice, hashAt(store, 2L)))
+  }
 }
