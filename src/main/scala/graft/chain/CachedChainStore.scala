@@ -26,8 +26,19 @@ import scala.collection.immutable.ArraySeq
   * Thread-safe; the map is the JDK synchronized wrapper and sweeps hold
   * its monitor, matching `Collections.synchronizedMap`'s iteration rule.
   */
-final class CachedChainStore(val underlying: ChainStore, maxEntries: Int = 128) {
+final class CachedChainStore private (mkUnderlying: () => ChainStore, maxEntries: Int) {
   require(maxEntries > 0, "maxEntries must be positive")
+
+  /** Snapshot form: lookups plan against the given facade's DataFrames
+    * (fine for an immutable store view). A MUTATING store needs
+    * [[CachedChainStore.live]] — a path-based DataFrame pins its file
+    * listing at construction, so a reorg's bucket rewrite would otherwise
+    * leave misses reading deleted part files.
+    */
+  def this(underlying: ChainStore, maxEntries: Int = 128) =
+    this(() => underlying, maxEntries)
+
+  def underlying: ChainStore = mkUnderlying()
 
   private type Key = (String, ArraySeq[Byte])
   private final case class Entry(rows: Array[Row], blockNumbers: Seq[Long])
@@ -85,4 +96,14 @@ final class CachedChainStore(val underlying: ChainStore, maxEntries: Int = 128) 
   def invalidateAll(): Unit = cache.clear()
 
   def size: Int = cache.size()
+}
+
+object CachedChainStore {
+  /** Cache over a LIVE (mutating) store: every miss re-resolves the
+    * backing files through a fresh facade, so a reorg rewrite is served
+    * correctly the moment its entries are invalidated — hits still replan
+    * from the memo with no scan job.
+    */
+  def live(mkUnderlying: () => ChainStore, maxEntries: Int = 128): CachedChainStore =
+    new CachedChainStore(mkUnderlying, maxEntries)
 }

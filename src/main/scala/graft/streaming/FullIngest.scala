@@ -42,7 +42,13 @@ object FullIngest {
     }
   }
 
-  /** One micro-batch of the full lifecycle; see the composition contract. */
+  /** One micro-batch of the full lifecycle; see the composition contract.
+    * A serving-path [[CachedChainStore]] passed as `cache` is invalidated
+    * over the batch's landed+retracted span — retraction rewrites cached
+    * blocks, and a newly-landed height turns a cached negative lookup
+    * stale (the reference's indexer evicts its ARC caches the same way on
+    * both the write and the rewind path, store/block_header/cache.go).
+    */
   def processBatch(
       spark: SparkSession,
       store: TableStore,
@@ -50,12 +56,19 @@ object FullIngest {
       client: BalanceClient,
       maxBlocksPerChunk: Int = 50,
       reorgWindow: Long = 512L,
-      newSubLimit: Int = 990): Unit = {
+      newSubLimit: Int = 990,
+      cache: Option[CachedChainStore] = None): Unit = {
     val summary = ChainIngest.ingestBatch(spark, store, batch,
       registryTokens(spark, store), maxBlocksPerChunk, reorgWindow)
 
     summary.flatMap(_.retracted).foreach { case (lo, hi) =>
       BalanceIngest.retract(spark, store, lo, hi)
+    }
+    summary.foreach { s =>
+      cache.foreach { c =>
+        val spans = s.landed.toSeq ++ s.retracted.toSeq
+        c.invalidateRange(spans.map(_._1).min, spans.map(_._2).max)
+      }
     }
 
     ChainIngest.loadHead(store).foreach { head =>
@@ -77,13 +90,14 @@ object FullIngest {
       checkpoint: String,
       maxBlocksPerChunk: Int = 50,
       reorgWindow: Long = 512L,
-      newSubLimit: Int = 990): StreamingQuery =
+      newSubLimit: Int = 990,
+      cache: Option[CachedChainStore] = None): StreamingQuery =
     bundles.toDF().writeStream
       .trigger(Trigger.ProcessingTime(0L))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         processBatch(batch.sparkSession, store, batch, client,
-          maxBlocksPerChunk, reorgWindow, newSubLimit)
+          maxBlocksPerChunk, reorgWindow, newSubLimit, cache)
       }
       .start()
 }

@@ -165,6 +165,28 @@ class FullIngestSpec extends SparkSpec {
     } finally if (q.isActive) q.stop()
   }
 
+  test("a reorg invalidates the serving cache through the composed pipeline") {
+    val store = TableStore(spark, Files.createTempDirectory("graft-cache-e2e").toString, bucketSize = 4L)
+    val client = BlockAwareBalanceClient(spark.sparkContext.longAccumulator("cache-e2e"))
+    FullIngest.processBatch(spark, store, mkChain(1, 8, hash32(0)).toDS().toDF(), client)
+
+    val cached = CachedChainStore.live(() => facade(store))
+    val oldHash6 = cached.findBlockByNumber(6L).head().getAs[Array[Byte]]("hash")
+    assert(oldHash6.toSeq == hash32(6).toSeq)
+    assert(cached.findBlockByNumber(9L).collect().isEmpty) // negative entry
+
+    // heavier fork 5'..10' reorgs through the composed pipeline WITH the
+    // cache attached: the retracted span evicts block 6's entry and the
+    // landed span drops the stale negative for block 9
+    FullIngest.processBatch(spark, store,
+      mkChain(5, 10, hash32(4), difficulty = 5000L, hashSeedBase = 9000).toDS().toDF(),
+      client, cache = Some(cached))
+
+    val newHash6 = cached.findBlockByNumber(6L).head().getAs[Array[Byte]]("hash")
+    assert(newHash6.toSeq == hash32(9006).toSeq, "must serve the winning branch, not the memo")
+    assert(cached.findBlockByNumber(9L).count() == 1L, "landed block must not stay a cached miss")
+  }
+
   test("crash between ingest and balance work: the replayed batch completes it") {
     // the claimed replay contract: a batch that crashed AFTER chain ingest
     // but BEFORE balance processing re-delivers; admission ignores every
