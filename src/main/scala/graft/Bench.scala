@@ -60,9 +60,7 @@ object Bench {
     // margin under the window now that the inventory exceeds 80 queries
     def f(v: Double): String = {
       val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-      if (s.endsWith("0") && !s.endsWith(".00")) s.dropRight(1)
-      else if (s.endsWith(".00")) s.dropRight(1)
-      else s
+      if (s.endsWith("0")) s.dropRight(1) else s
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")

@@ -41,7 +41,8 @@ final class CachedChainStore private (mkUnderlying: () => ChainStore, maxEntries
   def underlying: ChainStore = mkUnderlying()
 
   private type Key = (String, ArraySeq[Byte])
-  private final case class Entry(rows: Array[Row], blockNumbers: Seq[Long])
+  private final case class Entry(rows: Array[Row], schema: org.apache.spark.sql.types.StructType,
+                                 blockNumbers: Seq[Long])
 
   private val cache: JMap[Key, Entry] =
     Collections.synchronizedMap(
@@ -52,23 +53,28 @@ final class CachedChainStore private (mkUnderlying: () => ChainStore, maxEntries
 
   /** Serve `kind`/`key` from cache, else collect the lookup once and
     * remember it. `numberCol` names the block-height column of the result
-    * — the invalidation key a retraction sweeps on.
+    * — the invalidation key a retraction sweeps on. The by-name `lookup`
+    * is forced ONLY on a miss: a hit must not re-resolve the backing
+    * facade (under [[CachedChainStore.live]] that would re-list files per
+    * hit, the exact work the cache exists to save) — hits replan from the
+    * memoized rows + schema alone.
     */
   private def memo(kind: String, key: Array[Byte], lookup: => DataFrame,
                    numberCol: String): DataFrame = {
     val k: Key = (kind, ArraySeq.unsafeWrapArray(key))
-    val df = lookup // plan construction only — nothing executes here
     val hit = cache.get(k)
     val entry =
       if (hit != null) hit
       else {
+        val df = lookup
         val rows = df.collect()
-        val e = Entry(rows, ArraySeq.unsafeWrapArray(rows.map(_.getAs[Long](numberCol))))
+        val e = Entry(rows, df.schema,
+          ArraySeq.unsafeWrapArray(rows.map(_.getAs[Long](numberCol))))
         cache.put(k, e)
         e
       }
-    df.sparkSession.createDataFrame(
-      java.util.Arrays.asList(entry.rows: _*), df.schema)
+    org.apache.spark.sql.SparkSession.active.createDataFrame(
+      java.util.Arrays.asList(entry.rows: _*), entry.schema)
   }
 
   // -- the reference's cached lookups (block_header/cache.go, client/cache.go)

@@ -42,13 +42,6 @@ object BalanceIngest {
     Option(store.readOr(BalanceHeadTable, null))
       .flatMap(_.collect().headOption.map(_.getAs[Long]("number")))
 
-  private def advanceWatermark(spark: SparkSession, store: TableStore, n: Long): Unit = {
-    import spark.implicits._
-    // monotonic: replaying an old block must not lower "processed through"
-    if (!processedThrough(store).exists(_ >= n))
-      store.replace(BalanceHeadTable, Seq(Tuple1(n)).toDF("number"))
-  }
-
   private def accSchema = StructType(Seq(
     StructField("token", BinaryType), StructField("address", BinaryType),
     StructField("block_number", LongType), StructField("balance", Rewards.wei)))
@@ -97,15 +90,28 @@ object BalanceIngest {
       newSubLimit: Int = 990): Unit = {
     import spark.implicits._
     var state = loadState(spark, store)
+    // watermark carried through the loop (read once, not per block);
+    // monotonic — replaying an old block must not lower "processed through"
+    var wm = processedThrough(store).getOrElse(-1L)
+    def advance(n: Long): Unit = if (n > wm) {
+      store.replace(BalanceHeadTable, Seq(Tuple1(n)).toDF("number"))
+      wm = n
+    }
     (from to to).foreach { n =>
       val transfers = store.readRange(ChainIngest.TransfersTable, "block_number", n, n, null)
       val txs       = store.readRange(ChainIngest.TxTable, "block_number", n, n, null)
       val receipts  = store.readRange(ChainIngest.ReceiptsTable, "block_number", n, n, null)
       val subs      = store.readOr(SubsTable, null)
-      if (subs != null) {
-        val blockHash = store.readRange(ChainIngest.HeadersTable, "number", n, n, null)
+      // un-landed heights are no-ops (a watermark range wider than the
+      // stored chain, e.g. a genesis-0 start when the chain begins at 1):
+      // the reference only transfer-processes blocks it actually inserted,
+      // and running the pipeline on an absent block would wrongly seed
+      // pending registry tokens against an empty block hash
+      val blockHashOpt =
+        if (subs == null) None
+        else store.readRange(ChainIngest.HeadersTable, "number", n, n, null)
           .select("hash").collect().headOption.map(_.getAs[Array[Byte]](0))
-          .getOrElse(Array.emptyByteArray)
+      blockHashOpt.foreach { blockHash =>
 
         // resolver request set: every touched-or-new subscribed address ×
         // every token seen in the block (plus ETH) — the same set the
@@ -204,9 +210,10 @@ object BalanceIngest {
         val newSubs = subs.join(flippedIds, Seq("id"), "left_anti")
           .unionByName(out.updatedSubs)
         store.replace(SubsTable, newSubs)
+        advance(n) // per-block crash bracket where work actually happened
       }
-      advanceWatermark(spark, store, n)
     }
+    advance(to) // no-work tail (no subscriptions) collapses into one write
   }
 
   /** Reorg path: retract balance rows in [from, to], RESET subscriptions

@@ -33,15 +33,29 @@ trait HeadSubscription {
 
   /** Bundles with sequence in (fromSeq, toSeq], ascending. */
   def range(fromSeq: Long, toSeq: Long): Seq[Bundle]
+
+  /** Ancestor fetch-back — the reference's `getBlockByHash` during branch
+    * tracing (service/indexer/indexer.go:370-406): when a winning branch's
+    * ancestry is neither stored, in the batch, nor pooled (e.g. the blocks
+    * were canonical once and a reorg retracted them), the ingest fold asks
+    * the feed. None = unavailable (the default for feeds that cannot look
+    * back); such branches stay orphaned until re-delivered.
+    */
+  def byHash(hash: Seq[Byte]): Option[Bundle] = None
 }
 
 /** In-memory append-only subscription — tests and single-process use. */
 final class QueueHeadSubscription extends HeadSubscription {
   private val buf = scala.collection.mutable.ArrayBuffer.empty[Bundle]
-  def push(bs: Bundle*): Unit = synchronized { buf ++= bs }
+  private val idx = scala.collection.mutable.Map.empty[Seq[Byte], Bundle]
+  def push(bs: Bundle*): Unit = synchronized {
+    buf ++= bs
+    bs.foreach(b => idx(b.block.hash.toSeq) = b)
+  }
   override def latestSeq: Long = synchronized(buf.length.toLong)
   override def range(fromSeq: Long, toSeq: Long): Seq[Bundle] =
     synchronized(buf.slice(fromSeq.toInt, toSeq.toInt).toVector)
+  override def byHash(hash: Seq[Byte]): Option[Bundle] = synchronized(idx.get(hash))
 }
 
 /** Registry wiring subscriptions through DSv2 string options (the provider

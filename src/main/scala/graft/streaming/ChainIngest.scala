@@ -68,13 +68,13 @@ object ChainIngest {
   final case class Hdr(number: Long, hash: Seq[Byte], parentHash: Seq[Byte], difficulty: Long)
   final case class Head(number: Long, hash: Seq[Byte], td: BigInt)
 
-  /** What one micro-batch did to the store — the composition seam for the
-    * full `Listen` lifecycle (FullIngest): `landed` is the height span of
+  /** What one micro-batch did to the store: `landed` is the height span of
     * blocks accepted this batch (new-branch blocks after a reorg included);
-    * `retracted` is the union span of this batch's reorg retractions, which
-    * downstream state (balances, subscriptions) must retract too before
-    * reprocessing — the reference deletes those tables in the same
-    * transaction (store/store.go:319-378).
+    * `retracted` is the union span of this batch's reorg retractions.
+    * Downstream state retraction itself happens through ingestBatch's
+    * `onRetract` hook (inside the reorg transaction, crash-safe on
+    * replay); the summary is for post-batch concerns that die with the
+    * process anyway — cache eviction for landed heights, metrics, tests.
     */
   final case class BatchSummary(
       landed: Option[(Long, Long)],
@@ -118,7 +118,9 @@ object ChainIngest {
       bundles: DataFrame,
       tokens: DataFrame,
       maxBlocksPerChunk: Int = 50,
-      reorgWindow: Long = 512L): Option[BatchSummary] = {
+      reorgWindow: Long = 512L,
+      onRetract: (Long, Long) => Unit = (_, _) => (),
+      fetchBack: Seq[Byte] => Option[Schemas.Bundle] = _ => None): Option[BatchSummary] = {
     if (bundles.isEmpty) return None
 
     val incoming: Array[Hdr] = bundles
@@ -188,8 +190,38 @@ object ChainIngest {
     sideHdrs.foreach(h => byHash(h.hash) = h)
     incoming.foreach(h => byHash(h.hash) = h)
 
+    // Ancestry resolution: batch + pool + stored window first, then the
+    // feed's fetch-back — the reference's getBlockByHash walk during
+    // branch tracing (indexer.go:370-406). This is what lets a branch
+    // whose blocks were CANONICAL once (and retracted by a later reorg)
+    // win back: its ancestry is gone from every table, but the feed can
+    // still serve it by hash. Fetched bundles join the payload source so
+    // their blocks can land.
+    val fetched = mutable.ArrayBuffer[Schemas.Bundle]()
+    // hashes whose full bundle is available to land (batch, pool, fetched)
+    // — as opposed to headers known only from the stored chain window
+    val payloadBacked = mutable.Set[Seq[Byte]]()
+    sideHdrs.foreach(h => payloadBacked += h.hash)
+    incoming.foreach(h => payloadBacked += h.hash)
+    def resolve(hash: Seq[Byte]): Option[Hdr] =
+      byHash.get(hash).orElse {
+        fetchBack(hash).map { b =>
+          val h = Hdr(b.block.number, b.block.hash.toSeq, b.block.parentHash.toSeq,
+            b.block.difficulty)
+          byHash(h.hash) = h
+          payloadBacked += h.hash
+          fetched += b
+          h
+        }
+      }
+    def payloadDf: DataFrame =
+      if (fetched.isEmpty) bundlesAll
+      else {
+        import spark.implicits._
+        bundlesAll.unionByName(fetched.toSeq.toDS().toDF())
+      }
+
     val pending = mutable.ArrayBuffer[(Long, Seq[Byte], BigInt)]() // accepted (number, hash, td)
-    val acceptedHashes = mutable.Set[Seq[Byte]]()
     var landedLo = Long.MaxValue
     var landedHi = Long.MinValue
     var retLo: Option[Long] = None
@@ -199,7 +231,7 @@ object ChainIngest {
       if (pending.isEmpty) return
       pending.grouped(maxBlocksPerChunk).foreach { chunk =>
         val hashLits = chunk.map(c => lit(c._2.toArray))
-        val slice    = bundlesAll.filter(col("block.hash").isin(hashLits.toSeq: _*))
+        val slice    = payloadDf.filter(col("block.hash").isin(hashLits.toSeq: _*))
         appendChunk(spark, store, slice, tokens, chunk.toSeq)
       }
       pending.clear()
@@ -209,7 +241,6 @@ object ChainIngest {
       chainByNumber(h.number) = h
       tdByHash(h.hash) = td
       pending += ((h.number, h.hash, td))
-      acceptedHashes += h.hash
       landedLo = math.min(landedLo, h.number)
       landedHi = math.max(landedHi, h.number)
       cur = Some(Head(h.number, h.hash, td))
@@ -224,10 +255,14 @@ object ChainIngest {
       var acc = BigInt(h.difficulty)
       var b   = h
       while (true) {
+        // walked below the window floor without connecting: out of reorg
+        // policy — also bounds how deep fetch-back will walk for a
+        // hostile/garbage branch
+        if (cur.isDefined && b.number < windowLo) return None
         tdByHash.get(b.parentHash) match {
           case Some(ptd) => return Some(ptd + acc)
           case None =>
-            byHash.get(b.parentHash) match {
+            resolve(b.parentHash) match {
               case Some(p) => acc += p.difficulty; b = p
               case None    => return if (cur.isEmpty || b.number == 0) Some(acc) else None
             }
@@ -261,7 +296,7 @@ object ChainIngest {
                   case Some(st) if st.hash == b.parentHash => done = true
                   case Some(_) =>
                     reorgFrom = Some(pn)
-                    byHash.get(b.parentHash) match {
+                    resolve(b.parentHash) match {
                       case Some(p) => branch.prepend(p); b = p
                       case None    => traceable = false
                     }
@@ -271,7 +306,7 @@ object ChainIngest {
                     // chain without retracting the first
                     traceable = false
                   case None =>
-                    byHash.get(b.parentHash) match {
+                    resolve(b.parentHash) match {
                       case Some(p) => branch.prepend(p); b = p
                       case None    => done = true // clean start below stored window
                     }
@@ -283,10 +318,21 @@ object ChainIngest {
                   // range — land them first so the delete covers both
                   flush()
                   val c = cur.get
-                  retract(spark, store, rf, c.number, chainByNumber)
+                  retract(spark, store, rf, c.number, chainByNumber, onRetract)
                   retLo = Some(retLo.fold(rf)(math.min(_, rf)))
                   retHi = Some(retHi.fold(c.number)(math.max(_, c.number)))
-                  (rf to c.number).foreach(chainByNumber.remove)
+                  (rf to c.number).foreach { n =>
+                    // retracted headers WITHOUT a landable bundle (known
+                    // only from the stored window, now deleted) leave
+                    // byHash so a later trace goes through fetch-back for
+                    // them instead of landing a payload-less phantom;
+                    // payload-backed ones stay reachable. TD entries stay
+                    // — a block's TD is intrinsic, valid either way.
+                    chainByNumber.get(n).foreach { h =>
+                      if (!payloadBacked.contains(h.hash)) byHash.remove(h.hash)
+                    }
+                    chainByNumber.remove(n)
+                  }
                 }
                 var ptd = td - branch.map(x => BigInt(x.difficulty)).sum
                 branch.foreach { nb => ptd += nb.difficulty; accept(nb, ptd) }
@@ -298,18 +344,22 @@ object ChainIngest {
     flush()
 
     // Refresh the side pool: headers seen (old pool + this batch) that are
-    // neither canonical nor accepted stay, pruned to the reorg window below
-    // the new head. Empty-to-empty skips the write — the hot path (every
-    // head admitted) never touches the table.
+    // not canonical NOW stay, pruned to the reorg window below the new
+    // head. "Not canonical now" (the chainByNumber hash check) rather than
+    // "not accepted this batch": a block accepted early in the batch and
+    // then retracted by a same-batch reorg must remain poolable — its
+    // branch can still win back later. Empty-to-empty skips the write —
+    // the hot path (every head admitted) never touches the table.
     val finalLo = cur.map(c => math.max(0L, c.number - reorgWindow)).getOrElse(0L)
-    val keep = (sideHdrs.iterator ++ incoming.iterator)
-      .filter(h => !acceptedHashes.contains(h.hash) &&
-        h.number >= finalLo &&
+    val fetchedHdrs = fetched.map(b =>
+      Hdr(b.block.number, b.block.hash.toSeq, b.block.parentHash.toSeq, b.block.difficulty))
+    val keep = (sideHdrs.iterator ++ incoming.iterator ++ fetchedHdrs.iterator)
+      .filter(h => h.number >= finalLo &&
         !chainByNumber.get(h.number).exists(_.hash == h.hash))
       .map(_.hash).toSet
     if (keep.nonEmpty) {
       val keepLits = keep.toSeq.map(h => lit(h.toArray))
-      store.replace(SideTable, bundlesAll.filter(col("block.hash").isin(keepLits: _*)))
+      store.replace(SideTable, payloadDf.filter(col("block.hash").isin(keepLits: _*)))
     } else if (sideDf != null) {
       store.drop(SideTable) // drained: absent table keeps the hot path free
     }
@@ -331,19 +381,33 @@ object ChainIngest {
     * O(range) bucket delete (store/store.go:175-212,319-378), plus the
     * audit row (store/reorg/reorg.go:50-54) carrying the OLD chain's
     * hashes at the range ends.
+    *
+    * `onRetract` is the downstream-state hook (balance tables, serving
+    * caches — the other tables of the reference's single reorg
+    * transaction, store/store.go:319-378). It runs BEFORE the chain
+    * deletes on purpose: a crash at any point then converges on the
+    * checkpoint replay of the batch — before the hook, the chain is
+    * intact and the reorg re-detects from scratch; after it, downstream
+    * state is already retracted and the re-detected (or already-applied)
+    * chain retraction is idempotent. Running it after the deletes would
+    * leave a window where the replayed batch sees no height contradiction
+    * (the contradicting rows are gone), skips the reorg path, and the
+    * stale downstream rows never heal.
     */
   def retract(
       spark: SparkSession,
       store: TableStore,
       from: Long,
       to: Long,
-      oldChain: collection.Map[Long, Hdr]): Unit = {
+      oldChain: collection.Map[Long, Hdr],
+      onRetract: (Long, Long) => Unit = (_, _) => ()): Unit = {
     import spark.implicits._
     for (f <- oldChain.get(from); t <- oldChain.get(to)) {
       store.append(ReorgsTable,
         Seq((from, f.hash.toArray, to, t.hash.toArray))
           .toDF("from", "from_hash", "to", "to_hash"))
     }
+    onRetract(from, to)
     store.deleteRange(HeadersTable, "number", from, to)
     Seq(TxTable, ReceiptsTable, LogsTable, TransfersTable)
       .foreach(t => store.deleteRange(t, "block_number", from, to))
@@ -398,17 +462,21 @@ object ChainIngest {
     store.appendBucketed(TdTable, tdDf, "block")
   }
 
-  /** Wire the ingest DAG as a streaming query over a bundle stream. */
+  /** Wire the ingest DAG as a streaming query over a bundle stream.
+    * `fetchBack` is typically the feed's `HeadSubscription.byHash`.
+    */
   def start(
       bundles: Dataset[_],
       store: TableStore,
       tokens: DataFrame,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String,
+      fetchBack: Seq[Byte] => Option[Schemas.Bundle] = _ => None): StreamingQuery =
     bundles.toDF().writeStream
       .trigger(Trigger.ProcessingTime(0L))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        ingestBatch(batch.sparkSession, store, batch, tokens): Unit
+        ingestBatch(batch.sparkSession, store, batch, tokens,
+          fetchBack = fetchBack): Unit
       }
       .start()
 

@@ -14,11 +14,12 @@ import graft.chain._
   * Composition contract per micro-batch:
   *   1. `ChainIngest.ingestBatch` lands/retracts chain tables and reports a
   *      `BatchSummary`;
-  *   2. a reorg retraction propagates to the balance tables BEFORE any
-  *      reprocessing — subs admitted in-range reset to pending and the
-  *      compact ledger rebuilds (the reference deletes accounts /
-  *      subscriptions / erc20 state in the same reorg transaction,
-  *      store/store.go:319-378);
+  *   2. a reorg retraction propagates to the balance tables INSIDE the
+  *      chain retraction (the `onRetract` hook, before the chain deletes)
+  *      — subs admitted in-range reset to pending and the compact ledger
+  *      rebuilds (the reference deletes accounts / subscriptions / erc20
+  *      state in the same reorg transaction, store/store.go:319-378), and
+  *      a crash anywhere in the window converges on the batch replay;
   *   3. the balance pipeline runs [watermark+1, chain head] — driven by the
   *      persisted `balance_head` watermark, NOT by what this batch landed,
   *      so a checkpoint replay of an already-ingested batch (which admits
@@ -57,22 +58,30 @@ object FullIngest {
       maxBlocksPerChunk: Int = 50,
       reorgWindow: Long = 512L,
       newSubLimit: Int = 990,
-      cache: Option[CachedChainStore] = None): Unit = {
+      cache: Option[CachedChainStore] = None,
+      fetchBack: Seq[Byte] => Option[Schemas.Bundle] = _ => None): Unit = {
+    // Downstream retraction runs as ChainIngest's onRetract hook — INSIDE
+    // the reorg transaction, before the chain deletes — not after the
+    // batch: a crash anywhere then converges on the checkpoint replay
+    // (see ChainIngest.retract). Propagating from the returned summary
+    // instead would lose the retraction when the crash lands between
+    // head-state persist and the propagation.
     val summary = ChainIngest.ingestBatch(spark, store, batch,
-      registryTokens(spark, store), maxBlocksPerChunk, reorgWindow)
+      registryTokens(spark, store), maxBlocksPerChunk, reorgWindow,
+      onRetract = (lo, hi) => {
+        BalanceIngest.retract(spark, store, lo, hi)
+        cache.foreach(_.invalidateRange(lo, hi))
+      },
+      fetchBack = fetchBack)
 
-    summary.flatMap(_.retracted).foreach { case (lo, hi) =>
-      BalanceIngest.retract(spark, store, lo, hi)
-    }
-    summary.foreach { s =>
-      cache.foreach { c =>
-        val spans = s.landed.toSeq ++ s.retracted.toSeq
-        c.invalidateRange(spans.map(_._1).min, spans.map(_._2).max)
-      }
-    }
+    // landed blocks invalidate too: a cached negative lookup for a height
+    // that just materialized must not keep serving "absent"
+    for (s <- summary; c <- cache; (lo, hi) <- s.landed)
+      c.invalidateRange(lo, hi)
 
     ChainIngest.loadHead(store).foreach { head =>
-      val from = BalanceIngest.processedThrough(store).getOrElse(0L) + 1L
+      // absent watermark = nothing processed: genesis chains start at 0
+      val from = BalanceIngest.processedThrough(store).getOrElse(-1L) + 1L
       if (head.number >= from)
         BalanceIngest.processRange(spark, store, from, head.number, client, newSubLimit)
     }
@@ -91,13 +100,14 @@ object FullIngest {
       maxBlocksPerChunk: Int = 50,
       reorgWindow: Long = 512L,
       newSubLimit: Int = 990,
-      cache: Option[CachedChainStore] = None): StreamingQuery =
+      cache: Option[CachedChainStore] = None,
+      fetchBack: Seq[Byte] => Option[Schemas.Bundle] = _ => None): StreamingQuery =
     bundles.toDF().writeStream
       .trigger(Trigger.ProcessingTime(0L))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         processBatch(batch.sparkSession, store, batch, client,
-          maxBlocksPerChunk, reorgWindow, newSubLimit, cache)
+          maxBlocksPerChunk, reorgWindow, newSubLimit, cache, fetchBack)
       }
       .start()
 }

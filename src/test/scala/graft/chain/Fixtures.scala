@@ -78,4 +78,25 @@ object Fixtures {
     Subscription(id, blockNumber, group, address,
       new Timestamp(0L), new Timestamp(0L))
 
+  /** Linked chain of bundles [start, end] chaining parent hashes — the
+    * shared generator for the ingest/streaming specs. Optional txs per
+    * height (with matching receipts), optionally mirrored as eth transfer
+    * logs so the balance pipeline sees deltas.
+    */
+  def bundleChain(start: Long, end: Long, parent: Array[Byte],
+                  difficulty: Long = 1000L, hashSeedBase: Int = -1,
+                  txsAt: Map[Long, Seq[Tx]] = Map.empty,
+                  withTransferLogs: Boolean = false): Seq[Bundle] = {
+    var p = parent
+    (start to end).map { n =>
+      val seed = if (hashSeedBase >= 0) hashSeedBase + n.toInt else n.toInt
+      val txs  = txsAt.getOrElse(n, Nil)
+      val b    = block(n, p, txs = txs, difficulty = difficulty, hashSeed = seed)
+      p = b.hash
+      val logs = if (withTransferLogs)
+        txs.map(t => TransferLog(t.hash, t.from, t.to.get, t.amount, n)) else Nil
+      Bundle(b, txs.map(receipt(_, n)), logs)
+    }
+  }
+
 }

@@ -20,15 +20,8 @@ class BundleStreamSpec extends SparkSpec {
   private val noTokens = Seq.empty[(Array[Byte], Long)].toDF("address", "block_number")
 
   private def mkChain(start: Long, end: Long, parent: Array[Byte],
-                      difficulty: Long = 1000L, hashSeedBase: Int = -1): Seq[Bundle] = {
-    var p = parent
-    (start to end).map { n =>
-      val seed = if (hashSeedBase >= 0) hashSeedBase + n.toInt else n.toInt
-      val b    = block(n, p, difficulty = difficulty, hashSeed = seed)
-      p = b.hash
-      Bundle(b, Nil, Nil)
-    }
-  }
+                      difficulty: Long = 1000L, hashSeedBase: Int = -1): Seq[Bundle] =
+    bundleChain(start, end, parent, difficulty, hashSeedBase)
 
   test("MicroBatchStream source drives ingest incl. catch-up cap and reorg (S1/T1/T3/T5)") {
     val store = freshStore()

@@ -26,19 +26,10 @@ class ChainIngestSpec extends SparkSpec {
 
   private val noTokens = Seq.empty[(Array[Byte], Long)].toDF("address", "block_number")
 
-  /** Build a linked chain of bundles from `start`, chaining parent hashes. */
   private def chain(start: Long, end: Long, parent: Array[Byte],
                     difficulty: Long = 1000L, hashSeedBase: Int = -1,
-                    txsAt: Map[Long, Seq[Tx]] = Map.empty): Seq[Bundle] = {
-    var p = parent
-    (start to end).map { n =>
-      val seed = if (hashSeedBase >= 0) hashSeedBase + n.toInt else n.toInt
-      val txs  = txsAt.getOrElse(n, Nil)
-      val b    = block(n, p, txs = txs, difficulty = difficulty, hashSeed = seed)
-      p = b.hash
-      Bundle(b, txs.map(t => receipt(t, n)), Nil)
-    }
-  }
+                    txsAt: Map[Long, Seq[Tx]] = Map.empty): Seq[Bundle] =
+    bundleChain(start, end, parent, difficulty, hashSeedBase, txsAt)
 
   private def toBundleDf(bs: Seq[Bundle]): DataFrame = bs.toDS().toDF()
 
@@ -289,6 +280,48 @@ class ChainIngestSpec extends SparkSpec {
     // accepted blocks leave the pool — a drained pool is DROPPED so the
     // steady-state ingest path pays nothing for it
     assert(!store.exists(ChainIngest.SideTable))
+  }
+
+  test("a retracted branch wins back via feed fetch-back (the getBlockByHash walk)") {
+    // reorg war: canonical A (1..8, tx at 8) loses [7,8] to heavier fork B,
+    // then an even heavier A-extension arrives whose ancestry (old 7,8) is
+    // gone from every table AND from the pool — only the feed can serve it
+    // by hash, exactly the reference's ancestor re-fetch
+    val store = freshStore()
+    val t8 = tx(1, alice, bob, 500)
+    val chainA = chain(1, 8, hash32(0), txsAt = Map(8L -> Seq(t8)))
+    val sub = new QueueHeadSubscription
+    sub.push(chainA: _*)
+    ingest(store, chainA)
+
+    val forkB = chain(7, 12, hash32(6), difficulty = 5000L, hashSeedBase = 9000)
+    sub.push(forkB: _*)
+    ingest(store, forkB) // B wins: td 6·1000 + 6·5000 = 36000
+    assert(ChainIngest.loadHead(store).exists(_.number == 12L))
+    assert(store.readOr(ChainIngest.TxTable, null).count() == 0L) // A's tx retracted
+
+    // A-extension 9A..13A on top of OLD block 8: td 8000 + 5·10000 = 58000
+    val extA = chain(9, 13, hash32(8), difficulty = 10000L)
+    sub.push(extA: _*)
+    val s = ChainIngest.ingestBatch(spark, store, toBundleDf(extA), noTokens,
+      fetchBack = sub.byHash)
+    assert(s.contains(ChainIngest.BatchSummary(Some((7L, 13L)), Some((7L, 12L)))))
+    val head = ChainIngest.loadHead(store).get
+    assert(head.number == 13L)
+    assert(head.td == BigInt(8 * 1000 + 5 * 10000))
+    assert(headerNumbers(store) == (1L to 13L))
+    // old canonical 7,8 re-landed from FETCHED bundles — hash AND payload
+    val h8 = store.readRange(ChainIngest.HeadersTable, "number", 8, 8, null)
+      .select("hash").head().getAs[Array[Byte]](0)
+    assert(h8.toSeq == hash32(8).toSeq)
+    val txs = store.readOr(ChainIngest.TxTable, null)
+      .select("block_number").collect().map(_.getLong(0)).toSeq
+    assert(txs == Seq(8L), "the fetched bundle must restore block 8's tx")
+    // without fetch-back the same extension is an orphan (default None)
+    val store2 = freshStore()
+    ingest(store2, chainA); ingest(store2, forkB)
+    ingest(store2, extA)
+    assert(ChainIngest.loadHead(store2).exists(_.number == 12L))
   }
 
   test("wei amounts above Decimal(38,18) range survive end-to-end") {

@@ -20,17 +20,9 @@ class FullIngestSpec extends SparkSpec {
 
   private def mkChain(start: Long, end: Long, parent: Array[Byte],
                       difficulty: Long = 1000L, hashSeedBase: Int = -1,
-                      txsAt: Map[Long, Seq[Tx]] = Map.empty): Seq[Bundle] = {
-    var p = parent
-    (start to end).map { n =>
-      val seed = if (hashSeedBase >= 0) hashSeedBase + n.toInt else n.toInt
-      val txs  = txsAt.getOrElse(n, Nil)
-      val b    = block(n, p, txs = txs, difficulty = difficulty, hashSeed = seed)
-      p = b.hash
-      val logs = txs.map(t => TransferLog(t.hash, t.from, t.to.get, t.amount, n))
-      Bundle(b, txs.map(receipt(_, n)), logs)
-    }
-  }
+                      txsAt: Map[Long, Seq[Tx]] = Map.empty): Seq[Bundle] =
+    bundleChain(start, end, parent, difficulty, hashSeedBase, txsAt,
+      withTransferLogs = true)
 
   private def hashAt(store: TableStore, n: Long): Array[Byte] =
     store.readRange(ChainIngest.HeadersTable, "number", n, n, null)
@@ -79,7 +71,7 @@ class FullIngestSpec extends SparkSpec {
     val checkpoint = Files.createTempDirectory("graft-full-ckpt").toString
     val client = BlockAwareBalanceClient(spark.sparkContext.longAccumulator("full-e2e"))
 
-    val q = FullIngest.start(bundles, store, client, checkpoint)
+    val q = FullIngest.start(bundles, store, client, checkpoint, fetchBack = sub.byHash)
     try {
       q.processAllAvailable()
       assert(q.recentProgress.count(_.numInputRows > 0) >= 3) // cap honored
@@ -185,6 +177,52 @@ class FullIngestSpec extends SparkSpec {
     val newHash6 = cached.findBlockByNumber(6L).head().getAs[Array[Byte]]("hash")
     assert(newHash6.toSeq == hash32(9006).toSeq, "must serve the winning branch, not the memo")
     assert(cached.findBlockByNumber(9L).count() == 1L, "landed block must not stay a cached miss")
+  }
+
+  test("crash mid-reorg: the replayed batch heals chain and balance state together") {
+    // the hard crash window: the downstream hook dies after the balance
+    // retraction but before the chain deletes — on the checkpoint replay
+    // the chain is intact, the reorg re-detects from scratch, the hook
+    // re-runs idempotently, and everything converges
+    val store = TableStore(spark, Files.createTempDirectory("graft-crash2").toString, bucketSize = 4L)
+    store.replace(BalanceIngest.SubsTable,
+      Seq((1L, 1L, 1L, alice)).toDF("id", "block_number", "group", "address"))
+    val client = BlockAwareBalanceClient(spark.sparkContext.longAccumulator("crash2"))
+    val noTokens = Seq.empty[(Array[Byte], Long)].toDF("address", "block_number")
+
+    val t2 = tx(1, alice, carol, 500, gasPrice = 100L)
+    FullIngest.processBatch(spark, store,
+      mkChain(1, 8, hash32(0), txsAt = Map(2L -> Seq(t2))).toDS().toDF(), client)
+    assert(BalanceIngest.processedThrough(store).contains(8L))
+
+    val t6 = tx(2, alice, carol, 700, gasPrice = 200L)
+    val fork = mkChain(5, 10, hash32(4), difficulty = 5000L, hashSeedBase = 9000,
+      txsAt = Map(6L -> Seq(t6)))
+    val boom = intercept[RuntimeException] {
+      ChainIngest.ingestBatch(spark, store, fork.toDS().toDF(), noTokens,
+        onRetract = (lo, hi) => {
+          BalanceIngest.retract(spark, store, lo, hi)
+          throw new RuntimeException("crash after downstream retraction")
+        })
+    }
+    assert(boom.getMessage.contains("crash"))
+    // chain untouched (head still the old tip), balances already rewound
+    assert(ChainIngest.loadHead(store).exists(_.number == 8L))
+    assert(BalanceIngest.processedThrough(store).contains(4L))
+
+    // the replayed batch (same bundles — offsets were never committed)
+    FullIngest.processBatch(spark, store, fork.toDS().toDF(), client)
+    assert(ChainIngest.loadHead(store).exists(_.number == 10L))
+    assert(BalanceIngest.processedThrough(store).contains(10L))
+    val fee6 = store.readOr(BalanceIngest.TotalsTable, null)
+      .filter(col("block_number") === 6L && col("group") === 1L)
+      .head().getAs[java.math.BigDecimal]("tx_fee")
+    assert(BigInt(fee6.toBigInteger) == BigInt(200L * 21000L))
+    // pre-fork history intact after the double-retraction
+    val fee2 = store.readOr(BalanceIngest.TotalsTable, null)
+      .filter(col("block_number") === 2L && col("group") === 1L)
+      .head().getAs[java.math.BigDecimal]("tx_fee")
+    assert(BigInt(fee2.toBigInteger) == BigInt(100L * 21000L))
   }
 
   test("crash between ingest and balance work: the replayed batch completes it") {
