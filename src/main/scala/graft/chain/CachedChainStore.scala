@@ -42,6 +42,7 @@ final class CachedChainStore private (mkUnderlying: () => ChainStore, maxEntries
 
   private type Key = (String, ArraySeq[Byte])
   private final case class Entry(rows: Array[Row], schema: org.apache.spark.sql.types.StructType,
+                                 session: org.apache.spark.sql.SparkSession,
                                  blockNumbers: Seq[Long])
 
   private val cache: JMap[Key, Entry] =
@@ -68,12 +69,14 @@ final class CachedChainStore private (mkUnderlying: () => ChainStore, maxEntries
       else {
         val df = lookup
         val rows = df.collect()
-        val e = Entry(rows, df.schema,
+        // capture the session at miss time: a hit must not depend on the
+        // caller thread's ambient active-session state
+        val e = Entry(rows, df.schema, df.sparkSession,
           ArraySeq.unsafeWrapArray(rows.map(_.getAs[Long](numberCol))))
         cache.put(k, e)
         e
       }
-    org.apache.spark.sql.SparkSession.active.createDataFrame(
+    entry.session.createDataFrame(
       java.util.Arrays.asList(entry.rows: _*), entry.schema)
   }
 

@@ -203,15 +203,29 @@ object ChainIngest {
     val payloadBacked = mutable.Set[Seq[Byte]]()
     sideHdrs.foreach(h => payloadBacked += h.hash)
     incoming.foreach(h => payloadBacked += h.hash)
+    // known-missing hashes: one feed lookup per batch for a hash that is
+    // not there, not one per descendant candidate (on a real feed each
+    // miss is a remote call)
+    val fetchMisses = mutable.Set[Seq[Byte]]()
     def resolve(hash: Seq[Byte]): Option[Hdr] =
       byHash.get(hash).orElse {
-        fetchBack(hash).map { b =>
-          val h = Hdr(b.block.number, b.block.hash.toSeq, b.block.parentHash.toSeq,
-            b.block.difficulty)
-          byHash(h.hash) = h
-          payloadBacked += h.hash
-          fetched += b
-          h
+        // on an EMPTY chain there is nothing to reorg against: clean-start
+        // semantics (backfill from wherever the feed begins) — never walk
+        // the feed's history down
+        if (cur.isEmpty || fetchMisses.contains(hash)) None
+        else {
+          val got = fetchBack(hash)
+            // untrusted-feed guard: a bundle claiming to be `hash` must BE it
+            .filter(b => b.block.hash.toSeq == hash)
+          if (got.isEmpty) { fetchMisses += hash; None }
+          else got.map { b =>
+            val h = Hdr(b.block.number, b.block.hash.toSeq, b.block.parentHash.toSeq,
+              b.block.difficulty)
+            byHash(h.hash) = h
+            payloadBacked += h.hash
+            fetched += b
+            h
+          }
         }
       }
     def payloadDf: DataFrame =
@@ -251,13 +265,19 @@ object ChainIngest {
       * None = unconnected orphan. An empty chain seeds prevTd = 0 (the
       * reference's genesis/backfill start, indexer.go:255-258).
       */
+    // A legitimate ancestry walk spans at most the batch + pool + reorg
+    // window; the hard step bound also terminates walks over a hostile
+    // feed whose "parents" never descend (cycles, self-parents)
+    val walkBudget = incoming.length + sideHdrs.length + reorgWindow + 2
+
     def tdOf(h: Hdr): Option[BigInt] = {
-      var acc = BigInt(h.difficulty)
-      var b   = h
-      while (true) {
+      var acc   = BigInt(h.difficulty)
+      var b     = h
+      var steps = walkBudget
+      while (steps > 0) {
+        steps -= 1
         // walked below the window floor without connecting: out of reorg
-        // policy — also bounds how deep fetch-back will walk for a
-        // hostile/garbage branch
+        // policy — bounds how deep fetch-back descends
         if (cur.isDefined && b.number < windowLo) return None
         tdByHash.get(b.parentHash) match {
           case Some(ptd) => return Some(ptd + acc)
@@ -268,7 +288,7 @@ object ChainIngest {
             }
         }
       }
-      None // unreachable
+      None // walk budget exhausted: treat as unconnected
     }
 
     incoming.foreach { h =>
@@ -290,7 +310,9 @@ object ChainIngest {
               var traceable          = true
               var done               = false
               var b                  = h
-              while (!done && traceable) {
+              var traceSteps = walkBudget
+              while (!done && traceable && traceSteps > 0) {
+                traceSteps -= 1
                 val pn = b.number - 1
                 chainByNumber.get(pn) match {
                   case Some(st) if st.hash == b.parentHash => done = true
@@ -312,7 +334,8 @@ object ChainIngest {
                     }
                 }
               }
-              if (traceable) {
+              if (traceSteps <= 0) traceable = false // budget out: untraced, not half-traced
+              if (traceable && done) {
                 reorgFrom.foreach { rf =>
                   // this batch's earlier accepts may fall in the retracted
                   // range — land them first so the delete covers both
@@ -403,7 +426,14 @@ object ChainIngest {
       onRetract: (Long, Long) => Unit = (_, _) => ()): Unit = {
     import spark.implicits._
     for (f <- oldChain.get(from); t <- oldChain.get(to)) {
-      store.append(ReorgsTable,
+      // replay-idempotent audit: a crash after this append replays the
+      // batch and re-detects the same reorg — the identical row must not
+      // double-count (reorgs are rare; the existence probe is tiny)
+      val dup = Option(store.readOr(ReorgsTable, null)).exists(
+        _.filter(col("from") === from && col("to") === to &&
+          col("from_hash") === lit(f.hash.toArray) &&
+          col("to_hash") === lit(t.hash.toArray)).limit(1).collect().nonEmpty)
+      if (!dup) store.append(ReorgsTable,
         Seq((from, f.hash.toArray, to, t.hash.toArray))
           .toDF("from", "from_hash", "to", "to_hash"))
     }

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.{col, min}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.chain._
 
@@ -80,8 +81,15 @@ object FullIngest {
       c.invalidateRange(lo, hi)
 
     ChainIngest.loadHead(store).foreach { head =>
-      // absent watermark = nothing processed: genesis chains start at 0
-      val from = BalanceIngest.processedThrough(store).getOrElse(-1L) + 1L
+      val from = BalanceIngest.processedThrough(store) match {
+        case Some(w) => w + 1L
+        case None =>
+          // fresh ledger: start at the chain's FIRST landed block — a
+          // mid-chain backfill (clean start at height H) must not iterate
+          // millions of absent genesis-side heights one no-op at a time
+          store.readOr(ChainIngest.HeadersTable, null)
+            .agg(min(col("number"))).head().getLong(0)
+      }
       if (head.number >= from)
         BalanceIngest.processRange(spark, store, from, head.number, client, newSubLimit)
     }

@@ -214,6 +214,9 @@ class FullIngestSpec extends SparkSpec {
     FullIngest.processBatch(spark, store, fork.toDS().toDF(), client)
     assert(ChainIngest.loadHead(store).exists(_.number == 10L))
     assert(BalanceIngest.processedThrough(store).contains(10L))
+    // one reorg, one audit row — the re-detected retraction must not
+    // double-append it
+    assert(store.readOr(ChainIngest.ReorgsTable, null).count() == 1L)
     val fee6 = store.readOr(BalanceIngest.TotalsTable, null)
       .filter(col("block_number") === 6L && col("group") === 1L)
       .head().getAs[java.math.BigDecimal]("tx_fee")
