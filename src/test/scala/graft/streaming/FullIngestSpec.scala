@@ -179,6 +179,24 @@ class FullIngestSpec extends SparkSpec {
     assert(cached.findBlockByNumber(9L).count() == 1L, "landed block must not stay a cached miss")
   }
 
+  test("mid-chain backfill: a fresh ledger starts at the first landed block") {
+    // clean start at height 100 (the reference's loadLocalState-from-empty
+    // path): the balance pipeline must begin at 100, not iterate absent
+    // heights 0..99
+    val store = TableStore(spark, Files.createTempDirectory("graft-midchain").toString, bucketSize = 4L)
+    store.replace(BalanceIngest.SubsTable,
+      Seq((1L, 0L, 1L, bob)).toDF("id", "block_number", "group", "address"))
+    val client = BlockAwareBalanceClient(spark.sparkContext.longAccumulator("midchain"))
+
+    FullIngest.processBatch(spark, store,
+      mkChain(100, 103, hash32(99)).toDS().toDF(), client)
+    assert(ChainIngest.loadHead(store).exists(_.number == 103L))
+    assert(BalanceIngest.processedThrough(store).contains(103L))
+    // bob (pending) admitted and seeded at the FIRST landed block
+    val bobRow = facade(store).findAccount(Sentinels.EthToken, bob).head()
+    assert(bobRow.getAs[Long]("block_number") == 100L)
+  }
+
   test("crash mid-reorg: the replayed batch heals chain and balance state together") {
     // the hard crash window: the downstream hook dies after the balance
     // retraction but before the chain deletes — on the checkpoint replay
