@@ -76,7 +76,12 @@ final class CachedChainStore private (mkUnderlying: () => ChainStore, maxEntries
         cache.put(k, e)
         e
       }
-    entry.session.createDataFrame(
+    // prefer the captured session; if the application replaced it since
+    // the miss, the memoized rows are still servable on the live one
+    val session =
+      if (!entry.session.sparkContext.isStopped) entry.session
+      else org.apache.spark.sql.SparkSession.active
+    session.createDataFrame(
       java.util.Arrays.asList(entry.rows: _*), entry.schema)
   }
 

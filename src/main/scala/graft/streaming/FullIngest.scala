@@ -86,9 +86,14 @@ object FullIngest {
         case None =>
           // fresh ledger: start at the chain's FIRST landed block — a
           // mid-chain backfill (clean start at height H) must not iterate
-          // millions of absent genesis-side heights one no-op at a time
-          store.readOr(ChainIngest.HeadersTable, null)
-            .agg(min(col("number"))).head().getLong(0)
+          // millions of absent genesis-side heights one no-op at a time.
+          // A crash can leave head_state present while the headers table
+          // is EMPTY (retraction landed, new branch did not): min() is
+          // null then — skip the range rather than NPE the replay loop
+          val hdrs = store.readOr(ChainIngest.HeadersTable, null)
+          val minRow = if (hdrs == null) null else hdrs.agg(min(col("number"))).head()
+          if (minRow == null || minRow.isNullAt(0)) head.number + 1L
+          else minRow.getLong(0)
       }
       if (head.number >= from)
         BalanceIngest.processRange(spark, store, from, head.number, client, newSubLimit)
