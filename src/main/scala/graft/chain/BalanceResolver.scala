@@ -55,4 +55,46 @@ object BalanceResolver {
       .select(col("token"), col("address"),
         col("balance").cast(Rewards.wei).as("balance"))
   }
+
+  /** Resolve balances for (token, address, block_number, hash) rows
+    * spanning MANY blocks in one distributed pass — the vectorized form of
+    * [[resolve]] for catch-up spans. Rows sort within each partition by
+    * block, so every client call still carries pairs of a single block
+    * hash (the reference's per-block `BatchBalanceAt` batching,
+    * client/balancer.go:96-114) while the span's whole request set fans
+    * out across partitions. Output: (token, address, block_number,
+    * balance Decimal(38,0)).
+    */
+  def resolveAt(
+      triples: DataFrame,
+      client: BalanceClient,
+      chunkSize: Int = DefaultChunkSize): DataFrame = {
+    val spark = triples.sparkSession
+    import spark.implicits._
+    triples.select(col("token"), col("address"), col("block_number"), col("hash"))
+      .sortWithinPartitions("block_number") // spillable sort, not an in-memory buffer
+      .as[(Array[Byte], Array[Byte], Long, Array[Byte])]
+      .mapPartitions { it0 =>
+        val it = it0.buffered
+        new Iterator[Seq[(Array[Byte], Array[Byte], Long, String)]] {
+          def hasNext: Boolean = it.hasNext
+          def next(): Seq[(Array[Byte], Array[Byte], Long, String)] = {
+            val block = it.head._3
+            val hash  = it.head._4
+            val chunk = scala.collection.mutable.ArrayBuffer
+              .empty[(Array[Byte], Array[Byte], Long, Array[Byte])]
+            while (it.hasNext && it.head._3 == block && chunk.length < chunkSize)
+              chunk += it.next()
+            val got = client.balances(hash, chunk.map(r => (r._1, r._2)).toSeq)
+            require(got.length == chunk.length,
+              s"client returned ${got.length} balances for ${chunk.length} requests")
+            chunk.iterator.zip(got.iterator)
+              .map { case ((t, a, n, _), b) => (t, a, n, b) }.toSeq
+          }
+        }.flatMap(_.iterator)
+      }
+      .toDF("token", "address", "block_number", "balance")
+      .select(col("token"), col("address"), col("block_number"),
+        col("balance").cast(Rewards.wei).as("balance"))
+  }
 }

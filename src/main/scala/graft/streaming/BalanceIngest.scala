@@ -1,8 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 import graft.chain._
 import graft.chain.Schemas.Sentinels
 import graft.operators.Relational
@@ -14,11 +14,26 @@ import graft.operators.Relational
   * snapshots via the batched resolver, per-(group, token) running totals —
   * and the compact ledger state persists for the next block.
   *
-  * Scale shape per block: reads are partition-pruned single-block slices
-  * (readRange on the bucketed tables); the pipeline is O(touched keys +
-  * state); state tables (one row per key) swap atomically, which also
-  * truncates plan lineage so a 10k-block catch-up does not accrete a
-  * 10k-step logical plan.
+  * Block sequencing is NOT always per-block: the reference runs a MySQL
+  * transaction per block because MySQL is its state store, not because the
+  * math needs it. Here a span with no pending subscriptions and no pending
+  * registry tokens (the overwhelmingly common catch-up case) is processed
+  * as ONE windowed DAG — deltas and running totals via
+  * `Window.partitionBy(key).orderBy(block_number)` — so a million-block
+  * backfill costs a bounded number of Spark jobs, not ~a dozen per block.
+  * Only "event" blocks (a pending subscription to admit, a pending token to
+  * seed) fall back to the per-block bracket, whose state carry is
+  * semantically sequential.
+  *
+  * Crash contract: `balance_head` is the commit point. The compact-state
+  * swap writes a `ledger_block` marker FIRST (promote order inside the
+  * staged [[TableStore.replaceAll]]); finding `ledger_block` ahead of
+  * `balance_head` on entry means a crash landed between the state swap and
+  * the watermark advance, and everything past the watermark — history rows,
+  * subscription flips, the compact state — rolls back via [[retract]]
+  * before reprocessing. Without this, a replayed block diffs against state
+  * that already contains it (`block_number < n` filters see nothing) and a
+  * flipped-but-uncommitted subscription loses its seed row.
   */
 object BalanceIngest {
 
@@ -30,6 +45,11 @@ object BalanceIngest {
   val LatestAccounts = "latest_accounts"
   val LatestTotals   = "latest_totals"
   val BalanceHeadTable = "balance_head"
+  /** Block the compact ledger state reflects — see the crash contract. */
+  val LedgerBlockTable = "ledger_block"
+
+  private val wei = Rewards.wei
+  private val zeroWei = lit(new java.math.BigDecimal(0)).cast(wei)
 
   /** Highest block the balance pipeline has processed — the single-row
     * watermark that makes the composed stream replay-safe: a micro-batch
@@ -42,9 +62,9 @@ object BalanceIngest {
     Option(store.readOr(BalanceHeadTable, null))
       .flatMap(_.collect().headOption.map(_.getAs[Long]("number")))
 
-  private def accSchema = StructType(Seq(
-    StructField("token", BinaryType), StructField("address", BinaryType),
-    StructField("block_number", LongType), StructField("balance", Rewards.wei)))
+  private def ledgerBlock(store: TableStore): Option[Long] =
+    Option(store.readOr(LedgerBlockTable, null))
+      .flatMap(_.collect().headOption.map(_.getAs[Long]("number")))
 
   /** Load compact state; absent tables mean a fresh ledger. */
   def loadState(spark: SparkSession, store: TableStore): BalanceLedger.State = {
@@ -59,6 +79,20 @@ object BalanceIngest {
     store.replaceAll(Seq(
       LatestAccounts -> state.latestAccounts,
       LatestTotals   -> state.latestTotals))
+
+  /** State swap for a processed block/span: the `ledger_block` marker is
+    * FIRST in the seq, so it promotes before the state dirs — a crash
+    * anywhere inside the swap leaves the marker ahead of the watermark and
+    * the recovery path rolls the partial swap back.
+    */
+  private def commitState(spark: SparkSession, store: TableStore,
+                          state: BalanceLedger.State, through: Long): Unit = {
+    import spark.implicits._
+    store.replaceAll(Seq(
+      LedgerBlockTable -> Seq(Tuple1(through)).toDF("number"),
+      LatestAccounts   -> state.latestAccounts,
+      LatestTotals     -> state.latestTotals))
+  }
 
   /** Rebuild compact state from full history — the recovery path after a
     * reorg retraction (the reference re-reads its latest rows from MySQL
@@ -76,10 +110,39 @@ object BalanceIngest {
         tot, Seq("group", "token"), Seq(col("block_number"))))
   }
 
+  /** First block in [n, to] that needs the sequential per-block bracket:
+    * a pending subscription (admitted at the very next processed block), a
+    * pending registry token (seeded at the very next processed block), or a
+    * token already flipped to m+1 with m in range (a replay must re-seed at
+    * m). Quiet prefixes before the event vectorize. Bounded driver reads:
+    * two limit-1 probes and one min().
+    */
+  private def firstEventBlock(store: TableStore, n: Long, to: Long): Option[Long] = {
+    val subs = store.readOr(SubsTable, null)
+    val pendingSub = subs != null &&
+      subs.filter(col("block_number") === 0L).limit(1).collect().nonEmpty
+    if (pendingSub) Some(n)
+    else {
+      val reg = store.readOr(RegistryTable, null)
+      if (reg == null) None
+      else if (reg.filter(col("block_number") === 0L).limit(1).collect().nonEmpty) Some(n)
+      else {
+        val m = reg.filter(col("block_number").between(n + 1, to + 1))
+          .agg(min("block_number")).head()
+        if (m.isNullAt(0)) None else Some(m.getLong(0) - 1L)
+      }
+    }
+  }
+
   /** Process blocks [from, to] (already ingested by ChainIngest) through
-    * the balance pipeline, appending accounts/total_balances/matched rows
-    * and persisting the ledger + flipped subscriptions after each block —
-    * the reference's one-transaction-per-block bracket.
+    * the balance pipeline: quiet spans as one windowed DAG, event blocks
+    * through the per-block bracket (admission caps, token seeding, flips).
+    *
+    * Assumes the stored chain is contiguous over [from, to] up to its head
+    * (ChainIngest lands chunks contiguously): the watermark advances over
+    * the whole span, so a height absent from `block_headers` is treated as
+    * never-landed — permanently skipped, not retried. A gapped store (which
+    * ChainIngest never produces) would need per-height absence tracking.
     */
   def processRange(
       spark: SparkSession,
@@ -89,131 +152,311 @@ object BalanceIngest {
       client: BalanceClient,
       newSubLimit: Int = 990): Unit = {
     import spark.implicits._
-    var state = loadState(spark, store)
     // watermark carried through the loop (read once, not per block);
     // monotonic — replaying an old block must not lower "processed through"
     var wm = processedThrough(store).getOrElse(-1L)
+    // crash recovery: state committed past the watermark means the previous
+    // run died between the state swap and the advance — roll everything
+    // past the watermark back before reprocessing (see the crash contract)
+    ledgerBlock(store).filter(_ > wm).foreach { ahead =>
+      retract(spark, store, wm + 1, ahead)
+    }
     def advance(n: Long): Unit = if (n > wm) {
       store.replace(BalanceHeadTable, Seq(Tuple1(n)).toDF("number"))
       wm = n
     }
-    (from to to).foreach { n =>
-      val transfers = store.readRange(ChainIngest.TransfersTable, "block_number", n, n, null)
-      val txs       = store.readRange(ChainIngest.TxTable, "block_number", n, n, null)
-      val receipts  = store.readRange(ChainIngest.ReceiptsTable, "block_number", n, n, null)
-      val subs      = store.readOr(SubsTable, null)
-      // un-landed heights are no-ops (a watermark range wider than the
-      // stored chain, e.g. a genesis-0 start when the chain begins at 1):
-      // the reference only transfer-processes blocks it actually inserted,
-      // and running the pipeline on an absent block would wrongly seed
-      // pending registry tokens against an empty block hash
-      val blockHashOpt =
-        if (subs == null) None
-        else store.readRange(ChainIngest.HeadersTable, "number", n, n, null)
-          .select("hash").collect().headOption.map(_.getAs[Array[Byte]](0))
-      blockHashOpt.foreach { blockHash =>
-
-        // resolver request set: every touched-or-new subscribed address ×
-        // every token seen in the block (plus ETH) — the same set the
-        // reference batches to geth (client/balancer.go:43-116)
-        val active  = BalancePipeline.activeSubs(subs, newSubLimit)
-        val touched = BalancePipeline.changedAddresses(transfers, txs)
-          .join(active.select("address"), Seq("address"), "left_semi")
-          .unionByName(BalancePipeline.admittedNewSubs(subs, newSubLimit).select("address"))
-          .dropDuplicates("address")
-        val tokens = transfers.select(col("token")).distinct()
-          .unionByName(Seq(Tuple1(Sentinels.EthToken)).toDF("token"))
-          .dropDuplicates("token")
-        val pairs    = tokens.crossJoin(touched)
-        val resolver = BalanceResolver.resolve(pairs, blockHash, client)
-
-        val in = BalancePipeline.Inputs(n, transfers, txs, receipts, subs,
-          accounts = null, resolver = resolver, prevTotals = null)
-        val (out, next0) = BalanceLedger.step(state, in, newSubLimit)
-
-        // New-token admission (initNewERC20, store/new_erc20.go:41-175):
-        // every PENDING registry row seeds a balance for every ACTIVE
-        // subscription at n through the same batched resolver, plus the
-        // per-(group, token) starting totals (A10), and its watermark
-        // flips to n+1 — the reference's "next block" convention, so the
-        // token's events are transfer-processed from n+1 on. The pending
-        // set includes tokens already flipped to n+1 so that REPLAYING
-        // block n re-seeds exactly the rows its delete bracket wipes.
-        val registry = store.readOr(RegistryTable, null)
-        val seeds = Option(registry).map { reg =>
-          reg.filter(col("block_number") === 0L || col("block_number") === n + 1)
-            .select(col("address").as("token"))
-        }.filter(_.limit(1).collect().nonEmpty).map { pend =>
-          // flip-before-seed ordering (transfer_processor.go:316 before
-          // new_erc20.go's ListOldSubscriptions): subs admitted THIS block
-          // are already active when the new token seeds, so union them in —
-          // otherwise the (sub, token) seed row is missed and never heals
-          val oldSubs = subs.filter(col("block_number") > 0L)
-            .select("address", "group")
-            .unionByName(out.updatedSubs.select("address", "group"))
-            .dropDuplicates("address")
-          val sBal = BalanceResolver.resolve(
-            oldSubs.select("address").crossJoin(broadcast(pend)), blockHash, client)
-          val sAcc = sBal.join(oldSubs, Seq("address"))
-            .select(col("token"), col("address"), lit(n).as("block_number"),
-              col("balance"), col("group"))
-            .localCheckpoint(true) // must survive the registry swap below
-          val zero = lit(0L).cast(Rewards.wei)
-          val sTot = sAcc.groupBy("group", "token")
-            .agg(sum("balance").cast(Rewards.wei).as("balance"))
-            .select(lit(n).as("block_number"), col("token"), col("group"),
-              col("balance"), zero.as("tx_fee"), zero.as("miner_reward"),
-              zero.as("uncles_reward"))
-          (sAcc, sTot)
-        }
-        val next = seeds.fold(next0) { case (sAcc, sTot) =>
-          BalanceLedger.State(
-            latestAccounts = BalanceLedger.upsert(next0.latestAccounts,
-              sAcc.select("token", "address", "block_number", "balance"),
-              Seq("token", "address")),
-            latestTotals = BalanceLedger.upsert(next0.latestTotals, sTot,
-              Seq("group", "token")))
-        }
-
-        // replay-idempotent bracket (same as ChainIngest.appendChunk): a
-        // reprocessed block rewrites its rows instead of duplicating them
-        Seq(AccountsTable, TotalsTable, MatchedTable)
-          .foreach(t => store.deleteRange(t, "block_number", n, n))
-
-        val accRows = out.newAccounts
-          .select("token", "address", "block_number", "balance", "group")
-        store.appendBucketed(AccountsTable,
-          seeds.fold(accRows)(s => accRows.unionByName(s._1)), "block_number")
-        store.appendBucketed(TotalsTable,
-          seeds.fold(out.totalBalances)(s => out.totalBalances.unionByName(s._2)),
-          "block_number")
-        store.appendBucketed(MatchedTable,
-          out.matchedTransfers.select("token", "from", "to", "value", "block_number"),
-          "block_number")
-
-        // persist state FIRST (atomic swap also truncates plan lineage) —
-        // `next`'s plans still read the un-flipped subscriptions table
-        saveState(store, next)
-        state = loadState(spark, store)
-
-        // flip seeded tokens to n+1 (BatchUpdateERC20BlockNumber); the
-        // seed plans are checkpointed, so the registry swap is safe
-        seeds.foreach { _ =>
-          store.replace(RegistryTable, registry.withColumn("block_number",
-            when(col("block_number") === 0L, lit(n + 1))
-              .otherwise(col("block_number"))))
-        }
-
-        // flip admitted new subs to active at n (BatchUpdateBlockNumber);
-        // last mutation of the block so no pending plan re-reads the old files
-        val flippedIds = out.updatedSubs.select("id")
-        val newSubs = subs.join(flippedIds, Seq("id"), "left_anti")
-          .unionByName(out.updatedSubs)
-        store.replace(SubsTable, newSubs)
-        advance(n) // per-block crash bracket where work actually happened
+    // un-subscribed stores are a pure watermark advance — the reference
+    // only transfer-processes when subscriptions exist
+    if (store.readOr(SubsTable, null) == null) { advance(to); return }
+    var state = loadState(spark, store)
+    var n = from
+    while (n <= to) {
+      firstEventBlock(store, n, to) match {
+        case Some(e) if e == n =>
+          state = processBlock(spark, store, n, client, newSubLimit, state, advance)
+          n += 1
+        case other =>
+          val hi = other.map(_ - 1L).getOrElse(to)
+          state = processQuietSpan(spark, store, n, hi, client, state)
+          advance(hi)
+          n = hi + 1
       }
     }
-    advance(to) // no-work tail (no subscriptions) collapses into one write
+    advance(to) // no-work tail collapses into one write
+  }
+
+  /** The sequential per-block bracket — the reference's
+    * one-transaction-per-block (store/store.go:129-147), needed when the
+    * block admits subscriptions or seeds tokens (state carries
+    * block-to-block). Returns the state loaded after the block's swap.
+    */
+  private def processBlock(
+      spark: SparkSession,
+      store: TableStore,
+      n: Long,
+      client: BalanceClient,
+      newSubLimit: Int,
+      state0: BalanceLedger.State,
+      advance: Long => Unit): BalanceLedger.State = {
+    import spark.implicits._
+    var state = state0
+    val transfers = store.readRange(ChainIngest.TransfersTable, "block_number", n, n, null)
+    val txs       = store.readRange(ChainIngest.TxTable, "block_number", n, n, null)
+    val receipts  = store.readRange(ChainIngest.ReceiptsTable, "block_number", n, n, null)
+    val subs      = store.readOr(SubsTable, null)
+    // un-landed heights are no-ops (a watermark range wider than the
+    // stored chain, e.g. a genesis-0 start when the chain begins at 1):
+    // the reference only transfer-processes blocks it actually inserted,
+    // and running the pipeline on an absent block would wrongly seed
+    // pending registry tokens against an empty block hash
+    val blockHashOpt =
+      if (subs == null) None
+      else store.readRange(ChainIngest.HeadersTable, "number", n, n, null)
+        .select("hash").collect().headOption.map(_.getAs[Array[Byte]](0))
+    blockHashOpt.foreach { blockHash =>
+
+      // resolver request set: every touched-or-new subscribed address ×
+      // every token seen in the block (plus ETH) — the same set the
+      // reference batches to geth (client/balancer.go:43-116)
+      val active  = BalancePipeline.activeSubs(subs, newSubLimit)
+      val touched = BalancePipeline.changedAddresses(transfers, txs)
+        .join(active.select("address"), Seq("address"), "left_semi")
+        .unionByName(BalancePipeline.admittedNewSubs(subs, newSubLimit).select("address"))
+        .dropDuplicates("address")
+      val tokens = transfers.select(col("token")).distinct()
+        .unionByName(Seq(Tuple1(Sentinels.EthToken)).toDF("token"))
+        .dropDuplicates("token")
+      val pairs    = tokens.crossJoin(touched)
+      val resolver = BalanceResolver.resolve(pairs, blockHash, client)
+
+      val in = BalancePipeline.Inputs(n, transfers, txs, receipts, subs,
+        accounts = null, resolver = resolver, prevTotals = null)
+      val (out, next0) = BalanceLedger.step(state, in, newSubLimit)
+
+      // New-token admission (initNewERC20, store/new_erc20.go:41-175):
+      // every PENDING registry row seeds a balance for every ACTIVE
+      // subscription at n through the same batched resolver, plus the
+      // per-(group, token) starting totals (A10), and its watermark
+      // flips to n+1 — the reference's "next block" convention, so the
+      // token's events are transfer-processed from n+1 on. The pending
+      // set includes tokens already flipped to n+1 so that REPLAYING
+      // block n re-seeds exactly the rows its delete bracket wipes.
+      val registry = store.readOr(RegistryTable, null)
+      val seeds = Option(registry).map { reg =>
+        reg.filter(col("block_number") === 0L || col("block_number") === n + 1)
+          .select(col("address").as("token"))
+      }.filter(_.limit(1).collect().nonEmpty).map { pend =>
+        // flip-before-seed ordering (transfer_processor.go:316 before
+        // new_erc20.go's ListOldSubscriptions): subs admitted THIS block
+        // are already active when the new token seeds, so union them in —
+        // otherwise the (sub, token) seed row is missed and never heals
+        val oldSubs = subs.filter(col("block_number") > 0L)
+          .select("address", "group")
+          .unionByName(out.updatedSubs.select("address", "group"))
+          .dropDuplicates("address")
+        val sBal = BalanceResolver.resolve(
+          oldSubs.select("address").crossJoin(broadcast(pend)), blockHash, client)
+        val sAcc = sBal.join(oldSubs, Seq("address"))
+          .select(col("token"), col("address"), lit(n).as("block_number"),
+            col("balance"), col("group"))
+          .localCheckpoint(true) // must survive the registry swap below
+        val sTot = sAcc.groupBy("group", "token")
+          .agg(sum("balance").cast(wei).as("balance"))
+          .select(lit(n).as("block_number"), col("token"), col("group"),
+            col("balance"), zeroWei.as("tx_fee"), zeroWei.as("miner_reward"),
+            zeroWei.as("uncles_reward"))
+        (sAcc, sTot)
+      }
+      val next = seeds.fold(next0) { case (sAcc, sTot) =>
+        BalanceLedger.State(
+          latestAccounts = BalanceLedger.upsert(next0.latestAccounts,
+            sAcc.select("token", "address", "block_number", "balance"),
+            Seq("token", "address")),
+          latestTotals = BalanceLedger.upsert(next0.latestTotals, sTot,
+            Seq("group", "token")))
+      }
+
+      // replay-idempotent bracket (same as ChainIngest.appendChunk): a
+      // reprocessed block rewrites its rows instead of duplicating them
+      Seq(AccountsTable, TotalsTable, MatchedTable)
+        .foreach(t => store.deleteRange(t, "block_number", n, n))
+
+      val accRows = out.newAccounts
+        .select("token", "address", "block_number", "balance", "group")
+      store.appendBucketed(AccountsTable,
+        seeds.fold(accRows)(s => accRows.unionByName(s._1)), "block_number")
+      store.appendBucketed(TotalsTable,
+        seeds.fold(out.totalBalances)(s => out.totalBalances.unionByName(s._2)),
+        "block_number")
+      store.appendBucketed(MatchedTable,
+        out.matchedTransfers.select("token", "from", "to", "value", "block_number"),
+        "block_number")
+
+      // persist state FIRST (atomic swap also truncates plan lineage) —
+      // `next`'s plans still read the un-flipped subscriptions table
+      commitState(spark, store, next, n)
+      state = loadState(spark, store)
+
+      // flip seeded tokens to n+1 (BatchUpdateERC20BlockNumber); the
+      // seed plans are checkpointed, so the registry swap is safe
+      seeds.foreach { _ =>
+        store.replace(RegistryTable, registry.withColumn("block_number",
+          when(col("block_number") === 0L, lit(n + 1))
+            .otherwise(col("block_number"))))
+      }
+
+      // flip admitted new subs to active at n (BatchUpdateBlockNumber);
+      // last mutation of the block so no pending plan re-reads the old files
+      val flippedIds = out.updatedSubs.select("id")
+      val newSubs = subs.join(flippedIds, Seq("id"), "left_anti")
+        .unionByName(out.updatedSubs)
+      store.replace(SubsTable, newSubs)
+      advance(n) // per-block crash bracket where work actually happened
+    }
+    state
+  }
+
+  /** Vectorized catch-up over a quiet span [lo, hi]: no subscriptions to
+    * admit, no tokens to seed, so nothing the span computes feeds back into
+    * its own inputs — the whole span is ONE relational DAG instead of a
+    * per-block driver loop. Per-key sequencing (the delta against the
+    * previous snapshot, the running total) becomes a window over
+    * block_number; the resolver batches every (token, address, block)
+    * triple in one distributed pass. Spark jobs per span: O(1), not O(hi −
+    * lo) — at 100 TB this is what makes a million-block backfill hours, not
+    * days of job-launch overhead.
+    *
+    * Semantics match [[processBlock]] exactly: same touched set, same
+    * resolver request set per block, same delta/total arithmetic — the
+    * BalanceIngestSpec equivalence case pins this.
+    */
+  private def processQuietSpan(
+      spark: SparkSession,
+      store: TableStore,
+      lo: Long,
+      hi: Long,
+      client: BalanceClient,
+      state0: BalanceLedger.State): BalanceLedger.State = {
+    val subs      = store.readOr(SubsTable, null)
+    val transfers = store.readRange(ChainIngest.TransfersTable, "block_number", lo, hi, null)
+    val txs       = store.readRange(ChainIngest.TxTable, "block_number", lo, hi, null)
+    val receipts  = store.readRange(ChainIngest.ReceiptsTable, "block_number", lo, hi, null)
+    val headers   = store.readRange(ChainIngest.HeadersTable, "number", lo, hi, null)
+      .select(col("number").as("block_number"), col("hash"))
+
+    // quiet ⇒ every subscription is active; both projections broadcast
+    val active    = subs.filter(col("block_number") > 0L)
+    val subAddrs  = broadcast(active.select("address").distinct())
+    val subGroups = broadcast(active.select("address", "group").dropDuplicates("address"))
+
+    // per-block changed ∩ subscribed (BalancePipeline.changedAddresses with
+    // block_number kept)
+    val changed = transfers.select(col("block_number"), col("from").as("address"))
+      .unionByName(transfers.select(col("block_number"), col("to").as("address")))
+      .unionByName(txs.select(col("block_number"), col("from").as("address")))
+      .filter(col("address").isNotNull &&
+        col("address") =!= lit(Sentinels.MinerReward) &&
+        col("address") =!= lit(Sentinels.UncleReward))
+      .dropDuplicates("block_number", "address")
+      .join(subAddrs, Seq("address"), "left_semi")
+
+    // per-block token set: the block's transfer tokens plus ETH — joining
+    // through headers restricts to landed heights and attaches the block
+    // hash the resolver needs
+    val tokens = transfers.select(col("block_number"), col("token"))
+      .unionByName(headers.select(col("block_number"), lit(Sentinels.EthToken).as("token")))
+      .dropDuplicates("block_number", "token")
+    val pairs = tokens.join(changed, Seq("block_number")).join(headers, Seq("block_number"))
+
+    // one distributed resolver pass for the whole span; checkpointed so the
+    // client is called exactly once per triple across the downstream actions
+    val resolved = BalanceResolver
+      .resolveAt(pairs.select("token", "address", "block_number", "hash"), client)
+      .localCheckpoint(true)
+
+    // delta per snapshot: against the previous snapshot WITHIN the span
+    // (lag), else the compact state's latest balance, else zero — the
+    // windowed form of balanceSnapshots' latest-prev diff
+    val base = state0.latestAccounts
+      .select(col("token"), col("address"), col("balance").as("__base"))
+    val wKey = Window.partitionBy("token", "address").orderBy("block_number")
+    val snaps = resolved
+      .join(base, Seq("token", "address"), "left_outer")
+      .join(subGroups, Seq("address"))
+      .withColumn("__prev", lag(col("balance"), 1).over(wKey))
+      .withColumn("delta",
+        (col("balance") - coalesce(col("__prev"), col("__base"), zeroWei)).cast(wei))
+
+    // matched transfers over the whole span (J2), landed heights only
+    val matched = Relational.semiJoinAny(
+        transfers, active.select("address"), Seq("from", "to"), "address")
+      .join(headers.select("block_number"), Seq("block_number"), "left_semi")
+
+    // fees / rewards: per-block groupBys of feesBySender / rewardDiffs
+    val fees = txs
+      .join(receipts.select(col("tx_hash"), col("gas_used")), txs("hash") === col("tx_hash"))
+      .join(subAddrs, txs("from") === col("address"), "left_semi")
+      .groupBy(txs("block_number").as("block_number"), txs("from").as("address"))
+      .agg(sum(col("gas_price").cast(wei) * col("gas_used").cast(wei)).cast(wei).as("tx_fee"))
+    val rewards = transfers
+      .filter(col("from") === lit(Sentinels.MinerReward) ||
+        col("from") === lit(Sentinels.UncleReward))
+      .join(subAddrs, col("to") === col("address"), "left_semi")
+      .groupBy(col("block_number"), col("to").as("address"))
+      .agg(
+        coalesce(sum(when(col("from") === lit(Sentinels.MinerReward), col("value"))), zeroWei)
+          .cast(wei).as("miner_reward"),
+        coalesce(sum(when(col("from") === lit(Sentinels.UncleReward), col("value"))), zeroWei)
+          .cast(wei).as("uncles_reward"))
+
+    // running totals: base from compact state + cumulative delta per
+    // (group, token) — the windowed form of totalBalances' carry
+    val deltas = snaps.groupBy("block_number", "group", "token")
+      .agg(sum("delta").cast(wei).as("delta"))
+    val feeByGroup = fees.join(subGroups, Seq("address"))
+      .groupBy("block_number", "group").agg(sum("tx_fee").cast(wei).as("tx_fee"))
+      .withColumn("token", lit(Sentinels.EthToken))
+    val rewardByGroup = rewards.join(subGroups, Seq("address"))
+      .groupBy("block_number", "group")
+      .agg(sum("miner_reward").cast(wei).as("miner_reward"),
+        sum("uncles_reward").cast(wei).as("uncles_reward"))
+      .withColumn("token", lit(Sentinels.EthToken))
+    val totBase = state0.latestTotals
+      .select(col("group"), col("token"), col("balance").as("__tbase"))
+    val wTot = Window.partitionBy("group", "token").orderBy("block_number")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = deltas
+      .join(feeByGroup, Seq("block_number", "group", "token"), "full_outer")
+      .join(rewardByGroup, Seq("block_number", "group", "token"), "full_outer")
+      .join(totBase, Seq("group", "token"), "left_outer")
+      .select(
+        col("block_number"), col("token"), col("group"),
+        (coalesce(col("__tbase"), zeroWei) +
+          sum(coalesce(col("delta"), zeroWei)).over(wTot)).cast(wei).as("balance"),
+        coalesce(col("tx_fee"), zeroWei).cast(wei).as("tx_fee"),
+        coalesce(col("miner_reward"), zeroWei).cast(wei).as("miner_reward"),
+        coalesce(col("uncles_reward"), zeroWei).cast(wei).as("uncles_reward"))
+
+    // replay-idempotent bracket over the whole span
+    Seq(AccountsTable, TotalsTable, MatchedTable)
+      .foreach(t => store.deleteRange(t, "block_number", lo, hi))
+    store.appendBucketed(AccountsTable,
+      snaps.select("token", "address", "block_number", "balance", "group"), "block_number")
+    store.appendBucketed(TotalsTable, totals, "block_number")
+    store.appendBucketed(MatchedTable,
+      matched.select("token", "from", "to", "value", "block_number"), "block_number")
+
+    val next = BalanceLedger.State(
+      latestAccounts = BalanceLedger.upsert(state0.latestAccounts,
+        Relational.latestPerKey(
+          snaps.select("token", "address", "block_number", "balance"),
+          Seq("token", "address"), Seq(col("block_number"))),
+        Seq("token", "address")),
+      latestTotals = BalanceLedger.upsert(state0.latestTotals,
+        Relational.latestPerKey(totals, Seq("group", "token"), Seq(col("block_number"))),
+        Seq("group", "token")))
+    commitState(spark, store, next, hi)
+    loadState(spark, store)
   }
 
   /** Reorg path: retract balance rows in [from, to], RESET subscriptions
@@ -239,7 +482,10 @@ object BalanceIngest {
     }
     saveState(store, rebuildState(spark, store))
     // the retracted range is unprocessed again: the winning branch's blocks
-    // at those heights must flow through the pipeline on reprocess
+    // at those heights must flow through the pipeline on reprocess; the
+    // ledger marker lowers with the watermark so recovery stays idempotent
+    if (ledgerBlock(store).exists(_ >= from))
+      store.replace(LedgerBlockTable, Seq(Tuple1(from - 1)).toDF("number"))
     if (processedThrough(store).exists(_ >= from))
       store.replace(BalanceHeadTable, Seq(Tuple1(from - 1)).toDF("number"))
   }

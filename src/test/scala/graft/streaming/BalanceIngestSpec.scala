@@ -211,4 +211,136 @@ class BalanceIngestSpec extends SparkSpec {
     assert(subBlock(3L) == 0L, "in-range admission must reset to pending")
     assert(subBlock(2L) == 1L, "pre-range admission must keep its watermark")
   }
+
+  /** Chain 1..n where every block carries one alice→carol tx. */
+  private def ingestActiveChain(store: TableStore, n: Long): Unit = {
+    var parent = hash32(0)
+    val bundles = (1L to n).map { i =>
+      val t = tx(i.toInt, alice, carol, 500, gasPrice = 100L)
+      val b = block(i, parent, txs = Seq(t)); parent = b.hash
+      Bundle(b, Seq(receipt(t, i)), Seq(TransferLog(t.hash, alice, carol, "500", i)))
+    }
+    ChainIngest.ingestBatch(spark, store, bundles.toDS().toDF(), noTokens)
+  }
+
+  private def snapshotTables(store: TableStore): Map[String, Set[String]] =
+    Seq(BalanceIngest.AccountsTable, BalanceIngest.TotalsTable,
+      BalanceIngest.MatchedTable, BalanceIngest.SubsTable).map { t =>
+      val df = store.readOr(t, null)
+      t -> (if (df == null) Set.empty[String]
+            else df.collect().map { r =>
+              r.toSeq.map {
+                case b: Array[Byte] => BigInt(1, b).toString
+                case d: java.math.BigDecimal => d.toBigInteger.toString
+                case v => String.valueOf(v)
+              }.mkString("|")
+            }.toSet)
+    }.toMap
+
+  test("quiet catch-up span runs as one DAG: Spark job count is O(1) in span length") {
+    def countJobs(n: Long): (TableStore, Int) = {
+      val store = TableStore(spark, Files.createTempDirectory("graft-bi-vec").toString, bucketSize = 4L)
+      ingestActiveChain(store, n)
+      // alice active since genesis — no pending subs, no registry: all quiet
+      store.replace(BalanceIngest.SubsTable,
+        Seq((1L, 1L, 1L, alice)).toDF("id", "block_number", "group", "address"))
+      val client = BlockAwareBalanceClient(spark.sparkContext.longAccumulator(s"bi-vec-$n"))
+      val jobs = new java.util.concurrent.atomic.AtomicInteger()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try BalanceIngest.processRange(spark, store, 1L, n, client)
+      finally spark.sparkContext.removeSparkListener(listener)
+      (store, jobs.get())
+    }
+    // per-block processing launches ~a dozen Spark actions per block (the
+    // round-7 scale bottleneck) — tripling the span must NOT triple the
+    // jobs; the only span-dependent cost is deleteRange's bucket count
+    val (_, jobs4)      = countJobs(4L)
+    val (store, jobs12) = countJobs(12L)
+    assert(jobs12 < 90, s"expected a bounded job count, got $jobs12")
+    assert(jobs12 - jobs4 < 20,
+      s"job count must not scale with span length: 4 blocks → $jobs4, 12 blocks → $jobs12")
+
+    // running total telescopes to the balance at the span head: Σ deltas =
+    // bal(12) − bal(1) and block 1 seeds nothing (alice active pre-span,
+    // no prior snapshot → delta = full balance)
+    val totals = store.readOr(BalanceIngest.TotalsTable, null).collect()
+      .map(r => r.getAs[Long]("block_number") ->
+        BigInt(r.getAs[java.math.BigDecimal]("balance").toBigInteger)).toMap
+    assert(totals(12L) == bal(alice, hashAt(store, 12L)))
+    // every block carries a fee row (alice sends each block)
+    assert(totals.keySet == (1L to 12L).toSet)
+    assert(BalanceIngest.processedThrough(store).contains(12L))
+  }
+
+  test("vectorized span is row-identical to block-at-a-time processing") {
+    def build(): TableStore = {
+      val s = TableStore(spark, Files.createTempDirectory("graft-bi-eq").toString, bucketSize = 4L)
+      ingestActiveChain(s, 8L)
+      // alice active from the start, bob PENDING → block 1 is an event
+      // block (per-block bracket), 2..8 are quiet (vectorized in store A)
+      s.replace(BalanceIngest.SubsTable,
+        Seq((1L, 1L, 1L, alice), (2L, 0L, 2L, bob))
+          .toDF("id", "block_number", "group", "address"))
+      s
+    }
+    val a = build(); val b = build()
+    val client = BlockAwareBalanceClient(spark.sparkContext.longAccumulator("bi-eq"))
+    BalanceIngest.processRange(spark, a, 1L, 8L, client)
+    (1L to 8L).foreach(n => BalanceIngest.processRange(spark, b, n, n, client))
+    val sa = snapshotTables(a); val sb = snapshotTables(b)
+    sa.keys.foreach { t => assert(sa(t) == sb(t), s"table $t diverged") }
+    // the compact state converges identically too
+    def stateRows(s: TableStore): Set[String] =
+      BalanceIngest.loadState(spark, s).latestAccounts.collect().map { r =>
+        r.toSeq.map {
+          case bs: Array[Byte] => BigInt(1, bs).toString
+          case d: java.math.BigDecimal => d.toBigInteger.toString
+          case v => String.valueOf(v)
+        }.mkString("|")
+      }.toSet
+    assert(stateRows(a) == stateRows(b))
+  }
+
+  test("crash between state swap and watermark advance rolls back and replays clean") {
+    def build(): TableStore = {
+      val s = TableStore(spark, Files.createTempDirectory("graft-bi-crash").toString, bucketSize = 4L)
+      ingestActiveChain(s, 3L)
+      s.replace(BalanceIngest.SubsTable,
+        Seq((1L, 1L, 1L, alice)).toDF("id", "block_number", "group", "address"))
+      s
+    }
+    val client = BlockAwareBalanceClient(spark.sparkContext.longAccumulator("bi-crash"))
+
+    // clean reference run: block 1, then bob subscribes, then 2..3
+    val clean = build()
+    BalanceIngest.processRange(spark, clean, 1L, 1L, client)
+    clean.replace(BalanceIngest.SubsTable,
+      clean.readOr(BalanceIngest.SubsTable, null).unionByName(
+        Seq((2L, 0L, 2L, bob)).toDF("id", "block_number", "group", "address")))
+    BalanceIngest.processRange(spark, clean, 2L, 3L, client)
+
+    // crashed run: block 2 completes everything EXCEPT the watermark
+    // advance (state swapped, bob flipped, history appended) — simulated by
+    // rolling balance_head back while ledger_block stays at 2
+    val crashed = build()
+    BalanceIngest.processRange(spark, crashed, 1L, 1L, client)
+    crashed.replace(BalanceIngest.SubsTable,
+      crashed.readOr(BalanceIngest.SubsTable, null).unionByName(
+        Seq((2L, 0L, 2L, bob)).toDF("id", "block_number", "group", "address")))
+    BalanceIngest.processRange(spark, crashed, 2L, 2L, client)
+    crashed.replace(BalanceIngest.BalanceHeadTable, Seq(Tuple1(1L)).toDF("number"))
+
+    // the replay must detect ledger_block(2) > balance_head(1), retract the
+    // uncommitted block — including bob's flip — and reprocess 2..3; without
+    // the rollback, bob's seed row is wiped by the delete bracket and never
+    // re-created, and totals diff against state that already contains 2
+    BalanceIngest.processRange(spark, crashed, 2L, 3L, client)
+    val sc0 = snapshotTables(clean); val sc1 = snapshotTables(crashed)
+    sc0.keys.foreach { t => assert(sc0(t) == sc1(t), s"table $t diverged after crash replay") }
+    assert(BalanceIngest.processedThrough(crashed).contains(3L))
+  }
 }
