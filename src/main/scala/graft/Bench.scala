@@ -42,6 +42,15 @@ object Bench {
     names.headOption.foreach(materialize(_, warmDir))
 
     val trials = sys.env.get("SPARK_GRAFT_BENCH_TRIALS").map(_.toInt).getOrElse(3)
+    // Round-7 flagged m1/m2 medians jumping 4-5× on untouched single-stage
+    // column-projection plans. Round-8 measurement: both queries returned to
+    // ~0.2s and two consecutive full runs agreed within 20% — the jump did
+    // not reproduce on identical code, consistent with harness-level noise
+    // (page-cache displacement by the adjacent corpus-heavy s7/s8 runs, or
+    // a GC pause absorbing all 3 trials of a sub-second query) rather than
+    // a plan change. The per-query [min,max] spread recorded below is the
+    // attribution tool for any future such jump: a real regression moves
+    // the MIN; noise widens the spread around an unchanged floor.
     val results = names.map { name =>
       materialize(name, warmDir) // warm THIS query's codegen, then time it
       val times = (0 until trials).map { _ =>
@@ -49,7 +58,7 @@ object Bench {
         materialize(name, sfDir)
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> times(times.length / 2) // median
+      name -> times
     }
     // Centisecond precision keeps the line SHORT (~1.7 KB for 75+ queries):
     // the driver parses the JSON out of a bounded ~2 KB tail of the sbt
@@ -62,14 +71,22 @@ object Bench {
       val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
       if (s.endsWith("0")) s.dropRight(1) else s
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v(v.length / 2)) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map { case (_, v) => v(v.length / 2) }.sum
     val sfTag = Paths.get(sfDir).getFileName.toString
     val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfTag"}"""
     println(line)
+    // The FILE additionally carries the per-query [min,max] trial spread —
+    // one extra key on the same JSON object, so any parser of the primary
+    // fields is unaffected and the size-bounded STDOUT line stays unchanged.
+    // Regressions are then attributable post-hoc without a re-run: a plan
+    // regression lifts the min; environmental noise only widens the spread.
+    val spread = results.map { case (k, v) => "\"" + k + "\":[" + f(v.head) + "," + f(v.last) + "]" }
+      .mkString("{", ",", "}")
+    val fileLine = line.dropRight(1) + s""","spread":$spread}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try Files.writeString(Paths.get(out), line + "\n")
+    try Files.writeString(Paths.get(out), fileLine + "\n")
     catch { case _: Throwable => () }
     spark.stop()
   }
