@@ -150,7 +150,8 @@ object BalanceIngest {
       from: Long,
       to: Long,
       client: BalanceClient,
-      newSubLimit: Int = 990): Unit = {
+      newSubLimit: Int = 990,
+      metrics: Option[IngestMetrics] = None): Unit = {
     import spark.implicits._
     // watermark carried through the loop (read once, not per block);
     // monotonic — replaying an old block must not lower "processed through"
@@ -173,11 +174,11 @@ object BalanceIngest {
     while (n <= to) {
       firstEventBlock(store, n, to) match {
         case Some(e) if e == n =>
-          state = processBlock(spark, store, n, client, newSubLimit, state, advance)
+          state = processBlock(spark, store, n, client, newSubLimit, state, advance, metrics)
           n += 1
         case other =>
           val hi = other.map(_ - 1L).getOrElse(to)
-          state = processQuietSpan(spark, store, n, hi, client, state)
+          state = processQuietSpan(spark, store, n, hi, client, state, metrics)
           advance(hi)
           n = hi + 1
       }
@@ -197,7 +198,8 @@ object BalanceIngest {
       client: BalanceClient,
       newSubLimit: Int,
       state0: BalanceLedger.State,
-      advance: Long => Unit): BalanceLedger.State = {
+      advance: Long => Unit,
+      metrics: Option[IngestMetrics] = None): BalanceLedger.State = {
     import spark.implicits._
     var state = state0
     val transfers = store.readRange(ChainIngest.TransfersTable, "block_number", n, n, null)
@@ -276,6 +278,15 @@ object BalanceIngest {
             Seq("group", "token")))
       }
 
+      // gauges the reference sets per processed block
+      // (transfer_processor.go:42-43): both counts are tiny — admissions
+      // cap at newSubLimit, touched is the block's subscribed∩changed set —
+      // and run only when metrics are wired, only on event blocks
+      metrics.foreach { m =>
+        m.newSubscription.addAndGet(out.updatedSubs.count())
+        m.changedAccountPerBlock.set(touched.count())
+      }
+
       // replay-idempotent bracket (same as ChainIngest.appendChunk): a
       // reprocessed block rewrites its rows instead of duplicating them
       Seq(AccountsTable, TotalsTable, MatchedTable)
@@ -336,7 +347,8 @@ object BalanceIngest {
       lo: Long,
       hi: Long,
       client: BalanceClient,
-      state0: BalanceLedger.State): BalanceLedger.State = {
+      state0: BalanceLedger.State,
+      metrics: Option[IngestMetrics] = None): BalanceLedger.State = {
     val subs      = store.readOr(SubsTable, null)
     val transfers = store.readRange(ChainIngest.TransfersTable, "block_number", lo, hi, null)
     val txs       = store.readRange(ChainIngest.TxTable, "block_number", lo, hi, null)
@@ -436,6 +448,14 @@ object BalanceIngest {
         coalesce(col("tx_fee"), zeroWei).cast(wei).as("tx_fee"),
         coalesce(col("miner_reward"), zeroWei).cast(wei).as("miner_reward"),
         coalesce(col("uncles_reward"), zeroWei).cast(wei).as("uncles_reward"))
+
+    // quiet-span gauges: no admissions by definition; changed accounts
+    // average over the span, counted off the already-materialized
+    // checkpoint (no recompute of the resolver pass)
+    metrics.foreach { m =>
+      m.changedAccountPerBlock.set(
+        resolved.select("block_number", "address").distinct().count() / (hi - lo + 1))
+    }
 
     // replay-idempotent bracket over the whole span
     Seq(AccountsTable, TotalsTable, MatchedTable)

@@ -60,7 +60,9 @@ object FullIngest {
       reorgWindow: Long = 512L,
       newSubLimit: Int = 990,
       cache: Option[CachedChainStore] = None,
-      fetchBack: Seq[Byte] => Option[Schemas.Bundle] = _ => None): Unit = {
+      fetchBack: Seq[Byte] => Option[Schemas.Bundle] = _ => None,
+      metrics: Option[IngestMetrics] = None): Unit = {
+    val t0 = System.nanoTime()
     // Downstream retraction runs as ChainIngest's onRetract hook — INSIDE
     // the reorg transaction, before the chain deletes — not after the
     // batch: a crash anywhere then converges on the checkpoint replay
@@ -70,6 +72,10 @@ object FullIngest {
     val summary = ChainIngest.ingestBatch(spark, store, batch,
       registryTokens(spark, store), maxBlocksPerChunk, reorgWindow,
       onRetract = (lo, hi) => {
+        metrics.foreach { m =>
+          m.reorg.incrementAndGet()
+          m.retractedBlocks.addAndGet(hi - lo + 1)
+        }
         BalanceIngest.retract(spark, store, lo, hi)
         cache.foreach(_.invalidateRange(lo, hi))
       },
@@ -79,6 +85,8 @@ object FullIngest {
     // that just materialized must not keep serving "absent"
     for (s <- summary; c <- cache; (lo, hi) <- s.landed)
       c.invalidateRange(lo, hi)
+    for (s <- summary; m <- metrics; (lo, hi) <- s.landed)
+      m.newBlock.addAndGet(hi - lo + 1) // indexer.go:146
 
     ChainIngest.loadHead(store).foreach { head =>
       val from = BalanceIngest.processedThrough(store) match {
@@ -96,7 +104,14 @@ object FullIngest {
           else minRow.getLong(0)
       }
       if (head.number >= from)
-        BalanceIngest.processRange(spark, store, from, head.number, client, newSubLimit)
+        BalanceIngest.processRange(spark, store, from, head.number, client,
+          newSubLimit, metrics)
+    }
+    // the insert_block latency bracket (indexer.go:147,164-165) closes
+    // after the balance pipeline: this batch's full lifecycle cost
+    metrics.foreach { m =>
+      m.insertBlock.observe((System.nanoTime() - t0) / 1e9)
+      println(m.logLine)
     }
   }
 
@@ -114,13 +129,14 @@ object FullIngest {
       reorgWindow: Long = 512L,
       newSubLimit: Int = 990,
       cache: Option[CachedChainStore] = None,
-      fetchBack: Seq[Byte] => Option[Schemas.Bundle] = _ => None): StreamingQuery =
+      fetchBack: Seq[Byte] => Option[Schemas.Bundle] = _ => None,
+      metrics: Option[IngestMetrics] = None): StreamingQuery =
     bundles.toDF().writeStream
       .trigger(Trigger.ProcessingTime(0L))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         processBatch(batch.sparkSession, store, batch, client,
-          maxBlocksPerChunk, reorgWindow, newSubLimit, cache, fetchBack)
+          maxBlocksPerChunk, reorgWindow, newSubLimit, cache, fetchBack, metrics)
       }
       .start()
 }
