@@ -35,6 +35,54 @@ import graft.chain._
   */
 object FullIngest {
 
+  /** Range-keyed tables the JDBC mirror tracks, with their range column —
+    * the same set the reference writes to MySQL inside the per-block
+    * transaction (store/store.go:215-316 for the chain tables, the
+    * transfer processor's inserts for the balance tables).
+    */
+  private val MirroredTables: Seq[(String, String)] = Seq(
+    ChainIngest.HeadersTable   -> "number",
+    ChainIngest.TxTable        -> "block_number",
+    ChainIngest.ReceiptsTable  -> "block_number",
+    ChainIngest.LogsTable      -> "block_number",
+    ChainIngest.TransfersTable -> "block_number",
+    ChainIngest.TdTable        -> "block",
+    BalanceIngest.AccountsTable -> "block_number",
+    BalanceIngest.TotalsTable   -> "block_number",
+    BalanceIngest.MatchedTable  -> "block_number")
+
+  private val MirrorHeadTable = "mirror_head"
+
+  /** Highest block the mirror reflects — its own replay watermark: a crash
+    * between the store commit and the mirror write replays the span into
+    * the idempotent [[JdbcMirror.appendRange]] (the reference gets the
+    * same convergence from duplicate-key tolerance on its replayed chunk,
+    * common/errors.go:48-57).
+    */
+  private def mirrorThrough(db: JdbcMirror): Long =
+    if (db.exists(MirrorHeadTable))
+      db.read(MirrorHeadTable).collect().headOption.map(_.getLong(0)).getOrElse(-1L)
+    else -1L
+
+  private def advanceMirror(spark: SparkSession, db: JdbcMirror, n: Long): Unit = {
+    import spark.implicits._
+    db.appendRange(MirrorHeadTable, Seq(Tuple1(n)).toDF("number"),
+      "number", Long.MinValue, Long.MaxValue) // single-row replace
+  }
+
+  /** Mirror every tracked table's [from, to] slice, then advance the
+    * mirror watermark — run AFTER the balance pipeline so one pass carries
+    * chain and balance rows alike.
+    */
+  private def mirrorRange(spark: SparkSession, store: TableStore,
+                          db: JdbcMirror, from: Long, to: Long): Unit = {
+    MirroredTables.foreach { case (t, rangeCol) =>
+      if (store.exists(t))
+        db.appendRange(t, store.readRange(t, rangeCol, from, to, null), rangeCol, from, to)
+    }
+    advanceMirror(spark, db, to)
+  }
+
   private def registryTokens(spark: SparkSession, store: TableStore): DataFrame = {
     val reg = store.readOr(BalanceIngest.RegistryTable, null)
     if (reg != null) reg.select("address", "block_number")
@@ -61,7 +109,8 @@ object FullIngest {
       newSubLimit: Int = 990,
       cache: Option[CachedChainStore] = None,
       fetchBack: Seq[Byte] => Option[Schemas.Bundle] = _ => None,
-      metrics: Option[IngestMetrics] = None): Unit = {
+      metrics: Option[IngestMetrics] = None,
+      mirror: Option[JdbcMirror] = None): Unit = {
     val t0 = System.nanoTime()
     // Downstream retraction runs as ChainIngest's onRetract hook — INSIDE
     // the reorg transaction, before the chain deletes — not after the
@@ -78,6 +127,15 @@ object FullIngest {
         }
         BalanceIngest.retract(spark, store, lo, hi)
         cache.foreach(_.invalidateRange(lo, hi))
+        // the mirror retracts INSIDE the same reorg bracket — the
+        // reference's single-transaction DELETEs (store/store.go:319-378);
+        // the lowered mirror watermark makes the winning branch re-mirror
+        mirror.foreach { db =>
+          MirroredTables.foreach { case (t, rangeCol) =>
+            if (db.exists(t)) db.deleteRange(t, rangeCol, lo, hi)
+          }
+          if (mirrorThrough(db) >= lo) advanceMirror(spark, db, lo - 1)
+        }
       },
       fetchBack = fetchBack)
 
@@ -106,6 +164,15 @@ object FullIngest {
       if (head.number >= from)
         BalanceIngest.processRange(spark, store, from, head.number, client,
           newSubLimit, metrics)
+
+      // mirror the un-mirrored tail [mirror watermark + 1, head] — chain
+      // and balance rows in one pass, AFTER the balance pipeline so the
+      // span's balance rows exist. Crash-safe by the mirror's own
+      // watermark + idempotent delete-then-append per table.
+      for (db <- mirror) {
+        val mFrom = mirrorThrough(db) + 1L
+        if (head.number >= mFrom) mirrorRange(spark, store, db, mFrom, head.number)
+      }
     }
     // the insert_block latency bracket (indexer.go:147,164-165) closes
     // after the balance pipeline: this batch's full lifecycle cost
@@ -130,13 +197,15 @@ object FullIngest {
       newSubLimit: Int = 990,
       cache: Option[CachedChainStore] = None,
       fetchBack: Seq[Byte] => Option[Schemas.Bundle] = _ => None,
-      metrics: Option[IngestMetrics] = None): StreamingQuery =
+      metrics: Option[IngestMetrics] = None,
+      mirror: Option[JdbcMirror] = None): StreamingQuery =
     bundles.toDF().writeStream
       .trigger(Trigger.ProcessingTime(0L))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         processBatch(batch.sparkSession, store, batch, client,
-          maxBlocksPerChunk, reorgWindow, newSubLimit, cache, fetchBack, metrics)
+          maxBlocksPerChunk, reorgWindow, newSubLimit, cache, fetchBack,
+          metrics, mirror)
       }
       .start()
 }
