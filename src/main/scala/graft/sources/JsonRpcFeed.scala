@@ -1,0 +1,207 @@
+package graft.sources
+
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets
+import scala.collection.mutable
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.chain.Schemas._
+import graft.streaming.HeadSubscription
+
+/** S1/S2's production face: a polling JSON-RPC adapter behind the
+  * [[HeadSubscription]] seam — the reference's WS `newHeads` subscription +
+  * typed RPC client (client/subscriber.go:28-31, client/client.go:44-225)
+  * re-expressed as poll-the-head (works against any plain HTTP endpoint; a
+  * push subscription is strictly an optimization of the same seam).
+  *
+  * Per new height the adapter issues the same per-block side-fetches the
+  * reference's indexer does before inserting
+  * (service/indexer/indexer.go:443-467):
+  * `eth_getBlockByNumber(n, full)`, one `eth_getTransactionReceipt` per tx,
+  * `debug_getTransferLogs(blockHash)` (the modified-geth call,
+  * client/client.go:150-155), and `eth_getUncleByBlockHashAndIndex` per
+  * uncle ref. Assembled [[Bundle]]s append to the same in-order queue the
+  * DSv2 source reads, so offsets/replay semantics are identical to the
+  * in-memory feed.
+  *
+  * `byHash` serves the ingest fold's ancestor fetch-back
+  * (`getBlockByHash`, indexer.go:370-406) — first from bundles already
+  * pulled, then live via `eth_getBlockByHash`: a branch whose ancestors
+  * were never delivered by number (the node reorganized between polls)
+  * still lands.
+  *
+  * Scale shape: the adapter is DRIVER-side (like the reference's single WS
+  * client); executors only read planned micro-batches. Wire quantities are
+  * geth-style 0x-hex; wei values parse to decimal strings, never through a
+  * Long.
+  */
+final class JsonRpcFeed(endpoint: String, startBlock: Long = 1L) extends HeadSubscription {
+
+  private val mapper = new ObjectMapper
+  private val buf = mutable.ArrayBuffer.empty[Bundle]
+  private val idx = mutable.Map.empty[Seq[Byte], Bundle]
+  private var polled = startBlock - 1
+  @volatile private var pollThread: Option[Thread] = None
+
+  // ---- HeadSubscription -----------------------------------------------
+
+  override def latestSeq: Long = synchronized(buf.length.toLong)
+
+  override def range(fromSeq: Long, toSeq: Long): Seq[Bundle] =
+    synchronized(buf.slice(fromSeq.toInt, toSeq.toInt).toVector)
+
+  override def byHash(hash: Seq[Byte]): Option[Bundle] =
+    synchronized(idx.get(hash)).orElse(bundleOf(
+      call("eth_getBlockByHash", js(hex(hash.toArray)), js(true))))
+
+  // ---- polling ---------------------------------------------------------
+
+  /** Pull every height the node has beyond what was already pulled; returns
+    * the number of new bundles. Deterministic single step — the unit tests'
+    * entry; [[startPolling]] just loops it.
+    */
+  def pollOnce(): Int = {
+    val latest = hexLong(call("eth_blockNumber"))
+    var pulled = 0
+    while (polled < latest) {
+      polled += 1
+      bundleOf(call("eth_getBlockByNumber", js(hexNum(polled)), js(true))).foreach { b =>
+        synchronized { buf += b; idx(b.block.hash.toSeq) = b }
+        pulled += 1
+      }
+    }
+    pulled
+  }
+
+  /** Background daemon polling loop — production mode. */
+  def startPolling(intervalMs: Long): Unit = synchronized {
+    if (pollThread.isEmpty) {
+      val t = new Thread(() => {
+        while (!Thread.currentThread().isInterrupted) {
+          try pollOnce() catch { case _: Exception => () } // transient RPC errors retry next tick
+          try Thread.sleep(intervalMs) catch { case _: InterruptedException => Thread.currentThread().interrupt() }
+        }
+      }, "jsonrpc-feed-poll")
+      t.setDaemon(true)
+      t.start()
+      pollThread = Some(t)
+    }
+  }
+
+  def stopPolling(): Unit = synchronized {
+    pollThread.foreach(_.interrupt())
+    pollThread = None
+  }
+
+  // ---- RPC transport ---------------------------------------------------
+
+  private def call(method: String, params: JsonNode*): JsonNode = {
+    val req = mapper.createObjectNode()
+    req.put("jsonrpc", "2.0").put("id", 1).put("method", method)
+    val arr = req.putArray("params")
+    params.foreach(arr.add)
+    val body = mapper.writeValueAsBytes(req)
+    val conn = URI.create(endpoint).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    try {
+      conn.setRequestMethod("POST")
+      conn.setRequestProperty("Content-Type", "application/json")
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(body)
+      val resp = mapper.readTree(conn.getInputStream)
+      val err = resp.get("error")
+      if (err != null && !err.isNull)
+        throw new RuntimeException(s"rpc error for $method: $err")
+      resp.get("result")
+    } finally conn.disconnect()
+  }
+
+  private def js(v: String): JsonNode  = mapper.getNodeFactory.textNode(v)
+  private def js(v: Boolean): JsonNode = mapper.getNodeFactory.booleanNode(v)
+
+  // ---- wire decoding ---------------------------------------------------
+
+  private def hex(b: Array[Byte]): String = "0x" + b.map("%02x".format(_)).mkString
+  private def hexNum(n: Long): String = "0x" + java.lang.Long.toHexString(n)
+
+  private def digits(n: JsonNode): String = {
+    val h = n.asText("0x0").stripPrefix("0x")
+    if (h.isEmpty) "0" else h
+  }
+  private def hexLong(n: JsonNode): Long = java.lang.Long.parseLong(digits(n), 16)
+  private def hexBig(n: JsonNode): String = BigInt(digits(n), 16).toString
+  private def hexBytes(n: JsonNode): Array[Byte] = {
+    val h = digits(n)
+    val p = if (h.length % 2 == 1) "0" + h else h
+    p.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+  }
+  private def opt(n: JsonNode): Option[JsonNode] = Option(n).filterNot(_.isNull)
+  private def elems(n: JsonNode): Seq[JsonNode] = opt(n).toSeq.flatMap { a =>
+    val it = a.elements(); val b = mutable.ArrayBuffer.empty[JsonNode]
+    while (it.hasNext) b += it.next(); b.toSeq
+  }
+
+  private def parseTx(t: JsonNode): Tx = Tx(
+    hash     = hexBytes(t.get("hash")),
+    from     = hexBytes(t.get("from")),
+    to       = opt(t.get("to")).map(hexBytes),
+    nonce    = hexLong(t.get("nonce")),
+    gasPrice = hexLong(t.get("gasPrice")),
+    gasLimit = hexLong(t.get("gas")),
+    amount   = hexBig(t.get("value")),
+    payload  = opt(t.get("input")).map(hexBytes).getOrElse(Array.empty))
+
+  private def parseReceipt(r: JsonNode): Receipt = Receipt(
+    root              = opt(r.get("root")).map(hexBytes),
+    status            = opt(r.get("status")).map(hexLong(_).toInt).getOrElse(1),
+    cumulativeGasUsed = hexLong(r.get("cumulativeGasUsed")),
+    gasUsed           = hexLong(r.get("gasUsed")),
+    bloom             = opt(r.get("logsBloom")).map(hexBytes).getOrElse(Array.empty),
+    txHash            = hexBytes(r.get("transactionHash")),
+    contractAddress   = opt(r.get("contractAddress")).map(hexBytes),
+    blockNumber       = hexLong(r.get("blockNumber")),
+    logs = elems(r.get("logs")).map(l => LogEntry(
+      contractAddress = hexBytes(l.get("address")),
+      topics          = elems(l.get("topics")).map(hexBytes),
+      data            = opt(l.get("data")).map(hexBytes).getOrElse(Array.empty))))
+
+  private def parseTransferLog(l: JsonNode): TransferLog = TransferLog(
+    txHash      = hexBytes(l.get("txHash")),
+    from        = hexBytes(l.get("from")),
+    to          = hexBytes(l.get("to")),
+    value       = hexBig(l.get("value")),
+    blockNumber = hexLong(l.get("blockNumber")))
+
+  /** Block JSON (+ its side-fetches) → one ingest bundle; None when the
+    * node doesn't have the block.
+    */
+  private def bundleOf(node: JsonNode): Option[Bundle] = opt(node).map { b =>
+    val blockHash = hexBytes(b.get("hash"))
+    val txs = elems(b.get("transactions")).map(parseTx)
+    val uncles = elems(b.get("uncles")).zipWithIndex.map { case (_, i) =>
+      val u = call("eth_getUncleByBlockHashAndIndex", js(hex(blockHash)), js(hexNum(i)))
+      UncleRef(hexBytes(u.get("hash")), hexBytes(u.get("miner")), hexLong(u.get("number")))
+    }
+    val block = Block(
+      number      = hexLong(b.get("number")),
+      hash        = blockHash,
+      parentHash  = hexBytes(b.get("parentHash")),
+      uncleHash   = opt(b.get("sha3Uncles")).map(hexBytes).getOrElse(Array.empty),
+      coinbase    = opt(b.get("miner")).map(hexBytes).getOrElse(Array.empty),
+      root        = opt(b.get("stateRoot")).map(hexBytes).getOrElse(Array.empty),
+      txHash      = opt(b.get("transactionsRoot")).map(hexBytes).getOrElse(Array.empty),
+      receiptHash = opt(b.get("receiptsRoot")).map(hexBytes).getOrElse(Array.empty),
+      difficulty  = hexLong(b.get("difficulty")),
+      gasLimit    = hexLong(b.get("gasLimit")),
+      gasUsed     = hexLong(b.get("gasUsed")),
+      time        = hexLong(b.get("timestamp")),
+      extraData   = opt(b.get("extraData")).map(hexBytes).getOrElse(Array.empty),
+      mixDigest   = opt(b.get("mixHash")).map(hexBytes).getOrElse(Array.empty),
+      nonce       = opt(b.get("nonce")).map(hexBytes).getOrElse(Array.empty),
+      transactions = txs,
+      uncles       = uncles)
+    val receipts = txs.map(t =>
+      parseReceipt(call("eth_getTransactionReceipt", js(hex(t.hash)))))
+    val transferLogs = elems(call("debug_getTransferLogs", js(hex(blockHash))))
+      .map(parseTransferLog)
+    Bundle(block, receipts, transferLogs)
+  }
+}
