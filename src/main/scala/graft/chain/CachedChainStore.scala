@@ -52,6 +52,12 @@ final class CachedChainStore private (mkUnderlying: () => ChainStore, maxEntries
           this.size() > maxEntries
       })
 
+  // per-key miss locks: concurrent misses for the SAME key run the backing
+  // lookup (a scan job under `live`) once, not once per caller — while
+  // hits and misses for other keys proceed untouched. The lock entry is
+  // transient: removed once the winner has published the entry.
+  private val missLocks = new java.util.concurrent.ConcurrentHashMap[Key, Object]()
+
   /** Serve `kind`/`key` from cache, else collect the lookup once and
     * remember it. `numberCol` names the block-height column of the result
     * — the invalidation key a retraction sweeps on. The by-name `lookup`
@@ -67,14 +73,21 @@ final class CachedChainStore private (mkUnderlying: () => ChainStore, maxEntries
     val entry =
       if (hit != null) hit
       else {
-        val df = lookup
-        val rows = df.collect()
-        // capture the session at miss time: a hit must not depend on the
-        // caller thread's ambient active-session state
-        val e = Entry(rows, df.schema, df.sparkSession,
-          ArraySeq.unsafeWrapArray(rows.map(_.getAs[Long](numberCol))))
-        cache.put(k, e)
-        e
+        val lock = missLocks.computeIfAbsent(k, _ => new Object)
+        try lock.synchronized {
+          val again = cache.get(k) // the stampede loser finds it published
+          if (again != null) again
+          else {
+            val df = lookup
+            val rows = df.collect()
+            // capture the session at miss time: a hit must not depend on
+            // the caller thread's ambient active-session state
+            val e = Entry(rows, df.schema, df.sparkSession,
+              ArraySeq.unsafeWrapArray(rows.map(_.getAs[Long](numberCol))))
+            cache.put(k, e)
+            e
+          }
+        } finally missLocks.remove(k)
       }
     // prefer the captured session; if the application replaced it since
     // the miss, the memoized rows are still servable on the live one
@@ -95,6 +108,16 @@ final class CachedChainStore private (mkUnderlying: () => ChainStore, maxEntries
 
   def findTd(hash: Array[Byte]): DataFrame =
     memo("td", hash, underlying.findTd(hash), "block")
+
+  def findTransaction(hash: Array[Byte]): DataFrame =
+    memo("txByHash", hash, underlying.findTransaction(hash), "block_number")
+
+  /** Receipt by tx hash — the serving face of the reference's cached
+    * receipt middleware (GetBlockReceipts, client/cache.go:122-140; this
+    * store serves per-tx, so the memo key is the tx hash).
+    */
+  def findReceipt(txHash: Array[Byte]): DataFrame =
+    memo("receiptByTx", txHash, underlying.findReceipt(txHash), "block_number")
 
   /** Drop every entry touching the retracted interval [from, to], plus all
     * negative (empty) entries — a reorg may have created what was missing.

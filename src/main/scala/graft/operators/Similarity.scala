@@ -87,14 +87,23 @@ object Similarity {
     * run-to-run. Shape: one narrow (label, dim, component) aggregation
     * with map-side combine, then a broadcast join of |labels| centroids
     * back onto the corpus — the corpus itself never shuffles.
+    *
+    * Centroid means divide by the label's ROW count (not by how many
+    * vectors carry each dimension), so a vector shorter than its label's
+    * widest contributes zeros for its missing trailing dims — zero-padded
+    * semantics, identical to the oracle's fixed-width formulation, and the
+    * two stay in agreement even on ragged inputs.
     */
   def labelCentroidScores(
       df: DataFrame, idCol: String, vecCol: String, labelCol: String): DataFrame = {
+    val labelRows = df.groupBy(col(labelCol).as("__lbl")).agg(count(lit(1)).as("__n"))
     val comps = df
       .select(col(labelCol).as("__lbl"), posexplode(col(vecCol)).as(Seq("__dim", "__c")))
       .groupBy("__lbl", "__dim")
-      .agg((sum(round(col("__c").cast("double"), 4).cast("decimal(38,6)"))
-        .cast("double") / count(lit(1))).as("__mean"))
+      .agg(sum(round(col("__c").cast("double"), 4).cast("decimal(38,6)")).as("__sum"))
+      .join(broadcast(labelRows), Seq("__lbl"))
+      .select(col("__lbl"), col("__dim"),
+        (col("__sum").cast("double") / col("__n")).as("__mean"))
     val centroids = comps
       .groupBy("__lbl")
       .agg(transform(array_sort(collect_list(struct(col("__dim"), col("__mean")))),

@@ -376,10 +376,26 @@ object ChainIngest {
     val finalLo = cur.map(c => math.max(0L, c.number - reorgWindow)).getOrElse(0L)
     val fetchedHdrs = fetched.map(b =>
       Hdr(b.block.number, b.block.hash.toSeq, b.block.parentHash.toSeq, b.block.difficulty))
-    val keep = (sideHdrs.iterator ++ incoming.iterator ++ fetchedHdrs.iterator)
+    val poolable = (sideHdrs.iterator ++ incoming.iterator ++ fetchedHdrs.iterator)
       .filter(h => h.number >= finalLo &&
         !chainByNumber.get(h.number).exists(_.hash == h.hash))
-      .map(_.hash).toSet
+      .toSeq.distinctBy(_.hash)
+    // entry cap: the height window alone does not bound the pool — a
+    // hostile or orphan-heavy feed pushing in-window non-canonical heads
+    // while the canonical tip stalls would grow it (and the O(pool) driver
+    // header read above) without limit. Four competing branches across the
+    // whole window is already pathological; beyond that, evict
+    // lowest-height first (the entries least likely to seed a winning
+    // branch, and the first the window would age out anyway).
+    val maxPoolEntries = (4L * reorgWindow).toInt
+    val capped =
+      if (poolable.length <= maxPoolEntries) poolable
+      else {
+        System.err.println(s"side pool over cap: dropping " +
+          s"${poolable.length - maxPoolEntries} lowest-height of ${poolable.length}")
+        poolable.sortBy(-_.number).take(maxPoolEntries)
+      }
+    val keep = capped.map(_.hash).toSet
     if (keep.nonEmpty) {
       val keepLits = keep.toSeq.map(h => lit(h.toArray))
       store.replace(SideTable, payloadDf.filter(col("block.hash").isin(keepLits: _*)))

@@ -76,6 +76,39 @@ class CachedChainStoreSpec extends SparkSpec {
     intercept[Exception] { c.findBlockByHash(hash32(2)).head() }
   }
 
+  test("receipts and transactions cache with the same hit/invalidation contract") {
+    val dir = Files.createTempDirectory("graft-cache-rc")
+    Seq((hash32(7), 2L, 21000L), (hash32(8), 3L, 42000L))
+      .toDF("tx_hash", "block_number", "gas_used")
+      .write.mode("overwrite").parquet(s"$dir/receipts")
+    Seq((hash32(7), 2L, 100L), (hash32(8), 3L, 200L))
+      .toDF("hash", "block_number", "gas_price")
+      .write.mode("overwrite").parquet(s"$dir/txs")
+    val empty = spark.emptyDataFrame
+    val store = ChainStore(
+      headers = empty, transactions = spark.read.parquet(s"$dir/txs"),
+      receipts = spark.read.parquet(s"$dir/receipts"), receiptLogs = empty,
+      totalDifficulty = empty, transfers = empty, accounts = empty,
+      subscriptions = empty, reorgs = empty, tokens = empty)
+    val c = new CachedChainStore(store)
+
+    assert(c.findReceipt(hash32(7)).head().getAs[Long]("gas_used") == 21000L)
+    assert(c.findTransaction(hash32(8)).head().getAs[Long]("gas_price") == 200L)
+    assert(c.size == 2)
+    rmrf(dir) // storage gone: only the memo can answer
+    assert(c.findReceipt(hash32(7)).head().getAs[Long]("gas_used") == 21000L)
+    assert(c.findTransaction(hash32(8)).head().getAs[Long]("gas_price") == 200L)
+    val plan = c.findReceipt(hash32(7)).queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan"), plan)
+
+    // a reorg at block 2 sweeps the receipt entry (its row is in-range)
+    // but keeps the block-3 transaction entry
+    c.invalidateRange(2L, 2L)
+    assert(c.size == 1)
+    intercept[Exception] { c.findReceipt(hash32(7)).head() }
+    assert(c.findTransaction(hash32(8)).head().getAs[Long]("gas_price") == 200L)
+  }
+
   test("entry count is bounded and access-ordered (LRU)") {
     val (store, dir) = mkStore()
     val c = new CachedChainStore(store, maxEntries = 2)
