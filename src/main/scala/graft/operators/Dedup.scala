@@ -137,6 +137,36 @@ object Dedup {
       .distinct()
   }
 
+  /** Graded n-gram-overlap decontamination (D8): for every corpus document,
+    * the FRACTION of its distinct n-gram fingerprints that appear anywhere
+    * in the benchmark set. The any-single-gram screen
+    * ([[graft.operators.Curation.contaminatedIds]], d7) flags incidental
+    * collisions; real release pipelines threshold on the overlap fraction,
+    * which this computes exactly. Rows with overlap < `minOverlap` drop.
+    *
+    * Scale shape: the benchmark's distinct gram-hash set broadcasts
+    * (benchmarks are small by construction); the corpus explodes to
+    * (doc, gram-hash) once and the ratio aggregates with map-side combine
+    * — one shuffle on doc_id, the corpus text is scanned once.
+    */
+  def contaminationScores(corpus: DataFrame, benchmark: DataFrame,
+                          idCol: String, textCol: String, shingleSize: Int,
+                          minOverlap: Double = 0.0): DataFrame = {
+    def grams(df: DataFrame) = df
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(TextOps.shinglesOfTokens(col("__toks"), shingleSize)).as("__sh"))
+      .withColumn("__h", pmod(portableHashLo(col("__sh")), lit(MersennePrime)))
+      .select(col(idCol), col("__h")).distinct()
+    val bench = broadcast(grams(benchmark).select("__h").distinct()
+      .withColumn("__hit", lit(1)))
+    grams(corpus)
+      .join(bench, Seq("__h"), "left_outer")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hit"))
+      .withColumn("overlap", col("n_hit").cast("double") / col("n_grams").cast("double"))
+      .filter(col("overlap") >= minOverlap)
+  }
+
   /** Exact shingle-set Jaccard for given pairs, via two equi-joins carrying
     * the per-doc set and an in-row intersect — integer counts (|A∩B|, |A|,
     * |B|), no floating point until the final ratio, and only candidates are

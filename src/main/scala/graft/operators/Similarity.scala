@@ -55,6 +55,25 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Radius (range) search: every corpus vector within cosine ≥ `minSim`
+    * of each probe — the thresholded counterpart of [[bruteForceTopK]]
+    * (near-dup candidate generation and recall-oriented retrieval ask
+    * "everything this close", not "the k closest"). Same broadcast-probe /
+    * stream-corpus shape, but with NO per-probe window: the threshold
+    * filters inside the scan, so at 100 TB this is a map-only pass over
+    * the corpus — zero shuffles beyond whatever ordering the caller adds.
+    */
+  def rangeSearch(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, minSim: Double): DataFrame = {
+    val p = broadcast(probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pvec")))
+    corpus
+      .join(p, col(idCol) =!= col("probe_id"))
+      .withColumn("sim", round(cosine(col("__pvec"), col(vecCol)), 6))
+      .filter(col("sim") >= minSim)
+      .drop("__pvec")
+  }
+
   /** Hard-negative mining for contrastive training: per probe, the top-k
     * most-similar corpus vectors whose label DIFFERS from the probe's —
     * the highest-value negatives for a triplet/InfoNCE batch (random

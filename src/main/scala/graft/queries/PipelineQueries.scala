@@ -485,6 +485,50 @@ object PipelineQueries {
          | ORDER BY doc_id""".stripMargin
     ),
 
+    // D8 — graded n-gram-overlap decontamination: per corpus doc, the
+    // fraction of its distinct 3-gram fingerprints found anywhere in the
+    // held-out set (d7's any-single-gram flag, made quantitative — release
+    // pipelines threshold on this fraction). Full score table oracle-hashed.
+    "d8_contamination_score" -> QueryDef.sql(
+      (s, d) => {
+        val docs = Tables(s, d).documents
+        Dedup.contaminationScores(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", shingleSize = 3)
+          .orderBy("doc_id")
+      },
+      s"""WITH toks AS (SELECT doc_id, source, $toksSql AS t FROM documents),
+         | grams AS (SELECT doc_id, source,
+         |     unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS gram
+         |   FROM toks),
+         | dg AS (SELECT DISTINCT doc_id, source,
+         |     ${hex8("md5(gram)", 0)} % ${Dedup.MersennePrime} AS h FROM grams),
+         | bench AS (SELECT DISTINCT h FROM dg WHERE source = 'src0')
+         | SELECT c.doc_id, count(*) AS n_grams, count(b.h) AS n_hit,
+         |   CAST(count(b.h) AS DOUBLE) / count(*) AS overlap
+         | FROM dg c LEFT JOIN bench b ON b.h = c.h
+         | WHERE c.source <> 'src0'
+         | GROUP BY 1 ORDER BY doc_id""".stripMargin
+    ),
+
+    // S9 — radius search: all neighbors within cosine ≥ τ of each probe —
+    // the thresholded counterpart of s1's top-k; map-only over the corpus
+    "s9_range_search" -> QueryDef.sql(
+      (s, d) => {
+        val e = Tables(s, d).embeddings
+        Similarity.rangeSearch(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          minSim = 0.25)
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("sim"))
+          .orderBy("probe_id", "neighbor_id")
+      },
+      s"""SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |   round(${sqlCosine("p.embedding", "c.embedding")}, 6) AS sim
+         | FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+         | WHERE p.vec_id < 5 AND round(${sqlCosine("p.embedding", "c.embedding")}, 6) >= 0.25
+         | ORDER BY probe_id, neighbor_id""".stripMargin
+    ),
+
     // T9 — characteristic terms: top-3 per doc by (tf desc, df asc, term)
     // — tf-idf's ranking in integer-only arithmetic, bit-stable
     "t9_characteristic_terms" -> QueryDef.sql(

@@ -62,6 +62,24 @@ class DedupSpec extends SparkSpec {
     assert(none == 0L) // every >1-member bucket exceeds cap 1
   }
 
+  test("contaminationScores grades overlap: dup=1.0, near-dup in (0,1), unrelated=0") {
+    val got = Dedup.contaminationScores(
+      docs.filter(col("doc_id") =!= 1L), docs.filter(col("doc_id") === 1L),
+      "doc_id", "text", shingleSize = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("overlap")).toMap
+    assert(got(2L) == 1.0) // exact dup of the benchmark doc
+    // one case-differing token breaks exactly the one gram containing it
+    assert(got(3L) == 5.0 / 6.0)
+    assert(got(4L) > 0.0 && got(4L) < 1.0) // one word differs
+    assert(got(5L) == 0.0) // unrelated
+    // thresholded form keeps only the contaminated tail
+    val flagged = Dedup.contaminationScores(
+      docs.filter(col("doc_id") =!= 1L), docs.filter(col("doc_id") === 1L),
+      "doc_id", "text", shingleSize = 3, minOverlap = 0.5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(flagged == Set(2L, 3L, 4L))
+  }
+
   test("verifyJaccard computes exact intersection/union counts") {
     val pairs = Seq((1L, 4L)).toDF("id_a", "id_b")
     val row = Dedup.verifyJaccard(docs, pairs, "doc_id", "text", shingleSize = 1).head()

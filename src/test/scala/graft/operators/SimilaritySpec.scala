@@ -49,6 +49,22 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq(1L, 2L) || got == Seq(1L, 3L)) // 1 is closest; 2/3 tie at 0
   }
 
+  test("rangeSearch returns exactly the neighbors above the threshold, no self") {
+    val got = Similarity.rangeSearch(vecs, vecs.filter($"vec_id" === 0), "vec_id", "embedding",
+      minSim = 0.5)
+      .select("vec_id", "sim").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("sim")).toMap
+    assert(!got.contains(0L), "self must be excluded")
+    assert(got.keySet.nonEmpty)
+    assert(got.values.forall(_ >= 0.5))
+    // consistency with top-k: every range hit appears in a wide-enough top-k
+    val topAll = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0),
+      "vec_id", "embedding", 100)
+      .select("vec_id", "sim").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("sim")).toMap
+    assert(got == topAll.filter(_._2 >= 0.5))
+  }
+
   test("hardNegatives skips same-label vectors however similar") {
     // vec 1 is nearly identical to probe 0 but shares its label: the top
     // negative must be the best DIFFERENT-label vector (2 or 3, tied at 0)
