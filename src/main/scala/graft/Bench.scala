@@ -94,7 +94,7 @@ object Bench {
     val f2 = fmt(2) _
     val spread = results.map { case (k, v) => "\"" + k + "\":[" + f2(v.head) + "," + f2(v.last) + "]" }
       .mkString("{", ",", "}")
-    val fileLine = mkLine(2).dropRight(1) + s""","spread":$spread}"""
+    val fileLine = line2.dropRight(1) + s""","spread":$spread}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try Files.writeString(Paths.get(out), fileLine + "\n")
     catch { case _: Throwable => () }

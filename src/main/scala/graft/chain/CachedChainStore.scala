@@ -87,7 +87,7 @@ final class CachedChainStore private (mkUnderlying: () => ChainStore, maxEntries
             cache.put(k, e)
             e
           }
-        } finally missLocks.remove(k)
+        } finally missLocks.remove(k, lock) // conditional: never unmap another thread's newer lock
       }
     // prefer the captured session; if the application replaced it since
     // the miss, the memoized rows are still servable on the live one

@@ -76,11 +76,20 @@ final case class JdbcMirror(spark: SparkSession, url: String) {
 
   def read(table: String): DataFrame = spark.read.jdbc(url, table, props)
 
+  /** JDBC table-pattern matching is case-sensitive and engines normalize
+    * identifiers differently (Derby uppercases, Postgres lowercases, MySQL
+    * preserves) — probe all three forms, or the mirror's replay watermark
+    * would read as perpetually absent on a case-preserving backend and
+    * every batch would re-append unguarded duplicates.
+    */
   def exists(table: String): Boolean = {
     val conn = DriverManager.getConnection(url)
     try {
-      val rs = conn.getMetaData.getTables(null, null, table.toUpperCase, null)
-      try rs.next() finally rs.close()
+      def has(name: String): Boolean = {
+        val rs = conn.getMetaData.getTables(null, null, name, null)
+        try rs.next() finally rs.close()
+      }
+      has(table) || has(table.toUpperCase) || has(table.toLowerCase)
     } finally conn.close()
   }
 

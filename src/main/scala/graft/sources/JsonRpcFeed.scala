@@ -34,7 +34,8 @@ import graft.streaming.HeadSubscription
   * geth-style 0x-hex; wei values parse to decimal strings, never through a
   * Long.
   */
-final class JsonRpcFeed(endpoint: String, startBlock: Long = 1L) extends HeadSubscription {
+final class JsonRpcFeed(endpoint: String, startBlock: Long = 1L,
+                        httpTimeoutMs: Int = 30000) extends HeadSubscription {
 
   private val mapper = new ObjectMapper
   private val buf = mutable.ArrayBuffer.empty[Bundle]
@@ -58,15 +59,24 @@ final class JsonRpcFeed(endpoint: String, startBlock: Long = 1L) extends HeadSub
   /** Pull every height the node has beyond what was already pulled; returns
     * the number of new bundles. Deterministic single step — the unit tests'
     * entry; [[startPolling]] just loops it.
+    *
+    * `polled` advances only AFTER a height's bundle lands in the queue: a
+    * transient RPC failure (thrown) or a block the node no longer serves
+    * (null — it reorganized mid-poll) leaves the cursor in place, so the
+    * next tick retries the same height instead of leaving a silent gap in
+    * the in-order queue.
     */
   def pollOnce(): Int = {
     val latest = hexLong(call("eth_blockNumber"))
     var pulled = 0
-    while (polled < latest) {
-      polled += 1
-      bundleOf(call("eth_getBlockByNumber", js(hexNum(polled)), js(true))).foreach { b =>
-        synchronized { buf += b; idx(b.block.hash.toSeq) = b }
-        pulled += 1
+    var serving = true
+    while (serving && polled < latest) {
+      bundleOf(call("eth_getBlockByNumber", js(hexNum(polled + 1)), js(true))) match {
+        case Some(b) =>
+          synchronized { buf += b; idx(b.block.hash.toSeq) = b }
+          polled += 1
+          pulled += 1
+        case None => serving = false // retry next tick with a fresh head
       }
     }
     pulled
@@ -104,6 +114,10 @@ final class JsonRpcFeed(endpoint: String, startBlock: Long = 1L) extends HeadSub
     try {
       conn.setRequestMethod("POST")
       conn.setRequestProperty("Content-Type", "application/json")
+      // a black-holed endpoint must fail the call, not hang the poll
+      // thread (or the ingest driver through a byHash fetch-back) forever
+      conn.setConnectTimeout(httpTimeoutMs)
+      conn.setReadTimeout(httpTimeoutMs)
       conn.setDoOutput(true)
       conn.getOutputStream.write(body)
       val resp = mapper.readTree(conn.getInputStream)
@@ -176,8 +190,15 @@ final class JsonRpcFeed(endpoint: String, startBlock: Long = 1L) extends HeadSub
   private def bundleOf(node: JsonNode): Option[Bundle] = opt(node).map { b =>
     val blockHash = hexBytes(b.get("hash"))
     val txs = elems(b.get("transactions")).map(parseTx)
+    // side-fetch results must exist: a null (the node reorganized between
+    // the block fetch and this call) fails the height LOUDLY — pollOnce
+    // retries it next tick; landing a bundle with silently-missing
+    // receipts/uncles would corrupt the ingested tables
+    def required(n: JsonNode, what: String): JsonNode = opt(n).getOrElse(
+      throw new IllegalStateException(s"node no longer serves $what of block ${hex(blockHash)}"))
     val uncles = elems(b.get("uncles")).zipWithIndex.map { case (_, i) =>
-      val u = call("eth_getUncleByBlockHashAndIndex", js(hex(blockHash)), js(hexNum(i)))
+      val u = required(
+        call("eth_getUncleByBlockHashAndIndex", js(hex(blockHash)), js(hexNum(i))), s"uncle $i")
       UncleRef(hexBytes(u.get("hash")), hexBytes(u.get("miner")), hexLong(u.get("number")))
     }
     val block = Block(
@@ -198,8 +219,8 @@ final class JsonRpcFeed(endpoint: String, startBlock: Long = 1L) extends HeadSub
       nonce       = opt(b.get("nonce")).map(hexBytes).getOrElse(Array.empty),
       transactions = txs,
       uncles       = uncles)
-    val receipts = txs.map(t =>
-      parseReceipt(call("eth_getTransactionReceipt", js(hex(t.hash)))))
+    val receipts = txs.map(t => parseReceipt(required(
+      call("eth_getTransactionReceipt", js(hex(t.hash))), s"receipt of tx ${hex(t.hash)}")))
     val transferLogs = elems(call("debug_getTransferLogs", js(hex(blockHash))))
       .map(parseTransferLog)
     Bundle(block, receipts, transferLogs)

@@ -281,7 +281,10 @@ object BalanceIngest {
       // gauges the reference sets per processed block
       // (transfer_processor.go:42-43): both counts are tiny — admissions
       // cap at newSubLimit, touched is the block's subscribed∩changed set —
-      // and run only when metrics are wired, only on event blocks
+      // and run only when metrics are wired, only on event blocks. Like
+      // the reference's, these are operational signals, not ledger state:
+      // a crash-recovery replay of an event block counts its admissions
+      // again
       metrics.foreach { m =>
         m.newSubscription.addAndGet(out.updatedSubs.count())
         m.changedAccountPerBlock.set(touched.count())
@@ -392,12 +395,16 @@ object BalanceIngest {
     val base = state0.latestAccounts
       .select(col("token"), col("address"), col("balance").as("__base"))
     val wKey = Window.partitionBy("token", "address").orderBy("block_number")
+    // checkpointed like `resolved`: snaps feeds FOUR downstream actions
+    // (accounts append, totals via deltas, both state folds) — without the
+    // checkpoint each one re-runs the lag window and the base/group joins
     val snaps = resolved
       .join(base, Seq("token", "address"), "left_outer")
       .join(subGroups, Seq("address"))
       .withColumn("__prev", lag(col("balance"), 1).over(wKey))
       .withColumn("delta",
         (col("balance") - coalesce(col("__prev"), col("__base"), zeroWei)).cast(wei))
+      .localCheckpoint(true)
 
     // matched transfers over the whole span (J2), landed heights only
     val matched = Relational.semiJoinAny(
@@ -405,8 +412,13 @@ object BalanceIngest {
       .join(headers.select("block_number"), Seq("block_number"), "left_semi")
 
     // fees / rewards: per-block groupBys of feesBySender / rewardDiffs
+    // join scoped to (hash, block) — per-block slicing gave processBlock
+    // this for free; span-wide, hash alone would pair a tx with any
+    // same-hash receipt residue elsewhere in the span
     val fees = txs
-      .join(receipts.select(col("tx_hash"), col("gas_used")), txs("hash") === col("tx_hash"))
+      .join(receipts.select(col("tx_hash"), col("gas_used"),
+          col("block_number").as("__rbn")),
+        txs("hash") === col("tx_hash") && txs("block_number") === col("__rbn"))
       .join(subAddrs, txs("from") === col("address"), "left_semi")
       .groupBy(txs("block_number").as("block_number"), txs("from").as("address"))
       .agg(sum(col("gas_price").cast(wei) * col("gas_used").cast(wei)).cast(wei).as("tx_fee"))
@@ -448,6 +460,7 @@ object BalanceIngest {
         coalesce(col("tx_fee"), zeroWei).cast(wei).as("tx_fee"),
         coalesce(col("miner_reward"), zeroWei).cast(wei).as("miner_reward"),
         coalesce(col("uncles_reward"), zeroWei).cast(wei).as("uncles_reward"))
+      .localCheckpoint(true) // feeds the append AND the state fold
 
     // quiet-span gauges: no admissions by definition; changed accounts
     // average over the span, counted off the already-materialized
