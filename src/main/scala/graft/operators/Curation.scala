@@ -293,6 +293,93 @@ object Curation {
         sum(col("tf").cast("decimal(10,0)") * lnp).cast("double").as("sum_logprob"))
   }
 
+  /** Per-document lexical diversity: type-token ratio and unigram Shannon
+    * entropy (nats) — the standard screens for degenerate/templated text
+    * that length and stopword ratios miss (a 1000-token doc of one
+    * repeated word has perfect length stats and zero entropy).
+    *
+    * Entropy is computed as ln(n) - (Σ tf·ln tf)/n: the Σ runs over one
+    * row per DISTINCT (doc, term) with map-side combine, and each ln(tf)
+    * term is rounded to 9 decimals and carried as DECIMAL so the
+    * cross-partition sum is exact and order-independent (the
+    * [[unigramLogProb]] discipline). Only the final ln/divide/subtract
+    * happen in double, identically on any IEEE engine.
+    */
+  def lexicalDiversity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val lnTf = round(log(col("tf").cast("double")), 9).cast("decimal(18,9)")
+    tf.groupBy(col(idCol))
+      .agg(sum("tf").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("tf").cast("decimal(10,0)") * lnTf).as("__tlnt"))
+      .select(col(idCol), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6).as("ttr"),
+        round(log(col("n_tokens").cast("double")) -
+          col("__tlnt").cast("double") / col("n_tokens").cast("double"), 6).as("entropy"))
+  }
+
+  /** Corpus-level vocabulary statistics: vocabulary size, total tokens,
+    * hapax count (terms seen once — the OOV-rate predictor), and the Zipf
+    * log-log slope fitted by least squares over the full rank-frequency
+    * curve. A healthy natural-language corpus sits near slope -1;
+    * machine-generated or boilerplate-heavy corpora flatten or steepen it.
+    *
+    * The global frequency rank (cnt desc, term asc) is NOT a global
+    * window: ranks assemble two-level, like t8's prefix sum. Terms rank
+    * within their frequency class under a window PARTITIONED by cnt, and
+    * each class's base offset (# terms in strictly more frequent classes)
+    * comes from the frequency spectrum — one row per
+    * DISTINCT frequency value, of which a corpus with T tokens has at most
+    * ~sqrt(2T) (Σf·m_f = T), itself prefix-summed two-level through ≤64
+    * log2 buckets so no unbounded relation ever crosses a single-partition
+    * window (the bucket-totals window sees ≤64 rows by construction).
+    *
+    * Regression sums carry 9-decimal-rounded DECIMAL terms (exact,
+    * order-independent); the closed-form slope divides in double at the
+    * end.
+    */
+  def corpusZipfStats(df: DataFrame, textCol: String): DataFrame = {
+    val vocab = df.select(explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    // spectrum: (cnt, m) — m terms share frequency cnt; ≤ ~sqrt(2T) rows
+    val spectrum = vocab.groupBy("cnt").agg(count(lit(1)).as("__m"))
+      .withColumn("__b", floor(log(2.0, col("cnt").cast("double"))).cast("long"))
+    // within-bucket prefix of m over cnt DESC (partitioned window), plus
+    // bucket base offsets from the ≤64-row bucket-totals relation
+    val bucketTotals = spectrum.groupBy("__b").agg(sum("__m").as("__bt"))
+      .withColumn("__boff", coalesce(
+        sum("__bt").over(Window.orderBy(col("__b").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__bt")
+    val wIn = Window.partitionBy("__b").orderBy(col("cnt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = spectrum.join(broadcast(bucketTotals), Seq("__b"))
+      .withColumn("__off", coalesce(sum("__m").over(wIn), lit(0L)) + col("__boff"))
+      .select(col("cnt"), col("__off"))
+    // rank = class offset + row number within the frequency class
+    val wClass = Window.partitionBy("cnt").orderBy("term")
+    val ranked = vocab.join(offsets, Seq("cnt"))
+      .withColumn("__rank", col("__off") + row_number().over(wClass))
+    val x  = round(log(col("__rank").cast("double")), 9).cast("decimal(18,9)")
+    val y  = round(log(col("cnt").cast("double")), 9).cast("decimal(18,9)")
+    val xy = round(log(col("__rank").cast("double")) * log(col("cnt").cast("double")), 9)
+      .cast("decimal(18,9)")
+    val xx = round(log(col("__rank").cast("double")) * log(col("__rank").cast("double")), 9)
+      .cast("decimal(18,9)")
+    ranked.agg(
+        count(lit(1)).as("vocab_size"),
+        sum("cnt").as("total_tokens"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("hapax_terms"),
+        sum(x).as("__sx"), sum(y).as("__sy"), sum(xy).as("__sxy"), sum(xx).as("__sxx"))
+      .select(col("vocab_size"), col("total_tokens"), col("hapax_terms"),
+        round((col("vocab_size").cast("double") * col("__sxy").cast("double")
+            - col("__sx").cast("double") * col("__sy").cast("double"))
+          / (col("vocab_size").cast("double") * col("__sxx").cast("double")
+            - col("__sx").cast("double") * col("__sx").cast("double")), 6)
+          .as("zipf_slope"))
+  }
+
   /** Deterministic k-per-group sample: rank rows inside each group by the
     * portable hash of their id (id as tiebreak) and keep the first k —
     * a reproducible uniform-without-replacement draw per group, one

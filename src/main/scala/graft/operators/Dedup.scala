@@ -488,4 +488,81 @@ object Dedup {
     }
     labels
   }
+
+  /** Sub-document (chunk-level) exact dedup: each document splits into
+    * fixed windows of `chunkTokens` tokens (remainder kept as a short
+    * tail chunk), chunks hash, and a chunk counts as a DUPLICATE when the
+    * same hash first occurred earlier in corpus order (earlier doc id, or
+    * earlier chunk index within the same doc) — the keep-first-occurrence
+    * policy boilerplate stripping uses when whole-doc dedup is too coarse
+    * (headers, licenses, navigation chrome repeat across otherwise-unique
+    * pages).
+    *
+    * Scale shape: NO window over the hash key and NO self-join. A chunk
+    * repeated a billion times (site boilerplate at 100 TB) would make one
+    * window partition or join bucket quadratic-hot; instead the first
+    * occurrence per hash is `min(struct(doc, idx))` — a hash aggregation
+    * with map-side partial combine, skew-immune — and per-doc duplicate
+    * counts are (total chunks) − (chunks that ARE a first occurrence),
+    * two more combine-friendly aggregations. Nothing ever holds a
+    * per-hash row list.
+    *
+    * Output: (id, n_chunks, dup_chunks, dup_fraction) per document.
+    */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+                 chunkTokens: Int = 16): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    val chunks = df
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
+      .select(col(idCol), posexplode(expr(
+        s"""transform(sequence(0, CAST((size(__t) - 1) DIV $chunkTokens AS INT)),
+           |  i -> array_join(slice(__t, i * $chunkTokens + 1, $chunkTokens), ' '))"""
+          .stripMargin)).as(Seq("__ci", "__chunk")))
+      .select(col(idCol), col("__ci"), md5(col("__chunk")).as("__h"))
+    val totals = chunks.groupBy(col(idCol)).agg(count(lit(1)).as("n_chunks"))
+    val uniques = chunks
+      .groupBy("__h")
+      .agg(min(struct(col(idCol).as("i"), col("__ci").as("c"))).as("__first"))
+      .groupBy(col("__first.i").as(idCol))
+      .agg(count(lit(1)).as("__uniq"))
+    totals.join(uniques, Seq(idCol), "left")
+      .select(col(idCol), col("n_chunks"),
+        (col("n_chunks") - coalesce(col("__uniq"), lit(0L))).as("dup_chunks"))
+      .withColumn("dup_fraction",
+        round(col("dup_chunks").cast("double") / col("n_chunks").cast("double"), 6))
+  }
+
+  /** Canonical-representative selection — the step AFTER clustering that
+    * actually dedups the corpus: every document maps to its duplicate
+    * cluster ([[winnowEdges]] → [[connectedComponents]]; isolated docs are
+    * their own singleton cluster), and each cluster keeps exactly one
+    * representative — the highest `qualityCol`, ties to the smallest id —
+    * so the downstream pipeline filters `is_canonical = 1` and trains on
+    * one copy of every near-dup family, keeping the best-quality copy
+    * rather than an arbitrary one.
+    *
+    * Scale shape: the representative per cluster is `max(struct(quality,
+    * −id))` — a combine-friendly aggregation on the cluster key, no
+    * window, no sort. The reps relation (≤ one row per cluster) joins
+    * back on the same cluster key the aggregation just shuffled on, so
+    * the exchange is reused.
+    */
+  def canonicalPerCluster(df: DataFrame, idCol: String, textCol: String,
+                          qualityCol: String,
+                          shingleSize: Int = 3, window: Int = 4,
+                          minShared: Int = 2): DataFrame = {
+    val comp = connectedComponents(
+      winnowEdges(df, idCol, textCol, shingleSize, window, minShared),
+      "id_a", "id_b")
+    val labeled = df.select(col(idCol), col(qualityCol))
+      .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("component", coalesce(col("label"), col(idCol)))
+      .drop("label")
+    val reps = labeled.groupBy("component")
+      .agg(max(struct(col(qualityCol).as("q"), (-col(idCol)).as("negid"))).as("__best"))
+      .select(col("component"), (-col("__best.negid")).as("rep_id"))
+    labeled.join(reps, Seq("component"))
+      .select(col(idCol), col("component"), col("rep_id"),
+        (col(idCol) === col("rep_id")).cast("int").as("is_canonical"))
+  }
 }

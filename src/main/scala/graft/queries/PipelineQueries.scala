@@ -38,6 +38,34 @@ object PipelineQueries {
   private def hex8(md5Expr: String, offset: Int): String =
     s"list_reduce(list_transform(range(1,9), i -> CAST(instr('0123456789abcdef', substr($md5Expr, i + $offset, 1)) - 1 AS BIGINT)), (a,b) -> a*16 + b)"
 
+  /** Shared CTE chain for the winnowing near-dup graph closed under a
+    * recursive CTE (the d6/d10 cluster construction): tokens → 3-gram
+    * hashes → window-4 winnowed fingerprints → ≥2-shared edges →
+    * connected components as `cc(id, label)`. Callers append their own
+    * final SELECT (d6 reads min labels; d10 picks cluster canonicals).
+    */
+  private def winnowCcCtes: String =
+    s"""toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+       | grams AS (SELECT doc_id,
+       |     [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] AS gs
+       |   FROM toks),
+       | hs AS (SELECT doc_id,
+       |     [${hex8("md5(g)", 0)} % ${Dedup.MersennePrime} for g in gs] AS h
+       |   FROM grams),
+       | wins AS (SELECT doc_id,
+       |     list_distinct([list_min(h[i:i+3]) for i in range(1, len(h) - 2)]) AS fps
+       |   FROM hs WHERE len(h) >= 4),
+       | wf AS (SELECT doc_id, unnest(fps) AS fp FROM wins),
+       | pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |   FROM wf a JOIN wf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |   GROUP BY 1, 2 HAVING count(*) >= 2),
+       | edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |   UNION SELECT id_b, id_a FROM pairs),
+       | cc(id, label) AS (
+       |   SELECT src, src FROM edges
+       |   UNION
+       |   SELECT e.dst, c.label FROM cc c JOIN edges e ON e.src = c.id)""".stripMargin
+
   /** Full MinHash-LSH oracle: the same shingle→hash→sign→band→candidate→
     * verify pipeline as Dedup.minHashLshNearDups, with the hash constants
     * interpolated from the same source (Dedup.hashA/hashB/MersennePrime).
@@ -269,26 +297,7 @@ object PipelineQueries {
           .orderBy("doc_id")
       },
       s"""WITH RECURSIVE
-         | toks AS (SELECT doc_id, $toksSql AS t FROM documents),
-         | grams AS (SELECT doc_id,
-         |     [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] AS gs
-         |   FROM toks),
-         | hs AS (SELECT doc_id,
-         |     [${hex8("md5(g)", 0)} % ${Dedup.MersennePrime} for g in gs] AS h
-         |   FROM grams),
-         | wins AS (SELECT doc_id,
-         |     list_distinct([list_min(h[i:i+3]) for i in range(1, len(h) - 2)]) AS fps
-         |   FROM hs WHERE len(h) >= 4),
-         | wf AS (SELECT doc_id, unnest(fps) AS fp FROM wins),
-         | pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |   FROM wf a JOIN wf b ON a.fp = b.fp AND a.doc_id < b.doc_id
-         |   GROUP BY 1, 2 HAVING count(*) >= 2),
-         | edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-         |   UNION SELECT id_b, id_a FROM pairs),
-         | cc(id, label) AS (
-         |   SELECT src, src FROM edges
-         |   UNION
-         |   SELECT e.dst, c.label FROM cc c JOIN edges e ON e.src = c.id)
+         | $winnowCcCtes
          | SELECT id AS doc_id, min(label) AS component FROM cc
          | GROUP BY id ORDER BY doc_id""".stripMargin
     ),
@@ -902,6 +911,126 @@ object PipelineQueries {
          |   FROM freqs WHERE len(w) >= 2)
          | SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_freq FROM pairs
          | GROUP BY pair ORDER BY pair_freq DESC, pair LIMIT 20""".stripMargin
+    ),
+
+    // T13 — per-doc lexical diversity: type-token ratio + unigram Shannon
+    // entropy, the degenerate-text screens length stats miss. Entropy sums
+    // carry 9-decimal DECIMAL terms so partition order cannot move the
+    // double.
+    "t13_lexical_diversity" -> QueryDef.sql(
+      (s, d) => Curation.lexicalDiversity(Tables(s, d).documents, "doc_id", "text")
+        .orderBy("doc_id"),
+      s"""WITH tf AS (SELECT doc_id, tok AS term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+         |  GROUP BY 1, 2)
+         | SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |   CAST(count(*) AS BIGINT) AS n_types,
+         |   round(CAST(count(*) AS DOUBLE) / CAST(sum(tf) AS DOUBLE), 6) AS ttr,
+         |   round(ln(CAST(sum(tf) AS DOUBLE))
+         |     - CAST(sum(tf * CAST(round(ln(CAST(tf AS DOUBLE)), 9) AS DECIMAL(28,9))) AS DOUBLE)
+         |       / CAST(sum(tf) AS DOUBLE), 6) AS entropy
+         | FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ),
+
+    // T14 — corpus vocabulary health: vocab size, hapax count, Zipf log-log
+    // slope by least squares over the full rank-frequency curve. The Spark
+    // side assembles the global rank two-level (per-frequency-class window
+    // + spectrum offsets) — no corpus-sized relation crosses a
+    // single-partition stage; the oracle's one window is DuckDB-side only.
+    "t14_zipf_stats" -> QueryDef.sql(
+      (s, d) => Curation.corpusZipfStats(Tables(s, d).documents, "text"),
+      s"""WITH vocab AS (SELECT tok AS term, count(*) AS cnt
+         |  FROM (SELECT unnest($toksSql) AS tok FROM documents) GROUP BY 1),
+         | ranked AS (SELECT cnt,
+         |    row_number() OVER (ORDER BY cnt DESC, term ASC) AS rank FROM vocab),
+         | terms AS (SELECT cnt,
+         |    CAST(round(ln(CAST(rank AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
+         |    CAST(round(ln(CAST(cnt AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y,
+         |    CAST(round(ln(CAST(rank AS DOUBLE)) * ln(CAST(cnt AS DOUBLE)), 9) AS DECIMAL(18,9)) AS xy,
+         |    CAST(round(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE)), 9) AS DECIMAL(18,9)) AS xx
+         |  FROM ranked)
+         | SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+         |   CAST(sum(cnt) AS BIGINT) AS total_tokens,
+         |   CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_terms,
+         |   round((CAST(count(*) AS DOUBLE) * CAST(sum(xy) AS DOUBLE)
+         |       - CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE))
+         |     / (CAST(count(*) AS DOUBLE) * CAST(sum(xx) AS DOUBLE)
+         |       - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)), 6) AS zipf_slope
+         | FROM terms""".stripMargin
+    ),
+
+    // D9 — sub-document chunk dedup: 16-token windows, keep-first-
+    // occurrence (earlier doc, then earlier offset), per-doc duplicate
+    // fraction. The Spark side never windows or joins on the chunk hash
+    // (skew-immune min(struct) aggregation); the oracle says the same
+    // thing with a window, which DuckDB may do at sf0.01.
+    "d9_chunk_dedup" -> QueryDef.sql(
+      (s, d) => Dedup.chunkDedup(Tables(s, d).documents, "doc_id", "text",
+          chunkTokens = 16)
+        .orderBy("doc_id"),
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         | chunks AS (SELECT doc_id,
+         |    unnest(range(0, (len(t) - 1) // 16 + 1)) AS ci, t FROM toks),
+         | hashed AS (SELECT doc_id, ci,
+         |    md5(array_to_string(t[ci*16+1 : ci*16+16], ' ')) AS h FROM chunks),
+         | marked AS (SELECT doc_id, ci,
+         |    row_number() OVER (PARTITION BY h ORDER BY doc_id, ci) AS rn FROM hashed)
+         | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |   CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+         |   round(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |     / CAST(count(*) AS DOUBLE), 6) AS dup_fraction
+         | FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ),
+
+    // D10 — cluster-canonical selection: the post-clustering step that
+    // actually drops duplicates. Every doc gets its d6 cluster (singletons
+    // = own id), each cluster keeps its best copy (max n_chars, tie min
+    // id). Filter is_canonical = 1 downstream to train on one copy per
+    // near-dup family.
+    "d10_cluster_canonical" -> QueryDef.sql(
+      (s, d) => Dedup.canonicalPerCluster(Tables(s, d).documents,
+          "doc_id", "text", "n_chars")
+        .orderBy("doc_id"),
+      s"""WITH RECURSIVE
+         | $winnowCcCtes,
+         | comp AS (SELECT id AS doc_id, min(label) AS component FROM cc GROUP BY id),
+         | labeled AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+         |     d.n_chars
+         |   FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+         | rr AS (SELECT component, doc_id AS rep_id,
+         |    row_number() OVER (PARTITION BY component
+         |      ORDER BY n_chars DESC, doc_id ASC) AS rn FROM labeled),
+         | reps AS (SELECT component, rep_id FROM rr WHERE rn = 1)
+         | SELECT l.doc_id, l.component, r.rep_id,
+         |   CASE WHEN l.doc_id = r.rep_id THEN 1 ELSE 0 END AS is_canonical
+         | FROM labeled l JOIN reps r USING (component) ORDER BY l.doc_id""".stripMargin
+    ),
+
+    // S10 — int8 scalar quantization (the SQ8 tier between raw floats and
+    // s5's PQ codes) + per-vector reconstruction error. code_sum is the
+    // exact integer checksum of all 64 codes, so a single rounding
+    // disagreement anywhere fails the compare.
+    "s10_int8_quantize" -> QueryDef.sql(
+      (s, d) => Similarity.int8Quantize(Tables(s, d).embeddings, "vec_id", "embedding")
+        .orderBy("vec_id"),
+      s"""WITH v AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         | s AS (SELECT vec_id, v,
+         |    coalesce(list_max(list_transform(v, x -> abs(x))), 0.0) AS maxabs FROM v),
+         | q AS (SELECT vec_id, v, maxabs / 127.0 AS scale,
+         |    CASE WHEN maxabs = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+         |      ELSE list_transform(v, x -> CAST(greatest(-127.0, least(127.0,
+         |        round(x / (maxabs / 127.0), 0))) AS BIGINT)) END AS codes
+         |  FROM s)
+         | SELECT vec_id, round(scale, 9) AS scale,
+         |   CAST(list_reduce(codes, (a, b) -> a + b) AS BIGINT) AS code_sum,
+         |   CAST(list_min(codes) AS BIGINT) AS code_min,
+         |   CAST(list_max(codes) AS BIGINT) AS code_max,
+         |   round(list_reduce(list_transform(range(1, len(v) + 1),
+         |       i -> (v[i] - CAST(codes[i] AS DOUBLE) * scale)
+         |          * (v[i] - CAST(codes[i] AS DOUBLE) * scale)), (a, b) -> a + b)
+         |     / CAST(len(v) AS DOUBLE), 9) AS mse
+         | FROM q ORDER BY vec_id""".stripMargin
     )
   )
 

@@ -168,6 +168,50 @@ class CurationSpec extends SparkSpec {
     assert(got(2L)._1 == 1L && math.abs(got(2L)._2 - (-0.693147181)) < 1e-12)
   }
 
+  test("lexicalDiversity: entropy and TTR on hand-computed docs") {
+    val docs = Seq(
+      (1L, "a a a b"),   // entropy = ln4 - 3·ln3/4 ≈ 0.562335
+      (2L, "a b c d"),   // uniform → entropy = ln4, ttr 1
+      (3L, "x")          // single token → entropy 0, ttr 1
+    ).toDF("doc_id", "text")
+    val got = Curation.lexicalDiversity(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_types"),
+          r.getAs[Double]("ttr"), r.getAs[Double]("entropy")))).toMap
+    assert(got(1L) == ((4L, 2L, 0.5, 0.562335)))
+    assert(got(2L) == ((4L, 4L, 1.0, 1.386294)))
+    assert(got(3L) == ((1L, 1L, 1.0, 0.0)))
+  }
+
+  test("corpusZipfStats: two-level global rank equals a driver-side sort") {
+    // frequencies spanning several log2 buckets (1..20), many ties
+    val words = (0 until 40).flatMap { i =>
+      val freq = i % 20 + 1
+      Seq.fill(freq)(f"w$i%02d")
+    }
+    val docs = words.grouped(7).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq.toDF("doc_id", "text")
+    val row = Curation.corpusZipfStats(docs, "text").collect().head
+    assert(row.getAs[Long]("vocab_size") == 40L)
+    assert(row.getAs[Long]("total_tokens") == words.length.toLong)
+    assert(row.getAs[Long]("hapax_terms") == 2L) // freqs 1..20 twice each
+    // reference slope: plain global sort on the driver, same rounding
+    val byFreq = words.groupBy(identity).view.mapValues(_.size).toSeq
+    val ranked = byFreq.sortBy { case (w, c) => (-c, w) }.zipWithIndex
+      .map { case ((_, c), r0) => (r0 + 1, c) }
+    def r9(v: Double) = BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val (sx, sy, sxy, sxx) = ranked.foldLeft((BigDecimal(0), BigDecimal(0), BigDecimal(0), BigDecimal(0))) {
+      case ((ax, ay, axy, axx), (r, c)) =>
+        val (lr, lc) = (math.log(r.toDouble), math.log(c.toDouble))
+        (ax + r9(lr), ay + r9(lc), axy + r9(lr * lc), axx + r9(lr * lr))
+    }
+    val n = ranked.size.toDouble
+    val slope = (n * sxy.toDouble - sx.toDouble * sy.toDouble) /
+      (n * sxx.toDouble - sx.toDouble * sx.toDouble)
+    val expected = BigDecimal(slope).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getAs[Double]("zipf_slope") == expected)
+  }
+
   test("perGroupSample keeps exactly k deterministic rows per group") {
     val rows = (0L until 300L).map(i => (i % 5, i)).toDF("g", "id")
     val got = Curation.perGroupSample(rows, Seq("g"), "id", k = 4)

@@ -187,4 +187,46 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("chunkDedup: keep-first across docs, within-doc repeats, short tails") {
+    val docs = Seq(
+      (1L, "a b c d"),         // chunks (k=2): [a b][c d] — all first
+      (2L, "a b x y c d"),     // [a b] dup of 1, [x y] uniq, [c d] dup of 1
+      (3L, "p q p q"),         // [p q][p q] — second dups the first IN-DOC
+      (4L, "a b c")            // [a b] dup, [c] short tail uniq
+    ).toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(docs, "doc_id", "text", chunkTokens = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("dup_chunks"),
+          r.getAs[Double]("dup_fraction")))).toMap
+    assert(got(1L) == ((2L, 0L, 0.0)))
+    assert(got(2L) == ((3L, 2L, 0.666667)))
+    assert(got(3L) == ((2L, 1L, 0.5)))
+    assert(got(4L) == ((2L, 1L, 0.5)))
+  }
+
+  test("canonicalPerCluster keeps the best-quality doc per cluster, singletons themselves") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", 10L),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", 30L), // best
+      (3L, "XX alpha beta gamma delta epsilon zeta eta theta iota kappa", 20L),
+      (9L, "one two three four five six seven eight nine ten", 5L)           // singleton
+    ).toDF("doc_id", "text", "n_chars")
+    val got = Dedup.canonicalPerCluster(docs, "doc_id", "text", "n_chars", minShared = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("component"), r.getAs[Long]("rep_id"),
+          r.getAs[Int]("is_canonical")))).toMap
+    assert(got(1L) == ((1L, 2L, 0)))
+    assert(got(2L) == ((1L, 2L, 1)))
+    assert(got(3L) == ((1L, 2L, 0)))
+    assert(got(9L) == ((9L, 9L, 1)))
+    // quality tie → smallest id wins
+    val tied = Seq(
+      (7L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", 10L),
+      (8L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", 10L)
+    ).toDF("doc_id", "text", "n_chars")
+    val reps = Dedup.canonicalPerCluster(tied, "doc_id", "text", "n_chars", minShared = 2)
+      .filter(col("is_canonical") === 1).select("doc_id").collect().map(_.getLong(0))
+    assert(reps.toSeq == Seq(7L))
+  }
 }

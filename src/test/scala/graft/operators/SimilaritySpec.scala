@@ -188,4 +188,26 @@ class SimilaritySpec extends SparkSpec {
     assert(ann.isEmpty || ann.head == bf) // bucket may exclude; if found, must agree
     assert(bf == 1L)
   }
+
+  test("int8Quantize: codes, checksum, and mse on hand-computed vectors") {
+    val rows = Seq(
+      (1L, Array(1.0f, -0.4f, 0.0f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))  // zero vector: no div-by-zero
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.int8Quantize(rows, "vec_id", "embedding")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Double]("scale"), r.getAs[Long]("code_sum"),
+          r.getAs[Long]("code_min"), r.getAs[Long]("code_max"),
+          r.getAs[Double]("mse")))).toMap
+    // maxabs 1.0 → scale 1/127; codes replicate the engine's own double ops
+    val scale = 1.0 / 127.0
+    val xs = Seq(1.0f, -0.4f, 0.0f, 0.25f).map(_.toDouble)
+    val codes = xs.map(x => BigDecimal(x / scale)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    assert(codes == Seq(127L, -51L, 0L, 32L)) // none near a .5 tie
+    val mse = xs.zip(codes).map { case (x, c) => val e = x - c * scale; e * e }.sum / 4.0
+    val r9 = (v: Double) => BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((r9(scale), 108L, -51L, 127L, r9(mse))))
+    assert(got(2L) == ((0.0, 0L, 0L, 0L, 0.0)))
+  }
 }

@@ -49,11 +49,11 @@ class PlanContractSpec extends SparkSpec {
       // total joined keylessly onto a small/narrow relation), and s6
       // (broadcast probes against the corpus CODE relation — the s1
       // topology with an 8-byte streamed side)
-      // s7 is s1's topology with an extra label-inequality predicate —
+      // s7/s9 are s1's topology with an extra label/threshold predicate —
       // same broadcast probe set, same single corpus pass
       if (!Set("j7_cross_join", "s1_cosine_topk", "s3_ann_ivf", "s4_kmeans_step",
           "r4_temperature_mix", "t11_unigram_logprob", "s6_pq_adc_topk",
-          "s7_hard_negatives").contains(q))
+          "s7_hard_negatives", "s9_range_search").contains(q))
         assert(count(plan, "BroadcastNestedLoopJoin") == 0, s"$q plans a nested-loop join")
     }
   }
@@ -84,6 +84,27 @@ class PlanContractSpec extends SparkSpec {
       s"corpus-sized relation funneled into one partition:\n$plan")
     assert(count(plan, "BroadcastHashJoin") >= 1, "range offsets must broadcast")
     assert(count(plan, "SortMergeJoin") == 0)
+  }
+
+  test("t14 zipf: only the ≤64-row bucket-totals relation is single-partitioned") {
+    val plan = planOf("t14_zipf_stats")
+    // vocab ranks assemble two-level like t8: within-frequency-class
+    // windows stay partitioned; the only SinglePartition stages are the
+    // log2-bucket totals prefix (≤64 rows) and the final one-row global
+    // aggregate — never the vocabulary or the token stream
+    assert(count(plan, "Exchange SinglePartition") <= 2,
+      s"corpus/vocab-sized relation funneled into one partition:\n$plan")
+    assert(count(plan, "BroadcastHashJoin") >= 1, "bucket offsets must broadcast")
+  }
+
+  test("d9 chunk dedup: no window or per-hash row lists — aggregations only") {
+    val plan = planOf("d9_chunk_dedup")
+    // first-occurrence-per-hash must be the skew-immune min(struct)
+    // aggregation: a window or join keyed on the chunk hash would make one
+    // partition quadratic-hot under billion-fold boilerplate repetition
+    assert(count(plan, "Window") == 0, s"d9 must not window:\n$plan")
+    assert(count(plan, "HashAggregate") >= 4, "chunk totals and firsts need partial+final")
+    assert(count(plan, "CartesianProduct") == 0)
   }
 
   test("d7 decontamination: eval grams broadcast, corpus never shuffles for the probe") {
@@ -142,7 +163,10 @@ class PlanContractSpec extends SparkSpec {
     // table (≤ #sources rows). History/corpus relations must never appear
     // here — this is the contract that keeps the Transforms.totalDifficulty
     // regression class out of the whole inventory.
-    val allowed = Set("t8_sequence_packing", "r4_temperature_mix")
+    // t14 joins the set on the same terms: its only single-partition window
+    // runs over the ≤64-row log2-bucket totals of the frequency spectrum
+    // (its own contract below pins that)
+    val allowed = Set("t8_sequence_packing", "r4_temperature_mix", "t14_zipf_stats")
     // AQE wraps the tree in an adaptive leaf; disable it so collect() sees
     // the real operators
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
