@@ -9,13 +9,22 @@ import org.apache.spark.sql.types._
   * training pipeline carries them (decode happens late, next to the
   * consumer, never at ingest).
   *
-  * The actual media decode is STUBBED — codec libraries are not in this
-  * container — behind `decodeStub`, which produces a deterministic fake.
-  * Everything around it is real and tested: the schema contract, the
-  * mapPartitions batching (one decoder instance per partition, rows
-  * streamed through it), and the column-level metadata extraction.
+  * Decode status: uncompressed RIFF/WAV PCM is REALLY decoded — twice, in
+  * fact: [[wavPcmStats]] parses the container and samples as codegen
+  * column expressions (distributed, oracle-checkable), and
+  * [[decodeWavPcm]] is the imperative per-partition decoder behind the
+  * mapPartitions seam. COMPRESSED codecs (jpeg/mp3/h264…) remain stubbed
+  * behind `decodeStub` — those libraries are not in this container — and
+  * the fake is clearly marked. Everything around both is real and tested:
+  * the schema contract, the mapPartitions batching, and the column-level
+  * metadata extraction.
   */
 object Multimodal {
+
+  /** Decoded canonical-PCM WAV: header fields plus the first samples. */
+  final case class WavPcm(audioFormat: Int, channels: Int, sampleRate: Int,
+                          bitDepth: Int, dataLen: Int, nSamples: Int,
+                          samples: Array[Short])
 
   /** Canonical schema for a multimodal asset column family. */
   val assetSchema: StructType = StructType(Seq(
@@ -137,6 +146,163 @@ object Multimodal {
         Row.fromSeq(r.toSeq.updated(metaIdx, newMeta))
       }
     }(Encoders.row(schema))
+  }
+
+  // ---- Real RIFF/WAV PCM decode --------------------------------------
+
+  /** Canonical-WAV byte layout (1-based positions): RIFF(1-4) size(5-8)
+    * WAVE(9-12) "fmt "(13-16) fmtSize(17-20) format(21-22) channels(23-24)
+    * rate(25-28) byteRate(29-32) align(33-34) bits(35-36) "data"(37-40)
+    * dataLen(41-44) samples(45-). All multi-byte fields little-endian.
+    */
+  private val DataOffset = 45
+
+  /** One byte of a binary column (1-based position) as 0-255. */
+  private def byteAt(p: Column, pos: Column): Column =
+    conv(hex(p.substr(pos, lit(1))), 16, 10).cast("long")
+
+  /** Little-endian unsigned integer field of `width` bytes at `pos`. */
+  private def leUInt(p: Column, pos: Int, width: Int): Column =
+    (0 until width).map(i => byteAt(p, lit(pos + i)) * (1L << (8 * i)))
+      .reduce(_ + _)
+
+  /** Signed 16-bit little-endian PCM sample at 0-based index `idx`. */
+  private def pcm16At(p: Column, idx: Column): Column = {
+    val u = byteAt(p, idx * 2 + DataOffset) +
+      byteAt(p, idx * 2 + (DataOffset + 1)) * 256L
+    when(u >= 32768L, u - 65536L).otherwise(u)
+  }
+
+  /** REAL WAV decode as a distributed column plan: container validation,
+    * every header field, and amplitude statistics (peak, RMS) over the
+    * first `maxSamples` 16-bit PCM samples — no codec library, no UDF,
+    * no driver loop; byte access is substring+hex+conv, which
+    * whole-stage-codegens, and the integer sum of squares is exact so
+    * RMS is engine-independent.
+    *
+    * Rows whose payload fails the magic checks (or carries no samples)
+    * keep their header fields but get null peak/rms rather than being
+    * dropped — a 100 TB scan wants corrupt assets COUNTED, not silently
+    * filtered.
+    */
+  def wavPcmStats(assets: DataFrame, idCol: String = "asset_id",
+                  payloadCol: String = "payload",
+                  maxSamples: Int = 64): DataFrame = {
+    require(maxSamples > 0, "maxSamples must be positive")
+    val p = col(payloadCol)
+    val valid =
+      (substring(p, 1, 4) === lit("RIFF".getBytes("US-ASCII"))) &&
+      (substring(p, 9, 4) === lit("WAVE".getBytes("US-ASCII"))) &&
+      (substring(p, 13, 4) === lit("fmt ".getBytes("US-ASCII"))) &&
+      (substring(p, 37, 4) === lit("data".getBytes("US-ASCII"))) &&
+      (leUInt(p, 21, 2) === 1L) && (leUInt(p, 35, 2) === 16L)
+    val bytesPerFrame = leUInt(p, 23, 2) * 2L // channels × 16-bit
+    assets
+      .withColumn("valid", valid.cast("int"))
+      .withColumn("audio_format", leUInt(p, 21, 2))
+      .withColumn("channels", leUInt(p, 23, 2))
+      .withColumn("sample_rate", leUInt(p, 25, 4))
+      .withColumn("bit_depth", leUInt(p, 35, 2))
+      .withColumn("data_len", leUInt(p, 41, 4))
+      .withColumn("n_samples",
+        when(col("valid") === 1,
+          floor(col("data_len") / bytesPerFrame).cast("long")).otherwise(lit(0L)))
+      .withColumn("__n", least(col("n_samples"), lit(maxSamples.toLong)))
+      .withColumn("__s",
+        when(col("__n") > 0,
+          transform(sequence(lit(0L), col("__n") - 1L), i => pcm16At(p, i))))
+      .select(col(idCol), col("valid"), col("audio_format"), col("channels"),
+        col("sample_rate"), col("bit_depth"), col("data_len"), col("n_samples"),
+        array_max(transform(col("__s"), s => abs(s))).as("peak"),
+        round(sqrt(
+          aggregate(col("__s"), lit(0L), (acc, s) => acc + s * s).cast("double")
+            / col("__n").cast("double")), 6).as("rms"))
+  }
+
+  /** The same decode, imperatively: the per-partition decoder a
+    * mapPartitions feature extractor plugs in where the stub sits for
+    * compressed codecs. Returns None unless the payload is a canonical
+    * PCM WAV (RIFF/WAVE/fmt/data magics, format 1, 16-bit).
+    */
+  def decodeWavPcm(payload: Array[Byte], maxSamples: Int = Int.MaxValue): Option[WavPcm] = {
+    if (payload == null || payload.length < DataOffset - 1) return None
+    def str(pos: Int, n: Int) = new String(payload, pos - 1, n, "US-ASCII")
+    def le(pos: Int, width: Int): Long =
+      (0 until width).map(i => (payload(pos - 1 + i) & 0xFFL) << (8 * i)).sum
+    if (str(1, 4) != "RIFF" || str(9, 4) != "WAVE" ||
+        str(13, 4) != "fmt " || str(37, 4) != "data") return None
+    if (le(21, 2) != 1L || le(35, 2) != 16L) return None
+    val channels = le(23, 2).toInt
+    if (channels <= 0) return None
+    val dataLen = math.min(le(41, 4), (payload.length - (DataOffset - 1)).toLong)
+    val nSamples = (dataLen / (channels * 2)).toInt
+    val n = math.min(nSamples, maxSamples)
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      samples(i) = ((payload(DataOffset - 1 + 2 * i) & 0xFF) |
+        (payload(DataOffset + 2 * i) << 8)).toShort
+      i += 1
+    }
+    Some(WavPcm(le(21, 2).toInt, channels, le(25, 4).toInt, le(35, 2).toInt,
+      le(41, 4).toInt, nSamples, samples))
+  }
+
+  /** WAV features over asset batches through the real decoder: the same
+    * mapPartitions shape as [[extractFeatures]], but the decode inside is
+    * [[decodeWavPcm]], not a stub. Emits (id, n_samples, peak, rms);
+    * non-WAV payloads yield nulls.
+    */
+  def extractWavFeatures(assets: DataFrame, idCol: String = "asset_id",
+                         payloadCol: String = "payload",
+                         maxSamples: Int = 64): DataFrame = {
+    val idIdx = assets.schema.fieldIndex(idCol)
+    val pIdx  = assets.schema.fieldIndex(payloadCol)
+    val outSchema = StructType(Seq(
+      StructField(idCol, assets.schema(idIdx).dataType, nullable = false),
+      StructField("n_samples", IntegerType, nullable = true),
+      StructField("peak", IntegerType, nullable = true),
+      StructField("rms", DoubleType, nullable = true)))
+    assets.mapPartitions { rows =>
+      rows.map { r =>
+        decodeWavPcm(r.getAs[Array[Byte]](pIdx), maxSamples) match {
+          case Some(w) if w.samples.nonEmpty =>
+            val n = w.samples.length
+            var peak = 0L; var sumsq = 0L
+            w.samples.foreach { s =>
+              peak = math.max(peak, math.abs(s.toLong)); sumsq += s.toLong * s
+            }
+            val rms = BigDecimal(math.sqrt(sumsq.toDouble / n))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            Row(r.get(idIdx), n, peak.toInt, rms)
+          case _ => Row(r.get(idIdx), null, null, null)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  private def leHex(v: Long, bytes: Int): String =
+    (0 until bytes).map(i => f"${(v >> (8 * i)) & 0xFF}%02x").mkString
+
+  /** 44-byte canonical header for 16 kHz mono 16-bit PCM with
+    * `dataBytes` of samples, as lowercase hex. */
+  def wavHeaderHex(dataBytes: Int): String =
+    "52494646" + leHex(36L + dataBytes, 4) + "57415645" +
+      "666d7420" + leHex(16, 4) + leHex(1, 2) + leHex(1, 2) +
+      leHex(16000, 4) + leHex(32000, 4) + leHex(2, 2) + leHex(16, 2) +
+      "64617461" + leHex(dataBytes, 4)
+
+  /** Deterministic, VALID 16 kHz mono 16-bit PCM WAV synthesized from a
+    * text column's md5 stream: 128 samples (256 data bytes) behind a
+    * canonical 44-byte header — any standard WAV reader accepts the
+    * result. Exists because the container ships no media fixtures; the
+    * parsers above are the real thing, this makes their input.
+    */
+  def synthWav(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val dataHex = concat((0 until 16)
+      .map(i => md5(concat(col(textCol), lit(i.toString)))): _*)
+    df.select(col(idCol),
+      unhex(concat(lit(wavHeaderHex(256)), dataHex)).as("payload"))
   }
 
   /** Feature extraction over asset batches: mapPartitions so the (stubbed)

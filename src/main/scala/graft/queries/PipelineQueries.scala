@@ -1006,6 +1006,20 @@ object PipelineQueries {
          | FROM labeled l JOIN reps r USING (component) ORDER BY l.doc_id""".stripMargin
     ),
 
+    // M5 — REAL WAV/PCM decode, distributed: payloads are valid RIFF files
+    // synthesized from the md5 stream (no media fixtures in the container),
+    // and the decode — magic validation, every LE header field, peak/RMS
+    // over the first 64 int16 samples — is genuine byte parsing as codegen
+    // column exprs. The oracle runs the identical parse over the hex
+    // representation.
+    "m5_wav_decode" -> QueryDef.sql(
+      (s, d) => Multimodal.wavPcmStats(
+          Multimodal.synthWav(Tables(s, d).documents, "doc_id", "text"),
+          idCol = "doc_id", payloadCol = "payload", maxSamples = 64)
+        .orderBy("doc_id"),
+      m5Sql
+    ),
+
     // S10 — int8 scalar quantization (the SQ8 tier between raw floats and
     // s5's PQ codes) + per-vector reconstruction error. code_sum is the
     // exact integer checksum of all 64 codes, so a single rounding
@@ -1033,6 +1047,51 @@ object PipelineQueries {
          | FROM q ORDER BY vec_id""".stripMargin
     )
   )
+
+  /** The m5 oracle: the IDENTICAL WAV synthesis and parse as
+    * Multimodal.synthWav/wavPcmStats, run over the hex representation
+    * (DuckDB cannot slice blobs): byte at 1-based position p = two hex
+    * digits at 2p−1, little-endian fields as base-256 sums, int16 samples
+    * sign-corrected, integer-exact sum of squares before the one double
+    * sqrt.
+    */
+  private def m5Sql: String = {
+    val hdr = graft.operators.Multimodal.wavHeaderHex(256)
+    def byteAt(pos: String)  = hex2(s"substr(h, 2*($pos) - 1, 2)")
+    def le(pos: Int, w: Int) = (0 until w)
+      .map(i => s"(${byteAt((pos + i).toString)}) * ${1L << (8 * i)}")
+      .mkString("(", " + ", ")")
+    def sample = s"((${byteAt("45 + 2*i")}) + 256 * (${byteAt("46 + 2*i")}))"
+    s"""WITH phex AS (SELECT doc_id,
+       |    '$hdr' || ${(0 until 16).map(i => s"md5(text || '$i')").mkString(" || ")} AS h
+       |  FROM documents),
+       | fields AS (SELECT doc_id, h,
+       |    CASE WHEN substr(h, 1, 8) = '52494646' AND substr(h, 17, 8) = '57415645'
+       |      AND substr(h, 25, 8) = '666d7420' AND substr(h, 73, 8) = '64617461'
+       |      AND ${le(21, 2)} = 1 AND ${le(35, 2)} = 16 THEN 1 ELSE 0 END AS valid,
+       |    ${le(21, 2)} AS audio_format, ${le(23, 2)} AS channels,
+       |    ${le(25, 4)} AS sample_rate, ${le(35, 2)} AS bit_depth,
+       |    ${le(41, 4)} AS data_len FROM phex),
+       | counted AS (SELECT *, CASE WHEN valid = 1
+       |     THEN data_len // (channels * 2) ELSE 0 END AS n_samples FROM fields),
+       | sampled AS (SELECT *, CASE WHEN n_samples > 0 THEN
+       |     list_transform(range(0, least(n_samples, 64)), i ->
+       |       CASE WHEN $sample >= 32768 THEN $sample - 65536 ELSE $sample END)
+       |     END AS s
+       |   FROM counted)
+       | SELECT doc_id, valid,
+       |   CAST(audio_format AS BIGINT) AS audio_format,
+       |   CAST(channels AS BIGINT) AS channels,
+       |   CAST(sample_rate AS BIGINT) AS sample_rate,
+       |   CAST(bit_depth AS BIGINT) AS bit_depth,
+       |   CAST(data_len AS BIGINT) AS data_len,
+       |   CAST(n_samples AS BIGINT) AS n_samples,
+       |   CAST(list_max(list_transform(s, x -> abs(x))) AS BIGINT) AS peak,
+       |   round(sqrt(CAST(list_reduce(list_transform(s, x -> x * x),
+       |       (a, b) -> a + b) AS DOUBLE)
+       |     / CAST(least(n_samples, 64) AS DOUBLE)), 6) AS rms
+       | FROM sampled ORDER BY doc_id""".stripMargin
+  }
 
   /** SQL mirror of PqEncode.codeWeight's argmin for subspace m over the
     * `embedding` column: lexicographic list_min over [distance, j] pairs —

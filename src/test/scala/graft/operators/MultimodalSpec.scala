@@ -73,4 +73,42 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(1L).length == 8)
     assert(feats(1L) == Multimodal.decodeStub(Array[Byte](0x12, 0x34, 0x00, 0x40, 0x07, 0x7f)).toSeq)
   }
+
+  test("decodeWavPcm parses a handcrafted WAV; rejects corrupt payloads") {
+    // 2 samples: 1000, -2 (LE int16: e8 03, fe ff)
+    val hex = Multimodal.wavHeaderHex(4) + "e803" + "feff"
+    val bytes = hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val w = Multimodal.decodeWavPcm(bytes).get
+    assert(w.audioFormat == 1 && w.channels == 1 && w.sampleRate == 16000)
+    assert(w.bitDepth == 16 && w.dataLen == 4 && w.nSamples == 2)
+    assert(w.samples.toSeq == Seq(1000.toShort, (-2).toShort))
+    // corrupt magic / truncated / null all refuse instead of misparsing
+    val broken = bytes.clone(); broken(0) = 'X'.toByte
+    assert(Multimodal.decodeWavPcm(broken).isEmpty)
+    assert(Multimodal.decodeWavPcm(bytes.take(20)).isEmpty)
+    assert(Multimodal.decodeWavPcm(null).isEmpty)
+  }
+
+  test("column-expression WAV decode agrees with the imperative decoder") {
+    val docs = Seq((1L, "hello world"), (2L, "another doc")).toDF("doc_id", "text")
+    val wavs = Multimodal.synthWav(docs, "doc_id", "text")
+    val cols = Multimodal.wavPcmStats(wavs, "doc_id", "payload", maxSamples = 64)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("valid"), r.getAs[Long]("sample_rate"), r.getAs[Long]("n_samples"),
+          r.getAs[Long]("peak"), r.getAs[Double]("rms")))).toMap
+    val imps = Multimodal.extractWavFeatures(wavs, "doc_id", "payload", maxSamples = 64)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_samples"), r.getAs[Int]("peak"), r.getAs[Double]("rms")))).toMap
+    Seq(1L, 2L).foreach { id =>
+      val (valid, rate, n, peak, rms) = cols(id)
+      assert(valid == 1 && rate == 16000L && n == 128L)
+      assert(imps(id) == ((64, peak.toInt, rms)), s"doc $id disagreement")
+    }
+    // a non-WAV payload yields nulls, not a crash, on both paths
+    val junk = Seq((9L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    val cj = Multimodal.wavPcmStats(junk, "doc_id", "payload").collect().head
+    assert(cj.getAs[Int]("valid") == 0 && cj.isNullAt(cj.fieldIndex("rms")))
+    val ij = Multimodal.extractWavFeatures(junk, "doc_id", "payload").collect().head
+    assert(ij.isNullAt(ij.fieldIndex("rms")))
+  }
 }
