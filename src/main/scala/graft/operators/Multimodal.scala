@@ -281,6 +281,114 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  // ---- Real BMP (BI_RGB) decode --------------------------------------
+
+  /** Uncompressed-BMP byte layout (1-based positions): "BM"(1-2)
+    * fileSize(3-6) reserved(7-10) pixelOffset(11-14) dibSize(15-18)
+    * width(19-22, signed) height(23-26, signed) planes(27-28) bpp(29-30)
+    * compression(31-34) … pixel array at pixelOffset (0-based), rows
+    * BOTTOM-UP, B-G-R per pixel, each row zero-padded to a 4-byte
+    * multiple — the padding bytes are present in the stream and must be
+    * SKIPPED, which is exactly what a naive flat scan gets wrong.
+    */
+  private def leSInt32(p: Column, pos: Int): Column = {
+    val u = leUInt(p, pos, 4)
+    when(u >= 2147483648L, u - 4294967296L).otherwise(u)
+  }
+
+  /** REAL BMP decode as a distributed column plan: magic/compression
+    * validation, signed dimensions, and per-channel means over the first
+    * `maxPixels` pixels addressed through the padded bottom-up row
+    * geometry (so a padding or stride bug changes the result and fails
+    * the oracle). 24-bit BI_RGB only — compressed bitmaps stay behind
+    * the stub like every other compressed codec.
+    */
+  def bmpPixelStats(assets: DataFrame, idCol: String = "asset_id",
+                    payloadCol: String = "payload",
+                    maxPixels: Int = 64): DataFrame = {
+    require(maxPixels > 0, "maxPixels must be positive")
+    val p = col(payloadCol)
+    val valid =
+      (substring(p, 1, 2) === lit("BM".getBytes("US-ASCII"))) &&
+      (leUInt(p, 27, 2) === 1L) && (leUInt(p, 29, 2) === 24L) &&
+      (leUInt(p, 31, 4) === 0L) &&
+      (leSInt32(p, 19) > 0L) && (leSInt32(p, 23) > 0L)
+    def channelMean(ch: Int): Column = {
+      // pixel i (row-major over the stored bottom-up rows): 1-based byte
+      // position = pixelOffset + (i DIV w)·rowSize + (i % w)·3 + ch + 1
+      val bytes = transform(sequence(lit(0L), col("__n") - 1L), i =>
+        byteAt(p, col("__off") + (i / col("width")).cast("long") * col("row_size")
+          + (i % col("width")) * 3L + ch + 1L))
+      round(aggregate(bytes, lit(0L), (acc, b) => acc + b).cast("double")
+        / col("__n").cast("double"), 6)
+    }
+    assets
+      .withColumn("valid", valid.cast("int"))
+      .withColumn("width", when(valid, leSInt32(p, 19)).otherwise(lit(0L)))
+      .withColumn("height", when(valid, leSInt32(p, 23)).otherwise(lit(0L)))
+      .withColumn("bpp", leUInt(p, 29, 2))
+      .withColumn("row_size", (floor((col("width") * 3L + 3L) / 4L) * 4L).cast("long"))
+      .withColumn("__off", leUInt(p, 11, 4))
+      .withColumn("n_pixels", col("width") * col("height"))
+      .withColumn("__n", least(col("n_pixels"), lit(maxPixels.toLong)))
+      .select(col(idCol), col("valid"), col("width"), col("height"), col("bpp"),
+        col("row_size"), col("n_pixels"),
+        when(col("__n") > 0, channelMean(0)).as("mean_b"),
+        when(col("__n") > 0, channelMean(1)).as("mean_g"),
+        when(col("__n") > 0, channelMean(2)).as("mean_r"))
+  }
+
+  /** Decoded BI_RGB bitmap: dimensions plus the first pixels as (b, g, r)
+    * byte triples in stored row order. */
+  final case class BmpRgb(width: Int, height: Int, bpp: Int,
+                          pixels: Array[(Int, Int, Int)])
+
+  /** The imperative twin of [[bmpPixelStats]] for the mapPartitions seam:
+    * returns None unless the payload is an uncompressed 24-bit BMP; walks
+    * the padded row stride explicitly.
+    */
+  def decodeBmpRgb(payload: Array[Byte], maxPixels: Int = Int.MaxValue): Option[BmpRgb] = {
+    if (payload == null || payload.length < 54) return None
+    def le(pos: Int, width: Int): Long =
+      (0 until width).map(i => (payload(pos - 1 + i) & 0xFFL) << (8 * i)).sum
+    def leS32(pos: Int): Long = { val u = le(pos, 4); if (u >= 2147483648L) u - 4294967296L else u }
+    if (payload(0) != 'B'.toByte || payload(1) != 'M'.toByte) return None
+    if (le(27, 2) != 1L || le(29, 2) != 24L || le(31, 4) != 0L) return None
+    val w = leS32(19); val h = leS32(23)
+    if (w <= 0 || h <= 0) return None
+    val off = le(11, 4).toInt
+    val rowSize = ((w * 3 + 3) / 4 * 4).toInt
+    val n = math.min(w * h, maxPixels.toLong).toInt
+    if (off + (n - 1) / w.toInt * rowSize + ((n - 1) % w.toInt) * 3 + 3 > payload.length) return None
+    val pixels = Array.tabulate(n) { i =>
+      val base = off + (i / w.toInt) * rowSize + (i % w.toInt) * 3
+      ((payload(base) & 0xFF), (payload(base + 1) & 0xFF), (payload(base + 2) & 0xFF))
+    }
+    Some(BmpRgb(w.toInt, h.toInt, 24, pixels))
+  }
+
+  /** 54-byte BMP header (BITMAPINFOHEADER, 24-bit BI_RGB) for a `w`×`h`
+    * bitmap, as lowercase hex. */
+  def bmpHeaderHex(w: Int, h: Int): String = {
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val dataBytes = rowSize * h
+    "424d" + leHex(54L + dataBytes, 4) + "00000000" + leHex(54, 4) +
+      leHex(40, 4) + leHex(w, 4) + leHex(h, 4) + leHex(1, 2) + leHex(24, 2) +
+      leHex(0, 4) + leHex(dataBytes, 4) + leHex(2835, 4) + leHex(2835, 4) +
+      leHex(0, 4) + leHex(0, 4)
+  }
+
+  /** Deterministic, VALID 3×4 24-bit BMP from a text column's md5 stream:
+    * rowSize 12 (3 padding bytes per 9-byte pixel row, so the parsers'
+    * stride handling is actually exercised), 48 data bytes = 3 md5 blocks.
+    */
+  def synthBmp(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val dataHex = concat((0 until 3)
+      .map(i => md5(concat(col(textCol), lit(s"b$i")))): _*)
+    df.select(col(idCol),
+      unhex(concat(lit(bmpHeaderHex(3, 4)), dataHex)).as("payload"))
+  }
+
   private def leHex(v: Long, bytes: Int): String =
     (0 until bytes).map(i => f"${(v >> (8 * i)) & 0xFF}%02x").mkString
 

@@ -1020,6 +1020,18 @@ object PipelineQueries {
       m5Sql
     ),
 
+    // M6 — REAL BMP (BI_RGB) decode, distributed: same construction as m5
+    // for the image side. The 3×4 bitmap has 3 padding bytes per row, so
+    // the channel means are only right if the parser walks the padded
+    // bottom-up stride — a flat scan fails the hash.
+    "m6_bmp_decode" -> QueryDef.sql(
+      (s, d) => Multimodal.bmpPixelStats(
+          Multimodal.synthBmp(Tables(s, d).documents, "doc_id", "text"),
+          idCol = "doc_id", payloadCol = "payload", maxPixels = 64)
+        .orderBy("doc_id"),
+      m6Sql
+    ),
+
     // S10 — int8 scalar quantization (the SQ8 tier between raw floats and
     // s5's PQ codes) + per-vector reconstruction error. code_sum is the
     // exact integer checksum of all 64 codes, so a single rounding
@@ -1091,6 +1103,45 @@ object PipelineQueries {
        |       (a, b) -> a + b) AS DOUBLE)
        |     / CAST(least(n_samples, 64) AS DOUBLE)), 6) AS rms
        | FROM sampled ORDER BY doc_id""".stripMargin
+  }
+
+  /** The m6 oracle: the identical BMP synthesis and parse as
+    * Multimodal.synthBmp/bmpPixelStats over the hex representation —
+    * signed LE dimensions, pixel addressing through the padded row
+    * stride, integer-exact channel sums.
+    */
+  private def m6Sql: String = {
+    val hdr = graft.operators.Multimodal.bmpHeaderHex(3, 4)
+    def byteAt(pos: String)  = hex2(s"substr(h, 2*($pos) - 1, 2)")
+    def le(pos: Int, w: Int) = (0 until w)
+      .map(i => s"(${byteAt((pos + i).toString)}) * ${1L << (8 * i)}")
+      .mkString("(", " + ", ")")
+    def s32(pos: Int) =
+      s"(CASE WHEN ${le(pos, 4)} >= 2147483648 THEN ${le(pos, 4)} - 4294967296 ELSE ${le(pos, 4)} END)"
+    def mean(ch: Int) =
+      s"""round(CAST(list_reduce(list_transform(range(0, least(n_pixels, 64)),
+         |    i -> ${byteAt(s"off + (i // width) * row_size + (i % width) * 3 + $ch + 1")}),
+         |  (a, b) -> a + b) AS DOUBLE) / CAST(least(n_pixels, 64) AS DOUBLE), 6)""".stripMargin
+    s"""WITH phex AS (SELECT doc_id,
+       |    '$hdr' || md5(text || 'b0') || md5(text || 'b1') || md5(text || 'b2') AS h
+       |  FROM documents),
+       | fields AS (SELECT doc_id, h,
+       |    CASE WHEN substr(h, 1, 4) = '424d' AND ${le(27, 2)} = 1
+       |      AND ${le(29, 2)} = 24 AND ${le(31, 4)} = 0
+       |      AND ${s32(19)} > 0 AND ${s32(23)} > 0 THEN 1 ELSE 0 END AS valid,
+       |    ${le(29, 2)} AS bpp, ${le(11, 4)} AS off FROM phex),
+       | dims AS (SELECT *, CASE WHEN valid = 1 THEN ${s32(19)} ELSE 0 END AS width,
+       |    CASE WHEN valid = 1 THEN ${s32(23)} ELSE 0 END AS height FROM fields),
+       | geom AS (SELECT *, ((width * 3 + 3) // 4) * 4 AS row_size,
+       |    width * height AS n_pixels FROM dims)
+       | SELECT doc_id, valid,
+       |   CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+       |   CAST(bpp AS BIGINT) AS bpp, CAST(row_size AS BIGINT) AS row_size,
+       |   CAST(n_pixels AS BIGINT) AS n_pixels,
+       |   CASE WHEN n_pixels > 0 THEN ${mean(0)} END AS mean_b,
+       |   CASE WHEN n_pixels > 0 THEN ${mean(1)} END AS mean_g,
+       |   CASE WHEN n_pixels > 0 THEN ${mean(2)} END AS mean_r
+       | FROM geom ORDER BY doc_id""".stripMargin
   }
 
   /** SQL mirror of PqEncode.codeWeight's argmin for subspace m over the

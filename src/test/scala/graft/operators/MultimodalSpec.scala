@@ -111,4 +111,41 @@ class MultimodalSpec extends SparkSpec {
     val ij = Multimodal.extractWavFeatures(junk, "doc_id", "payload").collect().head
     assert(ij.isNullAt(ij.fieldIndex("rms")))
   }
+
+  test("decodeBmpRgb walks the padded row stride; rejects corrupt payloads") {
+    // 1×2 bitmap: rowSize 4 (1 padding byte/row). Pixels: row0 = (10,20,30)
+    // pad CC, row1 = (40,50,60) pad DD — a flat scan would read CC as a
+    // channel of the second pixel
+    val hex = Multimodal.bmpHeaderHex(1, 2) + "0a141e" + "cc" + "28323c" + "dd"
+    val bytes = hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val b = Multimodal.decodeBmpRgb(bytes).get
+    assert(b.width == 1 && b.height == 2 && b.bpp == 24)
+    assert(b.pixels.toSeq == Seq((10, 20, 30), (40, 50, 60)))
+    val broken = bytes.clone(); broken(0) = 'X'.toByte
+    assert(Multimodal.decodeBmpRgb(broken).isEmpty)
+    assert(Multimodal.decodeBmpRgb(bytes.take(40)).isEmpty)
+    assert(Multimodal.decodeBmpRgb(null).isEmpty)
+  }
+
+  test("column-expression BMP decode agrees with the imperative decoder") {
+    val docs = Seq((1L, "hello world"), (2L, "another doc")).toDF("doc_id", "text")
+    val bmps = Multimodal.synthBmp(docs, "doc_id", "text")
+    val cols = Multimodal.bmpPixelStats(bmps, "doc_id", "payload", maxPixels = 64)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("valid"), r.getAs[Long]("width"), r.getAs[Long]("height"),
+          r.getAs[Long]("row_size"), r.getAs[Double]("mean_b"),
+          r.getAs[Double]("mean_g"), r.getAs[Double]("mean_r")))).toMap
+    val payloads = bmps.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    Seq(1L, 2L).foreach { id =>
+      val (valid, w, h, rs, mb, mg, mr) = cols(id)
+      assert(valid == 1 && w == 3L && h == 4L && rs == 12L)
+      val px = Multimodal.decodeBmpRgb(payloads(id)).get.pixels
+      def m(f: ((Int, Int, Int)) => Int) = BigDecimal(px.map(f).sum.toDouble / px.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert((mb, mg, mr) == ((m(_._1), m(_._2), m(_._3))), s"doc $id disagreement")
+    }
+    val junk = Seq((9L, Array[Byte](66, 77, 0))).toDF("doc_id", "payload")
+    val cj = Multimodal.bmpPixelStats(junk, "doc_id", "payload").collect().head
+    assert(cj.getAs[Int]("valid") == 0 && cj.isNullAt(cj.fieldIndex("mean_b")))
+  }
 }
