@@ -37,6 +37,58 @@ object TextOps {
       .groupBy("pair").agg(sum("freq").as("pair_freq"))
   }
 
+  /** The full BPE training loop — [[bpePairCounts]] is one step of this.
+    * The corpus collapses ONCE to the word-frequency vocabulary; each of
+    * the `nMerges` rounds counts adjacent symbol pairs over the DISTINCT
+    * words (weighted by frequency, map-side combined), takes the argmax
+    * (ties: lexicographic, so the rule sequence is deterministic), and
+    * applies the merge to the vocab with a greedy leftmost fold — all
+    * O(|vocab|) column work per round; the corpus is never re-read and
+    * the only driver traffic is ONE argmax row per round. Per-round
+    * localCheckpoint truncates the compounding lineage, the
+    * connectedComponents discipline.
+    *
+    * Returns the learned merge rules in order: (step, lhs, rhs,
+    * pair_freq). Symbols never contain the pair separator because they
+    * are built from concatenation of single characters.
+    */
+  def bpeTrain(docs: DataFrame, textCol: Column, nMerges: Int): Seq[(Int, String, String, Long)] = {
+    require(nMerges > 0, "nMerges must be positive")
+    var vocab = docs.select(explode(tokens(textCol)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val best = vocab.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+            |  i -> named_struct('a', element_at(syms, i), 'b', element_at(syms, i + 1)))"""
+            .stripMargin)).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("pf"))
+        .orderBy(col("pf").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, pf) = (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
+        merges += ((step, a, b, pf))
+        val (aL, bL) = (lit(a), lit(b))
+        vocab = vocab.select(col("freq"),
+          aggregate(col("syms"), array().cast("array<string>"), (acc, s) =>
+            when(size(acc) > 0 && element_at(acc, -1) === aL && s === bL,
+              concat(slice(acc, lit(1), size(acc) - 1), array(concat_ws("", aL, bL))))
+              .otherwise(concat(acc, array(s)))).as("syms"))
+          .localCheckpoint(true)
+        step += 1
+      }
+    }
+    merges.result()
+  }
+
   /** Word n-gram shingles over a PRE-MATERIALIZED token-array column.
     * The lambda references the array via `size`/`slice`, which is O(1) on a
     * bound attribute — always project `tokens(text)` into a column first in

@@ -913,6 +913,19 @@ object PipelineQueries {
          | GROUP BY pair ORDER BY pair_freq DESC, pair LIMIT 20""".stripMargin
     ),
 
+    // T15 — the full BPE training LOOP (t12 is one step): three merge
+    // rounds over the distinct-word vocab, argmax rule per round applied
+    // with a greedy leftmost fold. The oracle unrolls the identical three
+    // rounds as chained CTEs with the same list-fold merge application.
+    "t15_bpe_train" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        TextOps.bpeTrain(Tables(s, d).documents, col("text"), nMerges = 3)
+          .toDF("step", "lhs", "rhs", "pair_freq").orderBy("step")
+      },
+      t15Sql
+    ),
+
     // T13 — per-doc lexical diversity: type-token ratio + unigram Shannon
     // entropy, the degenerate-text screens length stats miss. Entropy sums
     // carry 9-decimal DECIMAL terms so partition order cannot move the
@@ -1059,6 +1072,42 @@ object PipelineQueries {
          | FROM q ORDER BY vec_id""".stripMargin
     )
   )
+
+  /** The t15 oracle: three unrolled BPE merge rounds. Each round's CTEs
+    * mirror TextOps.bpeTrain exactly — pair counts over the vocab
+    * (len ≥ 2 words only), argmax with lexicographic ties, greedy
+    * leftmost merge as a list_reduce fold whose accumulator starts as the
+    * first symbol wrapped in a list (equivalent to Spark's empty-init
+    * fold, which can never merge into an empty accumulator).
+    */
+  private def t15Sql: String = {
+    def round(k: Int): String = {
+      val prev = s"v${k - 1}"
+      s"""p$k AS (SELECT p[1] AS a, p[2] AS b, CAST(sum(freq) AS BIGINT) AS pf
+         |   FROM (SELECT freq,
+         |       unnest(list_transform(range(1, len(syms)), i -> [syms[i], syms[i + 1]])) AS p
+         |     FROM $prev WHERE len(syms) >= 2)
+         |   GROUP BY 1, 2),
+         | b$k AS (SELECT a, b, pf FROM p$k ORDER BY pf DESC, a, b LIMIT 1),
+         | v$k AS (SELECT v.freq,
+         |     list_reduce(list_transform(v.syms, s -> [s]), (acc, x) ->
+         |       CASE WHEN acc[-1] = r.a AND x[1] = r.b
+         |         THEN list_append(acc[1:len(acc) - 1], r.a || r.b)
+         |         ELSE list_append(acc, x[1]) END) AS syms
+         |   FROM $prev v CROSS JOIN b$k r)""".stripMargin
+    }
+    s"""WITH freqs AS (SELECT w, count(*) AS freq
+       |    FROM (SELECT unnest($toksSql) AS w FROM documents) GROUP BY w),
+       | v0 AS (SELECT freq,
+       |    list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)) AS syms FROM freqs),
+       | ${round(1)},
+       | ${round(2)},
+       | ${round(3)}
+       | SELECT 1 AS step, a AS lhs, b AS rhs, pf AS pair_freq FROM b1
+       | UNION ALL SELECT 2, a, b, pf FROM b2
+       | UNION ALL SELECT 3, a, b, pf FROM b3
+       | ORDER BY step""".stripMargin
+  }
 
   /** The m5 oracle: the IDENTICAL WAV synthesis and parse as
     * Multimodal.synthWav/wavPcmStats, run over the hex representation

@@ -57,4 +57,21 @@ class TextOpsSpec extends SparkSpec {
     // → ab: 2·2 + 1 = 5, ba: 2·1 = 2
     assert(got == Map("ab" -> 5L, "ba" -> 2L))
   }
+
+  test("bpeTrain learns the textbook merge sequence on the low/lower/lowest corpus") {
+    val docs = Seq((1L, "low low low lower lowest")).toDF("doc_id", "text")
+    // pairs: (l,o)=5 (o,w)=5 (w,e)=2 (e,r)=1 (e,s)=1 (s,t)=1 →
+    //   tie (l,o)/(o,w) breaks lexicographic → (l,o); then (lo,w)=5;
+    //   then (low,e)=2
+    val got = TextOps.bpeTrain(docs, col("text"), nMerges = 3)
+    assert(got == Seq((1, "l", "o", 5L), (2, "lo", "w", 5L), (3, "low", "e", 2L)))
+    // overlap semantics: greedy leftmost — "aaa"×1 merges once per pass
+    val aaa = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val m = TextOps.bpeTrain(aaa, col("text"), nMerges = 2)
+    // round 1: (a,a)=4 (two per word); round 2 vocab "aa a": (aa,a)=2
+    assert(m == Seq((1, "a", "a", 4L), (2, "aa", "a", 2L)))
+    // merge budget beyond exhaustion stops cleanly
+    val one = Seq((1L, "x y")).toDF("doc_id", "text")
+    assert(TextOps.bpeTrain(one, col("text"), nMerges = 5).isEmpty)
+  }
 }
