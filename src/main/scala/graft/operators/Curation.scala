@@ -325,28 +325,34 @@ object Curation {
     * curve. A healthy natural-language corpus sits near slope -1;
     * machine-generated or boilerplate-heavy corpora flatten or steepen it.
     *
-    * The global frequency rank (cnt desc, term asc) is NOT a global
-    * window: ranks assemble two-level, like t8's prefix sum. Terms rank
-    * within their frequency class under a window PARTITIONED by cnt, and
-    * each class's base offset (# terms in strictly more frequent classes)
-    * comes from the frequency spectrum — one row per
-    * DISTINCT frequency value, of which a corpus with T tokens has at most
-    * ~sqrt(2T) (Σf·m_f = T), itself prefix-summed two-level through ≤64
-    * log2 buckets so no unbounded relation ever crosses a single-partition
-    * window (the bucket-totals window sees ≤64 rows by construction).
+    * The global frequency rank (cnt desc, term asc) never materializes
+    * per term: the regression sums only depend on the SET of ranks each
+    * frequency class occupies — a contiguous block [off+1, off+m] — not
+    * on which term gets which rank. So the plan is: frequency spectrum
+    * (one row per distinct cnt, ≤ ~sqrt(2T) rows for T tokens since
+    * Σf·m_f = T) → class offsets by a two-level prefix sum (within-bucket
+    * partitioned windows + a ≤512-row bucket-totals relation, the only
+    * single-partition window) → each class's rank block splits into
+    * `chunkSize` chunks that explode and fold their Σln(r), Σln²(r)
+    * partials as codegen array aggregates. No per-term relation and no
+    * per-class window — a billion hapax terms (which all share cnt=1 and
+    * would be ONE hot window partition under a rank-by-term design) land
+    * in ~30k independent chunk rows instead.
     *
-    * Regression sums carry 9-decimal-rounded DECIMAL terms (exact,
-    * order-independent); the closed-form slope divides in double at the
-    * end.
+    * Regression sums carry 9-decimal-rounded DECIMAL terms; decimal
+    * addition is exact and commutative, so grouping ranks by chunk yields
+    * bit-identical totals to the oracle's per-term sum.
     */
-  def corpusZipfStats(df: DataFrame, textCol: String): DataFrame = {
+  def corpusZipfStats(df: DataFrame, textCol: String, chunkSize: Int = 32768): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
     val vocab = df.select(explode(TextOps.tokens(col(textCol))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
-    // spectrum: (cnt, m) — m terms share frequency cnt; ≤ ~sqrt(2T) rows
+    // spectrum: (cnt, m) — m terms share frequency cnt. Buckets are
+    // eighth-octaves of cnt (monotone in cnt, so bucket order = cnt
+    // order): ≤ 8·64 = 512 bucket rows ever cross the unpartitioned
+    // window below
     val spectrum = vocab.groupBy("cnt").agg(count(lit(1)).as("__m"))
-      .withColumn("__b", floor(log(2.0, col("cnt").cast("double"))).cast("long"))
-    // within-bucket prefix of m over cnt DESC (partitioned window), plus
-    // bucket base offsets from the ≤64-row bucket-totals relation
+      .withColumn("__b", floor(log(2.0, col("cnt").cast("double")) * 8.0).cast("long"))
     val bucketTotals = spectrum.groupBy("__b").agg(sum("__m").as("__bt"))
       .withColumn("__boff", coalesce(
         sum("__bt").over(Window.orderBy(col("__b").desc)
@@ -356,22 +362,35 @@ object Curation {
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = spectrum.join(broadcast(bucketTotals), Seq("__b"))
       .withColumn("__off", coalesce(sum("__m").over(wIn), lit(0L)) + col("__boff"))
-      .select(col("cnt"), col("__off"))
-    // rank = class offset + row number within the frequency class
-    val wClass = Window.partitionBy("cnt").orderBy("term")
-    val ranked = vocab.join(offsets, Seq("cnt"))
-      .withColumn("__rank", col("__off") + row_number().over(wClass))
-    val x  = round(log(col("__rank").cast("double")), 9).cast("decimal(18,9)")
-    val y  = round(log(col("cnt").cast("double")), 9).cast("decimal(18,9)")
-    val xy = round(log(col("__rank").cast("double")) * log(col("cnt").cast("double")), 9)
-      .cast("decimal(18,9)")
-    val xx = round(log(col("__rank").cast("double")) * log(col("__rank").cast("double")), 9)
-      .cast("decimal(18,9)")
-    ranked.agg(
-        count(lit(1)).as("vocab_size"),
-        sum("cnt").as("total_tokens"),
-        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("hapax_terms"),
-        sum(x).as("__sx"), sum(y).as("__sy"), sum(xy).as("__sxy"), sum(xx).as("__sxx"))
+      .select(col("cnt"), col("__m"), col("__off"))
+    // each class's rank block [off+1, off+m] in chunkSize-sized slices;
+    // per-chunk partials fold over a generated rank array (codegen, no
+    // shuffle), so work spreads evenly regardless of class skew
+    val lnCnt  = log(col("cnt").cast("double"))
+    val chunks = offsets
+      .withColumn("__chunk", explode(expr(s"sequence(0L, (__m - 1) DIV $chunkSize)")))
+      .withColumn("__start", col("__off") + col("__chunk") * chunkSize.toLong)
+      .withColumn("__len",
+        least(lit(chunkSize.toLong), col("__m") - col("__chunk") * chunkSize.toLong))
+      .withColumn("__ranks", expr("sequence(__start + 1, __start + __len)"))
+    // accumulator stays at (28,9): the add result (29,9) is under Spark's
+    // 38-digit cap (a (38,9) acc would force the sum to scale 8, rounding
+    // every 9th decimal away), and the cast back is exact below 10^19 —
+    // chunk partials top out around 3·10^4 terms × 10^3 per term
+    def fold(term: Column => Column): Column =
+      aggregate(col("__ranks"), lit(0).cast("decimal(28,9)"),
+        (acc, r) => (acc + term(r).cast("decimal(18,9)")).cast("decimal(28,9)"))
+    val parts = chunks.select(col("cnt"), col("__len"),
+      fold(r => round(log(r.cast("double")), 9)).as("__px"),
+      fold(r => round(log(r.cast("double")) * log(r.cast("double")), 9)).as("__pxx"),
+      fold(r => round(log(r.cast("double")) * lnCnt, 9)).as("__pxy"),
+      (col("__len").cast("decimal(10,0)") * round(lnCnt, 9).cast("decimal(18,9)")).as("__py"))
+    parts.agg(
+        sum("__len").as("vocab_size"),
+        sum(col("cnt") * col("__len")).as("total_tokens"),
+        sum(when(col("cnt") === 1, col("__len")).otherwise(0L)).as("hapax_terms"),
+        sum("__px").as("__sx"), sum("__py").as("__sy"),
+        sum("__pxy").as("__sxy"), sum("__pxx").as("__sxx"))
       .select(col("vocab_size"), col("total_tokens"), col("hapax_terms"),
         round((col("vocab_size").cast("double") * col("__sxy").cast("double")
             - col("__sx").cast("double") * col("__sy").cast("double"))

@@ -541,11 +541,13 @@ object Dedup {
     * one copy of every near-dup family, keeping the best-quality copy
     * rather than an arbitrary one.
     *
-    * Scale shape: the representative per cluster is `max(struct(quality,
-    * −id))` — a combine-friendly aggregation on the cluster key, no
-    * window, no sort. The reps relation (≤ one row per cluster) joins
-    * back on the same cluster key the aggregation just shuffled on, so
-    * the exchange is reused.
+    * Scale shape: the representative is two combine-friendly aggregations
+    * on the cluster key (max quality, then min id among the rows carrying
+    * it) — no window, no sort, and no arithmetic on the id, so string and
+    * binary ids (which [[connectedComponents]] supports) pick
+    * representatives instead of silently nulling out under a negation
+    * cast. All three shuffles share the cluster key, so the exchange is
+    * reused.
     */
   def canonicalPerCluster(df: DataFrame, idCol: String, textCol: String,
                           qualityCol: String,
@@ -558,9 +560,10 @@ object Dedup {
       .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumn("component", coalesce(col("label"), col(idCol)))
       .drop("label")
-    val reps = labeled.groupBy("component")
-      .agg(max(struct(col(qualityCol).as("q"), (-col(idCol)).as("negid"))).as("__best"))
-      .select(col("component"), (-col("__best.negid")).as("rep_id"))
+    val bestQ = labeled.groupBy("component").agg(max(col(qualityCol)).as("__bq"))
+    val reps = labeled.join(bestQ, Seq("component"))
+      .filter(col(qualityCol) === col("__bq"))
+      .groupBy("component").agg(min(col(idCol)).as("rep_id"))
     labeled.join(reps, Seq("component"))
       .select(col(idCol), col("component"), col("rep_id"),
         (col(idCol) === col("rep_id")).cast("int").as("is_canonical"))

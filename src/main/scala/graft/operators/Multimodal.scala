@@ -195,7 +195,8 @@ object Multimodal {
       (substring(p, 9, 4) === lit("WAVE".getBytes("US-ASCII"))) &&
       (substring(p, 13, 4) === lit("fmt ".getBytes("US-ASCII"))) &&
       (substring(p, 37, 4) === lit("data".getBytes("US-ASCII"))) &&
-      (leUInt(p, 21, 2) === 1L) && (leUInt(p, 35, 2) === 16L)
+      (leUInt(p, 21, 2) === 1L) && (leUInt(p, 35, 2) === 16L) &&
+      (leUInt(p, 23, 2) >= 1L) // channels=0 would divide the frame size by 0
     val bytesPerFrame = leUInt(p, 23, 2) * 2L // channels × 16-bit
     assets
       .withColumn("valid", valid.cast("int"))
@@ -203,7 +204,12 @@ object Multimodal {
       .withColumn("channels", leUInt(p, 23, 2))
       .withColumn("sample_rate", leUInt(p, 25, 4))
       .withColumn("bit_depth", leUInt(p, 35, 2))
-      .withColumn("data_len", leUInt(p, 41, 4))
+      // header claims clamped to the bytes actually present: a truncated
+      // payload must not fabricate sample counts (the imperative twin
+      // clamps identically)
+      .withColumn("data_len",
+        least(leUInt(p, 41, 4),
+          greatest(length(p).cast("long") - (DataOffset - 1).toLong, lit(0L))))
       .withColumn("n_samples",
         when(col("valid") === 1,
           floor(col("data_len") / bytesPerFrame).cast("long")).otherwise(lit(0L)))
@@ -224,11 +230,16 @@ object Multimodal {
     * compressed codecs. Returns None unless the payload is a canonical
     * PCM WAV (RIFF/WAVE/fmt/data magics, format 1, 16-bit).
     */
+  /** Little-endian unsigned field of `width` bytes at 1-based `pos` — the
+    * one imperative LE parser both decoders share (the column-expr twin
+    * is [[leUInt]], the SQL twin is PipelineQueries' generator). */
+  private[operators] def leBytes(payload: Array[Byte], pos: Int, width: Int): Long =
+    (0 until width).map(i => (payload(pos - 1 + i) & 0xFFL) << (8 * i)).sum
+
   def decodeWavPcm(payload: Array[Byte], maxSamples: Int = Int.MaxValue): Option[WavPcm] = {
     if (payload == null || payload.length < DataOffset - 1) return None
     def str(pos: Int, n: Int) = new String(payload, pos - 1, n, "US-ASCII")
-    def le(pos: Int, width: Int): Long =
-      (0 until width).map(i => (payload(pos - 1 + i) & 0xFFL) << (8 * i)).sum
+    def le(pos: Int, width: Int): Long = leBytes(payload, pos, width)
     if (str(1, 4) != "RIFF" || str(9, 4) != "WAVE" ||
         str(13, 4) != "fmt " || str(37, 4) != "data") return None
     if (le(21, 2) != 1L || le(35, 2) != 16L) return None
@@ -245,7 +256,7 @@ object Multimodal {
       i += 1
     }
     Some(WavPcm(le(21, 2).toInt, channels, le(25, 4).toInt, le(35, 2).toInt,
-      le(41, 4).toInt, nSamples, samples))
+      dataLen.toInt, nSamples, samples))
   }
 
   /** WAV features over asset batches through the real decoder: the same
@@ -267,14 +278,15 @@ object Multimodal {
       rows.map { r =>
         decodeWavPcm(r.getAs[Array[Byte]](pIdx), maxSamples) match {
           case Some(w) if w.samples.nonEmpty =>
-            val n = w.samples.length
+            // n_samples is the TOTAL frame count (wavPcmStats parity);
+            // peak/rms cover the first maxSamples like the column twin
             var peak = 0L; var sumsq = 0L
             w.samples.foreach { s =>
               peak = math.max(peak, math.abs(s.toLong)); sumsq += s.toLong * s
             }
-            val rms = BigDecimal(math.sqrt(sumsq.toDouble / n))
+            val rms = BigDecimal(math.sqrt(sumsq.toDouble / w.samples.length))
               .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-            Row(r.get(idIdx), n, peak.toInt, rms)
+            Row(r.get(idIdx), w.nSamples, peak.toInt, rms)
           case _ => Row(r.get(idIdx), null, null, null)
         }
       }
@@ -349,19 +361,25 @@ object Multimodal {
     */
   def decodeBmpRgb(payload: Array[Byte], maxPixels: Int = Int.MaxValue): Option[BmpRgb] = {
     if (payload == null || payload.length < 54) return None
-    def le(pos: Int, width: Int): Long =
-      (0 until width).map(i => (payload(pos - 1 + i) & 0xFFL) << (8 * i)).sum
+    def le(pos: Int, width: Int): Long = leBytes(payload, pos, width)
     def leS32(pos: Int): Long = { val u = le(pos, 4); if (u >= 2147483648L) u - 4294967296L else u }
     if (payload(0) != 'B'.toByte || payload(1) != 'M'.toByte) return None
     if (le(27, 2) != 1L || le(29, 2) != 24L || le(31, 4) != 0L) return None
     val w = leS32(19); val h = leS32(23)
     if (w <= 0 || h <= 0) return None
-    val off = le(11, 4).toInt
-    val rowSize = ((w * 3 + 3) / 4 * 4).toInt
-    val n = math.min(w * h, maxPixels.toLong).toInt
-    if (off + (n - 1) / w.toInt * rowSize + ((n - 1) % w.toInt) * 3 + 3 > payload.length) return None
+    // all geometry in Long: header-claimed dimensions are attacker input,
+    // and Int math on width·3 or off+rows·rowSize overflows negative for
+    // ~2^31-scale claims, which would bypass the bounds check below and
+    // allocate against a fabricated pixel count
+    val off = le(11, 4)
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val n0 = math.min(w * h, maxPixels.toLong)
+    if (n0 > Int.MaxValue) return None
+    val n = n0.toInt
+    val lastBase = off + (n - 1).toLong / w * rowSize + (n - 1).toLong % w * 3
+    if (off < 54 || lastBase + 3 > payload.length) return None
     val pixels = Array.tabulate(n) { i =>
-      val base = off + (i / w.toInt) * rowSize + (i % w.toInt) * 3
+      val base = (off + i / w * rowSize + i % w * 3).toInt
       ((payload(base) & 0xFF), (payload(base + 1) & 0xFF), (payload(base + 2) & 0xFF))
     }
     Some(BmpRgb(w.toInt, h.toInt, 24, pixels))

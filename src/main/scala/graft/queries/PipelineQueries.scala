@@ -1109,30 +1109,39 @@ object PipelineQueries {
        | ORDER BY step""".stripMargin
   }
 
+  /** One payload byte (1-based position expression `pos`) from the hex
+    * mirror column `h` — DuckDB cannot slice blobs, so every binary
+    * oracle parses the hex representation: byte p = two hex digits at
+    * 2p−1. Shared by the m5/m6 decode oracles. */
+  private def hexByteAt(pos: String): String = hex2(s"substr(h, 2*($pos) - 1, 2)")
+
+  /** Little-endian unsigned field of `w` bytes at 1-based `pos` over the
+    * hex mirror `h` — the SQL twin of Multimodal.leUInt/leBytes. */
+  private def hexLe(pos: Int, w: Int): String = (0 until w)
+    .map(i => s"(${hexByteAt((pos + i).toString)}) * ${1L << (8 * i)}")
+    .mkString("(", " + ", ")")
+
   /** The m5 oracle: the IDENTICAL WAV synthesis and parse as
-    * Multimodal.synthWav/wavPcmStats, run over the hex representation
-    * (DuckDB cannot slice blobs): byte at 1-based position p = two hex
-    * digits at 2p−1, little-endian fields as base-256 sums, int16 samples
-    * sign-corrected, integer-exact sum of squares before the one double
-    * sqrt.
+    * Multimodal.synthWav/wavPcmStats, run over the hex representation:
+    * little-endian fields as base-256 sums, header data_len clamped to
+    * the bytes present, int16 samples sign-corrected, integer-exact sum
+    * of squares before the one double sqrt.
     */
   private def m5Sql: String = {
     val hdr = graft.operators.Multimodal.wavHeaderHex(256)
-    def byteAt(pos: String)  = hex2(s"substr(h, 2*($pos) - 1, 2)")
-    def le(pos: Int, w: Int) = (0 until w)
-      .map(i => s"(${byteAt((pos + i).toString)}) * ${1L << (8 * i)}")
-      .mkString("(", " + ", ")")
-    def sample = s"((${byteAt("45 + 2*i")}) + 256 * (${byteAt("46 + 2*i")}))"
+    def le(pos: Int, w: Int) = hexLe(pos, w)
+    def sample = s"((${hexByteAt("45 + 2*i")}) + 256 * (${hexByteAt("46 + 2*i")}))"
     s"""WITH phex AS (SELECT doc_id,
        |    '$hdr' || ${(0 until 16).map(i => s"md5(text || '$i')").mkString(" || ")} AS h
        |  FROM documents),
        | fields AS (SELECT doc_id, h,
        |    CASE WHEN substr(h, 1, 8) = '52494646' AND substr(h, 17, 8) = '57415645'
        |      AND substr(h, 25, 8) = '666d7420' AND substr(h, 73, 8) = '64617461'
-       |      AND ${le(21, 2)} = 1 AND ${le(35, 2)} = 16 THEN 1 ELSE 0 END AS valid,
+       |      AND ${le(21, 2)} = 1 AND ${le(35, 2)} = 16
+       |      AND ${le(23, 2)} >= 1 THEN 1 ELSE 0 END AS valid,
        |    ${le(21, 2)} AS audio_format, ${le(23, 2)} AS channels,
        |    ${le(25, 4)} AS sample_rate, ${le(35, 2)} AS bit_depth,
-       |    ${le(41, 4)} AS data_len FROM phex),
+       |    least(${le(41, 4)}, greatest(len(h) // 2 - 44, 0)) AS data_len FROM phex),
        | counted AS (SELECT *, CASE WHEN valid = 1
        |     THEN data_len // (channels * 2) ELSE 0 END AS n_samples FROM fields),
        | sampled AS (SELECT *, CASE WHEN n_samples > 0 THEN
@@ -1161,10 +1170,8 @@ object PipelineQueries {
     */
   private def m6Sql: String = {
     val hdr = graft.operators.Multimodal.bmpHeaderHex(3, 4)
-    def byteAt(pos: String)  = hex2(s"substr(h, 2*($pos) - 1, 2)")
-    def le(pos: Int, w: Int) = (0 until w)
-      .map(i => s"(${byteAt((pos + i).toString)}) * ${1L << (8 * i)}")
-      .mkString("(", " + ", ")")
+    def byteAt(pos: String)  = hexByteAt(pos)
+    def le(pos: Int, w: Int) = hexLe(pos, w)
     def s32(pos: Int) =
       s"(CASE WHEN ${le(pos, 4)} >= 2147483648 THEN ${le(pos, 4)} - 4294967296 ELSE ${le(pos, 4)} END)"
     def mean(ch: Int) =

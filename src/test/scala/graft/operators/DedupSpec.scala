@@ -228,5 +228,15 @@ class DedupSpec extends SparkSpec {
     val reps = Dedup.canonicalPerCluster(tied, "doc_id", "text", "n_chars", minShared = 2)
       .filter(col("is_canonical") === 1).select("doc_id").collect().map(_.getLong(0))
     assert(reps.toSeq == Seq(7L))
+    // string ids (connectedComponents supports them) must pick real
+    // representatives, not null out under an id-negation cast
+    val strIds = Seq(
+      ("docA", "alpha beta gamma delta epsilon zeta eta theta iota kappa", 10L),
+      ("docB", "alpha beta gamma delta epsilon zeta eta theta iota kappa", 30L)
+    ).toDF("doc_id", "text", "n_chars")
+    val sGot = Dedup.canonicalPerCluster(strIds, "doc_id", "text", "n_chars", minShared = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[String]("rep_id"), r.getAs[Int]("is_canonical")))).toMap
+    assert(sGot("docA") == (("docB", 0)) && sGot("docB") == (("docB", 1)))
   }
 }

@@ -102,7 +102,8 @@ class MultimodalSpec extends SparkSpec {
     Seq(1L, 2L).foreach { id =>
       val (valid, rate, n, peak, rms) = cols(id)
       assert(valid == 1 && rate == 16000L && n == 128L)
-      assert(imps(id) == ((64, peak.toInt, rms)), s"doc $id disagreement")
+      // n_samples is the TOTAL frame count on both paths; stats cover the cap
+      assert(imps(id) == ((128, peak.toInt, rms)), s"doc $id disagreement")
     }
     // a non-WAV payload yields nulls, not a crash, on both paths
     val junk = Seq((9L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
@@ -110,6 +111,13 @@ class MultimodalSpec extends SparkSpec {
     assert(cj.getAs[Int]("valid") == 0 && cj.isNullAt(cj.fieldIndex("rms")))
     val ij = Multimodal.extractWavFeatures(junk, "doc_id", "payload").collect().head
     assert(ij.isNullAt(ij.fieldIndex("rms")))
+    // a truncated valid-header payload clamps to the bytes present on
+    // BOTH paths — no fabricated sample counts from the header claim
+    val full = wavs.filter($"doc_id" === 1L).collect().head.getAs[Array[Byte]]("payload")
+    val cut = Seq((3L, full.take(44 + 20))).toDF("doc_id", "payload")
+    val cc = Multimodal.wavPcmStats(cut, "doc_id", "payload").collect().head
+    assert(cc.getAs[Long]("data_len") == 20L && cc.getAs[Long]("n_samples") == 10L)
+    assert(Multimodal.decodeWavPcm(full.take(44 + 20)).get.nSamples == 10)
   }
 
   test("decodeBmpRgb walks the padded row stride; rejects corrupt payloads") {
@@ -125,6 +133,17 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeBmpRgb(broken).isEmpty)
     assert(Multimodal.decodeBmpRgb(bytes.take(40)).isEmpty)
     assert(Multimodal.decodeBmpRgb(null).isEmpty)
+    // header claiming ~2^31-scale dimensions must refuse, not overflow
+    // Int geometry into a bypassed bounds check and a giant allocation
+    val huge = bytes.clone()
+    val wide = Multimodal.bmpHeaderHex(1, 1).grouped(2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
+    System.arraycopy(wide, 0, huge, 0, 54)
+    // overwrite width bytes (1-based 19-22) with 800,000,000 LE
+    val wv = 800000000L
+    (0 until 4).foreach(i => huge(18 + i) = ((wv >> (8 * i)) & 0xFF).toByte)
+    huge(22) = 3; huge(23) = 0; huge(24) = 0; huge(25) = 0 // height = 3
+    assert(Multimodal.decodeBmpRgb(huge).isEmpty)
   }
 
   test("column-expression BMP decode agrees with the imperative decoder") {
