@@ -293,6 +293,41 @@ object Curation {
         sum(col("tf").cast("decimal(10,0)") * lnp).cast("double").as("sum_logprob"))
   }
 
+  /** Per-document add-one-smoothed bigram log-probability — the next
+    * perplexity proxy up from [[unigramLogProb]]: P(w_i | w_{i-1}) =
+    * (c(w_{i-1} w_i) + 1) / (c(w_{i-1}) + V), summed in log space over
+    * every bigram instance. Repetitive or word-salad text separates far
+    * better under a bigram model than a unigram one (the unigram score
+    * cannot see order at all).
+    *
+    * Shape: ONE tokenization feeds both the bigram tf relation and the
+    * corpus unigram counts; the bigram-count and context-count relations
+    * are re-aggregations joined back on their keys; the vocabulary size
+    * is a broadcast scalar. Per-instance ln terms round to 9 decimals and
+    * sum as DECIMAL — exact, partition-order-independent.
+    */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toked = df.select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
+    val bg = toked
+      .select(col(idCol), explode(TextOps.shinglesOfTokens(col("__t"), 2)).as("bg"))
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("tf"))
+    val c2 = bg.groupBy("bg").agg(sum("tf").as("__c2"))
+    val uni = toked.select(explode(col("__t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("__c1"))
+    val vocab = uni.agg(count(lit(1)).as("__v"))
+    val lnp = round(log(
+        (col("__c2").cast("double") + 1.0) /
+          (col("__c1").cast("double") + col("__v").cast("double"))), 9)
+      .cast("decimal(18,9)")
+    bg.join(c2, "bg")
+      .withColumn("__ctx", element_at(split(col("bg"), " "), 1))
+      .join(uni.withColumnRenamed("w", "__ctx"), "__ctx")
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(sum("tf").as("n_bigrams"),
+        sum(col("tf").cast("decimal(10,0)") * lnp).cast("double").as("sum_logprob"))
+  }
+
   /** Per-document lexical diversity: type-token ratio and unigram Shannon
     * entropy (nats) — the standard screens for degenerate/templated text
     * that length and stopword ratios miss (a 1000-token doc of one

@@ -297,6 +297,35 @@ object Similarity {
       .select(col("probe_id"), col("rank"), col(idCol), col("sim"))
   }
 
+  /** Per-dimension corpus moments — the statistics a whitening/PCA
+    * preprocessing step (or a drift monitor) needs before any projection:
+    * for each embedding dimension, the vector count, mean, and population
+    * variance. A dimension with near-zero variance is dead weight in
+    * every distance computation; a drifting mean breaks pre-trained
+    * quantizer codebooks.
+    *
+    * Shape: posexplode → one (dim)-keyed aggregation with map-side
+    * combine — the s8 centroid plan without the join back, so the corpus
+    * is scanned once and only 〈#dims〉 rows shuffle. Components round to
+    * 4 decimals (the embedding ingestion discipline) and their squares to
+    * 8, carried as DECIMAL so the sums are exact; mean and variance
+    * divide in double at the end.
+    */
+  def dimensionMoments(df: DataFrame, vecCol: String): DataFrame = {
+    val c  = round(col("__c").cast("double"), 4)
+    val x  = c.cast("decimal(18,4)")
+    val xx = (c * c).cast("decimal(28,8)")
+    df.select(posexplode(col(vecCol)).as(Seq("dim", "__c")))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n_vecs"), sum(x).as("__sx"), sum(xx).as("__sxx"))
+      .select(col("dim"), col("n_vecs"),
+        round((col("__sx").cast("double") / col("n_vecs").cast("double")), 6).as("mean"),
+        round(col("__sxx").cast("double") / col("n_vecs").cast("double")
+          - (col("__sx").cast("double") / col("n_vecs").cast("double"))
+            * (col("__sx").cast("double") / col("n_vecs").cast("double")), 6)
+          .as("variance"))
+  }
+
   /** Symmetric int8 scalar quantization (the SQ8 memory tier between raw
     * floats and PQ codes: 4× smaller than float32 with ~exact recall for
     * reranking): per vector, scale = max|x|/127, code_i = round(x_i/scale)

@@ -926,6 +926,49 @@ object PipelineQueries {
       t15Sql
     ),
 
+    // T16 — add-one-smoothed bigram log-prob (the perplexity proxy one
+    // model order up from t11): bigram and context counts are corpus
+    // re-aggregations of one tokenization; V broadcasts as a scalar.
+    "t16_bigram_logprob" -> QueryDef.sql(
+      (s, d) => Curation.bigramLogProb(Tables(s, d).documents, "doc_id", "text")
+        .orderBy("doc_id"),
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         | bgs AS (SELECT doc_id,
+         |    unnest([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS bg
+         |  FROM toks),
+         | tf AS (SELECT doc_id, bg, count(*) AS tf FROM bgs GROUP BY 1, 2),
+         | c2 AS (SELECT bg, CAST(sum(tf) AS BIGINT) AS c2 FROM tf GROUP BY bg),
+         | uni AS (SELECT tok AS w, count(*) AS c1
+         |   FROM (SELECT unnest($toksSql) AS tok FROM documents) GROUP BY 1),
+         | v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni)
+         | SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         |   CAST(sum(tf * CAST(round(ln((CAST(c2 AS DOUBLE) + 1.0)
+         |       / (CAST(c1 AS DOUBLE) + CAST(v AS DOUBLE))), 9)
+         |     AS DECIMAL(28,9))) AS DOUBLE) AS sum_logprob
+         | FROM tf JOIN c2 USING (bg)
+         | JOIN uni ON uni.w = split_part(bg, ' ', 1), v
+         | GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ),
+
+    // S11 — per-dimension corpus moments (whitening/PCA prep, drift
+    // monitoring): one posexplode aggregation, 64 rows out.
+    "s11_dim_moments" -> QueryDef.sql(
+      (s, d) => Similarity.dimensionMoments(Tables(s, d).embeddings, "embedding")
+        .orderBy("dim"),
+      s"""SELECT d.i - 1 AS dim, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  round(CAST(sum(CAST(round(CAST(embedding[d.i] AS DOUBLE), 4)
+         |      AS DECIMAL(18,4))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean,
+         |  round(CAST(sum(CAST(round(CAST(embedding[d.i] AS DOUBLE), 4)
+         |        * round(CAST(embedding[d.i] AS DOUBLE), 4)
+         |      AS DECIMAL(28,8))) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    - (CAST(sum(CAST(round(CAST(embedding[d.i] AS DOUBLE), 4)
+         |        AS DECIMAL(18,4))) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+         |      * (CAST(sum(CAST(round(CAST(embedding[d.i] AS DOUBLE), 4)
+         |        AS DECIMAL(18,4))) AS DOUBLE) / CAST(count(*) AS DOUBLE)), 6) AS variance
+         | FROM embeddings CROSS JOIN range(1, 65) AS d(i)
+         | GROUP BY 1 ORDER BY dim""".stripMargin
+    ),
+
     // T13 — per-doc lexical diversity: type-token ratio + unigram Shannon
     // entropy, the degenerate-text screens length stats miss. Entropy sums
     // carry 9-decimal DECIMAL terms so partition order cannot move the

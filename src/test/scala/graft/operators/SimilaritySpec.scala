@@ -189,6 +189,16 @@ class SimilaritySpec extends SparkSpec {
     assert(bf == 1L)
   }
 
+  test("dimensionMoments: exact mean and population variance per dim") {
+    val rows = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.dimensionMoments(rows, "embedding")
+      .collect().map(r => r.getAs[Int]("dim") ->
+        ((r.getAs[Long]("n_vecs"), r.getAs[Double]("mean"), r.getAs[Double]("variance")))).toMap
+    assert(got(0) == ((2L, 2.0, 1.0))) // (1,3): mean 2, var ((1+9)/2 - 4) = 1
+    assert(got(1) == ((2L, 3.0, 1.0))) // (2,4): mean 3, var ((4+16)/2 - 9) = 1
+  }
+
   test("int8Quantize: codes, checksum, and mse on hand-computed vectors") {
     val rows = Seq(
       (1L, Array(1.0f, -0.4f, 0.0f, 0.25f)),
