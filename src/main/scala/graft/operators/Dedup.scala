@@ -541,13 +541,14 @@ object Dedup {
     * one copy of every near-dup family, keeping the best-quality copy
     * rather than an arbitrary one.
     *
-    * Scale shape: the representative is two combine-friendly aggregations
-    * on the cluster key (max quality, then min id among the rows carrying
-    * it) — no window, no sort, and no arithmetic on the id, so string and
-    * binary ids (which [[connectedComponents]] supports) pick
-    * representatives instead of silently nulling out under a negation
-    * cast. All three shuffles share the cluster key, so the exchange is
-    * reused.
+    * Scale shape: the representative is ONE combine-friendly aggregation
+    * on the cluster key — `min(struct(−quality, id))` gives max quality
+    * with ties to the smallest id. The negation lands on the quality
+    * column (numeric by contract — it is a score; enforced below), never
+    * on the id, so string and binary ids (which [[connectedComponents]]
+    * supports) pick representatives instead of silently nulling out under
+    * a negation cast. The reps join probes the same component-shuffled
+    * relation the aggregation consumed, so the exchange is reused.
     */
   def canonicalPerCluster(df: DataFrame, idCol: String, textCol: String,
                           qualityCol: String,
@@ -560,10 +561,11 @@ object Dedup {
       .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumn("component", coalesce(col("label"), col(idCol)))
       .drop("label")
-    val bestQ = labeled.groupBy("component").agg(max(col(qualityCol)).as("__bq"))
-    val reps = labeled.join(bestQ, Seq("component"))
-      .filter(col(qualityCol) === col("__bq"))
-      .groupBy("component").agg(min(col(idCol)).as("rep_id"))
+    require(df.schema(qualityCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"qualityCol '$qualityCol' must be numeric (it is a score); ids may be any orderable type")
+    val reps = labeled.groupBy("component")
+      .agg(min(struct((-col(qualityCol)).as("nq"), col(idCol).as("i"))).as("__best"))
+      .select(col("component"), col("__best.i").as("rep_id"))
     labeled.join(reps, Seq("component"))
       .select(col(idCol), col("component"), col("rep_id"),
         (col(idCol) === col("rep_id")).cast("int").as("is_canonical"))
