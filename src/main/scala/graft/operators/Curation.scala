@@ -319,13 +319,20 @@ object Curation {
         (col("__c2").cast("double") + 1.0) /
           (col("__c1").cast("double") + col("__v").cast("double"))), 9)
       .cast("decimal(18,9)")
-    bg.join(c2, "bg")
+    val scored = bg.join(c2, "bg")
       .withColumn("__ctx", element_at(split(col("bg"), " "), 1))
       .join(uni.withColumnRenamed("w", "__ctx"), "__ctx")
       .crossJoin(broadcast(vocab))
       .groupBy(col(idCol))
-      .agg(sum("tf").as("n_bigrams"),
-        sum(col("tf").cast("decimal(10,0)") * lnp).cast("double").as("sum_logprob"))
+      .agg(sum("tf").as("__nb"),
+        sum(col("tf").cast("decimal(10,0)") * lnp).cast("double").as("__lp"))
+    // docs with < 2 tokens have no bigrams but must still get a row (the
+    // unigramLogProb contract) — a quality join that silently drops short
+    // docs lets them escape the filter unscored
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__nb"), lit(0L)).as("n_bigrams"),
+        coalesce(col("__lp"), lit(0.0)).as("sum_logprob"))
   }
 
   /** Per-document lexical diversity: type-token ratio and unigram Shannon

@@ -542,13 +542,15 @@ object Dedup {
     * rather than an arbitrary one.
     *
     * Scale shape: the representative is ONE combine-friendly aggregation
-    * on the cluster key — `min(struct(−quality, id))` gives max quality
-    * with ties to the smallest id. The negation lands on the quality
-    * column (numeric by contract — it is a score; enforced below), never
-    * on the id, so string and binary ids (which [[connectedComponents]]
-    * supports) pick representatives instead of silently nulling out under
-    * a negation cast. The reps join probes the same component-shuffled
-    * relation the aggregation consumed, so the exchange is reused.
+    * on the cluster key — `min(struct(unscored, −quality, id))` gives max
+    * quality with ties to the smallest id. Quality normalizes to
+    * DECIMAL(38,6) first, so the negation can neither overflow (an
+    * integral MinValue negates exactly in decimal) nor be perturbed by
+    * NaN (which casts to null and ranks as unscored, losing to every
+    * scored doc — an all-null cluster falls back to min id). The id is
+    * never touched arithmetically, so string and binary ids (which
+    * [[connectedComponents]] supports) keep working. Contract: quality is
+    * numeric (enforced) and compared at 6-decimal granularity.
     */
   def canonicalPerCluster(df: DataFrame, idCol: String, textCol: String,
                           qualityCol: String,
@@ -563,8 +565,11 @@ object Dedup {
       .drop("label")
     require(df.schema(qualityCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"qualityCol '$qualityCol' must be numeric (it is a score); ids may be any orderable type")
+    val qd = col(qualityCol).cast("decimal(38,6)") // exact for integrals; NaN → null
     val reps = labeled.groupBy("component")
-      .agg(min(struct((-col(qualityCol)).as("nq"), col(idCol).as("i"))).as("__best"))
+      .agg(min(struct(
+        when(qd.isNull, lit(1)).otherwise(lit(0)).as("unscored"),
+        (-qd).as("nq"), col(idCol).as("i"))).as("__best"))
       .select(col("component"), col("__best.i").as("rep_id"))
     labeled.join(reps, Seq("component"))
       .select(col(idCol), col("component"), col("rep_id"),

@@ -318,12 +318,11 @@ object Similarity {
     df.select(posexplode(col(vecCol)).as(Seq("dim", "__c")))
       .groupBy("dim")
       .agg(count(lit(1)).as("n_vecs"), sum(x).as("__sx"), sum(xx).as("__sxx"))
+      .withColumn("__mean", col("__sx").cast("double") / col("n_vecs").cast("double"))
       .select(col("dim"), col("n_vecs"),
-        round((col("__sx").cast("double") / col("n_vecs").cast("double")), 6).as("mean"),
+        round(col("__mean"), 6).as("mean"),
         round(col("__sxx").cast("double") / col("n_vecs").cast("double")
-          - (col("__sx").cast("double") / col("n_vecs").cast("double"))
-            * (col("__sx").cast("double") / col("n_vecs").cast("double")), 6)
-          .as("variance"))
+          - col("__mean") * col("__mean"), 6).as("variance"))
   }
 
   /** Symmetric int8 scalar quantization (the SQ8 memory tier between raw

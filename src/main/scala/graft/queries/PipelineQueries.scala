@@ -940,14 +940,18 @@ object PipelineQueries {
          | c2 AS (SELECT bg, CAST(sum(tf) AS BIGINT) AS c2 FROM tf GROUP BY bg),
          | uni AS (SELECT tok AS w, count(*) AS c1
          |   FROM (SELECT unnest($toksSql) AS tok FROM documents) GROUP BY 1),
-         | v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni)
-         | SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         | v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+         | scored AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS nb,
          |   CAST(sum(tf * CAST(round(ln((CAST(c2 AS DOUBLE) + 1.0)
          |       / (CAST(c1 AS DOUBLE) + CAST(v AS DOUBLE))), 9)
-         |     AS DECIMAL(28,9))) AS DOUBLE) AS sum_logprob
-         | FROM tf JOIN c2 USING (bg)
-         | JOIN uni ON uni.w = split_part(bg, ' ', 1), v
-         | GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |     AS DECIMAL(28,9))) AS DOUBLE) AS lp
+         |  FROM tf JOIN c2 USING (bg)
+         |  JOIN uni ON uni.w = split_part(bg, ' ', 1), v
+         |  GROUP BY doc_id)
+         | SELECT d.doc_id, coalesce(s.nb, 0) AS n_bigrams,
+         |   coalesce(s.lp, 0.0) AS sum_logprob
+         | FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+         | ORDER BY d.doc_id""".stripMargin
     ),
 
     // S11 — per-dimension corpus moments (whitening/PCA prep, drift

@@ -169,16 +169,18 @@ class CurationSpec extends SparkSpec {
   }
 
   test("bigramLogProb: add-one smoothing over hand-computed counts") {
-    val docs = Seq((1L, "a b a b"), (2L, "b c")).toDF("doc_id", "text")
-    // unigrams a:2 b:3 c:1 → V=3; bigrams "a b":2 "b a":1 "b c":1
-    // P(a b)=(2+1)/(2+3)=0.6  P(b a)=P(b c)=(1+1)/(3+3)=1/3
+    val docs = Seq((1L, "a b a b"), (2L, "b c"), (3L, "a")).toDF("doc_id", "text")
+    // unigrams a:3 b:3 c:1 → V=3; bigrams "a b":2 "b a":1 "b c":1
+    // P(a b)=(2+1)/(3+3)=0.5  P(b a)=P(b c)=(1+1)/(3+3)=1/3
     val got = Curation.bigramLogProb(docs, "doc_id", "text")
       .collect().map(r => r.getAs[Long]("doc_id") ->
         ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("sum_logprob")))).toMap
     def r9(v: Double) = BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP)
-    val d1 = (r9(math.log(0.6)) * 2 + r9(math.log(1.0 / 3))).toDouble
+    val d1 = (r9(math.log(0.5)) * 2 + r9(math.log(1.0 / 3))).toDouble
     assert(got(1L) == ((3L, d1)))
     assert(got(2L) == ((1L, r9(math.log(1.0 / 3)).toDouble)))
+    // a one-token doc still gets a row, with zero bigrams — not dropped
+    assert(got(3L) == ((0L, 0.0)))
   }
 
   test("lexicalDiversity: entropy and TTR on hand-computed docs") {

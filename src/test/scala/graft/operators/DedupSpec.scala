@@ -238,5 +238,15 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getString(0) ->
         ((r.getAs[String]("rep_id"), r.getAs[Int]("is_canonical")))).toMap
     assert(sGot("docA") == (("docB", 0)) && sGot("docB") == (("docB", 1)))
+    // null quality loses to any scored doc; integral MinValue cannot
+    // overflow the negation into winning
+    val hazard = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", Some(Long.MinValue)),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", None),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", Some(0L))
+    ).toDF("doc_id", "text", "q")
+    val hGot = Dedup.canonicalPerCluster(hazard, "doc_id", "text", "q", minShared = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("is_canonical")).toMap
+    assert(hGot == Map(1L -> 0, 2L -> 0, 3L -> 1))
   }
 }

@@ -50,10 +50,11 @@ class PlanContractSpec extends SparkSpec {
       // (broadcast probes against the corpus CODE relation — the s1
       // topology with an 8-byte streamed side)
       // s7/s9 are s1's topology with an extra label/threshold predicate —
-      // same broadcast probe set, same single corpus pass
+      // same broadcast probe set, same single corpus pass; t16 is t11's
+      // one-row broadcast vocabulary-size scalar joined keylessly
       if (!Set("j7_cross_join", "s1_cosine_topk", "s3_ann_ivf", "s4_kmeans_step",
           "r4_temperature_mix", "t11_unigram_logprob", "s6_pq_adc_topk",
-          "s7_hard_negatives", "s9_range_search").contains(q))
+          "s7_hard_negatives", "s9_range_search", "t16_bigram_logprob").contains(q))
         assert(count(plan, "BroadcastNestedLoopJoin") == 0, s"$q plans a nested-loop join")
     }
   }
