@@ -80,6 +80,81 @@ object StreamingText {
       }
   }
 
+  /** Cross-batch CHUNK-level dedup — the streaming face of
+    * Dedup.chunkDedup. A single flatMapGroupsWithState stage cannot
+    * express it: the duplicate decision keys by CHUNK HASH while the
+    * output re-aggregates by DOC, and append mode cannot chain a stateful
+    * stage into a keyed aggregation without a synthetic watermark. So
+    * this uses the ChainIngest architecture instead: foreachBatch + a
+    * persistent hash state table, idempotent under batch replay.
+    *
+    * Per micro-batch `bid`:
+    *   1. chunk + hash the batch docs (Dedup.chunkHashes);
+    *   2. a chunk is a DUPLICATE if its hash appears in the state table
+    *      from an EARLIER batch (left-semi probe; the batch side is
+    *      small) or earlier in THIS batch (the d9 min(struct) rule);
+    *   3. per-doc counts land in `chunk_dedup` by delete-then-append on
+    *      the batch-id bucket (replays overwrite, never duplicate);
+    *   4. the batch's distinct hashes append to `chunk_hashes` TAGGED
+    *      with bid — which is what makes the crash window safe: a
+    *      replayed batch filters its own half-written hashes out of the
+    *      "seen" set (batch_id < bid), so the recomputation is identical,
+    *      and re-appended hash rows are harmless to a semi join.
+    *
+    * Scale notes: the state table grows one row per distinct chunk ever
+    * seen and every batch semi-joins against it — shuffle-free on the
+    * state side is not possible without an index, so give the store a
+    * SMALL bucketSize (per-batch result overwrites rewrite one bucket,
+    * not history) and compact/bloom the hash table out-of-band in a real
+    * deployment.
+    */
+  def processChunkBatch(store: graft.chain.TableStore, chunkTokens: Int)
+                       (batch: DataFrame, bid: Long): Unit = {
+    import graft.operators.Dedup
+    val spark = batch.sparkSession
+    val chunks = Dedup.chunkHashes(batch, "doc_id", "text", chunkTokens)
+      .localCheckpoint(true) // the plan below consumes it four times
+    val emptySeen = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("h", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("batch_id", org.apache.spark.sql.types.LongType))))
+    val seen = store.readOr("chunk_hashes", emptySeen)
+      .filter(col("batch_id") < bid).select(col("h"))
+    val fresh = chunks.join(seen, chunks("__h") === seen("h"), "left_anti")
+    // within-batch keep-first among store-fresh chunks (the d9 rule)
+    val uniques = fresh
+      .groupBy("__h")
+      .agg(min(struct(col("doc_id").as("i"), col("__ci").as("c"))).as("__first"))
+      .groupBy(col("__first.i").as("doc_id"))
+      .agg(count(lit(1)).as("__uniq"))
+    val counts = chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+      .join(uniques, Seq("doc_id"), "left")
+      .select(lit(bid).as("batch_id"), col("doc_id"), col("n_chunks"),
+        (col("n_chunks") - coalesce(col("__uniq"), lit(0L))).as("dup_chunks"))
+      .withColumn("dup_fraction",
+        round(col("dup_chunks").cast("double") / col("n_chunks").cast("double"), 6))
+    store.deleteRange("chunk_dedup", "batch_id", bid, bid)
+    store.appendBucketed("chunk_dedup", counts, "batch_id")
+    // only store-fresh hashes append: the state table stays O(distinct
+    // chunks), not O(total chunks); a crash replay re-appends at most one
+    // batch's worth of same-bid rows, which the semi join ignores
+    store.append("chunk_hashes",
+      fresh.select(col("__h").as("h")).distinct().withColumn("batch_id", lit(bid)))
+  }
+
+  /** The [[processChunkBatch]] processor wired as a streaming query. */
+  def chunkDedupStream(docs: Dataset[Doc], store: graft.chain.TableStore,
+                       chunkTokens: Int, checkpointDir: String) = {
+    docs.toDF().writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        processChunkBatch(store, chunkTokens)(batch, bid): Unit
+      }
+      .start()
+  }
+
   /** Watermarked per-window arrival counts + mean quality features: the
     * standard event-time aggregation (append mode emits a window once the
     * watermark passes; stragglers later than `lateness` are dropped, which

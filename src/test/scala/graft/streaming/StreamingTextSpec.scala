@@ -75,4 +75,37 @@ class StreamingTextSpec extends SparkSpec {
       assert(rows(0L) == 2L) // straggler NOT counted
     } finally q.stop()
   }
+
+  test("chunk dedup holds across batches and replays idempotently") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunkdedup").toString
+    val store = graft.chain.TableStore(spark, dir, bucketSize = 1L)
+    val proc = StreamingText.processChunkBatch(store, chunkTokens = 2) _
+    def results() = store.readOr("chunk_dedup", null)
+      .collect().map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("doc_id")) ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("dup_chunks")))).toMap
+
+    // batch 0: doc1 [a b][c d]; doc2 [a b][x y] → doc2 dups 1 chunk;
+    // within-batch rule: doc1 wins "a b" (lower id)
+    proc(Seq((1L, "a b c d"), (2L, "a b x y")).toDF("doc_id", "text"), 0L)
+    assert(results() == Map((0L, 1L) -> ((2L, 0L)), (0L, 2L) -> ((2L, 1L))))
+
+    // batch 1: doc3 repeats batch-0 chunks + one new → 2 of 3 dup
+    proc(Seq((3L, "c d x y q r")).toDF("doc_id", "text"), 1L)
+    assert(results()((1L, 3L)) == ((3L, 2L)))
+
+    // crash replay of batch 1 (same bid, hashes already half-appended):
+    // results must be identical, not doubled, and the state table must
+    // still treat batch-1 chunks as fresh relative to bid=1
+    proc(Seq((3L, "c d x y q r")).toDF("doc_id", "text"), 1L)
+    assert(results()((1L, 3L)) == ((3L, 2L)))
+    assert(results().size == 3, "replay must overwrite, not append")
+
+    // batch 2 sees batch-1 chunks as duplicates exactly once
+    proc(Seq((4L, "q r")).toDF("doc_id", "text"), 2L)
+    assert(results()((2L, 4L)) == ((1L, 1L)))
+    // state table stays O(distinct chunks) up to the replayed batch
+    val hashes = store.readOr("chunk_hashes", null).select(col("h")).collect().length
+    assert(hashes <= 5 + 1, s"state table grew past one replayed batch: $hashes")
+  }
 }
