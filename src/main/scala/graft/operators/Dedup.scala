@@ -489,6 +489,21 @@ object Dedup {
     labels
   }
 
+  /** The d9 chunking kernel: (id, chunk index, chunk md5) — one row per
+    * fixed `chunkTokens`-token window (remainder kept as a short tail).
+    * Shared by the batch [[chunkDedup]] and the streaming face
+    * (streaming.StreamingText.processChunkBatch). */
+  def chunkHashes(df: DataFrame, idCol: String, textCol: String,
+                  chunkTokens: Int): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    df.select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
+      .select(col(idCol), posexplode(expr(
+        s"""transform(sequence(0, CAST((size(__t) - 1) DIV $chunkTokens AS INT)),
+           |  i -> array_join(slice(__t, i * $chunkTokens + 1, $chunkTokens), ' '))"""
+          .stripMargin)).as(Seq("__ci", "__chunk")))
+      .select(col(idCol), col("__ci"), md5(col("__chunk")).as("__h"))
+  }
+
   /** Sub-document (chunk-level) exact dedup: each document splits into
     * fixed windows of `chunkTokens` tokens (remainder kept as a short
     * tail chunk), chunks hash, and a chunk counts as a DUPLICATE when the
@@ -509,21 +524,6 @@ object Dedup {
     *
     * Output: (id, n_chunks, dup_chunks, dup_fraction) per document.
     */
-  /** The d9 chunking kernel: (id, chunk index, chunk md5) — one row per
-    * fixed `chunkTokens`-token window (remainder kept as a short tail).
-    * Shared by the batch [[chunkDedup]] and the streaming face
-    * (streaming.StreamingText.processChunkBatch). */
-  def chunkHashes(df: DataFrame, idCol: String, textCol: String,
-                  chunkTokens: Int): DataFrame = {
-    require(chunkTokens > 0, "chunkTokens must be positive")
-    df.select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
-      .select(col(idCol), posexplode(expr(
-        s"""transform(sequence(0, CAST((size(__t) - 1) DIV $chunkTokens AS INT)),
-           |  i -> array_join(slice(__t, i * $chunkTokens + 1, $chunkTokens), ' '))"""
-          .stripMargin)).as(Seq("__ci", "__chunk")))
-      .select(col(idCol), col("__ci"), md5(col("__chunk")).as("__h"))
-  }
-
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,
                  chunkTokens: Int = 16): DataFrame = {
     val chunks = chunkHashes(df, idCol, textCol, chunkTokens)

@@ -111,17 +111,30 @@ object StreamingText {
   def processChunkBatch(store: graft.chain.TableStore, chunkTokens: Int)
                        (batch: DataFrame, bid: Long): Unit = {
     import graft.operators.Dedup
-    val spark = batch.sparkSession
+    val seenSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("h", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("batch_id", org.apache.spark.sql.types.LongType)))
+    // a fresh checkpoint restarts batch ids at 0: running it against a
+    // store that already holds later-batch state would hide the whole
+    // accumulated history behind `batch_id < bid` and emit wrong counts
+    // for the entire catch-up — fail fast instead (limit-probed, bid=0
+    // only; same-bid rows are the legitimate crash-replay case)
+    if (bid == 0L) {
+      val stale = store.read("chunk_hashes", seenSchema)
+        .filter(col("batch_id") > 0L).limit(1).count()
+      require(stale == 0L,
+        "chunk_hashes holds later-batch state but the stream restarted at batch 0: " +
+          "the checkpoint and the state store must be wiped together")
+    }
     val chunks = Dedup.chunkHashes(batch, "doc_id", "text", chunkTokens)
-      .localCheckpoint(true) // the plan below consumes it four times
-    val emptySeen = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("h", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("batch_id", org.apache.spark.sql.types.LongType))))
-    val seen = store.readOr("chunk_hashes", emptySeen)
+      .localCheckpoint(true) // consumed by both fresh and the doc totals
+    val seen = store.read("chunk_hashes", seenSchema)
       .filter(col("batch_id") < bid).select(col("h"))
+    // the anti-join probes the unbounded state table — checkpoint its
+    // (small, O(batch)) result so the two consumers below don't run the
+    // dominant scan twice
     val fresh = chunks.join(seen, chunks("__h") === seen("h"), "left_anti")
+      .localCheckpoint(true)
     // within-batch keep-first among store-fresh chunks (the d9 rule)
     val uniques = fresh
       .groupBy("__h")
@@ -136,11 +149,14 @@ object StreamingText {
         round(col("dup_chunks").cast("double") / col("n_chunks").cast("double"), 6))
     store.deleteRange("chunk_dedup", "batch_id", bid, bid)
     store.appendBucketed("chunk_dedup", counts, "batch_id")
-    // only store-fresh hashes append: the state table stays O(distinct
-    // chunks), not O(total chunks); a crash replay re-appends at most one
-    // batch's worth of same-bid rows, which the semi join ignores
-    store.append("chunk_hashes",
-      fresh.select(col("__h").as("h")).distinct().withColumn("batch_id", lit(bid)))
+    // only store-fresh hashes append, delete-then-append on the batch
+    // bucket: the state table stays O(distinct chunks) even under a crash
+    // LOOP on this batch (a plain append would re-add the batch's hashes
+    // once per replay — harmless to the anti-join, unbounded on disk)
+    store.deleteRange("chunk_hashes", "batch_id", bid, bid)
+    store.appendBucketed("chunk_hashes",
+      fresh.select(col("__h").as("h")).distinct().withColumn("batch_id", lit(bid)),
+      "batch_id")
   }
 
   /** The [[processChunkBatch]] processor wired as a streaming query. */

@@ -104,8 +104,16 @@ class StreamingTextSpec extends SparkSpec {
     // batch 2 sees batch-1 chunks as duplicates exactly once
     proc(Seq((4L, "q r")).toDF("doc_id", "text"), 2L)
     assert(results()((2L, 4L)) == ((1L, 1L)))
-    // state table stays O(distinct chunks) up to the replayed batch
-    val hashes = store.readOr("chunk_hashes", null).select(col("h")).collect().length
-    assert(hashes <= 5 + 1, s"state table grew past one replayed batch: $hashes")
+    // state table holds EXACTLY the distinct chunks — the replayed batch
+    // overwrote its bucket rather than re-appending
+    val hashes = store.readOr("chunk_hashes", null).select(col("h")).collect()
+    assert(hashes.length == 4, s"state table must be exactly distinct chunks: ${hashes.length}")
+
+    // a fresh checkpoint (bid restarts at 0) against this populated store
+    // must refuse rather than silently recount history as new
+    val err = intercept[IllegalArgumentException] {
+      proc(Seq((9L, "a b")).toDF("doc_id", "text"), 0L)
+    }
+    assert(err.getMessage.contains("wiped together"))
   }
 }
