@@ -489,6 +489,28 @@ object Dedup {
     labels
   }
 
+  /** Duplicate-cluster size histogram — the dedup telemetry a corpus
+    * release reports: how many near-dup families exist at each size
+    * (singletons included), i.e. how duplicated the corpus actually is
+    * and how much a keep-one-per-cluster pass will remove. Composes
+    * [[winnowEdges]] → [[connectedComponents]] like [[canonicalPerCluster]];
+    * two further combine-friendly aggregations (component → size,
+    * size → count) produce a ≤ max-cluster-size row result.
+    */
+  def clusterSizeHistogram(df: DataFrame, idCol: String, textCol: String,
+                           shingleSize: Int = 3, window: Int = 4,
+                           minShared: Int = 2): DataFrame = {
+    val comp = connectedComponents(
+      winnowEdges(df, idCol, textCol, shingleSize, window, minShared),
+      "id_a", "id_b")
+    df.select(col(idCol))
+      .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(coalesce(col("label"), col(idCol)).as("component"))
+      .groupBy("component").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+  }
+
   /** The d9 chunking kernel: (id, chunk index, chunk md5) — one row per
     * fixed `chunkTokens`-token window (remainder kept as a short tail).
     * Shared by the batch [[chunkDedup]] and the streaming face

@@ -1092,6 +1092,24 @@ object PipelineQueries {
       m6Sql
     ),
 
+    // D11 — duplicate-cluster size histogram: the release-report telemetry
+    // for how duplicated the corpus is (singletons included) and how much
+    // a keep-one pass removes. Same CC closure as d6/d10, two more aggs.
+    "d11_cluster_sizes" -> QueryDef.sql(
+      (s, d) => Dedup.clusterSizeHistogram(Tables(s, d).documents, "doc_id", "text")
+        .orderBy("cluster_size"),
+      s"""WITH RECURSIVE
+         | $winnowCcCtes,
+         | comp AS (SELECT id AS doc_id, min(label) AS component FROM cc GROUP BY id),
+         | labeled AS (SELECT coalesce(c.component, d.doc_id) AS component
+         |   FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+         | sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+         |   FROM labeled GROUP BY component)
+         | SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+         |   CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+         | FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+    ),
+
     // S10 — int8 scalar quantization (the SQ8 tier between raw floats and
     // s5's PQ codes) + per-vector reconstruction error. code_sum is the
     // exact integer checksum of all 64 codes, so a single rounding

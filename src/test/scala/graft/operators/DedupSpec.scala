@@ -249,4 +249,17 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("is_canonical")).toMap
     assert(hGot == Map(1L -> 0, 2L -> 0, 3L -> 1))
   }
+
+  test("clusterSizeHistogram counts singletons and near-dup families") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "XX alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (9L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val got = Dedup.clusterSizeHistogram(docs, "doc_id", "text", minShared = 2)
+      .collect().map(r => r.getAs[Long]("cluster_size") ->
+        ((r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs")))).toMap
+    assert(got == Map(1L -> ((1L, 1L)), 3L -> ((1L, 3L)))) // one singleton, one family of 3
+  }
 }
