@@ -297,6 +297,30 @@ object Similarity {
       .select(col("probe_id"), col("rank"), col(idCol), col("sim"))
   }
 
+  /** Recall@k of an approximate-neighbor result against the exact one —
+    * the acceptance metric every ANN deployment computes before trusting
+    * an index (an IVF/LSH configuration is chosen BY its recall/latency
+    * point). Both inputs are result relations shaped like
+    * [[bruteForceTopK]]/[[lshTopK]]/[[ivfTopK]] output: (probe_id, rank,
+    * `idCol`, sim). Per probe: exact neighbors found, approximate hits
+    * among them, recall = hits / exact. Probes the approximate side with
+    * a left-semi join on (probe, neighbor) — at scale both relations are
+    * |probes|·k rows, tiny next to the corpus, so this is a cheap keyed
+    * join no matter the corpus size.
+    */
+  def annRecall(exact: DataFrame, approx: DataFrame, idCol: String): DataFrame = {
+    val e = exact.select(col("probe_id"), col(idCol))
+    val a = approx.select(col("probe_id"), col(idCol))
+    val hits = e.join(a, Seq("probe_id", idCol), "left_semi")
+      .groupBy("probe_id").agg(count(lit(1)).as("n_hit"))
+    e.groupBy("probe_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / col("n_exact").cast("double"), 6))
+  }
+
   /** Per-dimension corpus moments — the statistics a whitening/PCA
     * preprocessing step (or a drift monitor) needs before any projection:
     * for each embedding dimension, the vector count, mean, and population

@@ -189,6 +189,19 @@ class SimilaritySpec extends SparkSpec {
     assert(bf == 1L)
   }
 
+  test("annRecall: ivf with all centroids probed scores 1.0; partial overlap counts") {
+    val exact = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0),
+      "vec_id", "embedding", 3)
+    val full = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" === 0),
+      vecs.filter($"vec_id" < 2), "vec_id", "embedding", k = 3, nProbe = 2)
+    val r = Similarity.annRecall(exact, full, "vec_id").collect().head
+    assert(r.getAs[Long]("n_exact") == 3L && r.getAs[Double]("recall") == 1.0)
+    // an approx result missing neighbors scores fractionally, never null
+    val partial = exact.filter($"rank" === 1)
+    val p = Similarity.annRecall(exact, partial, "vec_id").collect().head
+    assert(p.getAs[Long]("n_hit") == 1L && p.getAs[Double]("recall") == 0.333333)
+  }
+
   test("dimensionMoments: exact mean and population variance per dim") {
     val rows = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 4.0f)))
       .toDF("vec_id", "embedding")
