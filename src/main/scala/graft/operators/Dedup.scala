@@ -499,16 +499,29 @@ object Dedup {
     */
   def clusterSizeHistogram(df: DataFrame, idCol: String, textCol: String,
                            shingleSize: Int = 3, window: Int = 4,
-                           minShared: Int = 2): DataFrame = {
-    val comp = connectedComponents(
-      winnowEdges(df, idCol, textCol, shingleSize, window, minShared),
-      "id_a", "id_b")
-    df.select(col(idCol))
-      .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
-      .select(coalesce(col("label"), col(idCol)).as("component"))
+                           minShared: Int = 2): DataFrame =
+    componentLabels(df, idCol, textCol, shingleSize, window, minShared)
       .groupBy("component").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
       .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+
+  /** Cluster label per document — the labeling stage
+    * [[canonicalPerCluster]] and [[clusterSizeHistogram]] share (the
+    * singleton-coalesce and id-type subtleties live HERE, once):
+    * winnowing edges → connected components → left join back onto the
+    * corpus → singletons labeled with their own id. `extraCols` pass
+    * through untouched.
+    */
+  private def componentLabels(df: DataFrame, idCol: String, textCol: String,
+                              shingleSize: Int, window: Int, minShared: Int,
+                              extraCols: Seq[String] = Nil): DataFrame = {
+    val comp = connectedComponents(
+      winnowEdges(df, idCol, textCol, shingleSize, window, minShared),
+      "id_a", "id_b")
+    df.select((idCol +: extraCols).map(col): _*)
+      .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("component", coalesce(col("label"), col(idCol)))
+      .drop("label")
   }
 
   /** The d9 chunking kernel: (id, chunk index, chunk md5) — one row per
@@ -586,13 +599,8 @@ object Dedup {
                           qualityCol: String,
                           shingleSize: Int = 3, window: Int = 4,
                           minShared: Int = 2): DataFrame = {
-    val comp = connectedComponents(
-      winnowEdges(df, idCol, textCol, shingleSize, window, minShared),
-      "id_a", "id_b")
-    val labeled = df.select(col(idCol), col(qualityCol))
-      .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
-      .withColumn("component", coalesce(col("label"), col(idCol)))
-      .drop("label")
+    val labeled = componentLabels(df, idCol, textCol, shingleSize, window,
+      minShared, extraCols = Seq(qualityCol))
     require(df.schema(qualityCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"qualityCol '$qualityCol' must be numeric (it is a score); ids may be any orderable type")
     val qd = col(qualityCol).cast("decimal(38,6)") // exact for integrals; NaN → null

@@ -307,18 +307,29 @@ object Similarity {
     * a left-semi join on (probe, neighbor) — at scale both relations are
     * |probes|·k rows, tiny next to the corpus, so this is a cheap keyed
     * join no matter the corpus size.
+    * join no matter the corpus size.
+    *
+    * The probe universe is the UNION of both sides: a probe present only
+    * in the approximate result (the exact side was accidentally narrowed
+    * upstream) surfaces as a row with n_exact = 0 and null recall rather
+    * than silently vanishing — a 10-row result over a 100-probe approx
+    * set must look wrong, not complete.
     */
   def annRecall(exact: DataFrame, approx: DataFrame, idCol: String): DataFrame = {
     val e = exact.select(col("probe_id"), col(idCol))
     val a = approx.select(col("probe_id"), col(idCol))
     val hits = e.join(a, Seq("probe_id", idCol), "left_semi")
       .groupBy("probe_id").agg(count(lit(1)).as("n_hit"))
-    e.groupBy("probe_id").agg(count(lit(1)).as("n_exact"))
+    val probes = e.select("probe_id").union(a.select("probe_id")).distinct()
+    probes
+      .join(e.groupBy("probe_id").agg(count(lit(1)).as("__ne")), Seq("probe_id"), "left")
       .join(hits, Seq("probe_id"), "left")
-      .select(col("probe_id"), col("n_exact"),
+      .select(col("probe_id"),
+        coalesce(col("__ne"), lit(0L)).as("n_exact"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"))
       .withColumn("recall",
-        round(col("n_hit").cast("double") / col("n_exact").cast("double"), 6))
+        when(col("n_exact") > 0,
+          round(col("n_hit").cast("double") / col("n_exact").cast("double"), 6)))
   }
 
   /** Per-dimension corpus moments — the statistics a whitening/PCA

@@ -66,6 +66,18 @@ object PipelineQueries {
        |   UNION
        |   SELECT e.dst, c.label FROM cc c JOIN edges e ON e.src = c.id)""".stripMargin
 
+  /** [[winnowCcCtes]] extended with the shared labeling stage (d10/d11):
+    * min-label components + the full corpus left-joined so singletons
+    * carry their own id — the SQL twin of Dedup.componentLabels, single-
+    * sourced for the same reason. `extra` appends pass-through columns
+    * to the labeled relation (e.g. ", d.n_chars").
+    */
+  private def winnowLabeledCtes(extra: String = ""): String =
+    s"""$winnowCcCtes,
+       | comp AS (SELECT id AS doc_id, min(label) AS component FROM cc GROUP BY id),
+       | labeled AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component$extra
+       |   FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)""".stripMargin
+
   /** Full MinHash-LSH oracle: the same shingle→hash→sign→band→candidate→
     * verify pipeline as Dedup.minHashLshNearDups, with the hash constants
     * interpolated from the same source (Dedup.hashA/hashB/MersennePrime).
@@ -1052,11 +1064,7 @@ object PipelineQueries {
           "doc_id", "text", "n_chars")
         .orderBy("doc_id"),
       s"""WITH RECURSIVE
-         | $winnowCcCtes,
-         | comp AS (SELECT id AS doc_id, min(label) AS component FROM cc GROUP BY id),
-         | labeled AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
-         |     d.n_chars
-         |   FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+         | ${winnowLabeledCtes(", d.n_chars")},
          | rr AS (SELECT component, doc_id AS rep_id,
          |    row_number() OVER (PARTITION BY component
          |      ORDER BY n_chars DESC, doc_id ASC) AS rn FROM labeled),
@@ -1099,10 +1107,7 @@ object PipelineQueries {
       (s, d) => Dedup.clusterSizeHistogram(Tables(s, d).documents, "doc_id", "text")
         .orderBy("cluster_size"),
       s"""WITH RECURSIVE
-         | $winnowCcCtes,
-         | comp AS (SELECT id AS doc_id, min(label) AS component FROM cc GROUP BY id),
-         | labeled AS (SELECT coalesce(c.component, d.doc_id) AS component
-         |   FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+         | ${winnowLabeledCtes()},
          | sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
          |   FROM labeled GROUP BY component)
          | SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
