@@ -119,6 +119,18 @@ final case class TableStore(spark: SparkSession, root: String, bucketSize: Long 
     rememberSchema(table, df.schema) // pre-bucket shape — reads drop `bucket`
   }
 
+  /** Append into a layout partitioned by a discrete CATEGORY column (hash
+    * prefix, shard id) rather than a block-number range: each distinct
+    * value is its own directory, so a read carrying an `isin` predicate on
+    * `partCol` prunes to exactly the probed partitions before any file
+    * opens. Unlike `appendBucketed` the column survives the read — it IS
+    * data, not a derived bucket.
+    */
+  def appendPartitioned(table: String, df: DataFrame, partCol: String): Unit = {
+    df.write.mode(SaveMode.Append).partitionBy(partCol).parquet(dir(table).toString)
+    rememberSchema(table, df.schema)
+  }
+
   /** Delete rows with rangeCol ∈ [from, to]: drop fully-covered bucket
     * directories, swap-rewrite the partial edge buckets. O(range), not
     * O(table).

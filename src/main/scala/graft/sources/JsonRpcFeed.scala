@@ -41,6 +41,12 @@ final class JsonRpcFeed(endpoint: String, startBlock: Long = 1L,
   private val buf = mutable.ArrayBuffer.empty[Bundle]
   private val idx = mutable.Map.empty[Seq[Byte], Bundle]
   private var polled = startBlock - 1
+  // Serializes whole poll steps (cursor read → RPC fetch → append) so a
+  // manual pollOnce() racing the daemon thread can't fetch a height twice
+  // and enqueue duplicate bundles. Deliberately NOT `this`: the RPC fetch
+  // blocks, and holding the instance lock through it would stall
+  // latestSeq/range/byHash readers.
+  private val pollLock = new Object
   @volatile private var pollThread: Option[Thread] = None
 
   // ---- HeadSubscription -----------------------------------------------
@@ -66,7 +72,7 @@ final class JsonRpcFeed(endpoint: String, startBlock: Long = 1L,
     * next tick retries the same height instead of leaving a silent gap in
     * the in-order queue.
     */
-  def pollOnce(): Int = {
+  def pollOnce(): Int = pollLock.synchronized {
     val latest = hexLong(call("eth_blockNumber"))
     var pulled = 0
     var serving = true

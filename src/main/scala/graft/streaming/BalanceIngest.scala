@@ -391,8 +391,15 @@ object BalanceIngest {
 
     // delta per snapshot: against the previous snapshot WITHIN the span
     // (lag), else the compact state's latest balance, else zero — the
-    // windowed form of balanceSnapshots' latest-prev diff
+    // windowed form of balanceSnapshots' latest-prev diff. The base
+    // filters to `< lo` exactly like the per-block path filters its
+    // compact prev rows to `< n` (BalancePipeline.balanceSnapshots): a
+    // no-op on the forward/recovered path (the committed state is always
+    // below the span), and on a replay below the watermark both paths
+    // identically treat the key as having no prior, instead of this one
+    // silently diffing against future state.
     val base = state0.latestAccounts
+      .filter(col("block_number") < lo)
       .select(col("token"), col("address"), col("balance").as("__base"))
     val wKey = Window.partitionBy("token", "address").orderBy("block_number")
     // checkpointed like `resolved`: snaps feeds FOUR downstream actions
@@ -446,6 +453,7 @@ object BalanceIngest {
         sum("uncles_reward").cast(wei).as("uncles_reward"))
       .withColumn("token", lit(Sentinels.EthToken))
     val totBase = state0.latestTotals
+      .filter(col("block_number") < lo) // same `< lo` contract as `base`
       .select(col("group"), col("token"), col("balance").as("__tbase"))
     val wTot = Window.partitionBy("group", "token").orderBy("block_number")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -78,9 +78,15 @@ final class IngestMetrics extends Serializable {
       "insert_block_sum_sec"      -> insertBlock.sumSeconds,
       "insert_block_min_sec"      -> insertBlock.minSeconds,
       "insert_block_max_sec"      -> insertBlock.maxSeconds)
-    val hist = insertBlock.bounds.zip(insertBlock.bucketCounts).map { case (b, c) =>
+    // `le`-named buckets follow the Prometheus cumulative convention: each
+    // carries the count of observations ≤ its bound, and le_inf is the
+    // total — a scraper reading these as histogram buckets sees the true
+    // distribution, not per-bucket increments.
+    val counts = insertBlock.bucketCounts
+    val cumulative = counts.scanLeft(0L)(_ + _).tail
+    val hist = insertBlock.bounds.zip(cumulative).map { case (b, c) =>
       s"insert_block_le_$b" -> c.toDouble
-    } :+ ("insert_block_le_inf" -> insertBlock.bucketCounts.last.toDouble)
+    } :+ ("insert_block_le_inf" -> cumulative.last.toDouble)
     base ++ hist
   }
 

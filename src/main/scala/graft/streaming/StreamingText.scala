@@ -102,18 +102,25 @@ object StreamingText {
     *      and re-appended hash rows are harmless to a semi join.
     *
     * Scale notes: the state table grows one row per distinct chunk ever
-    * seen and every batch semi-joins against it — shuffle-free on the
-    * state side is not possible without an index, so give the store a
-    * SMALL bucketSize (per-batch result overwrites rewrite one bucket,
-    * not history) and compact/bloom the hash table out-of-band in a real
-    * deployment.
+    * seen, but the per-batch probe is BOUNDED: `chunk_hashes` is
+    * partitioned by a hash-prefix category (`hp`, the first two hex
+    * chars, 256 partitions), and each batch's anti-join reads only the
+    * partitions for prefixes actually present in the batch — an `isin`
+    * partition predicate Spark prunes before opening any file. Per-batch
+    * state-scan cost is O(|batch prefix set| / 256 × state), not
+    * O(state); widen the prefix (4 chars → 65 536 partitions) when the
+    * corpus grows so a micro-batch keeps touching a strict subset.
+    * Replay idempotency is append-only-missing: the same pruned scan
+    * tells the batch which of its hashes a crashed attempt already
+    * landed, so a crash LOOP converges instead of growing the table.
     */
   def processChunkBatch(store: graft.chain.TableStore, chunkTokens: Int)
                        (batch: DataFrame, bid: Long): Unit = {
     import graft.operators.Dedup
     val seenSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("h", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("batch_id", org.apache.spark.sql.types.LongType)))
+      org.apache.spark.sql.types.StructField("batch_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("hp", org.apache.spark.sql.types.IntegerType)))
     // a fresh checkpoint restarts batch ids at 0: running it against a
     // store that already holds later-batch state would hide the whole
     // accumulated history behind `batch_id < bid` and emit wrong counts
@@ -127,12 +134,15 @@ object StreamingText {
           "the checkpoint and the state store must be wiped together")
     }
     val chunks = Dedup.chunkHashes(batch, "doc_id", "text", chunkTokens)
+      .withColumn("__hp", hashPrefix(col("__h")))
       .localCheckpoint(true) // consumed by both fresh and the doc totals
-    val seen = store.read("chunk_hashes", seenSchema)
-      .filter(col("batch_id") < bid).select(col("h"))
-    // the anti-join probes the unbounded state table — checkpoint its
-    // (small, O(batch)) result so the two consumers below don't run the
-    // dominant scan twice
+    // the batch's prefix set: a bounded driver read (≤256 ints) that makes
+    // the state probe below prune to matching partitions only
+    val prefixes = chunks.select("__hp").distinct().collect().map(_.getInt(0)).toSeq
+    val state = seenState(store, seenSchema, prefixes)
+    val seen = state.filter(col("batch_id") < bid).select(col("h"))
+    // checkpoint the anti-join's (small, O(batch)) result so the two
+    // consumers below don't run the pruned state scan twice
     val fresh = chunks.join(seen, chunks("__h") === seen("h"), "left_anti")
       .localCheckpoint(true)
     // within-batch keep-first among store-fresh chunks (the d9 rule)
@@ -149,15 +159,30 @@ object StreamingText {
         round(col("dup_chunks").cast("double") / col("n_chunks").cast("double"), 6))
     store.deleteRange("chunk_dedup", "batch_id", bid, bid)
     store.appendBucketed("chunk_dedup", counts, "batch_id")
-    // only store-fresh hashes append, delete-then-append on the batch
-    // bucket: the state table stays O(distinct chunks) even under a crash
-    // LOOP on this batch (a plain append would re-add the batch's hashes
-    // once per replay — harmless to the anti-join, unbounded on disk)
-    store.deleteRange("chunk_hashes", "batch_id", bid, bid)
-    store.appendBucketed("chunk_hashes",
-      fresh.select(col("__h").as("h")).distinct().withColumn("batch_id", lit(bid)),
-      "batch_id")
+    // only store-fresh hashes append, and of those only the ones a crashed
+    // attempt at this SAME bid didn't already land (the pruned scan again):
+    // the state table stays O(distinct chunks) even under a crash LOOP on
+    // this batch (a plain append would re-add the batch's hashes once per
+    // replay — harmless to the anti-join, unbounded on disk)
+    val already = state.filter(col("batch_id") === bid).select(col("h"))
+    val toAppend = fresh.select(col("__h").as("h")).distinct()
+      .join(already, Seq("h"), "left_anti")
+      .withColumn("batch_id", lit(bid))
+      .withColumn("hp", hashPrefix(col("h")))
+    store.appendPartitioned("chunk_hashes", toAppend, "hp")
   }
+
+  /** First two hex chars of an md5 hash as the partition category 0..255. */
+  private def hashPrefix(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(h, 1, 2), 16, 10).cast("int")
+
+  /** The pruned state probe: only the partitions for `prefixes` are read —
+    * factored out so the plan contract can assert the pruning directly.
+    */
+  private[graft] def seenState(store: graft.chain.TableStore,
+                               schema: org.apache.spark.sql.types.StructType,
+                               prefixes: Seq[Int]): DataFrame =
+    store.read("chunk_hashes", schema).filter(col("hp").isin(prefixes: _*))
 
   /** The [[processChunkBatch]] processor wired as a streaming query. */
   def chunkDedupStream(docs: Dataset[Doc], store: graft.chain.TableStore,

@@ -105,7 +105,7 @@ class StreamingTextSpec extends SparkSpec {
     proc(Seq((4L, "q r")).toDF("doc_id", "text"), 2L)
     assert(results()((2L, 4L)) == ((1L, 1L)))
     // state table holds EXACTLY the distinct chunks — the replayed batch
-    // overwrote its bucket rather than re-appending
+    // appended only what its crashed attempt hadn't already landed
     val hashes = store.readOr("chunk_hashes", null).select(col("h")).collect()
     assert(hashes.length == 4, s"state table must be exactly distinct chunks: ${hashes.length}")
 
@@ -115,5 +115,33 @@ class StreamingTextSpec extends SparkSpec {
       proc(Seq((9L, "a b")).toDF("doc_id", "text"), 0L)
     }
     assert(err.getMessage.contains("wiped together"))
+  }
+
+  test("chunk-dedup state probe prunes to the batch's hash-prefix partitions") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunkprune").toString
+    val store = graft.chain.TableStore(spark, dir, bucketSize = 1L)
+    val proc = StreamingText.processChunkBatch(store, chunkTokens = 1) _
+    // 64 one-token docs → 64 distinct chunk hashes spread over many prefixes
+    proc((1L to 64L).map(i => (i, s"tok$i")).toDF("doc_id", "text"), 0L)
+    val all = store.readOr("chunk_hashes", null)
+    val nPrefixes = all.select("hp").distinct().count()
+    assert(nPrefixes > 10, s"md5 prefixes should spread, got $nPrefixes")
+    val probe = all.select("hp").head().getInt(0)
+    // AQE wraps the tree in an adaptive leaf; disable it so collect() sees
+    // the scan node (same pattern as PlanContractSpec)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val pruned = StreamingText.seenState(store, null, Seq(probe))
+      val scans = pruned.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty, "expected a parquet scan in the state probe")
+      val parts = scans.map(_.selectedPartitions.partitionCount).sum[Int]
+      assert(parts == 1,
+        s"a one-prefix probe must read exactly 1 of $nPrefixes partitions, read $parts")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 }
