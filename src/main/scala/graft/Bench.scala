@@ -51,6 +51,14 @@ object Bench {
     // a plan change. The per-query [min,max] spread recorded below is the
     // attribution tool for any future such jump: a real regression moves
     // the MIN; noise widens the spread around an unchanged floor.
+    // Round-8's driver run then showed the same syndrome on p10_range_scan
+    // (min 0.32 → 1.04 on untouched code); round-9 re-measurement of the
+    // identical commit: p10 min back at 0.22 AND the whole-inventory total
+    // at 35s vs the driver run's 61s — the driver's bench executed in a
+    // degraded environment (it runs immediately after a 10-minute sbt test
+    // of 30+ Spark sessions; page cache and CPU are not quiesced). A
+    // machine-level slowdown shows as the TOTAL moving with the outlier;
+    // a real plan regression moves one query's min while the rest hold.
     val results = names.map { name =>
       materialize(name, warmDir) // warm THIS query's codegen, then time it
       val times = (0 until trials).map { _ =>
@@ -109,7 +117,16 @@ object Bench {
     val f2 = fmt(2) _
     val spread = results.map { case (k, v) => "\"" + k + "\":[" + f2(v.head) + "," + f2(v.last) + "]" }
       .mkString("{", ",", "}")
-    val fileLine = mkLine(2, all).dropRight(1) + s""","spread":$spread}"""
+    // The ingest-path measurement (blocks/sec through FullIngest, both
+    // catch-up and head-follow modes, plus the insert_block histogram) goes
+    // in the FILE artifact only — the stdout line's byte budget carries the
+    // query inventory. SPARK_GRAFT_INGEST_BENCH=0 skips it (fast local
+    // query-only iterations).
+    val ingest =
+      if (sys.env.get("SPARK_GRAFT_INGEST_BENCH").contains("0")) ""
+      else try "," + IngestBench.run(spark)
+      catch { case e: Throwable => s""","ingest_error":"${e.getClass.getSimpleName}"""" }
+    val fileLine = mkLine(2, all).dropRight(1) + s""","spread":$spread$ingest}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try Files.writeString(Paths.get(out), fileLine + "\n")
     catch { case _: Throwable => () }

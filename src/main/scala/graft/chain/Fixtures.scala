@@ -6,6 +6,8 @@ import graft.chain.Schemas._
 /** Deterministic domain fixtures mirroring the reference's test blocks
   * (store/store_test.go:45-58, transfer_processor_test.go fixtures) —
   * synthetic hashes/addresses, real reward/TD math expected downstream.
+  * Main-scope because both the specs AND the ingest benchmark
+  * ([[graft.IngestBench]]) generate their synthetic chains here.
   */
 object Fixtures {
 

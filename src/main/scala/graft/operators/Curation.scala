@@ -307,7 +307,10 @@ object Curation {
     * sum as DECIMAL — exact, partition-order-independent.
     */
   def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // checkpointed: `toked` feeds BOTH the bigram and the unigram scans —
+    // without it each consumer re-runs the tokenization over the corpus
     val toked = df.select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
+      .localCheckpoint(true)
     val bg = toked
       .select(col(idCol), explode(TextOps.shinglesOfTokens(col("__t"), 2)).as("bg"))
       .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("tf"))

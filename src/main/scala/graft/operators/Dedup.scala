@@ -500,10 +500,8 @@ object Dedup {
   def clusterSizeHistogram(df: DataFrame, idCol: String, textCol: String,
                            shingleSize: Int = 3, window: Int = 4,
                            minShared: Int = 2): DataFrame =
-    componentLabels(df, idCol, textCol, shingleSize, window, minShared)
-      .groupBy("component").agg(count(lit(1)).as("cluster_size"))
-      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
-      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+    histogramFromLabels(
+      clusterLabels(df, idCol, textCol, shingleSize, window, minShared))
 
   /** Cluster label per document — the labeling stage
     * [[canonicalPerCluster]] and [[clusterSizeHistogram]] share (the
@@ -511,10 +509,17 @@ object Dedup {
     * winnowing edges → connected components → left join back onto the
     * corpus → singletons labeled with their own id. `extraCols` pass
     * through untouched.
+    *
+    * This is the EXPENSIVE stage (shingling, banding, edge verification,
+    * component propagation over the whole corpus). In a real pipeline run
+    * it executes once and its output is a materialized artifact every
+    * consumer reads — see [[materializeClusters]]; the standalone
+    * composed forms below recompute it per call because the oracle
+    * harness runs each query self-contained.
     */
-  private def componentLabels(df: DataFrame, idCol: String, textCol: String,
-                              shingleSize: Int, window: Int, minShared: Int,
-                              extraCols: Seq[String] = Nil): DataFrame = {
+  def clusterLabels(df: DataFrame, idCol: String, textCol: String,
+                    shingleSize: Int = 3, window: Int = 4, minShared: Int = 2,
+                    extraCols: Seq[String] = Nil): DataFrame = {
     val comp = connectedComponents(
       winnowEdges(df, idCol, textCol, shingleSize, window, minShared),
       "id_a", "id_b")
@@ -524,6 +529,59 @@ object Dedup {
       .drop("label")
   }
 
+  /** Compute [[clusterLabels]] ONCE and persist it as a table the other
+    * cluster consumers ([[canonicalFromLabels]], [[histogramFromLabels]],
+    * [[membersFromLabels]], canonical filtering) read — the
+    * persist-once/consume-many face: at 100 TB the winnow→CC pass is hours
+    * of work and telemetry, selection, and filtering must not each re-run
+    * it. Returns the labels as read back from the store (plan lineage
+    * truncated to a parquet scan).
+    */
+  def materializeClusters(store: graft.chain.TableStore, df: DataFrame,
+                          idCol: String, textCol: String,
+                          table: String = "dup_clusters",
+                          shingleSize: Int = 3, window: Int = 4,
+                          minShared: Int = 2,
+                          extraCols: Seq[String] = Nil): DataFrame = {
+    store.replace(table,
+      clusterLabels(df, idCol, textCol, shingleSize, window, minShared, extraCols))
+    store.readOr(table, null)
+  }
+
+  /** Edge-connected cluster members from a labels artifact — the d6 shape:
+    * docs whose component has ≥ 2 members (singletons excluded).
+    */
+  def membersFromLabels(labeled: DataFrame, idCol: String): DataFrame = {
+    val sizes = labeled.groupBy("component").agg(count(lit(1)).as("__sz"))
+    labeled.join(sizes.filter(col("__sz") >= 2).select("component"), Seq("component"))
+      .select(col(idCol), col("component"))
+  }
+
+  /** [[canonicalPerCluster]]'s selection stage over a labels artifact:
+    * one min-struct aggregation per cluster (identical arithmetic and
+    * null/NaN contract — see [[canonicalPerCluster]]).
+    */
+  def canonicalFromLabels(labeled: DataFrame, idCol: String,
+                          qualityCol: String): DataFrame = {
+    require(labeled.schema(qualityCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"qualityCol '$qualityCol' must be numeric (it is a score); ids may be any orderable type")
+    val qd = col(qualityCol).cast("decimal(38,6)") // exact for integrals; NaN → null
+    val reps = labeled.groupBy("component")
+      .agg(min(struct(
+        when(qd.isNull, lit(1)).otherwise(lit(0)).as("unscored"),
+        (-qd).as("nq"), col(idCol).as("i"))).as("__best"))
+      .select(col("component"), col("__best.i").as("rep_id"))
+    labeled.join(reps, Seq("component"))
+      .select(col(idCol), col("component"), col("rep_id"),
+        (col(idCol) === col("rep_id")).cast("int").as("is_canonical"))
+  }
+
+  /** [[clusterSizeHistogram]]'s aggregation stage over a labels artifact. */
+  def histogramFromLabels(labeled: DataFrame): DataFrame =
+    labeled.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+
   /** The d9 chunking kernel: (id, chunk index, chunk md5) — one row per
     * fixed `chunkTokens`-token window (remainder kept as a short tail).
     * Shared by the batch [[chunkDedup]] and the streaming face
@@ -531,7 +589,13 @@ object Dedup {
   def chunkHashes(df: DataFrame, idCol: String, textCol: String,
                   chunkTokens: Int): DataFrame = {
     require(chunkTokens > 0, "chunkTokens must be positive")
+    // An empty token array yields zero chunks, explicitly: Spark's DIV
+    // truncates toward zero ((0-1) DIV n = 0 → one md5("") chunk) while a
+    // floor-division oracle yields none. TextOps.tokens never returns an
+    // empty array, but a caller with a different tokenizer shouldn't
+    // inherit that divergence.
     df.select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= 1)
       .select(col(idCol), posexplode(expr(
         s"""transform(sequence(0, CAST((size(__t) - 1) DIV $chunkTokens AS INT)),
            |  i -> array_join(slice(__t, i * $chunkTokens + 1, $chunkTokens), ' '))"""
@@ -598,19 +662,9 @@ object Dedup {
   def canonicalPerCluster(df: DataFrame, idCol: String, textCol: String,
                           qualityCol: String,
                           shingleSize: Int = 3, window: Int = 4,
-                          minShared: Int = 2): DataFrame = {
-    val labeled = componentLabels(df, idCol, textCol, shingleSize, window,
-      minShared, extraCols = Seq(qualityCol))
-    require(df.schema(qualityCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"qualityCol '$qualityCol' must be numeric (it is a score); ids may be any orderable type")
-    val qd = col(qualityCol).cast("decimal(38,6)") // exact for integrals; NaN → null
-    val reps = labeled.groupBy("component")
-      .agg(min(struct(
-        when(qd.isNull, lit(1)).otherwise(lit(0)).as("unscored"),
-        (-qd).as("nq"), col(idCol).as("i"))).as("__best"))
-      .select(col("component"), col("__best.i").as("rep_id"))
-    labeled.join(reps, Seq("component"))
-      .select(col(idCol), col("component"), col("rep_id"),
-        (col(idCol) === col("rep_id")).cast("int").as("is_canonical"))
-  }
+                          minShared: Int = 2): DataFrame =
+    canonicalFromLabels(
+      clusterLabels(df, idCol, textCol, shingleSize, window, minShared,
+        extraCols = Seq(qualityCol)),
+      idCol, qualityCol)
 }

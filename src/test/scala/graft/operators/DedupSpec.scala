@@ -262,4 +262,33 @@ class DedupSpec extends SparkSpec {
         ((r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs")))).toMap
     assert(got == Map(1L -> ((1L, 1L)), 3L -> ((1L, 3L)))) // one singleton, one family of 3
   }
+
+  test("materializeClusters: one labeling pass feeds members, canonical, and histogram") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", 10L),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", 30L),
+      (3L, "XX alpha beta gamma delta epsilon zeta eta theta iota kappa", 20L),
+      (9L, "one two three four five six seven eight nine ten", 5L)
+    ).toDF("doc_id", "text", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-clusters").toString
+    val store = graft.chain.TableStore(spark, dir)
+
+    // ONE winnow→CC pass, persisted; every consumer below reads the table
+    val labels = Dedup.materializeClusters(store, docs, "doc_id", "text",
+      minShared = 2, extraCols = Seq("n_chars"))
+    assert(store.exists("dup_clusters"))
+
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+
+    // each from-labels consumer matches its standalone (recomputing) form
+    assert(rows(Dedup.membersFromLabels(labels, "doc_id")) ==
+      rows(Dedup.connectedComponents(
+          Dedup.winnowEdges(docs, "doc_id", "text", 3, 4, 2), "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("label").as("component"))))
+    assert(rows(Dedup.canonicalFromLabels(labels, "doc_id", "n_chars")) ==
+      rows(Dedup.canonicalPerCluster(docs, "doc_id", "text", "n_chars", minShared = 2)))
+    assert(rows(Dedup.histogramFromLabels(labels)) ==
+      rows(Dedup.clusterSizeHistogram(docs, "doc_id", "text", minShared = 2)))
+  }
 }
