@@ -1100,6 +1100,20 @@ object PipelineQueries {
       m6Sql
     ),
 
+    // M7 — REAL PNG decode: chunk walk, JDK-Inflater zlib inflate, and
+    // full five-filter scanline reconstruction (the synth encoder cycles
+    // None/Sub/Up/Average/Paeth per row, and splits the zlib stream over
+    // two IDAT chunks). Decode inverts the filtering back to the md5
+    // pixel stream, so the oracle derives the expected channel means from
+    // md5 hex directly — any chunk/inflate/filter bug diverges the stats.
+    "m7_png_decode" -> QueryDef.sql(
+      (s, d) => Multimodal.pngPixelStats(
+          Multimodal.synthPng(Tables(s, d).documents, "doc_id", "text"),
+          idCol = "doc_id", payloadCol = "payload", maxPixels = 64)
+        .orderBy("doc_id"),
+      m7Sql
+    ),
+
     // D11 — duplicate-cluster size histogram: the release-report telemetry
     // for how duplicated the corpus is (singletons included) and how much
     // a keep-one pass removes. Same CC closure as d6/d10, two more aggs.
@@ -1268,6 +1282,29 @@ object PipelineQueries {
        |   CASE WHEN n_pixels > 0 THEN ${mean(1)} END AS mean_g,
        |   CASE WHEN n_pixels > 0 THEN ${mean(2)} END AS mean_r
        | FROM geom ORDER BY doc_id""".stripMargin
+  }
+
+  /** The m7 oracle: the decoded PNG pixels ARE the md5 stream the synth
+    * encoder filtered (see Multimodal.synthPng), so the expected channel
+    * means come straight from the md5 hex — 5×5 RGB = 75 bytes = first
+    * 75 of 5 md5 blocks; pixel k's (r, g, b) are 0-based bytes 3k,
+    * 3k+1, 3k+2. n_pixels (25) is under the 64-pixel cap, so the means
+    * run over every pixel; sums are integer-exact before the one
+    * round(…, 6).
+    */
+  private def m7Sql: String = {
+    def mean(ch: Int) =
+      s"""round(CAST(list_reduce(list_transform(range(0, 25),
+         |    k -> ${hexByteAt(s"3 * k + $ch + 1")}),
+         |  (a, b) -> a + b) AS DOUBLE) / 25.0, 6)""".stripMargin
+    s"""WITH phex AS (SELECT doc_id,
+       |    ${(0 until 5).map(i => s"md5(text || 'p$i')").mkString(" || ")} AS h
+       |  FROM documents)
+       | SELECT doc_id, CAST(1 AS INTEGER) AS valid,
+       |   CAST(5 AS BIGINT) AS width, CAST(5 AS BIGINT) AS height,
+       |   CAST(25 AS BIGINT) AS n_pixels,
+       |   ${mean(0)} AS mean_r, ${mean(1)} AS mean_g, ${mean(2)} AS mean_b
+       | FROM phex ORDER BY doc_id""".stripMargin
   }
 
   /** SQL mirror of PqEncode.codeWeight's argmin for subspace m over the

@@ -167,4 +167,64 @@ class MultimodalSpec extends SparkSpec {
     val cj = Multimodal.bmpPixelStats(junk, "doc_id", "payload").collect().head
     assert(cj.getAs[Int]("valid") == 0 && cj.isNullAt(cj.fieldIndex("mean_b")))
   }
+
+  test("PNG round-trip: decode inverts all five filters back to the md5 stream") {
+    val text = "the quick brown fox"
+    val png = Multimodal.synthPngBytes(text)
+    val got = Multimodal.decodePngRgb(png).get
+    assert(got.width == 5 && got.height == 5 && got.bitDepth == 8)
+    // expected pixels: first 75 bytes of md5(text||p0..p4)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val want = (0 until 5).flatMap(i =>
+      md.digest((text + "p" + i).getBytes("UTF-8"))).take(75)
+    assert(got.pixels.toSeq == want, "de-filtered pixels must equal the source stream")
+  }
+
+  test("PNG encoder is accepted by ImageIO and both decoders agree pixel-for-pixel") {
+    // ImageIO's PNG reader is an independent JDK implementation: if the
+    // synth encoder and decodePngRgb shared a filter bug, this diverges
+    val png = Multimodal.synthPngBytes("imageio cross check")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img != null && img.getWidth == 5 && img.getHeight == 5)
+    val ours = Multimodal.decodePngRgb(png).get
+    for (y <- 0 until 5; x <- 0 until 5) {
+      val rgb = img.getRGB(x, y)
+      val k = (y * 5 + x) * 3
+      assert(((rgb >> 16) & 0xFF) == (ours.pixels(k) & 0xFF), s"R at ($x,$y)")
+      assert(((rgb >> 8) & 0xFF) == (ours.pixels(k + 1) & 0xFF), s"G at ($x,$y)")
+      assert((rgb & 0xFF) == (ours.pixels(k + 2) & 0xFF), s"B at ($x,$y)")
+    }
+  }
+
+  test("decodePngRgb rejects corrupt payloads; pngPixelStats counts them") {
+    val png = Multimodal.synthPngBytes("corrupt cases")
+    assert(Multimodal.decodePngRgb(null).isEmpty)
+    assert(Multimodal.decodePngRgb(png.take(20)).isEmpty)        // truncated mid-IHDR
+    assert(Multimodal.decodePngRgb(png.dropRight(20)).isEmpty)   // no IEND
+    val badSig = png.clone(); badSig(1) = 'X'.toByte
+    assert(Multimodal.decodePngRgb(badSig).isEmpty)
+    // hostile geometry: IHDR claiming a ~2^30-pixel image must refuse
+    // before allocating (width bytes are 8-11, big-endian)
+    val huge = png.clone()
+    huge(16) = 0x40.toByte; huge(17) = 0; huge(18) = 0; huge(19) = 0
+    assert(Multimodal.decodePngRgb(huge).isEmpty)
+    val docs = Seq((1L, "good doc"), (2L, "also good")).toDF("doc_id", "text")
+    val assets = Multimodal.synthPng(docs, "doc_id", "text")
+      .unionByName(Seq((9L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload"))
+    val stats = Multimodal.pngPixelStats(assets, "doc_id", "payload")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(stats(1L).getAs[Int]("valid") == 1 && stats(1L).getAs[Long]("n_pixels") == 25L)
+    assert(stats(9L).getAs[Int]("valid") == 0 &&
+      stats(9L).isNullAt(stats(9L).fieldIndex("mean_r")))
+    // means are exact integer sums / 25 — recompute from the decoder
+    val payload = Multimodal.synthPng(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val px = Multimodal.decodePngRgb(payload(1L)).get.pixels
+    def m(ch: Int) = BigDecimal(
+        (0 until 25).map(k => px(3 * k + ch) & 0xFF).sum.toDouble / 25)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(stats(1L).getAs[Double]("mean_r") == m(0))
+    assert(stats(1L).getAs[Double]("mean_g") == m(1))
+    assert(stats(1L).getAs[Double]("mean_b") == m(2))
+  }
 }
