@@ -297,6 +297,50 @@ object Similarity {
       .select(col("probe_id"), col("rank"), col(idCol), col("sim"))
   }
 
+  /** IVF-PQ composed search — the index family actually deployed at
+    * billion-vector scale: an IVF coarse quantizer for pruning, PQ codes
+    * for in-list distances. The corpus is assigned ONCE to posting lists
+    * and stored as (centroid_id, id, 8-byte pq_code) — 16 bytes per
+    * vector; a probe ranks the coarse centroids, visits only its
+    * `nProbe` nearest lists, and ranks THEIR members by asymmetric PQ
+    * distance (the native codegen kernel), never touching a raw corpus
+    * vector at query time.
+    *
+    * Scale shape: the index build is one corpus pass (centroids
+    * broadcast for assignment, PQ encode per-row codegen — no corpus
+    * shuffle); at query time the |probes|·nProbe probe-list relation
+    * broadcasts and joins the posted codes on centroid_id, so the
+    * corpus side streams once, 16 bytes wide. Exact-lattice codebooks
+    * keep every distance bit-reproducible across engines, so even the
+    * composed index is oracle-checkable. With `nProbe` ≥ the centroid
+    * count the result is identical to [[pqAdcTopK]] (the full-scan ADC
+    * tier) — SimilaritySpec pins that equivalence.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame, probes: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int,
+      dim: Int = 64, m: Int = 8, kCent: Int = 16): DataFrame = {
+    val posted = assignToCentroids(corpus, centroids, idCol, vecCol)
+      .select(col("centroid_id"), col(idCol),
+        graft.functions.PqEncode(col(vecCol), dim, m, kCent).as("pq_code"))
+    val c = broadcast(centroids.select(col(idCol).as("__cid"), col(vecCol).as("__cvec")))
+    val pw = Window.partitionBy(col("probe_id"))
+      .orderBy(round(cosine(col("__pvec"), col("__cvec")), 6).desc, col("__cid"))
+    val probeLists = probes
+      .select(col(idCol).as("probe_id"), col(vecCol).as("__pvec"))
+      .crossJoin(c)
+      .withColumn("__rn", row_number().over(pw))
+      .filter(col("__rn") <= nProbe)
+      .select(col("probe_id"), col("__pvec"), col("__cid").as("centroid_id"))
+    val scored = posted.join(broadcast(probeLists), Seq("centroid_id"))
+      .filter(col(idCol) =!= col("probe_id"))
+      .withColumn("adist",
+        graft.functions.PqEncode.adcColumn(col("__pvec"), col("pq_code"), dim, m, kCent))
+    val w = Window.partitionBy("probe_id").orderBy(col("adist"), col(idCol))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col(idCol), col("adist"))
+  }
+
   /** Recall@k of an approximate-neighbor result against the exact one —
     * the acceptance metric every ANN deployment computes before trusting
     * an index (an IVF/LSH configuration is chosen BY its recall/latency

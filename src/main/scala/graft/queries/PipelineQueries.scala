@@ -216,6 +216,37 @@ object PipelineQueries {
        | WHERE nn_rank <= 10 ORDER BY probe_id, nn_rank""".stripMargin
   }
 
+  /** The s12 oracle: s3's cents/assign/plists CTEs composed with s6's
+    * packed-code + ADC arithmetic — posting lists join codes by vec_id,
+    * probes rank in-list members by the identical lattice ADC distance.
+    */
+  private def s12Sql: String = {
+    val cosEC = sqlCosine("e.embedding", "c.cvec")
+    val cosPC = sqlCosine("p.embedding", "c.cvec")
+    s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 97 = 0),
+       | assign AS (SELECT vec_id, cid FROM (
+       |   SELECT e.vec_id, c.cid,
+       |     row_number() OVER (PARTITION BY e.vec_id
+       |       ORDER BY round($cosEC, 6) DESC, c.cid) AS rn
+       |   FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+       | codes AS (SELECT vec_id, $pqPackedSql AS pq_code FROM embeddings),
+       | posted AS (SELECT a.vec_id, a.cid, k.pq_code
+       |   FROM assign a JOIN codes k USING (vec_id)),
+       | plists AS (SELECT probe_id, pvec, cid FROM (
+       |   SELECT p.vec_id AS probe_id, p.embedding AS pvec, c.cid,
+       |     row_number() OVER (PARTITION BY p.vec_id
+       |       ORDER BY round($cosPC, 6) DESC, c.cid) AS rn
+       |   FROM embeddings p CROSS JOIN cents c WHERE p.vec_id < 5) WHERE rn <= 2)
+       | SELECT probe_id, nn_rank, neighbor_id, adist FROM (
+       |   SELECT pl.probe_id, a.vec_id AS neighbor_id,
+       |     ${pqAdcSql("pl.pvec", "a.pq_code")} AS adist,
+       |     row_number() OVER (PARTITION BY pl.probe_id
+       |       ORDER BY ${pqAdcSql("pl.pvec", "a.pq_code")}, a.vec_id) AS nn_rank
+       |   FROM plists pl JOIN posted a ON a.cid = pl.cid
+       |   WHERE a.vec_id <> pl.probe_id)
+       | WHERE nn_rank <= 10 ORDER BY probe_id, nn_rank""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // D1 — exact dedup by normalized-content fingerprint
@@ -363,6 +394,24 @@ object PipelineQueries {
           .orderBy("probe_id", "nn_rank")
       },
       s3Sql
+    ),
+
+    // S12 — IVF-PQ composed search: s3's coarse pruning over s6's packed
+    // codes — the posting lists carry (centroid_id, id, 8-byte pq_code)
+    // and in-list ranking is asymmetric PQ distance, so query time never
+    // touches a raw corpus vector. Same probes/centroids/nProbe as s3,
+    // same ADC arithmetic as s6; the oracle composes both CTE stacks.
+    "s12_ivf_pq" -> QueryDef.sql(
+      (s, d) => {
+        val e = Tables(s, d).embeddings
+        Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 5),
+            e.filter(col("vec_id") % 97 === 0), "vec_id", "embedding",
+            k = 10, nProbe = 2)
+          .select(col("probe_id"), col("rank").as("nn_rank"),
+            col("vec_id").as("neighbor_id"), col("adist"))
+          .orderBy("probe_id", "nn_rank")
+      },
+      s12Sql
     ),
 
     // S4 — IVF quantizer training: one Lloyd M-step over the s3 centroid

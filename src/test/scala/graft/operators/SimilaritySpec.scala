@@ -116,6 +116,33 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.toSeq == bf.toSeq) // nProbe = all lists → exact
   }
 
+  test("ivfPqTopK: all lists probed equals full-scan ADC; pruning respects posting lists") {
+    // 64-dim lattice vectors (PQ kernels are fixed at dim 64 here)
+    val data = (0L to 9L).map(i =>
+      (i, Array.tabulate(64)(d => (((i + 1) * (d + 3)) % 7 - 3) / 2.0f)))
+    val df = data.toDF("vec_id", "embedding")
+    val centroids = df.filter($"vec_id".isin(0L, 5L))
+    val probes = df.filter($"vec_id" < 2)
+    def rows(res: org.apache.spark.sql.DataFrame) = res.collect().map(r =>
+      (r.getAs[Long]("probe_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("adist"))).toSet
+    // nProbe = all lists → identical to the full ADC scan (same distance,
+    // same tie-break)
+    assert(rows(Similarity.ivfPqTopK(df, probes, centroids, "vec_id", "embedding",
+        k = 4, nProbe = 2)) ==
+      rows(Similarity.pqAdcTopK(df, probes, "vec_id", "embedding", 4)))
+    // nProbe = 1: every returned neighbor lives in the probe's single
+    // nearest posting list
+    val assigned = Similarity.assignToCentroids(df, centroids, "vec_id", "embedding")
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("centroid_id")).toMap
+    val pruned = Similarity.ivfPqTopK(df, probes, centroids, "vec_id", "embedding",
+      k = 10, nProbe = 1).collect()
+    pruned.groupBy(_.getAs[Long]("probe_id")).foreach { case (pid, rs) =>
+      val lists = rs.map(r => assigned(r.getAs[Long]("vec_id"))).toSet
+      assert(lists.size == 1, s"probe $pid escaped its single probed list: $lists")
+    }
+  }
+
   test("kmeansStep emits exact per-(centroid, dim) sums and counts") {
     val pts = Seq(
       (0L, Array(1.0f, 0.0f)),   // centroid seed A

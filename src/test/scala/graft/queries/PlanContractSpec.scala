@@ -52,9 +52,12 @@ class PlanContractSpec extends SparkSpec {
       // s7/s9 are s1's topology with an extra label/threshold predicate —
       // same broadcast probe set, same single corpus pass; t16 is t11's
       // one-row broadcast vocabulary-size scalar joined keylessly
+      // s12 composes s3's broadcast-centroid assignment with s6's code
+      // relation — the same two sanctioned broadcast-nested-loop shapes
       if (!Set("j7_cross_join", "s1_cosine_topk", "s3_ann_ivf", "s4_kmeans_step",
           "r4_temperature_mix", "t11_unigram_logprob", "s6_pq_adc_topk",
-          "s7_hard_negatives", "s9_range_search", "t16_bigram_logprob").contains(q))
+          "s7_hard_negatives", "s9_range_search", "t16_bigram_logprob",
+          "s12_ivf_pq").contains(q))
         assert(count(plan, "BroadcastNestedLoopJoin") == 0, s"$q plans a nested-loop join")
     }
   }
@@ -96,6 +99,15 @@ class PlanContractSpec extends SparkSpec {
     assert(count(plan, "Exchange SinglePartition") <= 2,
       s"corpus/vocab-sized relation funneled into one partition:\n$plan")
     assert(count(plan, "BroadcastHashJoin") >= 1, "bucket offsets must broadcast")
+  }
+
+  test("s12 ivf-pq: posting-list probe broadcasts; the code relation never sort-merges") {
+    val plan = planOf("s12_ivf_pq")
+    // query time: the |probes|·nProbe probe-list relation broadcasts onto
+    // the posted 8-byte code relation — the corpus side streams through a
+    // hash join, never a sort-merge
+    assert(count(plan, "BroadcastHashJoin") >= 1, s"probe lists must broadcast:\n$plan")
+    assert(count(plan, "SortMergeJoin") == 0, s"code relation must not sort-merge:\n$plan")
   }
 
   test("d9 chunk dedup: no window or per-hash row lists — aggregations only") {
