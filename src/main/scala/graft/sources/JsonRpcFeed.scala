@@ -34,8 +34,8 @@ import graft.streaming.HeadSubscription
   * geth-style 0x-hex; wei values parse to decimal strings, never through a
   * Long.
   */
-final class JsonRpcFeed(endpoint: String, startBlock: Long = 1L,
-                        httpTimeoutMs: Int = 30000) extends HeadSubscription {
+class JsonRpcFeed(endpoint: String, startBlock: Long = 1L,
+                  httpTimeoutMs: Int = 30000) extends HeadSubscription {
 
   private val mapper = new ObjectMapper
   private val buf = mutable.ArrayBuffer.empty[Bundle]
@@ -73,7 +73,15 @@ final class JsonRpcFeed(endpoint: String, startBlock: Long = 1L,
     * the in-order queue.
     */
   def pollOnce(): Int = pollLock.synchronized {
-    val latest = hexLong(call("eth_blockNumber"))
+    pullUpTo(hexLong(call("eth_blockNumber")))
+  }
+
+  /** Pull heights (polled, latest] in order under [[pollLock]] — the shared
+    * fetch core of the polling tick and the push face's head handler
+    * ([[JsonRpcPushFeed]]): the trigger differs, the in-order queue
+    * discipline doesn't. Callers must hold [[pollLock]].
+    */
+  protected def pullUpTo(latest: Long): Int = {
     var pulled = 0
     var serving = true
     while (serving && polled < latest) {
@@ -87,6 +95,11 @@ final class JsonRpcFeed(endpoint: String, startBlock: Long = 1L,
     }
     pulled
   }
+
+  /** Run `body` under the poll lock — the push face's entry to [[pullUpTo]]
+    * without exposing the lock object itself.
+    */
+  protected def withPollLock[A](body: => A): A = pollLock.synchronized(body)
 
   /** Background daemon polling loop — production mode. */
   def startPolling(intervalMs: Long): Unit = synchronized {

@@ -22,6 +22,26 @@ final class RpcStub {
   @volatile private var canonical = Map.empty[Long, Bundle]
   @volatile private var byHash    = Map.empty[String, Bundle]
   @volatile private var receipts  = Map.empty[String, Receipt]
+  private val blockNumberCalls = new java.util.concurrent.atomic.AtomicInteger
+  @volatile private var subscribers = List.empty[java.io.OutputStream]
+
+  /** How often the client asked for the head by polling — the push-face
+    * test asserts this stays ZERO.
+    */
+  def blockNumberCallCount: Int = blockNumberCalls.get
+  def subscriberCount: Int = subscribers.size
+
+  /** Push a `newHeads`-shaped notification line to every open /subscribe
+    * stream (geth's WS payload carries the header; number + hash are what
+    * the adapter consumes).
+    */
+  def pushHead(b: Bundle): Unit = {
+    val line = s"""{"number":"${hxNum(b.block.number)}","hash":"${hx(b.block.hash)}"}""" + "\n"
+    val bytes = line.getBytes("UTF-8")
+    subscribers.foreach { os =>
+      try { os.write(bytes); os.flush() } catch { case _: Exception => () }
+    }
+  }
 
   def setCanonical(chain: Seq[Bundle]): Unit = {
     canonical = chain.map(b => b.block.number -> b).toMap
@@ -91,6 +111,7 @@ final class RpcStub {
 
   private def dispatch(method: String, params: ArrayNode): JsonNode = method match {
     case "eth_blockNumber" =>
+      blockNumberCalls.incrementAndGet()
       mapper.getNodeFactory.textNode(hxNum(if (canonical.isEmpty) 0L else canonical.keys.max))
     case "eth_getBlockByNumber" =>
       val n = java.lang.Long.parseLong(params.get(0).asText.stripPrefix("0x"), 16)
@@ -118,6 +139,14 @@ final class RpcStub {
       x.sendResponseHeaders(200, body.length.toLong)
       x.getResponseBody.write(body)
       x.close()
+    })
+    // the push face: a chunked-transfer stream held open per subscriber —
+    // the handler registers the exchange and returns; pushHead writes
+    // notification chunks from the test thread
+    server.createContext("/subscribe", (x: HttpExchange) => {
+      x.getResponseHeaders.add("Content-Type", "application/x-ndjson")
+      x.sendResponseHeaders(200, 0)
+      subscribers = x.getResponseBody :: subscribers
     })
     server.start()
     server.getAddress.getPort
@@ -185,5 +214,50 @@ class JsonRpcFeedSpec extends SparkSpec {
           "the winning branch's parent must land through eth_getBlockByHash")
       } finally q.stop()
     } finally stub.stop()
+  }
+
+  private def eventually[A](what: String, timeoutMs: Long = 15000L)(cond: => Boolean): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!cond) {
+      assert(System.currentTimeMillis() < deadline, s"timed out waiting for $what")
+      Thread.sleep(20)
+    }
+  }
+
+  test("push face: heads arrive through the subscription stream, never a poll tick") {
+    val main = bundleChain(1, 5, hash32(0), withTransferLogs = true)
+    val stub = new RpcStub
+    stub.setCanonical(main.take(3))
+    val port = stub.start()
+    val feed = new JsonRpcPushFeed(
+      s"http://127.0.0.1:$port/", s"http://127.0.0.1:$port/subscribe")
+    try {
+      feed.startSubscription()
+      eventually("subscriber connect")(stub.subscriberCount >= 1)
+      assert(feed.latestSeq == 0L, "nothing may arrive before the first head is pushed")
+
+      // one pushed head pulls the whole backlog behind it, in order
+      stub.pushHead(main(2))
+      eventually("backlog pull")(feed.latestSeq == 3L)
+      assert(feed.range(0, 3).map(_.block.number) == Seq(1L, 2L, 3L))
+
+      // node advances two heights but only announces the LAST — the
+      // announced bound heals the gap (a lost notification is harmless)
+      stub.setCanonical(main)
+      stub.pushHead(main(4))
+      eventually("gap heal")(feed.latestSeq == 5L)
+      assert(feed.range(3, 5).map(_.block.number) == Seq(4L, 5L))
+
+      // a duplicate / stale announcement is a no-op against the cursor
+      stub.pushHead(main(3))
+      Thread.sleep(100)
+      assert(feed.latestSeq == 5L)
+
+      assert(stub.blockNumberCallCount == 0,
+        "the push path must never fall back to eth_blockNumber polling")
+    } finally {
+      feed.stopSubscription()
+      stub.stop()
+    }
   }
 }
