@@ -459,4 +459,43 @@ object Curation {
     df.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
   }
+
+  /** Cross-document boilerplate detection: an n-gram occurring in ≥
+    * `minDocs` DISTINCT documents is boilerplate (headers, footers,
+    * license blurbs, template text — the stuff whose per-doc quality
+    * features look fine but which a model memorizes verbatim). Per doc:
+    * total n-gram positions, positions covered by a boilerplate gram, and
+    * the coverage ratio — the filter signal (drop or trim docs whose
+    * ratio exceeds a threshold).
+    *
+    * Scale shape: two combine-friendly aggregations — per-(doc, gram)
+    * dedup then a gram-keyed document-frequency count (never
+    * countDistinct's per-group set), and a per-doc position count — plus
+    * one left-semi join of positions against the boilerplate gram set
+    * (column-pruned to the gram key; AQE broadcasts it when small). No
+    * windows, no all-pairs; a billion-doc common gram is one map-side-
+    * combined counter, not a hot partition.
+    */
+  def boilerplateNgrams(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, minDocs: Int = 3): DataFrame = {
+    require(n >= 1 && minDocs >= 2, "n ≥ 1; boilerplate needs ≥ 2 docs")
+    val toked = df.select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
+    val grams = toked.select(col(idCol),
+      explode(TextOps.shinglesOfTokens(col("__t"), n)).as("gram"))
+    val boiler = grams.dropDuplicates(idCol, "gram")
+      .groupBy("gram").agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") >= minDocs).select("gram")
+    val perDoc = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    val flagged = grams.join(boiler, Seq("gram"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("boiler_grams"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .join(flagged, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("boiler_grams"), lit(0L)).as("boiler_grams"))
+      .withColumn("boiler_ratio",
+        when(col("n_grams") > 0,
+          round(col("boiler_grams").cast("double") / col("n_grams").cast("double"), 6)))
+  }
 }

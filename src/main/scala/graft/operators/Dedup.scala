@@ -667,4 +667,38 @@ object Dedup {
       clusterLabels(df, idCol, textCol, shingleSize, window, minShared,
         extraCols = Seq(qualityCol)),
       idCol, qualityCol)
+
+  /** Semantic deduplication in embedding space (the SemDeDup recipe,
+    * Abbas et al. 2023): assign every vector to its nearest coarse
+    * centroid, compare pairs only WITHIN a cell, and drop any vector that
+    * has a same-cell neighbor with smaller id and cosine ≥ `tau` (the
+    * deterministic keep-lowest-id representative rule — chains collapse to
+    * their minimum because every later member is dominated by it or by an
+    * earlier dup of it). Complements the lexical near-dup family (d2–d6):
+    * paraphrases and re-encodings share no shingles but sit together in
+    * embedding space.
+    *
+    * Scale shape: assignment is the broadcast-centroid corpus pass of
+    * [[Similarity.assignToCentroids]]; the pairwise stage is an equi-join
+    * on centroid_id, so the quadratic term is bounded by the LARGEST CELL,
+    * not the corpus — the centroid count is the valve (size it ~N/10⁴ so
+    * cells hold ~10⁴ vectors; SemDeDup runs exactly this shape at
+    * billion-vector scale). Never an unbucketed all-pairs.
+    *
+    * Returns (id, centroid_id, is_kept 1|0).
+    */
+  def semanticDedup(df: DataFrame, centroids: DataFrame,
+                    idCol: String, vecCol: String, tau: Double): DataFrame = {
+    val posted = Similarity.assignToCentroids(df, centroids, idCol, vecCol)
+    val a = posted.select(col("centroid_id"), col(idCol).as("__ida"), col(vecCol).as("__va"))
+    val b = posted.select(col("centroid_id"), col(idCol).as("__idb"), col(vecCol).as("__vb"))
+    val dominated = a.join(b, Seq("centroid_id"))
+      .filter(col("__ida") < col("__idb"))
+      .filter(round(Similarity.cosine(col("__va"), col("__vb")), 6) >= tau)
+      .select(col("__idb").as(idCol)).distinct()
+    posted.select(col(idCol), col("centroid_id"))
+      .join(dominated.withColumn("__dup", lit(1)), Seq(idCol), "left")
+      .select(col(idCol), col("centroid_id"),
+        when(col("__dup").isNull, 1).otherwise(0).cast("int").as("is_kept"))
+  }
 }

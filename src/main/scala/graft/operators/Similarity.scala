@@ -376,6 +376,102 @@ object Similarity {
           round(col("n_hit").cast("double") / col("n_exact").cast("double"), 6)))
   }
 
+  /** Sign (1-bit) quantization of `n` consecutive dimensions starting at
+    * 0-based `lo` into one BIGINT: bit i set iff component lo+i > 0. Packed
+    * as two 32-bit halves by [[signHammingTopK]] — a 64th-bit shift
+    * overflows in engines that range-check (and the half form scales to
+    * any dim). 8 bytes per 32 dims: a 64-d corpus signs into 16 bytes/row.
+    */
+  def signPackHalf(vec: Column, lo: Int, n: Int): Column = {
+    require(n >= 1 && n <= 32, "one 32-bit half per word")
+    aggregate(
+      zip_with(slice(vec, lo + 1, n), sequence(lit(0), lit(n - 1)),
+        (x, i) => when(x.cast("double") > 0d,
+          call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (a, v) => a.bitwiseOR(v))
+  }
+
+  /** Sign-quantized Hamming search with exact re-rank — the binary-
+    * quantization ANN tier (16 bytes/vector at 64 dims, 32× smaller than
+    * float32): Hamming distance over the packed sign bits shortlists
+    * `rerank` candidates per probe, exact cosine re-ranks the shortlist
+    * to the final top-k. Unlike LSH projections ([[lshTopK]]) the sign
+    * bits ARE the data's own coordinates, so recall tracks the corpus
+    * distribution with no tuning knob beyond `rerank`.
+    *
+    * Scale shape: the corpus streams ONCE as a (id, 2×BIGINT) relation —
+    * raw vectors never enter the candidate join or the shortlist shuffle;
+    * probes broadcast; only the |probes|·rerank shortlist (re-broadcast)
+    * joins back to the corpus for float vectors. At deployment the sig
+    * words would be a precomputed index column; here they fold into the
+    * same scan.
+    */
+  def signHammingTopK(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, dim: Int, rerank: Int, k: Int): DataFrame = {
+    require(dim >= 2 && dim <= 64 && rerank >= k, "dim ≤ 64; rerank must cover k")
+    val h = dim / 2
+    def sigLo(v: Column) = signPackHalf(v, 0, h)
+    def sigHi(v: Column) = signPackHalf(v, h, dim - h)
+    val sigs = corpus.select(col(idCol), sigLo(col(vecCol)).as("__slo"),
+      sigHi(col(vecCol)).as("__shi"))
+    val p = broadcast(probes.select(col(idCol).as("probe_id"),
+      sigLo(col(vecCol)).as("__plo"), sigHi(col(vecCol)).as("__phi")))
+    val cand = sigs.join(p, col(idCol) =!= col("probe_id"))
+      .withColumn("hamming",
+        (bit_count(col("__slo").bitwiseXOR(col("__plo"))) +
+          bit_count(col("__shi").bitwiseXOR(col("__phi")))).cast("int"))
+      .select(col("probe_id"), col(idCol), col("hamming"))
+    val wh = Window.partitionBy("probe_id").orderBy(col("hamming"), col(idCol))
+    val shortlist = cand.withColumn("__hr", row_number().over(wh))
+      .filter(col("__hr") <= rerank).drop("__hr")
+    val pv = broadcast(probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pvec")))
+    val reranked = corpus.join(broadcast(shortlist), Seq(idCol))
+      .join(pv, Seq("probe_id"))
+      .withColumn("sim", round(cosine(col("__pvec"), col(vecCol)), 6))
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col(idCol))
+    reranked.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col(idCol), col("hamming"), col("sim"))
+  }
+
+  /** Matryoshka truncation agreement — the acceptance metric for serving
+    * a prefix of an MRL-trained embedding (half the index bytes): per
+    * probe, how much of the exact full-dimension top-k the `prefixDim`-
+    * truncated cosine ranking retains (overlap@k), and the MSE between
+    * full and truncated similarities over all candidate pairs. A prefix
+    * that loses top-k overlap is not servable no matter how good its
+    * average error looks, so both numbers matter.
+    *
+    * Determinism: similarities land in round-6 doubles before ranking
+    * (ties → lowest id, both rankings); squared errors carry as
+    * round-12 DECIMAL so the MSE sum is partition-order independent.
+    * Scale: probes broadcast, the corpus streams once, and the two
+    * rankings share one narrow (probe, id, sim, sim) shuffle.
+    */
+  def matryoshkaAgreement(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, prefixDim: Int, k: Int): DataFrame = {
+    val p = broadcast(probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pvec")))
+    val cand = corpus.join(p, col(idCol) =!= col("probe_id"))
+      .withColumn("sim_full", round(cosine(col("__pvec"), col(vecCol)), 6))
+      .withColumn("sim_trunc", round(cosine(
+        slice(col("__pvec"), 1, prefixDim), slice(col(vecCol), 1, prefixDim)), 6))
+      .select(col("probe_id"), col(idCol), col("sim_full"), col("sim_trunc"))
+    val wf = Window.partitionBy("probe_id").orderBy(col("sim_full").desc, col(idCol))
+    val wt = Window.partitionBy("probe_id").orderBy(col("sim_trunc").desc, col(idCol))
+    val ranked = cand
+      .withColumn("__rf", row_number().over(wf))
+      .withColumn("__rt", row_number().over(wt))
+    val sq = round(pow(col("sim_full") - col("sim_trunc"), 2), 12).cast("decimal(28,12)")
+    ranked.groupBy("probe_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("__rf") <= k && col("__rt") <= k, 1L).otherwise(0L)).as("n_overlap"),
+        sum(sq).as("__se"))
+      .select(col("probe_id"), col("n_pairs"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / lit(k.toDouble), 6).as("overlap_at_k"),
+        round(col("__se").cast("double") / col("n_pairs").cast("double"), 6).as("mse"))
+  }
+
   /** Per-dimension corpus moments — the statistics a whitening/PCA
     * preprocessing step (or a drift monitor) needs before any projection:
     * for each embedding dimension, the vector count, mean, and population

@@ -1203,6 +1203,79 @@ object PipelineQueries {
          |          * (v[i] - CAST(codes[i] AS DOUBLE) * scale)), (a, b) -> a + b)
          |     / CAST(len(v) AS DOUBLE), 9) AS mse
          | FROM q ORDER BY vec_id""".stripMargin
+    ),
+
+    // S13 — sign-quantized Hamming search with exact re-rank: the binary-
+    // quantization ANN tier (16 bytes/vector). Hamming shortlists 40
+    // candidates per probe over two packed BIGINT halves; exact cosine
+    // re-ranks to top-10. Packing, xor, and popcount are integer-exact,
+    // so the whole tier is oracle-checked.
+    "s13_sign_hamming" -> QueryDef.sql(
+      (s, d) => {
+        val e = Tables(s, d).embeddings
+        Similarity.signHammingTopK(e, e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", dim = 64, rerank = 40, k = 10)
+          .select(col("probe_id"), col("rank").as("nn_rank"),
+            col("vec_id").as("neighbor_id"), col("hamming"), col("sim"))
+          .orderBy("probe_id", "nn_rank")
+      },
+      s13Sql
+    ),
+
+    // S14 — Matryoshka truncation agreement: overlap@10 between the
+    // full-64d and prefix-16d cosine rankings per probe, plus the MSE
+    // between the similarities — the go/no-go numbers for serving a
+    // truncated MRL embedding at a quarter of the index bytes.
+    "s14_matryoshka" -> QueryDef.sql(
+      (s, d) => {
+        val e = Tables(s, d).embeddings
+        Similarity.matryoshkaAgreement(e, e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", prefixDim = 16, k = 10)
+          .orderBy("probe_id")
+      },
+      s14Sql
+    ),
+
+    // D12 — semantic dedup (SemDeDup): nearest-centroid cells over the s3
+    // coarse centroids, within-cell cosine ≥ τ against any smaller id
+    // drops the doc. τ = 0.3 sits at this corpus's ~99th pairwise
+    // percentile, so the drop set is small but non-empty.
+    "d12_semdedup" -> QueryDef.sql(
+      (s, d) => {
+        val e = Tables(s, d).embeddings
+        Dedup.semanticDedup(e, e.filter(col("vec_id") % 97 === 0),
+            "vec_id", "embedding", tau = 0.3)
+          .orderBy("vec_id")
+      },
+      d12Sql
+    ),
+
+    // T17 — cross-document boilerplate: 3-grams in ≥ 3 distinct docs are
+    // boilerplate; per-doc positions covered by one. The template-text
+    // screen per-doc quality features can't see.
+    "t17_boilerplate" -> QueryDef.sql(
+      (s, d) => Curation.boilerplateNgrams(Tables(s, d).documents,
+          "doc_id", "text", n = 3, minDocs = 3)
+        .orderBy("doc_id"),
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         | grams AS (SELECT doc_id,
+         |     unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS gram
+         |   FROM toks),
+         | boiler AS (SELECT gram FROM (
+         |     SELECT gram, count(*) AS doc_freq
+         |     FROM (SELECT DISTINCT doc_id, gram FROM grams) GROUP BY 1)
+         |   WHERE doc_freq >= 3),
+         | perdoc AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1),
+         | flagged AS (SELECT g.doc_id, count(*) AS boiler_grams
+         |   FROM grams g JOIN boiler b USING (gram) GROUP BY 1)
+         | SELECT d.doc_id, CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+         |   CAST(coalesce(f.boiler_grams, 0) AS BIGINT) AS boiler_grams,
+         |   CASE WHEN coalesce(p.n_grams, 0) > 0
+         |     THEN round(CAST(coalesce(f.boiler_grams, 0) AS DOUBLE)
+         |       / CAST(p.n_grams AS DOUBLE), 6) END AS boiler_ratio
+         | FROM documents d
+         | LEFT JOIN perdoc p USING (doc_id) LEFT JOIN flagged f USING (doc_id)
+         | ORDER BY doc_id""".stripMargin
     )
   )
 
@@ -1383,4 +1456,88 @@ object PipelineQueries {
        |        CAST($vecExpr[m*8 + t + 1] AS DOUBLE)
        |          - CAST((m*131 + (($codeExpr // CAST(round(pow(16, m), 0) AS BIGINT)) %% 16)*17 + t*7) %% 19 - 9 AS DOUBLE) / 4.0),
        |      x -> x * x), (a, b) -> a + b)), (a, b) -> a + b)""".stripMargin.replace("%%", "%")
+
+  /** SQL mirror of Similarity.signPackHalf: bit i−`off` of the BIGINT is
+    * set iff component i is strictly positive. Two 32-bit halves — a
+    * 64th-bit shift range-checks as overflow in DuckDB, and the half form
+    * matches the Spark packing exactly.
+    */
+  private def signHalfSql(vecExpr: String, from: Int, until: Int): String =
+    s"""list_reduce(list_transform(range($from, $until), i ->
+       |    CASE WHEN CAST($vecExpr[i] AS DOUBLE) > 0
+       |      THEN (CAST(1 AS BIGINT) << (i - $from)) ELSE CAST(0 AS BIGINT) END),
+       |  (a, b) -> a | b)""".stripMargin
+
+  /** The s13 oracle: sign packing → Hamming shortlist of 40 → exact
+    * cosine re-rank to top-10, every stage mirroring the Spark plan's
+    * arithmetic (integer popcounts, round-6 cosine, id tiebreaks).
+    */
+  private def s13Sql: String =
+    s"""WITH sig AS (SELECT vec_id,
+       |    ${signHalfSql("embedding", 1, 33)} AS slo,
+       |    ${signHalfSql("embedding", 33, 65)} AS shi
+       |  FROM embeddings),
+       | cand AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |    CAST(bit_count(xor(c.slo, p.slo)) + bit_count(xor(c.shi, p.shi)) AS INTEGER) AS hamming
+       |  FROM sig c JOIN sig p ON p.vec_id < 5 AND c.vec_id <> p.vec_id),
+       | short AS (SELECT probe_id, neighbor_id, hamming FROM (
+       |    SELECT probe_id, neighbor_id, hamming,
+       |      row_number() OVER (PARTITION BY probe_id ORDER BY hamming, neighbor_id) AS hr
+       |    FROM cand) WHERE hr <= 40),
+       | rer AS (SELECT s.probe_id, s.neighbor_id, s.hamming,
+       |    round(${sqlCosine("pe.embedding", "ce.embedding")}, 6) AS sim
+       |  FROM short s
+       |  JOIN embeddings pe ON pe.vec_id = s.probe_id
+       |  JOIN embeddings ce ON ce.vec_id = s.neighbor_id)
+       | SELECT probe_id, nn_rank, neighbor_id, hamming, sim FROM (
+       |   SELECT probe_id, neighbor_id, hamming, sim,
+       |     row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS nn_rank
+       |   FROM rer)
+       | WHERE nn_rank <= 10 ORDER BY probe_id, nn_rank""".stripMargin
+
+  /** Cosine over the first `n` dimensions only (the Matryoshka prefix). */
+  private def sqlDotPrefix(a: String, b: String, n: Int): String =
+    s"list_reduce(list_transform(range(1, ${n + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+  private def sqlCosinePrefix(a: String, b: String, n: Int): String =
+    s"(${sqlDotPrefix(a, b, n)} / (sqrt(${sqlDotPrefix(a, a, n)}) * sqrt(${sqlDotPrefix(b, b, n)})))"
+
+  /** The s14 oracle: full-64d and prefix-16d rankings over the same
+    * candidates; overlap@10 and a DECIMAL-carried MSE.
+    */
+  private def s14Sql: String =
+    s"""WITH cand AS (SELECT p.vec_id AS probe_id, c.vec_id AS nid,
+       |    round(${sqlCosine("p.embedding", "c.embedding")}, 6) AS sim_full,
+       |    round(${sqlCosinePrefix("p.embedding", "c.embedding", 16)}, 6) AS sim_trunc
+       |  FROM embeddings p JOIN embeddings c ON p.vec_id < 5 AND c.vec_id <> p.vec_id),
+       | ranked AS (SELECT probe_id, nid, sim_full, sim_trunc,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY sim_full DESC, nid) AS rf,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY sim_trunc DESC, nid) AS rt
+       |  FROM cand)
+       | SELECT probe_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       |   CAST(sum(CASE WHEN rf <= 10 AND rt <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+       |   round(CAST(sum(CASE WHEN rf <= 10 AND rt <= 10 THEN 1 ELSE 0 END) AS DOUBLE) / 10.0, 6) AS overlap_at_k,
+       |   round(CAST(sum(CAST(round(pow(sim_full - sim_trunc, 2), 12) AS DECIMAL(28,12))) AS DOUBLE)
+       |     / CAST(count(*) AS DOUBLE), 6) AS mse
+       | FROM ranked GROUP BY probe_id ORDER BY probe_id""".stripMargin
+
+  /** The d12 oracle: s4's nearest-centroid assignment, then drop any
+    * vector with a smaller-id same-cell neighbor at cosine ≥ 0.3.
+    */
+  private def d12Sql: String = {
+    val cosEC = sqlCosine("e.embedding", "c.cvec")
+    val cosAB = sqlCosine("a.embedding", "b.embedding")
+    s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 97 = 0),
+       | assign AS (SELECT vec_id, embedding, cid FROM (
+       |   SELECT e.vec_id, e.embedding, c.cid,
+       |     row_number() OVER (PARTITION BY e.vec_id
+       |       ORDER BY round($cosEC, 6) DESC, c.cid) AS rn
+       |   FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+       | dominated AS (SELECT DISTINCT b.vec_id
+       |   FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |   WHERE round($cosAB, 6) >= 0.3)
+       | SELECT a.vec_id, a.cid AS centroid_id,
+       |   CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_kept
+       | FROM assign a LEFT JOIN dominated d ON d.vec_id = a.vec_id
+       | ORDER BY a.vec_id""".stripMargin
+  }
 }

@@ -239,4 +239,24 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("g"), r.getAs[Long]("id"))).toSet
     assert(again == got.map(t => (t._1, t._2)).toSet)
   }
+
+  test("boilerplateNgrams flags grams shared by >= minDocs distinct docs") {
+    val docs = Seq(
+      (1L, "all rights reserved this page"),     // grams: "all rights reserved", "rights reserved this", "reserved this page"
+      (2L, "all rights reserved in full"),
+      (3L, "all rights reserved forever and ever"),
+      (4L, "completely original text with no template at all"),
+      (5L, "ab")                                  // < n tokens: zero grams
+    ).toDF("doc_id", "text")
+    val got = Curation.boilerplateNgrams(docs, "doc_id", "text", n = 3, minDocs = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("boiler_grams"),
+          Option(r.getAs[java.lang.Double]("boiler_ratio")).map(_.toDouble)))).toMap
+    // only "all rights reserved" appears in 3 distinct docs
+    assert(got(1L) == ((3L, 1L, Some(BigDecimal(1.0/3).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))))
+    assert(got(2L) == ((3L, 1L, Some(BigDecimal(1.0/3).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))))
+    assert(got(3L)._1 == 4L && got(3L)._2 == 1L)
+    assert(got(4L)._2 == 0L, "unique text carries no boilerplate")
+    assert(got(5L) == ((0L, 0L, None)), "a too-short doc has no grams and a null ratio")
+  }
 }

@@ -291,4 +291,31 @@ class DedupSpec extends SparkSpec {
     assert(rows(Dedup.histogramFromLabels(labels)) ==
       rows(Dedup.clusterSizeHistogram(docs, "doc_id", "text", minShared = 2)))
   }
+
+  test("semanticDedup drops every later member of a tight cell, keeps the minimum") {
+    // cell A: vecs 0,1,2 nearly parallel (pairwise cos ≈ 1); cell B: vec 3
+    // alone; vec 4 shares cell A's centroid side but is orthogonal enough
+    // to survive tau
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.01f, 0.0f)),
+      (1L, Array(0.99f, 0.0f, 0.01f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f)),
+      (4L, Array(0.4f, 0.9f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val centroids = vecs.filter(col("vec_id") === 2L || col("vec_id") === 3L)
+    val got = Dedup.semanticDedup(vecs, centroids, "vec_id", "embedding", tau = 0.9)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("centroid_id"), r.getAs[Int]("is_kept")))).toMap
+    assert(got.size == 5)
+    assert(got(0L)._2 == 1, "smallest id of the dup chain is the keeper")
+    assert(got(1L)._2 == 0 && got(2L)._2 == 0, "later near-parallel members drop")
+    assert(got(3L)._2 == 1, "a singleton cell keeps its only member")
+    assert(got(4L)._2 == 1, "below-tau same-cell neighbor survives")
+    assert(got(3L)._1 == 3L && got(0L)._1 == 2L)
+    // tightening tau to 1+ keeps everything (cosine never exceeds 1)
+    val all = Dedup.semanticDedup(vecs, centroids, "vec_id", "embedding", tau = 1.01)
+      .agg(org.apache.spark.sql.functions.sum("is_kept")).head().getLong(0)
+    assert(all == 5L)
+  }
 }

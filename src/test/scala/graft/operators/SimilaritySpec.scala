@@ -260,4 +260,61 @@ class SimilaritySpec extends SparkSpec {
     assert(got(1L) == ((r9(scale), 108L, -51L, 127L, r9(mse))))
     assert(got(2L) == ((0.0, 0L, 0L, 0L, 0.0)))
   }
+
+  test("signPackHalf sets exactly the strictly-positive bits") {
+    val rows = Seq((1L, Array(0.5f, -0.5f, 0.0f, 2.0f))).toDF("vec_id", "embedding")
+    val lo = rows.select(Similarity.signPackHalf(col("embedding"), 0, 4).as("w"))
+      .as[Long].head()
+    assert(lo == ((1L << 0) | (1L << 3))) // dims 0 and 3 positive; 0.0 is NOT
+    // high half of a longer vector starts its bit numbering at 0
+    val rows8 = Seq((1L, Array(0f, 0f, 0f, 0f, 1f, 0f, -1f, 3f))).toDF("vec_id", "embedding")
+    val hi = rows8.select(Similarity.signPackHalf(col("embedding"), 4, 4).as("w"))
+      .as[Long].head()
+    assert(hi == ((1L << 0) | (1L << 3)))
+  }
+
+  test("signHammingTopK with rerank covering the corpus equals brute force") {
+    val dim4 = Seq(
+      (0L, Array(1.0f, 0.2f, -0.3f, 0.1f)),
+      (1L, Array(0.9f, 0.1f, -0.2f, 0.2f)),
+      (2L, Array(-1.0f, 0.5f, 0.4f, -0.6f)),
+      (3L, Array(0.1f, -0.9f, 0.8f, 0.3f)),
+      (4L, Array(0.4f, 0.4f, -0.1f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val probes = dim4.filter($"vec_id" === 0)
+    val bf = Similarity.bruteForceTopK(dim4, probes, "vec_id", "embedding", 3)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    val sh = Similarity.signHammingTopK(dim4, probes, "vec_id", "embedding",
+      dim = 4, rerank = 4, k = 3)
+      .orderBy("rank").collect()
+    assert(sh.map(_.getAs[Long]("vec_id")).toSeq == bf,
+      "full-coverage rerank must reproduce the exact ranking")
+    // vec 1 shares every sign with the probe → hamming 0
+    assert(sh.find(_.getAs[Long]("vec_id") == 1L).get.getAs[Int]("hamming") == 0)
+    // a tight shortlist keeps only sign-compatible candidates
+    val tight = Similarity.signHammingTopK(dim4, probes, "vec_id", "embedding",
+      dim = 4, rerank = 1, k = 1).collect()
+    assert(tight.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L))
+  }
+
+  test("matryoshkaAgreement: identity prefix gives full overlap and zero mse") {
+    val dim4 = Seq(
+      (0L, Array(1.0f, 0.2f, -0.3f, 0.1f)),
+      (1L, Array(0.9f, 0.1f, -0.2f, 0.2f)),
+      (2L, Array(-1.0f, 0.5f, 0.4f, -0.6f)),
+      (3L, Array(0.1f, -0.9f, 0.8f, 0.3f))
+    ).toDF("vec_id", "embedding")
+    val probes = dim4.filter($"vec_id" === 0)
+    val full = Similarity.matryoshkaAgreement(dim4, probes, "vec_id", "embedding",
+      prefixDim = 4, k = 2).collect().head
+    assert(full.getAs[Long]("n_pairs") == 3L)
+    assert(full.getAs[Long]("n_overlap") == 2L)
+    assert(full.getAs[Double]("overlap_at_k") == 1.0)
+    assert(full.getAs[Double]("mse") == 0.0)
+    // a 1-dim prefix collapses sims to ±1 — overlap can only shrink, mse > 0
+    val trunc = Similarity.matryoshkaAgreement(dim4, probes, "vec_id", "embedding",
+      prefixDim = 1, k = 2).collect().head
+    assert(trunc.getAs[Long]("n_overlap") <= 2L)
+    assert(trunc.getAs[Double]("mse") > 0.0)
+  }
 }
