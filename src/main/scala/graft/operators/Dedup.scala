@@ -689,7 +689,12 @@ object Dedup {
     */
   def semanticDedup(df: DataFrame, centroids: DataFrame,
                     idCol: String, vecCol: String, tau: Double): DataFrame = {
+    // three consumers (both pairwise sides + the output) — materialize the
+    // assignment once (eager localCheckpoint, the clusterLabels
+    // discipline: no session-lifetime cache entry, lineage cut) instead of
+    // re-running the broadcast-centroid corpus pass per consumer
     val posted = Similarity.assignToCentroids(df, centroids, idCol, vecCol)
+      .localCheckpoint(true)
     val a = posted.select(col("centroid_id"), col(idCol).as("__ida"), col(vecCol).as("__va"))
     val b = posted.select(col("centroid_id"), col(idCol).as("__idb"), col(vecCol).as("__vb"))
     val dominated = a.join(b, Seq("centroid_id"))

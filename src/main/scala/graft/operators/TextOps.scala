@@ -89,6 +89,55 @@ object TextOps {
     merges.result()
   }
 
+  /** Greedy leftmost application of ONE merge rule to a symbol array —
+    * the same single-pass fold [[bpeTrain]] uses to update its vocab
+    * (train and apply MUST share the fold, or applied token counts drift
+    * from the statistics the rules were learned on). A merge of rule
+    * (a, b) can never create a fresh (a, b) adjacency — the merged symbol
+    * is strictly longer than either side — so one left-to-right pass is
+    * exhaustive.
+    */
+  private def applyMergeFold(syms: Column, a: String, b: String): Column = {
+    val (aL, bL) = (lit(a), lit(b))
+    aggregate(syms, array().cast("array<string>"), (acc, s) =>
+      when(size(acc) > 0 && element_at(acc, -1) === aL && s === bL,
+        concat(slice(acc, lit(1), size(acc) - 1), array(concat_ws("", aL, bL))))
+        .otherwise(concat(acc, array(s))))
+  }
+
+  /** The tokenizer lifecycle's APPLY face — [[bpeTrain]] learns the merge
+    * rules, this encodes the corpus under them: per document, the word
+    * count and the BPE token count after `nMerges` learned merges (the
+    * number an LLM data pipeline actually budgets by), plus tokens/word.
+    *
+    * Scale shape: the rules are a driver-side literal list (one argmax row
+    * per training round), so applying them is `nMerges` nested column
+    * folds over the DISTINCT-word vocabulary — orders of magnitude smaller
+    * than the corpus, the [[bpePairCounts]] discipline — and the corpus
+    * only pays a word-keyed join of (word → symbol count) back onto its
+    * per-(doc, word) counts (AQE broadcasts the vocab side when it fits).
+    * The corpus text is scanned twice (once training, once counting),
+    * never per rule.
+    */
+  def bpeApplyCounts(docs: DataFrame, idCol: String, textCol: Column,
+                     nMerges: Int): DataFrame = {
+    val rules = bpeTrain(docs, textCol, nMerges)
+    val wc = docs.select(col(idCol), explode(tokens(textCol)).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("n"))
+    val vocab = wc.select("w").distinct()
+      .withColumn("syms", expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+    val applied = rules.foldLeft(vocab) { case (v, (_, a, b, _)) =>
+      v.select(col("w"), applyMergeFold(col("syms"), a, b).as("syms"))
+    }
+    val wordTok = applied.select(col("w"), size(col("syms")).cast("long").as("n_sym"))
+    wc.join(wordTok, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(sum("n").as("n_words"),
+        sum(col("n") * col("n_sym")).as("n_bpe_tokens"))
+      .withColumn("tokens_per_word",
+        round(col("n_bpe_tokens").cast("double") / col("n_words").cast("double"), 6))
+  }
+
   /** Word n-gram shingles over a PRE-MATERIALIZED token-array column.
     * The lambda references the array via `size`/`slice`, which is O(1) on a
     * bound attribute — always project `tokens(text)` into a column first in

@@ -1276,6 +1276,18 @@ object PipelineQueries {
          | FROM documents d
          | LEFT JOIN perdoc p USING (doc_id) LEFT JOIN flagged f USING (doc_id)
          | ORDER BY doc_id""".stripMargin
+    ),
+
+    // T18 — the tokenizer lifecycle's APPLY face: per-doc BPE token count
+    // under the 3 merges t15 trains (the number a pipeline budgets by).
+    // Rules fold over the distinct-word vocab; the corpus pays one
+    // word-keyed join. Oracle re-trains the same 3 rules (the t15 CTE
+    // stack, carrying the word key) and applies the identical fold.
+    "t18_bpe_apply" -> QueryDef.sql(
+      (s, d) => TextOps.bpeApplyCounts(Tables(s, d).documents,
+          "doc_id", col("text"), nMerges = 3)
+        .orderBy("doc_id"),
+      t18Sql
     )
   )
 
@@ -1313,6 +1325,42 @@ object PipelineQueries {
        | UNION ALL SELECT 2, a, b, pf FROM b2
        | UNION ALL SELECT 3, a, b, pf FROM b3
        | ORDER BY step""".stripMargin
+  }
+
+  /** The t18 oracle: t15's three training rounds with the word key
+    * carried through each fold, so v3 is the applied vocabulary; per-doc
+    * counts join it on the word.
+    */
+  private def t18Sql: String = {
+    def round(k: Int): String = {
+      val prev = s"v${k - 1}"
+      s"""p$k AS (SELECT p[1] AS a, p[2] AS b, CAST(sum(freq) AS BIGINT) AS pf
+         |   FROM (SELECT freq,
+         |       unnest(list_transform(range(1, len(syms)), i -> [syms[i], syms[i + 1]])) AS p
+         |     FROM $prev WHERE len(syms) >= 2)
+         |   GROUP BY 1, 2),
+         | b$k AS (SELECT a, b, pf FROM p$k ORDER BY pf DESC, a, b LIMIT 1),
+         | v$k AS (SELECT v.w, v.freq,
+         |     list_reduce(list_transform(v.syms, s -> [s]), (acc, x) ->
+         |       CASE WHEN acc[-1] = r.a AND x[1] = r.b
+         |         THEN list_append(acc[1:len(acc) - 1], r.a || r.b)
+         |         ELSE list_append(acc, x[1]) END) AS syms
+         |   FROM $prev v CROSS JOIN b$k r)""".stripMargin
+    }
+    s"""WITH freqs AS (SELECT w, count(*) AS freq
+       |    FROM (SELECT unnest($toksSql) AS w FROM documents) GROUP BY w),
+       | v0 AS (SELECT w, freq,
+       |    list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)) AS syms FROM freqs),
+       | ${round(1)},
+       | ${round(2)},
+       | ${round(3)},
+       | wordtok AS (SELECT w, len(syms) AS n_sym FROM v3),
+       | wc AS (SELECT doc_id, w, count(*) AS n
+       |   FROM (SELECT doc_id, unnest($toksSql) AS w FROM documents) GROUP BY 1, 2)
+       | SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words,
+       |   CAST(sum(n * n_sym) AS BIGINT) AS n_bpe_tokens,
+       |   round(CAST(sum(n * n_sym) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6) AS tokens_per_word
+       | FROM wc JOIN wordtok USING (w) GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** One payload byte (1-based position expression `pos`) from the hex

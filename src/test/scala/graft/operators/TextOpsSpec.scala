@@ -74,4 +74,24 @@ class TextOpsSpec extends SparkSpec {
     val one = Seq((1L, "x y")).toDF("doc_id", "text")
     assert(TextOps.bpeTrain(one, col("text"), nMerges = 5).isEmpty)
   }
+
+  test("bpeApplyCounts encodes docs under the trained merges") {
+    // training corpus: "low" x5, "lower" x2 → rules (l,o), (lo,w), (low,e)
+    val docs = Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower")
+    ).toDF("doc_id", "text")
+    val got = TextOps.bpeApplyCounts(docs, "doc_id", col("text"), nMerges = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe_tokens"),
+          r.getAs[Double]("tokens_per_word")))).toMap
+    // "low" → [low] (1 sym); "lower" → [lowe, r] (2 syms)
+    assert(got(1L) == ((5L, 5L, 1.0)))
+    assert(got(2L) == ((2L, 4L, 2.0)))
+    // zero merges is plain character counting
+    val chars = TextOps.bpeApplyCounts(docs, "doc_id", col("text"), nMerges = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_bpe_tokens")).toMap
+    // one merge (l,o): "low" → [lo,w] 2 syms; "lower" → [lo,w,e,r] 4 syms
+    assert(chars == Map(1L -> 10L, 2L -> 8L))
+  }
 }

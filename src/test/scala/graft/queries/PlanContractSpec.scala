@@ -54,10 +54,14 @@ class PlanContractSpec extends SparkSpec {
       // one-row broadcast vocabulary-size scalar joined keylessly
       // s12 composes s3's broadcast-centroid assignment with s6's code
       // relation — the same two sanctioned broadcast-nested-loop shapes
+      // s13/s14 are s1's broadcast-probe topology (s13 streams the corpus
+      // as two BIGINT sig words, s14 carries two sims); d12 is s3/s4's
+      // broadcast-centroid assignment — its pairwise stage is an equi-join
       if (!Set("j7_cross_join", "s1_cosine_topk", "s3_ann_ivf", "s4_kmeans_step",
           "r4_temperature_mix", "t11_unigram_logprob", "s6_pq_adc_topk",
           "s7_hard_negatives", "s9_range_search", "t16_bigram_logprob",
-          "s12_ivf_pq").contains(q))
+          "s12_ivf_pq", "s13_sign_hamming", "s14_matryoshka",
+          "d12_semdedup").contains(q))
         assert(count(plan, "BroadcastNestedLoopJoin") == 0, s"$q plans a nested-loop join")
     }
   }
@@ -194,6 +198,37 @@ class PlanContractSpec extends SparkSpec {
       assert(offenders.isEmpty,
         s"unpartitioned windows outside the allowed set: ${offenders.sorted.mkString(", ")}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("s13 sign-hamming: shortlist broadcasts back for the vector fetch; no sort-merge") {
+    val plan = planOf("s13_sign_hamming")
+    // the Hamming tier joins (id, 2×BIGINT) sigs against broadcast probe
+    // sigs; only the |probes|·rerank shortlist re-joins the corpus for
+    // float vectors — as a broadcast hash join, never a corpus sort-merge
+    assert(count(plan, "BroadcastHashJoin") >= 1, s"shortlist must broadcast:\n$plan")
+    assert(count(plan, "SortMergeJoin") == 0, s"corpus must not sort-merge:\n$plan")
+    assert(count(plan, "CartesianProduct") == 0)
+  }
+
+  test("d12 semdedup: pairwise stage is an equi-join on the cell key") {
+    val plan = planOf("d12_semdedup")
+    // within-cell pairs must meet on centroid_id (bounded by the largest
+    // cell); the only nested-loop is the sanctioned broadcast-centroid
+    // assignment, and the dominated-id probe is a keyed join
+    assert(count(plan, "CartesianProduct") == 0, s"d12 must never go all-pairs:\n$plan")
+    assert(count(plan, "BroadcastNestedLoopJoin") <= 2,
+      s"only the centroid assignment may nested-loop:\n$plan")
+  }
+
+  test("t17 boilerplate: doc frequency via dedup+count, never a countDistinct expand") {
+    val plan = planOf("t17_boilerplate")
+    // count(DISTINCT doc_id) would plan an Expand (double-shuffling the
+    // gram relation); the dedup-then-count form keeps plain partial+final
+    // aggregation pairs
+    assert(count(plan, "Expand") == 0, s"t17 must not expand for countDistinct:\n$plan")
+    assert(count(plan, "Window") == 0, s"t17 needs no windows:\n$plan")
+    assert(count(plan, "HashAggregate") >= 4, "gram and doc aggs need partial+final")
+    assert(count(plan, "CartesianProduct") == 0)
   }
 
   test("d2 LSH plan computes the shingle aggregation exactly once") {
