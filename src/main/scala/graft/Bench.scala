@@ -108,7 +108,6 @@ object Bench {
           .find(k => mkLine(1, k).length <= budget).getOrElse(1)
         mkLine(1, keep)
       }
-    println(line)
     // The FILE additionally carries the per-query [min,max] trial spread —
     // one extra key on the same JSON object, so any parser of the primary
     // fields is unaffected and the size-bounded STDOUT line stays unchanged.
@@ -130,6 +129,10 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try Files.writeString(Paths.get(out), fileLine + "\n")
     catch { case _: Throwable => () }
+    // Print the stdout result line LAST — after IngestBench (whose batch
+    // work logs to stderr, but any stray stdout from Spark internals must
+    // not land after this line; the driver parses a bounded stdout tail).
+    println(line)
     spark.stop()
   }
 }

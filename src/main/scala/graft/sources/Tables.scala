@@ -21,15 +21,26 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read it as a long (legacy conf) and convert
-    * losslessly to a micros timestamp with integer division — `DIV`, not
-    * `/`, because epoch-nanos (~1.7e18) exceeds a double's 2^53 exact-int
-    * range and float division would corrupt low-order digits.
+  /** events.parquet has shipped `ts` in two physical layouts across driver
+    * corpus regenerations: parquet TIMESTAMP(NANOS) — which Spark's
+    * vectorized reader only loads as a long under the legacy conf — and
+    * plain TIMESTAMP(MICROS), which loads as a timestamp directly. Branch
+    * on the loaded dtype so either corpus works. On the nanos path the
+    * conversion uses integer division (`DIV`, not `/`) because epoch-nanos
+    * (~1.7e18) exceeds a double's 2^53 exact-int range and float division
+    * would corrupt low-order digits.
     */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val df = t("events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ =>
+        // TIMESTAMP_NTZ or TIMESTAMP; normalize to the session TimestampType
+        // so downstream comparisons/arithmetic behave identically either way.
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   /** documents/embeddings ship as ONE parquet row group, so a plain scan
     * gives every downstream query a single input partition — all shingle/

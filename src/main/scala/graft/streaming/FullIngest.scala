@@ -178,7 +178,11 @@ object FullIngest {
     // after the balance pipeline: this batch's full lifecycle cost
     metrics.foreach { m =>
       m.insertBlock.observe((System.nanoTime() - t0) / 1e9)
-      println(m.logLine)
+      // stderr, not stdout: Bench's contract is that the one JSON result
+      // line is the last thing on stdout, and a per-batch metrics line
+      // here would flood past it (the driver's parser reads a bounded
+      // stdout tail).
+      Console.err.println(m.logLine)
     }
   }
 
