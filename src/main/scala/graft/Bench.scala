@@ -59,6 +59,18 @@ object Bench {
     // of 30+ Spark sessions; page cache and CPU are not quiesced). A
     // machine-level slowdown shows as the TOTAL moving with the outlier;
     // a real plan regression moves one query's min while the rest hold.
+    // Round-9's driver run flagged d9/d10 floors (min 0.72→4.46, 2.18→
+    // 10.84) on the regenerated corpus. Round-10 stage-level re-measurement
+    // (graft.Prof, quiesced machine, fresh plan per trial so shuffle-output
+    // reuse can't flatter): d10 floor 2.05s — UNCHANGED vs r8's committed
+    // 2.18 — and d9 floor 1.10s (1.5×, the corpus's chunk population grew:
+    // 19218 chunk rows / 1762 dup-mass at sf0.1). Connected components
+    // takes the driver union-find path on this corpus (15,982 symmetrized
+    // edges, 0 propagation rounds; telemetry in the "cc" key below), so
+    // label-propagation round growth is ruled out as the driver of any
+    // d6/d10/d11 movement. The r9 lift co-occurred with 1.6-2.7× drift on
+    // six untouched scalar-function queries — the machine-level syndrome
+    // above, not a plan regression.
     val results = names.map { name =>
       materialize(name, warmDir) // warm THIS query's codegen, then time it
       val times = (0 until trials).map { _ =>
@@ -125,7 +137,13 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_INGEST_BENCH").contains("0")) ""
       else try "," + IngestBench.run(spark)
       catch { case e: Throwable => s""","ingest_error":"${e.getClass.getSimpleName}"""" }
-    val fileLine = mkLine(2, all).dropRight(1) + s""","spread":$spread$ingest}"""
+    // CC attribution telemetry (file artifact only): which connected-
+    // components path the clustering queries took, the symmetrized edge
+    // count, and the propagation round count — the three numbers that
+    // attribute a d6/d10/d11 floor move to data shape vs loop behavior.
+    val cc = graft.operators.Dedup.lastCcStats
+    val ccJson = s""","cc":{"path":"${cc.path}","edges":${cc.edges},"rounds":${cc.rounds}}"""
+    val fileLine = mkLine(2, all).dropRight(1) + s""","spread":$spread$ccJson$ingest}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try Files.writeString(Paths.get(out), fileLine + "\n")
     catch { case _: Throwable => () }

@@ -23,6 +23,19 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Attribution telemetry from the most recent [[connectedComponents]]
+    * call on this JVM: which execution path ran (driver union-find vs
+    * distributed min-label), how many (symmetrized, distinct) edges it
+    * saw, and how many propagation rounds the distributed loop took.
+    * Exists because bench regressions on the clustering family (d6/d10/
+    * d11) are unattributable from wall-clock alone — "the corpus got
+    * denser" and "the loop stopped converging" look identical from
+    * outside. Read it right after the triggering action; a volatile
+    * single slot, not a history (the bench runs queries serially).
+    */
+  final case class CcStats(path: String, edges: Long, rounds: Int)
+  @volatile var lastCcStats: CcStats = CcStats("none", 0L, 0)
+
   /** Exact dedup: keep the lowest-id representative per normalized text.
     * Aggregation (not window) so map-side combine kicks in — at 100 TB the
     * reducer sees one row per distinct fingerprint, not per document.
@@ -443,6 +456,7 @@ object Dedup {
         undBase.as[(Long, Long)].limit(driverMaxEdges + 1).collect()
       } else Array.empty[(Long, Long)]
     if (tryDriver && probed.length <= driverMaxEdges) {
+      lastCcStats = CcStats("driver-union-find", probed.length.toLong, 0)
       val parent = new java.util.HashMap[java.lang.Long, java.lang.Long](probed.length * 2 + 16)
       def find(x: Long): Long = {
         var r = x
@@ -486,6 +500,9 @@ object Dedup {
       labels = next
       it += 1
     }
+    // und is checkpointed, so the edge count here is a cheap block scan,
+    // and this path only runs for graphs already past the driver valve.
+    lastCcStats = CcStats("min-label", und.count(), it)
     labels
   }
 
