@@ -130,6 +130,27 @@ object IngestBench {
     * bench file artifact. The histogram reported is head-follow's —
     * per-block insert latencies, the reference's metric shape.
     */
+  /** Spark-job counter for attribution: scheduling overhead, not data
+    * volume, is what bounds the per-block bracket (dozens of sub-second
+    * jobs per block), so the floor is only explainable WITH the job count.
+    */
+  private final class JobCounter extends org.apache.spark.scheduler.SparkListener {
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      jobs.incrementAndGet()
+  }
+
+  private def countingJobs(spark: SparkSession)(f: => Unit): Long = {
+    val c = new JobCounter
+    spark.sparkContext.addSparkListener(c)
+    // the listener bus is async; a beat before detaching lets the tail of
+    // the event queue drain (counts are attribution telemetry — a ±1 race
+    // would not change what they attribute)
+    try { f; Thread.sleep(500) }
+    finally spark.sparkContext.removeSparkListener(c)
+    c.jobs.get
+  }
+
   def run(spark: SparkSession,
           spanBlocks: Long = sys.env.get("SPARK_GRAFT_INGEST_SPAN").map(_.toLong).getOrElse(240L),
           perBlockBlocks: Long = sys.env.get("SPARK_GRAFT_INGEST_PERBLOCK").map(_.toLong).getOrElse(6L),
@@ -139,15 +160,22 @@ object IngestBench {
     catchUp(spark, 4L, client, new IngestMetrics)
     headFollow(spark, 2L, client, new IngestMetrics)
 
-    val spanTimes = (1 to trials).map(_ => catchUp(spark, spanBlocks, client,
-      new IngestMetrics)).sorted
+    val spanTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val spanJobs = countingJobs(spark) {
+      (1 to trials).foreach(_ =>
+        spanTimes += catchUp(spark, spanBlocks, client, new IngestMetrics))
+    }
     val histogram = new IngestMetrics // per-block latencies accumulate across trials
-    val blockTimes = (1 to trials).map(_ => headFollow(spark, perBlockBlocks, client,
-      histogram)).sorted
+    val blockTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val blockJobs = countingJobs(spark) {
+      (1 to trials).foreach(_ =>
+        blockTimes += headFollow(spark, perBlockBlocks, client, histogram))
+    }
 
-    def median(xs: Seq[Double]): Double = xs(xs.length / 2)
-    val spanRate  = spanBlocks / median(spanTimes)
-    val blockRate = perBlockBlocks / median(blockTimes)
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+    val spanRate  = spanBlocks / median(spanTimes.toSeq)
+    val blockRate = perBlockBlocks / median(blockTimes.toSeq)
+    val jobsPerBlock = blockJobs.toDouble / (trials * perBlockBlocks)
     val h = histogram.insertBlock
     def f(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val buckets = h.bounds.zip(h.bucketCounts.scanLeft(0L)(_ + _).tail)
@@ -155,8 +183,10 @@ object IngestBench {
     s""""ingest_blocks_per_sec":${f(spanRate)},""" +
       s""""ingest_blocks_per_sec_perblock":${f(blockRate)},""" +
       s""""ingest_span_blocks":$spanBlocks,"ingest_perblock_blocks":$perBlockBlocks,""" +
-      s""""ingest_span_sec":[${spanTimes.map(f).mkString(",")}],""" +
-      s""""ingest_perblock_sec":[${blockTimes.map(f).mkString(",")}],""" +
+      s""""ingest_span_sec":[${spanTimes.sorted.map(f).mkString(",")}],""" +
+      s""""ingest_perblock_sec":[${blockTimes.sorted.map(f).mkString(",")}],""" +
+      s""""ingest_span_jobs":$spanJobs,""" +
+      s""""ingest_perblock_jobs_per_block":${f(jobsPerBlock)},""" +
       s""""insert_block_hist":{"count":${h.count},"avg_sec":${f(
         if (h.count == 0) 0.0 else h.sumSeconds / h.count)},""" +
       s""""min_sec":${f(h.minSeconds)},"max_sec":${f(h.maxSeconds)},$buckets}"""

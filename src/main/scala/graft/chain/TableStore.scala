@@ -28,6 +28,27 @@ import org.apache.spark.sql.types.StructType
   */
 final case class TableStore(spark: SparkSession, root: String, bucketSize: Long = 100000L) {
 
+  /** Driver-side row cache for TINY single-row state tables (head_state,
+    * balance_head, ledger_block): the ingest loop consults them several
+    * times per micro-batch, and each consult is otherwise a full Spark
+    * job over a one-row parquet file. Any write to the table through
+    * THIS store invalidates its entry, so the cache is exactly the
+    * persisted value — the reference holds the same state in memory for
+    * the same reason (its Listen loop's currentHeader). A table written
+    * by another process is out of scope, as it is for every store
+    * mutation (single-writer is the store's contract).
+    */
+  private val rowCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Array[org.apache.spark.sql.Row]]]()
+  private def invalidate(table: String): Unit = rowCache.remove(table)
+
+  /** Collected rows of a tiny state table (None when absent), cached on
+    * the driver until the next write to the table through this store.
+    * Only for tables whose whole content is O(1) rows by construction.
+    */
+  def collectSmall(table: String): Option[Array[org.apache.spark.sql.Row]] =
+    rowCache.computeIfAbsent(table, t => Option(readOr(t, null)).map(_.collect()))
+
   private def dir(table: String): Path = Paths.get(root, table)
   private def bucketDir(table: String, b: Long): Path = Paths.get(root, table, s"bucket=$b")
 
@@ -85,9 +106,21 @@ final case class TableStore(spark: SparkSession, root: String, bucketSize: Long 
     else emptyOf(Option(schema).orElse(rememberedSchema(table)).getOrElse(
       throw new IllegalStateException(s"no schema known for empty table '$table'")))
 
+  /** Open the table with the REMEMBERED schema when one exists: a
+    * schema-less `spark.read.parquet` launches a footer-inference job
+    * before the first real action, and the per-block ingest bracket opens
+    * ~18 tables per block — the sidecar makes those opens job-free.
+    * Partition columns (`bucket=N` dirs) are discovered from the layout
+    * and appended to the user schema by Spark, so bucketed tables read
+    * identically either way.
+    */
+  private def open(path: String, table: String): DataFrame =
+    rememberedSchema(table).fold(spark.read)(s => spark.read.schema(s))
+      .parquet(path)
+
   def readOr(table: String, fallback: => DataFrame): DataFrame =
     if (exists(table)) {
-      val df = spark.read.parquet(dir(table).toString)
+      val df = open(dir(table).toString, table)
       if (df.columns.contains("bucket")) df.drop("bucket") else df
     } else rememberedSchema(table).map(emptyOf).getOrElse(fallback)
 
@@ -97,7 +130,7 @@ final case class TableStore(spark: SparkSession, root: String, bucketSize: Long 
   def readRange(table: String, rangeCol: String, from: Long, to: Long,
                 schema: StructType): DataFrame = {
     if (!exists(table)) return read(table, schema)
-    val df = spark.read.parquet(dir(table).toString)
+    val df = open(dir(table).toString, table)
     val pruned =
       if (df.columns.contains("bucket"))
         df.filter(col("bucket").between(bucketOf(from), bucketOf(to))).drop("bucket")
@@ -107,12 +140,14 @@ final case class TableStore(spark: SparkSession, root: String, bucketSize: Long 
 
   /** Plain append for small non-range tables (reorg audit, head state). */
   def append(table: String, df: DataFrame): Unit = {
+    invalidate(table)
     df.write.mode(SaveMode.Append).parquet(dir(table).toString)
     rememberSchema(table, df.schema)
   }
 
   /** Append into the bucketed layout, bucketed on `rangeCol`. */
   def appendBucketed(table: String, df: DataFrame, rangeCol: String): Unit = {
+    invalidate(table)
     df.withColumn("bucket", floor(col(rangeCol) / bucketSize).cast("long"))
       .write.mode(SaveMode.Append).partitionBy("bucket")
       .parquet(dir(table).toString)
@@ -127,6 +162,7 @@ final case class TableStore(spark: SparkSession, root: String, bucketSize: Long 
     * data, not a derived bucket.
     */
   def appendPartitioned(table: String, df: DataFrame, partCol: String): Unit = {
+    invalidate(table)
     df.write.mode(SaveMode.Append).partitionBy(partCol).parquet(dir(table).toString)
     rememberSchema(table, df.schema)
   }
@@ -136,6 +172,7 @@ final case class TableStore(spark: SparkSession, root: String, bucketSize: Long 
     * O(table).
     */
   def deleteRange(table: String, rangeCol: String, from: Long, to: Long): Unit = {
+    invalidate(table)
     if (!exists(table)) return
     (bucketOf(from) to bucketOf(to)).foreach { b =>
       val bd = bucketDir(table, b)
@@ -145,9 +182,17 @@ final case class TableStore(spark: SparkSession, root: String, bucketSize: Long 
         if (from <= bucketLo && bucketHi <= to) {
           deleteRecursive(bd) // fully covered: directory delete, no rewrite
         } else {
-          val keep = spark.read.parquet(bd.toString)
-            .filter(!col(rangeCol).between(from, to))
-          swapInto(bd, keep)
+          // probe before rewriting: the replay-idempotent delete-then-
+          // append bracket deletes a range that on the HAPPY path has no
+          // rows yet, and unconditionally rewriting would copy the whole
+          // (growing) edge bucket once per block — O(bucket) per block,
+          // quadratic over a bucket's lifetime. The probe is one row-
+          // group-stat-pruned limit-1 job; only an actual replay/reorg
+          // pays the rewrite. Files inside `bucket=N` carry the pre-
+          // bucket schema, which is exactly the remembered sidecar.
+          val bucket = open(bd.toString, table)
+          if (!bucket.filter(col(rangeCol).between(from, to)).isEmpty)
+            swapInto(bd, bucket.filter(!col(rangeCol).between(from, to)))
         }
       }
     }
@@ -160,6 +205,7 @@ final case class TableStore(spark: SparkSession, root: String, bucketSize: Long 
     * the write lands in a sibling tmp dir before the swap.
     */
   def replace(table: String, df: DataFrame): Unit = {
+    invalidate(table)
     val schema = df.schema // capture BEFORE the swap deletes the old dir
     swapInto(dir(table), df)
     rememberSchema(table, schema)
@@ -171,14 +217,21 @@ final case class TableStore(spark: SparkSession, root: String, bucketSize: Long 
     * plan ever re-reads a directory that was already swapped under it.
     */
   def replaceAll(tables: Seq[(String, DataFrame)]): Unit = {
+    tables.foreach { case (t, _) => invalidate(t) }
+    // stage CONCURRENTLY (independent tmp dirs, every plan reads only OLD
+    // files — see Par's contract); promote strictly in caller order: the
+    // crash-recovery protocol depends on the FIRST table (ledger marker)
+    // being visible before any state dir swaps
     val staged = tables.map { case (t, df) =>
       val target = dir(t)
       val tmp    = target.resolveSibling("." + target.getFileName.toString + "_tmp")
+      (t, df, target, tmp)
+    }
+    Par.run(staged.map { case (_, df, _, tmp) => () => {
       deleteRecursive(tmp)
       df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      (t, target, tmp)
-    }
-    staged.foreach { case (t, target, tmp) =>
+    }})
+    staged.foreach { case (t, _, target, tmp) =>
       promote(target, tmp)
       refresh(t)
     }
@@ -191,6 +244,7 @@ final case class TableStore(spark: SparkSession, root: String, bucketSize: Long 
     * pay nothing for it.
     */
   def drop(table: String): Unit = {
+    invalidate(table)
     deleteRecursive(dir(table))
     refresh(table)
   }

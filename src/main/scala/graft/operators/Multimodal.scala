@@ -130,22 +130,142 @@ object Multimodal {
         (ny * patchSize - col("meta.height")).as("pad_y"))
   }
 
-  /** Resize seam: a real deployment decodes, scales, re-encodes per
-    * partition (codec initialized once); the stub rewrites the metadata and
-    * keeps the payload, exercising the identical mapPartitions plumbing.
+  /** Resize seam over the asset contract. Decodable rasters (uncompressed
+    * 24-bit BMP, 8-bit truecolor PNG) get a REAL nearest-neighbor resize:
+    * decode → integer NN resample → re-encode as uncompressed BMP, with
+    * the meta struct updated to the actual output geometry. Payloads no
+    * decoder here understands (jpeg/mp3/h264 — their codecs are not in
+    * this container) fall through to the stub path: metadata rewrite only,
+    * payload untouched. Either way the shape is the per-partition
+    * mapPartitions seam a real codec plugs into.
     */
-  def resizeStub(spark: SparkSession, assets: DataFrame, width: Int, height: Int): DataFrame = {
+  def resizeAssets(spark: SparkSession, assets: DataFrame, width: Int, height: Int): DataFrame = {
     val schema     = assets.schema
     val payloadIdx = schema.fieldIndex("payload")
     val metaIdx    = schema.fieldIndex("meta")
     assets.mapPartitions { rows =>
-      // per-partition codec init would happen here (??? <- real resize)
       rows.map { r =>
-        val meta = r.getStruct(metaIdx)
-        val newMeta = Row(meta.get(0), width, height, meta.get(3))
-        Row.fromSeq(r.toSeq.updated(metaIdx, newMeta))
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        decodeRgb(payload) match {
+          case Some((w, h, rgb)) =>
+            val out = encodeBmpRgb(nnResample(rgb, w, h, width, height), width, height)
+            val newMeta = Row(out.length, width, height, 3)
+            Row.fromSeq(r.toSeq.updated(payloadIdx, out).updated(metaIdx, newMeta))
+          case None =>
+            // ??? <- compressed-codec decode+resize goes here; stub instead:
+            val meta = r.getStruct(metaIdx)
+            val newMeta = Row(meta.get(0), width, height, meta.get(3))
+            Row.fromSeq(r.toSeq.updated(metaIdx, newMeta))
+        }
       }
     }(Encoders.row(schema))
+  }
+
+  /** The historical stub-only face of the resize seam (metadata rewrite,
+    * payload untouched) — now just [[resizeAssets]], whose stub branch is
+    * what this always did for payloads without a real decoder.
+    */
+  def resizeStub(spark: SparkSession, assets: DataFrame, width: Int, height: Int): DataFrame =
+    resizeAssets(spark, assets, width, height)
+
+  /** Decode any supported raster payload to TOP-DOWN row-major RGB bytes:
+    * tries BMP (stored bottom-up BGR — flipped and swizzled here) then PNG
+    * (already top-down RGB). Returns (width, height, rgb).
+    */
+  def decodeRgb(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    val asBmp = decodeBmpRgb(payload).map { bmp =>
+      val (w, h) = (bmp.width, bmp.height)
+      val rgb = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val (b, g, r) = bmp.pixels((h - 1 - y) * w + x) // stored row h-1-y = image row y
+          val d = (y * w + x) * 3
+          rgb(d) = r.toByte; rgb(d + 1) = g.toByte; rgb(d + 2) = b.toByte
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, rgb)
+    }
+    asBmp.orElse(decodePngRgb(payload).map(p => (p.width, p.height, p.pixels)))
+  }
+
+  /** Integer nearest-neighbor resample of a top-down RGB buffer: target
+    * pixel (x, y) reads source (x·srcW DIV dstW, y·srcH DIV dstH) — the
+    * floor-division convention every oracle mirror can restate exactly.
+    */
+  private[operators] def nnResample(src: Array[Byte], srcW: Int, srcH: Int,
+                                    dstW: Int, dstH: Int): Array[Byte] = {
+    require(dstW > 0 && dstH > 0, "target dimensions must be positive")
+    val out = new Array[Byte](dstW * dstH * 3)
+    var y = 0
+    while (y < dstH) {
+      val sy = (y.toLong * srcH / dstH).toInt
+      var x = 0
+      while (x < dstW) {
+        val sx = (x.toLong * srcW / dstW).toInt
+        val s = (sy * srcW + sx) * 3
+        val d = (y * dstW + x) * 3
+        out(d) = src(s); out(d + 1) = src(s + 1); out(d + 2) = src(s + 2)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Encode a top-down RGB buffer as an uncompressed 24-bit BI_RGB BMP —
+    * bottom-up rows, BGR order, 4-byte row padding: the exact layout
+    * [[decodeBmpRgb]]/[[bmpPixelStats]] parse, so resize output feeds
+    * straight back into the decode family.
+    */
+  def encodeBmpRgb(rgb: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"rgb buffer ${rgb.length} != ${w}x$h*3")
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val out = new Array[Byte](54 + rowSize * h)
+    val hdr = bmpHeaderHex(w, h)
+    var i = 0
+    while (i < 54) {
+      out(i) = Integer.parseInt(hdr.substring(2 * i, 2 * i + 2), 16).toByte
+      i += 1
+    }
+    var y = 0
+    while (y < h) {
+      val base = 54 + (h - 1 - y) * rowSize
+      var x = 0
+      while (x < w) {
+        val s = (y * w + x) * 3
+        val d = base + x * 3
+        out(d) = rgb(s + 2); out(d + 1) = rgb(s + 1); out(d + 2) = rgb(s)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Slim (id, payload) face of the real resize — decode, NN-resample,
+    * re-encode as BMP; payloads that don't decode become null payloads
+    * (counted invalid downstream, never dropped). The m8 oracle runs
+    * [[bmpPixelStats]] over this output.
+    */
+  def resizeRgbNearest(df: DataFrame, idCol: String, payloadCol: String,
+                       dstW: Int, dstH: Int): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx  = df.schema.fieldIndex(payloadCol)
+    val outSchema = StructType(Seq(
+      StructField(idCol, df.schema(idIdx).dataType, nullable = false),
+      StructField(payloadCol, BinaryType, nullable = true)))
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val resized = decodeRgb(r.getAs[Array[Byte]](pIdx)).map { case (w, h, rgb) =>
+          encodeBmpRgb(nnResample(rgb, w, h, dstW, dstH), dstW, dstH)
+        }
+        Row(r.get(idIdx), resized.orNull)
+      }
+    }(Encoders.row(outSchema))
   }
 
   // ---- Real RIFF/WAV PCM decode --------------------------------------

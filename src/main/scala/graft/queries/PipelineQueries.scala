@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{Curation, Dedup, Jpeg, Multimodal, Similarity, TextOps}
 import graft.sources.Tables
 
 /** Training-data pipeline operators over documents/embeddings: dedup,
@@ -1163,6 +1163,38 @@ object PipelineQueries {
       m7Sql
     ),
 
+    // M8 — REAL nearest-neighbor resize behind the multimodal seam: the
+    // synthesized 3×4 BMP decodes, NN-resamples to 2×2 (integer floor-
+    // division sampling), re-encodes as BMP, and the column-expression BMP
+    // parser reads the RESULT — so the oracle checks decode → resample →
+    // encode → decode end-to-end. The expected means come from the md5
+    // data hex directly: target (x,y) reads source (x·3 DIV 2, y·4 DIV 2),
+    // addressed through the padded bottom-up stride.
+    "m8_resize_nearest" -> QueryDef.sql(
+      (s, d) => Multimodal.bmpPixelStats(
+          Multimodal.resizeRgbNearest(
+            Multimodal.synthBmp(Tables(s, d).documents, "doc_id", "text"),
+            "doc_id", "payload", dstW = 2, dstH = 2),
+          idCol = "doc_id", payloadCol = "payload", maxPixels = 64)
+        .orderBy("doc_id"),
+      m8Sql
+    ),
+
+    // M9 — REAL baseline JPEG decode: marker walk, canonical Huffman
+    // (both Annex-K tables), DC prediction across blocks, dequant, full
+    // 2-D IDCT, entropy byte-unstuffing. The synth pins the input to the
+    // codec's lossless subspace (flat 8×8 blocks, flat-8 quant table →
+    // DC quantizes exactly), so the oracle derives the expected gray
+    // statistics straight from the md5 level stream — while the decoder
+    // still runs the full transform-decode path to recover them.
+    "m9_jpeg_decode" -> QueryDef.sql(
+      (s, d) => Jpeg.jpegPixelStats(
+          Jpeg.synthJpeg(Tables(s, d).documents, "doc_id", "text"),
+          idCol = "doc_id", payloadCol = "payload")
+        .orderBy("doc_id"),
+      m9Sql
+    ),
+
     // D11 — duplicate-cluster size histogram: the release-report telemetry
     // for how duplicated the corpus is (singletons included) and how much
     // a keep-one pass removes. Same CC closure as d6/d10, two more aggs.
@@ -1476,6 +1508,57 @@ object PipelineQueries {
        |   ${mean(0)} AS mean_r, ${mean(1)} AS mean_g, ${mean(2)} AS mean_b
        | FROM phex ORDER BY doc_id""".stripMargin
   }
+
+  /** The m8 oracle: NN resize of the 3×4 synth BMP to 2×2, restated over
+    * the md5 data hex. Target image pixel (x, y) samples source image
+    * pixel (x·3 DIV 2, y·4 DIV 2); source image row y lives in stored
+    * bottom-up row 3−y, so its channel byte sits at 1-based data position
+    * (3−y)·12 + x·3 + ch + 1 (rowSize 12 = 9 pixel bytes + 3 padding).
+    * The output BMP is 2×2 (rowSize 8, 4 pixels, all under the 64-pixel
+    * cap), and integer sums of ≤4 bytes divide exactly by 4.0.
+    */
+  private def m8Sql: String = {
+    val (srcW, srcH, dstW, dstH, rowSize) = (3, 4, 2, 2, 12)
+    def positions(ch: Int): Seq[Int] =
+      for (y <- 0 until dstH; x <- 0 until dstW) yield {
+        val sy = y * srcH / dstH
+        val sx = x * srcW / dstW
+        (srcH - 1 - sy) * rowSize + sx * 3 + ch + 1
+      }
+    def mean(ch: Int) =
+      s"""round((${positions(ch).map(p => s"(${hexByteAt(p.toString)})").mkString(" + ")})
+         |    / ${dstW * dstH}.0, 6)""".stripMargin
+    s"""WITH phex AS (SELECT doc_id,
+       |    md5(text || 'b0') || md5(text || 'b1') || md5(text || 'b2') AS h
+       |  FROM documents)
+       | SELECT doc_id, CAST(1 AS INTEGER) AS valid,
+       |   CAST($dstW AS BIGINT) AS width, CAST($dstH AS BIGINT) AS height,
+       |   CAST(24 AS BIGINT) AS bpp,
+       |   CAST(${(dstW * 3 + 3) / 4 * 4} AS BIGINT) AS row_size,
+       |   CAST(${dstW * dstH} AS BIGINT) AS n_pixels,
+       |   ${mean(0)} AS mean_b, ${mean(1)} AS mean_g, ${mean(2)} AS mean_r
+       | FROM phex ORDER BY doc_id""".stripMargin
+  }
+
+  /** The m9 oracle: the synth JPEG's nine 8×8 blocks carry flat gray
+    * levels = the first 9 bytes of md5(text ‖ 'j0'), and the flat-8 quant
+    * table makes the DC path exactly lossless — so the decoded 24×24
+    * image is 64 copies of each level and the statistics restate directly
+    * over the md5 hex. The mean divides the integer pixel sum by 576 in
+    * the same association the Scala side uses (sum·64 / 576).
+    */
+  private def m9Sql: String =
+    s"""WITH phex AS (SELECT doc_id, md5(text || 'j0') AS h FROM documents),
+       | levels AS (SELECT doc_id,
+       |    list_transform(range(0, 9), i -> ${hexByteAt("i + 1")}) AS ls FROM phex)
+       | SELECT doc_id, CAST(1 AS INTEGER) AS valid,
+       |   CAST(24 AS BIGINT) AS width, CAST(24 AS BIGINT) AS height,
+       |   CAST(1 AS INTEGER) AS components, CAST(576 AS BIGINT) AS n_pixels,
+       |   round(CAST(list_reduce(ls, (a, b) -> a + b) * 64 AS DOUBLE) / 576.0, 6)
+       |     AS mean_gray,
+       |   CAST(list_min(ls) AS INTEGER) AS min_gray,
+       |   CAST(list_max(ls) AS INTEGER) AS max_gray
+       | FROM levels ORDER BY doc_id""".stripMargin
 
   /** SQL mirror of PqEncode.codeWeight's argmin for subspace m over the
     * `embedding` column: lexicographic list_min over [distance, j] pairs —

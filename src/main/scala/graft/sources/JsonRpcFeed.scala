@@ -13,6 +13,19 @@ import graft.streaming.HeadSubscription
   * re-expressed as poll-the-head (works against any plain HTTP endpoint; a
   * push subscription is strictly an optimization of the same seam).
   *
+  * MULTI-ENDPOINT: the reference subscribes through a multi-node client
+  * and rebinds its RPC affinity to whichever node delivered the latest
+  * header (client/subscriber.go:28-31, service/indexer/indexer.go:148) —
+  * the node that announced a block provably has it, while a lagging peer
+  * may serve `null` for the same height. This adapter carries the same
+  * notion: `endpoints` is an ordered set of equivalent nodes, every RPC
+  * goes to the current AFFINITY endpoint, a transport failure fails over
+  * to the next node (sticky — the survivor keeps the affinity), and the
+  * push face rebinds affinity to the node whose subscription stream
+  * delivered the head. RPC-level errors (the node answered with an
+  * `error` member) do NOT fail over: the node is alive and the request
+  * itself is bad — retrying it elsewhere would just duplicate the error.
+  *
   * Per new height the adapter issues the same per-block side-fetches the
   * reference's indexer does before inserting
   * (service/indexer/indexer.go:443-467):
@@ -34,8 +47,27 @@ import graft.streaming.HeadSubscription
   * geth-style 0x-hex; wei values parse to decimal strings, never through a
   * Long.
   */
-class JsonRpcFeed(endpoint: String, startBlock: Long = 1L,
-                  httpTimeoutMs: Int = 30000) extends HeadSubscription {
+class JsonRpcFeed(endpoints: Seq[String], startBlock: Long,
+                  httpTimeoutMs: Int) extends HeadSubscription {
+  require(endpoints.nonEmpty, "at least one endpoint required")
+
+  def this(endpoint: String, startBlock: Long = 1L, httpTimeoutMs: Int = 30000) =
+    this(Seq(endpoint), startBlock, httpTimeoutMs)
+
+  /** Index of the endpoint currently holding RPC affinity. Volatile, not
+    * locked: a race between a failover and a rebind settles on SOME live
+    * node either way, and every call re-reads it.
+    */
+  @volatile private var affinity: Int = 0
+
+  /** The endpoint RPCs currently go to — observable for tests/telemetry. */
+  def activeEndpoint: String = endpoints(affinity)
+
+  /** Rebind RPC affinity to endpoint `i` — the push face calls this with
+    * the index of the node whose stream delivered a head.
+    */
+  protected def rebindTo(i: Int): Unit =
+    if (i >= 0 && i < endpoints.size) affinity = i
 
   private val mapper = new ObjectMapper
   private val buf = mutable.ArrayBuffer.empty[Bundle]
@@ -123,12 +155,37 @@ class JsonRpcFeed(endpoint: String, startBlock: Long = 1L,
 
   // ---- RPC transport ---------------------------------------------------
 
+  /** One RPC with failover: try the affinity endpoint, then the others in
+    * ring order. A transport failure (connect/read — the node is down or
+    * unreachable) moves on and, on success elsewhere, REBINDS affinity to
+    * the survivor so subsequent calls skip the dead node; when every
+    * endpoint fails the last transport error propagates. An RPC-level
+    * `error` response throws immediately without failover (see class doc).
+    */
   private def call(method: String, params: JsonNode*): JsonNode = {
     val req = mapper.createObjectNode()
     req.put("jsonrpc", "2.0").put("id", 1).put("method", method)
     val arr = req.putArray("params")
     params.foreach(arr.add)
     val body = mapper.writeValueAsBytes(req)
+    val start = affinity
+    var lastTransport: java.io.IOException = null
+    var attempt = 0
+    while (attempt < endpoints.size) {
+      val i = (start + attempt) % endpoints.size
+      try {
+        val result = callOne(endpoints(i), method, body)
+        if (i != affinity) affinity = i
+        return result
+      } catch {
+        case e: java.io.IOException => lastTransport = e // dead node: next
+      }
+      attempt += 1
+    }
+    throw lastTransport
+  }
+
+  private def callOne(endpoint: String, method: String, body: Array[Byte]): JsonNode = {
     val conn = URI.create(endpoint).toURL.openConnection().asInstanceOf[HttpURLConnection]
     try {
       conn.setRequestMethod("POST")

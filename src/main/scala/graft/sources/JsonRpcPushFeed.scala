@@ -24,14 +24,29 @@ import java.nio.charset.StandardCharsets
   * On stream drop the subscriber thread reconnects after `reconnectMs`;
   * the server replaying its current head on (re)connect (as the stub and
   * any sane gateway do) makes the catch-up pull immediate.
+  *
+  * MULTI-NODE: one subscription stream per node, and a head delivered by
+  * stream `i` REBINDS RPC affinity to node `i` before pulling — the
+  * reference's multiclient affinity rule (the node that announced the
+  * header serves the fetches; a peer that hasn't seen the block yet
+  * can't return `null` into the ingest path). A node whose stream drops
+  * just reconnects on its own schedule; heads keep flowing from the
+  * others, and the duplicate announcements the healthy nodes produce are
+  * no-ops against the shared cursor.
   */
-final class JsonRpcPushFeed(endpoint: String, subscribeUrl: String,
-                            startBlock: Long = 1L,
-                            httpTimeoutMs: Int = 30000,
-                            reconnectMs: Long = 200L)
-    extends JsonRpcFeed(endpoint, startBlock, httpTimeoutMs) {
+final class JsonRpcPushFeed(endpoints: Seq[String], subscribeUrls: Seq[String],
+                            startBlock: Long,
+                            httpTimeoutMs: Int,
+                            reconnectMs: Long)
+    extends JsonRpcFeed(endpoints, startBlock, httpTimeoutMs) {
+  require(subscribeUrls.size == endpoints.size,
+    "one subscribe URL per RPC endpoint (index-aligned)")
 
-  @volatile private var subThread: Option[Thread] = None
+  def this(endpoint: String, subscribeUrl: String, startBlock: Long = 1L,
+           httpTimeoutMs: Int = 30000, reconnectMs: Long = 200L) =
+    this(Seq(endpoint), Seq(subscribeUrl), startBlock, httpTimeoutMs, reconnectMs)
+
+  @volatile private var subThreads: List[Thread] = Nil
 
   /** Parse a notification line; malformed lines (keep-alive comments,
     * partial writes at disconnect) are skipped, not fatal.
@@ -41,12 +56,13 @@ final class JsonRpcPushFeed(endpoint: String, subscribeUrl: String,
     m.map(g => java.lang.Long.parseLong(g.group(1), 16))
   }
 
-  /** One subscription connection: block on the chunked stream, pull on
-    * every head. Returns when the server closes the stream; throws on
-    * transport errors — the daemon loop handles both by reconnecting.
+  /** One subscription connection against node `node`: block on the
+    * chunked stream; every head rebinds affinity to `node` and pulls.
+    * Returns when the server closes the stream; throws on transport
+    * errors — the daemon loop handles both by reconnecting.
     */
-  private[sources] def subscribeOnce(): Unit = {
-    val conn = URI.create(subscribeUrl).toURL.openConnection().asInstanceOf[HttpURLConnection]
+  private[sources] def subscribeOnce(node: Int = 0): Unit = {
+    val conn = URI.create(subscribeUrls(node)).toURL.openConnection().asInstanceOf[HttpURLConnection]
     try {
       conn.setRequestMethod("GET")
       conn.setConnectTimeout(httpTimeoutMs)
@@ -55,33 +71,42 @@ final class JsonRpcPushFeed(endpoint: String, subscribeUrl: String,
         new InputStreamReader(conn.getInputStream, StandardCharsets.UTF_8))
       var line = rd.readLine()
       while (line != null && !Thread.currentThread().isInterrupted) {
-        headNumber(line).foreach(h => withPollLock(pullUpTo(h)))
+        headNumber(line).foreach { h =>
+          withPollLock {
+            // affinity follows delivery: THIS node announced the head, so
+            // THIS node serves the block/receipt fetches behind the pull
+            rebindTo(node)
+            pullUpTo(h)
+          }
+        }
         line = rd.readLine()
       }
     } finally conn.disconnect()
   }
 
-  /** Background daemon subscriber — production mode, the push analogue of
-    * [[JsonRpcFeed.startPolling]].
+  /** Background daemon subscribers, one per node — production mode, the
+    * push analogue of [[JsonRpcFeed.startPolling]].
     */
   def startSubscription(): Unit = synchronized {
-    if (subThread.isEmpty) {
-      val t = new Thread(() => {
-        while (!Thread.currentThread().isInterrupted) {
-          try subscribeOnce()
-          catch { case _: Exception => () } // dropped stream → reconnect
-          try Thread.sleep(reconnectMs)
-          catch { case _: InterruptedException => Thread.currentThread().interrupt() }
-        }
-      }, "jsonrpc-feed-subscribe")
-      t.setDaemon(true)
-      t.start()
-      subThread = Some(t)
+    if (subThreads.isEmpty) {
+      subThreads = subscribeUrls.indices.map { node =>
+        val t = new Thread(() => {
+          while (!Thread.currentThread().isInterrupted) {
+            try subscribeOnce(node)
+            catch { case _: Exception => () } // dropped stream → reconnect
+            try Thread.sleep(reconnectMs)
+            catch { case _: InterruptedException => Thread.currentThread().interrupt() }
+          }
+        }, s"jsonrpc-feed-subscribe-$node")
+        t.setDaemon(true)
+        t.start()
+        t
+      }.toList
     }
   }
 
   def stopSubscription(): Unit = synchronized {
-    subThread.foreach(_.interrupt())
-    subThread = None
+    subThreads.foreach(_.interrupt())
+    subThreads = Nil
   }
 }

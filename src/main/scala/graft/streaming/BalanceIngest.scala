@@ -59,12 +59,12 @@ object BalanceIngest {
     * store/store.go:129-147).
     */
   def processedThrough(store: TableStore): Option[Long] =
-    Option(store.readOr(BalanceHeadTable, null))
-      .flatMap(_.collect().headOption.map(_.getAs[Long]("number")))
+    store.collectSmall(BalanceHeadTable)
+      .flatMap(_.headOption.map(_.getAs[Long]("number")))
 
   private def ledgerBlock(store: TableStore): Option[Long] =
-    Option(store.readOr(LedgerBlockTable, null))
-      .flatMap(_.collect().headOption.map(_.getAs[Long]("number")))
+    store.collectSmall(LedgerBlockTable)
+      .flatMap(_.headOption.map(_.getAs[Long]("number")))
 
   /** Load compact state; absent tables mean a fresh ledger. */
   def loadState(spark: SparkSession, store: TableStore): BalanceLedger.State = {
@@ -291,20 +291,22 @@ object BalanceIngest {
       }
 
       // replay-idempotent bracket (same as ChainIngest.appendChunk): a
-      // reprocessed block rewrites its rows instead of duplicating them
-      Seq(AccountsTable, TotalsTable, MatchedTable)
-        .foreach(t => store.deleteRange(t, "block_number", n, n))
+      // reprocessed block rewrites its rows instead of duplicating them;
+      // distinct tables → both phases run concurrently (Par)
+      Par.run(Seq(AccountsTable, TotalsTable, MatchedTable)
+        .map(t => () => store.deleteRange(t, "block_number", n, n)))
 
       val accRows = out.newAccounts
         .select("token", "address", "block_number", "balance", "group")
-      store.appendBucketed(AccountsTable,
-        seeds.fold(accRows)(s => accRows.unionByName(s._1)), "block_number")
-      store.appendBucketed(TotalsTable,
-        seeds.fold(out.totalBalances)(s => out.totalBalances.unionByName(s._2)),
-        "block_number")
-      store.appendBucketed(MatchedTable,
-        out.matchedTransfers.select("token", "from", "to", "value", "block_number"),
-        "block_number")
+      Par.run(Seq(
+        () => store.appendBucketed(AccountsTable,
+          seeds.fold(accRows)(s => accRows.unionByName(s._1)), "block_number"),
+        () => store.appendBucketed(TotalsTable,
+          seeds.fold(out.totalBalances)(s => out.totalBalances.unionByName(s._2)),
+          "block_number"),
+        () => store.appendBucketed(MatchedTable,
+          out.matchedTransfers.select("token", "from", "to", "value", "block_number"),
+          "block_number")))
 
       // persist state FIRST (atomic swap also truncates plan lineage) —
       // `next`'s plans still read the un-flipped subscriptions table
@@ -478,14 +480,16 @@ object BalanceIngest {
         resolved.select("block_number", "address").distinct().count() / (hi - lo + 1))
     }
 
-    // replay-idempotent bracket over the whole span
-    Seq(AccountsTable, TotalsTable, MatchedTable)
-      .foreach(t => store.deleteRange(t, "block_number", lo, hi))
-    store.appendBucketed(AccountsTable,
-      snaps.select("token", "address", "block_number", "balance", "group"), "block_number")
-    store.appendBucketed(TotalsTable, totals, "block_number")
-    store.appendBucketed(MatchedTable,
-      matched.select("token", "from", "to", "value", "block_number"), "block_number")
+    // replay-idempotent bracket over the whole span; distinct tables →
+    // both phases run concurrently (Par)
+    Par.run(Seq(AccountsTable, TotalsTable, MatchedTable)
+      .map(t => () => store.deleteRange(t, "block_number", lo, hi)))
+    Par.run(Seq(
+      () => store.appendBucketed(AccountsTable,
+        snaps.select("token", "address", "block_number", "balance", "group"), "block_number"),
+      () => store.appendBucketed(TotalsTable, totals, "block_number"),
+      () => store.appendBucketed(MatchedTable,
+        matched.select("token", "from", "to", "value", "block_number"), "block_number")))
 
     val next = BalanceLedger.State(
       latestAccounts = BalanceLedger.upsert(state0.latestAccounts,
@@ -513,8 +517,8 @@ object BalanceIngest {
     */
   def retract(spark: SparkSession, store: TableStore, from: Long, to: Long): Unit = {
     import spark.implicits._
-    Seq(AccountsTable, TotalsTable, MatchedTable)
-      .foreach(t => store.deleteRange(t, "block_number", from, to))
+    Par.run(Seq(AccountsTable, TotalsTable, MatchedTable)
+      .map(t => () => store.deleteRange(t, "block_number", from, to)))
     val subs = store.readOr(SubsTable, null)
     if (subs != null) {
       store.replace(SubsTable, subs.withColumn("block_number",

@@ -85,7 +85,9 @@ object ChainIngest {
     */
   def loadHead(store: TableStore): Option[Head] =
     if (store.exists(HeadTable)) {
-      store.readOr(HeadTable, null).collect().headOption.map { r =>
+      // driver-cached single-row read: the loop consults the head several
+      // times per micro-batch (ingest entry + every composed consumer)
+      store.collectSmall(HeadTable).flatMap(_.headOption).map { r =>
         Head(r.getAs[Long]("number"), r.getAs[Array[Byte]]("hash").toSeq,
           BigInt(r.getAs[String]("td")))
       }
@@ -481,31 +483,37 @@ object ChainIngest {
     import spark.implicits._
     val lo = tds.map(_._1).min
     val hi = tds.map(_._1).max
-    store.deleteRange(HeadersTable, "number", lo, hi)
-    Seq(TxTable, ReceiptsTable, LogsTable, TransfersTable)
-      .foreach(t => store.deleteRange(t, "block_number", lo, hi))
-    store.deleteRange(TdTable, "block", lo, hi)
+    // the six tables are independent of each other; only the per-table
+    // delete-before-append order matters, so each bracket runs as two
+    // concurrent phases (Par overlaps the serial job-launch latency that
+    // otherwise dominates a small chunk)
+    Par.run(
+      (() => store.deleteRange(HeadersTable, "number", lo, hi)) +:
+      Seq(TxTable, ReceiptsTable, LogsTable, TransfersTable)
+        .map(t => () => store.deleteRange(t, "block_number", lo, hi)) :+
+      (() => store.deleteRange(TdTable, "block", lo, hi)))
 
     val blocks       = slice.select("block.*")
     val receipts     = slice.select(explode(col("receipts")).as("r")).select("r.*")
     val transferLogs = slice.select(explode(col("transferLogs")).as("t")).select("t.*")
 
-    store.appendBucketed(HeadersTable, Transforms.blockHeaders(blocks), "number")
-    store.appendBucketed(TxTable, Transforms.transactions(blocks), "block_number")
-    store.appendBucketed(ReceiptsTable, Transforms.transactionReceipts(receipts), "block_number")
-    val logs = Transforms.receiptLogs(receipts)
-    store.appendBucketed(LogsTable, logs, "block_number")
-
+    val logs    = Transforms.receiptLogs(receipts)
     val eth     = Transforms.ethTransfers(transferLogs)
     val erc20   = Transforms.erc20Transfers(logs, tokens)
     val rewards = Transforms.rewardTransfers(blocks)
-    store.appendBucketed(TransfersTable, Transforms.allTransfers(eth, erc20, rewards),
-      "block_number")
-
     val tdDf = tds.map { case (n, h, td) => (n, h.toArray, td.toString) }
       .toDF("block", "hash", "td")
       .select(col("block"), col("hash"), col("td").cast(Rewards.wei).as("td"))
-    store.appendBucketed(TdTable, tdDf, "block")
+
+    Par.run(Seq(
+      () => store.appendBucketed(HeadersTable, Transforms.blockHeaders(blocks), "number"),
+      () => store.appendBucketed(TxTable, Transforms.transactions(blocks), "block_number"),
+      () => store.appendBucketed(ReceiptsTable, Transforms.transactionReceipts(receipts),
+        "block_number"),
+      () => store.appendBucketed(LogsTable, logs, "block_number"),
+      () => store.appendBucketed(TransfersTable, Transforms.allTransfers(eth, erc20, rewards),
+        "block_number"),
+      () => store.appendBucketed(TdTable, tdDf, "block")))
   }
 
   /** Wire the ingest DAG as a streaming query over a bundle stream.

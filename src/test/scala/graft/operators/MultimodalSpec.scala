@@ -52,6 +52,57 @@ class MultimodalSpec extends SparkSpec {
     assert(metas(1L)._3 == 6) // untouched fields carry through
   }
 
+  test("nearest-neighbor resize: decode → resample → BMP re-encode roundtrips") {
+    // identity resize preserves every pixel through the full codec loop
+    val srcBmp = {
+      val rgb = Array.tabulate(3 * 4 * 3)(i => (i * 7 + 3).toByte)
+      Multimodal.encodeBmpRgb(rgb, 3, 4)
+    }
+    val Some((w0, h0, rgb0)) = Multimodal.decodeRgb(srcBmp)
+    assert((w0, h0) == ((3, 4)))
+    val idBmp = Multimodal.encodeBmpRgb(
+      Multimodal.nnResample(rgb0, 3, 4, 3, 4), 3, 4)
+    assert(idBmp.toSeq == srcBmp.toSeq, "identity resize must be byte-identical")
+
+    // 2×2 downsample picks source pixels (0,0) (1,0) (0,2) (1,2)
+    val Some((_, _, small)) = Multimodal.decodeRgb(
+      Multimodal.encodeBmpRgb(Multimodal.nnResample(rgb0, 3, 4, 2, 2), 2, 2))
+    def srcPix(x: Int, y: Int): Seq[Byte] =
+      rgb0.slice((y * 3 + x) * 3, (y * 3 + x) * 3 + 3).toSeq
+    assert(small.toSeq.grouped(3).toSeq ==
+      Seq(srcPix(0, 0), srcPix(1, 0), srcPix(0, 2), srcPix(1, 2)))
+
+    // the distributed face: synth BMP through resizeRgbNearest, then the
+    // column-expression parser reads the re-encoded result
+    val docs = Seq((1L, "hello resize world")).toDF("doc_id", "text")
+    val out = Multimodal.bmpPixelStats(
+      Multimodal.resizeRgbNearest(
+        Multimodal.synthBmp(docs, "doc_id", "text"), "doc_id", "payload", 2, 2),
+      idCol = "doc_id", payloadCol = "payload", maxPixels = 64).head()
+    assert(out.getAs[Int]("valid") == 1)
+    assert(out.getAs[Long]("width") == 2L && out.getAs[Long]("height") == 2L)
+    assert(out.getAs[Long]("n_pixels") == 4L)
+
+    // PNG decodes through the same seam and arrives as a BMP payload
+    val png = Multimodal.synthPngBytes("resize me", 5, 5)
+    val Some((pw, ph, prgb)) = Multimodal.decodeRgb(png)
+    assert((pw, ph) == ((5, 5)))
+    val Some((rw, rh, rrgb)) = Multimodal.decodeRgb(
+      Multimodal.encodeBmpRgb(Multimodal.nnResample(prgb, 5, 5, 2, 2), 2, 2))
+    assert((rw, rh) == ((2, 2)))
+    assert(rrgb.toSeq.take(3) == prgb.toSeq.take(3), "target (0,0) samples source (0,0)")
+
+    // resizeAssets: decodable payloads really resize (payload + meta move)
+    val assets = Multimodal.toAssets(
+      Seq((7L, Multimodal.synthPngBytes("asset", 5, 5))).toDF("id", "blob"),
+      "id", "blob", "image")
+    val ra = Multimodal.resizeAssets(spark, assets, 2, 2).head()
+    val meta = ra.getStruct(ra.fieldIndex("meta"))
+    assert(meta.getInt(1) == 2 && meta.getInt(2) == 2 && meta.getInt(3) == 3)
+    assert(Multimodal.decodeBmpRgb(ra.getAs[Array[Byte]]("payload")).exists(b =>
+      b.width == 2 && b.height == 2))
+  }
+
   test("patchGrid tiles images into padded patch multiples") {
     val assets = Seq((1L, 33, 16), (2L, 16, 16), (3L, 0, 10)).toDF("asset_id", "w", "h")
       .select(col("asset_id"), struct(lit(0).as("byte_len"), col("w").as("width"),

@@ -231,6 +231,47 @@ class PlanContractSpec extends SparkSpec {
     assert(count(plan, "CartesianProduct") == 0)
   }
 
+  test("materialized cluster labels: consumer faces re-read parquet, never re-winnow") {
+    // the compute-once contract behind d6/d10/d11 at 100 TB: after
+    // materializeClusters persists the labeling artifact, every consumer
+    // face must plan as (labels parquet scan + its own small aggregation/
+    // join) — the winnow machinery (shingle explode → Generate, fingerprint
+    // buckets, CC propagation) must appear in NO face plan. A face that
+    // silently recomputed the labeling would re-run hours of work per
+    // telemetry query.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val store = graft.chain.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-labels").toString)
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger
+    val counter = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobCount.incrementAndGet(): Unit
+    }
+    val labels = graft.operators.Dedup.materializeClusters(store, docs, "doc_id", "text",
+      extraCols = Seq("n_chars"))
+    val faces = Seq(
+      "members"   -> graft.operators.Dedup.membersFromLabels(labels, "doc_id"),
+      "canonical" -> graft.operators.Dedup.canonicalFromLabels(labels, "doc_id", "n_chars"),
+      "histogram" -> graft.operators.Dedup.histogramFromLabels(labels))
+    faces.foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(count(plan, "Generate") == 0,
+        s"$name face re-runs the shingle explode — labeling not reused:\n$plan")
+      assert(plan.contains("Scan parquet") || plan.contains("FileScan"),
+        s"$name face must read the persisted labels artifact:\n$plan")
+    }
+    // and the faces stay CHEAP at runtime: serving all three costs a
+    // bounded handful of jobs (aggregation passes over the labels table),
+    // nowhere near a winnow→CC recompute per face
+    spark.sparkContext.addSparkListener(counter)
+    try {
+      faces.foreach(_._2.queryExecution.toRdd.count())
+      Thread.sleep(300)
+    } finally spark.sparkContext.removeSparkListener(counter)
+    assert(jobCount.get <= 12,
+      s"serving the three faces cost ${jobCount.get} jobs — a recompute smell")
+  }
+
   test("d2 LSH plan computes the shingle aggregation exactly once") {
     val plan = planOf("d2_minhash_lsh")
     // Either the per-doc (signature + set) relation is cached — every

@@ -23,12 +23,18 @@ final class RpcStub {
   @volatile private var byHash    = Map.empty[String, Bundle]
   @volatile private var receipts  = Map.empty[String, Receipt]
   private val blockNumberCalls = new java.util.concurrent.atomic.AtomicInteger
+  private val blockByNumberCalls = new java.util.concurrent.atomic.AtomicInteger
   @volatile private var subscribers = List.empty[java.io.OutputStream]
 
   /** How often the client asked for the head by polling — the push-face
     * test asserts this stays ZERO.
     */
   def blockNumberCallCount: Int = blockNumberCalls.get
+
+  /** How often the client fetched a block by number from THIS node — the
+    * affinity tests assert fetches follow the delivering node.
+    */
+  def blockByNumberCallCount: Int = blockByNumberCalls.get
   def subscriberCount: Int = subscribers.size
 
   /** Push a `newHeads`-shaped notification line to every open /subscribe
@@ -114,6 +120,7 @@ final class RpcStub {
       blockNumberCalls.incrementAndGet()
       mapper.getNodeFactory.textNode(hxNum(if (canonical.isEmpty) 0L else canonical.keys.max))
     case "eth_getBlockByNumber" =>
+      blockByNumberCalls.incrementAndGet()
       val n = java.lang.Long.parseLong(params.get(0).asText.stripPrefix("0x"), 16)
       canonical.get(n).map(blockJson).getOrElse(mapper.nullNode())
     case "eth_getBlockByHash" =>
