@@ -498,4 +498,83 @@ object Curation {
         when(col("n_grams") > 0,
           round(col("boiler_grams").cast("double") / col("n_grams").cast("double"), 6)))
   }
+
+  /** PII redaction patterns — the categories every public-corpus release
+    * scrubs (emails, IPv4 addresses, long international phone runs).
+    * Deliberately a COMMON regex subset (no lookarounds, no backrefs):
+    * the same pattern strings run under Java regex (Spark codegen) and
+    * RE2 (the SQL oracle) with identical semantics.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePattern = "\\+\\d{7,}"
+
+  /** PII redaction — the scrub pass between crawling and release: emails,
+    * IPv4s, and +international phone runs replace with typed tags, in a
+    * FIXED order (emails first — an address can contain digit runs the
+    * later patterns would mangle mid-token). Pure `regexp_replace` /
+    * `regexp_count` column exprs: codegen'd, no UDF, scan-parallel at
+    * 100 TB. Emits per-category counts plus the redacted fingerprint so
+    * the pipeline can both filter on PII density and verify the scrub.
+    */
+  def piiRedact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, EmailPattern, "<EMAIL>"),
+          Ipv4Pattern, "<IP>"),
+        PhonePattern, "<PHONE>")
+    df.select(
+      col(idCol),
+      regexp_count(t, lit(EmailPattern)).cast("long").as("n_emails"),
+      regexp_count(t, lit(Ipv4Pattern)).cast("long").as("n_ips"),
+      regexp_count(t, lit(PhonePattern)).cast("long").as("n_phones"),
+      md5(redacted).as("redacted_fp"))
+  }
+
+  /** Deterministic PII augmentation for the t19 oracle: the corpus is
+    * synthetic word-salad with no real PII, so the fixture plants one
+    * email, one IPv4, and one phone per document, all derived from
+    * md5(text) — the synthWav/synthBmp construction applied to text. The
+    * oracle rebuilds the identical augmented string in SQL.
+    */
+  def plantPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h = md5(col(textCol))
+    def b(i: Int): Column = conv(substring(h, i, 2), 16, 10) // 0-255, as string
+    df.select(col(idCol),
+      concat(col(textCol),
+        lit(" contact "), substring(h, 1, 6), lit("@example.com from "),
+        b(7), lit("."), b(9), lit(".0."), b(11),
+        lit(" call +15550"), lpad(b(13), 3, "0"), lpad(b(15), 3, "0")
+      ).as(textCol))
+  }
+
+  /** Cross-source vocabulary overlap — the corpus-composition telemetry a
+    * mixture designer reads before weighting sources: for every source
+    * pair, the distinct-token Jaccard overlap. Shape: one (source, token)
+    * dedup aggregation over the exploded corpus (map-side combined), then
+    * a self-equi-join ON TOKEN whose fan-out is bounded by #sources² per
+    * token — never an all-pairs document join, and the corpus is read
+    * once. At 100 TB with a handful of sources every relation after the
+    * dedup is tiny.
+    */
+  def sourceVocabOverlap(df: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val vocab = df
+      .select(col(sourceCol).as("source"), explode(TextOps.tokens(col(textCol))).as("token"))
+      .distinct()
+    val sizes = vocab.groupBy("source").agg(count(lit(1)).as("vocab_size"))
+    val a = vocab.select(col("source").as("source_a"), col("token"))
+    val b = vocab.select(col("source").as("source_b"), col("token"))
+    a.join(b, Seq("token"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("common"))
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("vocab_size").as("vocab_a"))),
+        Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("vocab_size").as("vocab_b"))),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("vocab_a"), col("vocab_b"), col("common"),
+        round(col("common").cast("double") /
+          (col("vocab_a") + col("vocab_b") - col("common")).cast("double"), 6).as("jaccard"))
+  }
 }

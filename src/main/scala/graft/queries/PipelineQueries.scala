@@ -1320,8 +1320,69 @@ object PipelineQueries {
           "doc_id", col("text"), nMerges = 3)
         .orderBy("doc_id"),
       t18Sql
+    ),
+
+    // T19 — PII redaction: the pre-release scrub (emails, IPv4s, phone
+    // runs → typed tags, fixed order). The corpus carries no real PII, so
+    // the fixture PLANTS one of each per document from md5(text) — the
+    // synthWav construction for text — and the oracle rebuilds the same
+    // augmented string, redacts with the same patterns (RE2 and Java
+    // regex agree on this subset), and compares the redacted fingerprint.
+    "t19_pii_redact" -> QueryDef.sql(
+      (s, d) => Curation.piiRedact(
+          Curation.plantPii(Tables(s, d).documents, "doc_id", "text"),
+          "doc_id", "text")
+        .orderBy("doc_id"),
+      t19Sql
+    ),
+
+    // T20 — cross-source vocabulary overlap: the mixture-design telemetry
+    // (pairwise distinct-token Jaccard between sources). One (source,
+    // token) dedup over the exploded corpus, then a token equi-join whose
+    // fan-out is #sources² per token — never a document join.
+    "t20_source_overlap" -> QueryDef.sql(
+      (s, d) => Curation.sourceVocabOverlap(Tables(s, d).documents, "source", "text")
+        .orderBy("source_a", "source_b"),
+      s"""WITH v AS (SELECT DISTINCT source, unnest($toksSql) AS token FROM documents),
+         | sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab_size
+         |   FROM v GROUP BY source),
+         | pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+         |     CAST(count(*) AS BIGINT) AS common
+         |   FROM v a JOIN v b USING (token) WHERE a.source < b.source
+         |   GROUP BY 1, 2)
+         | SELECT source_a, source_b,
+         |   sa.vocab_size AS vocab_a, sb.vocab_size AS vocab_b, common,
+         |   round(CAST(common AS DOUBLE)
+         |     / CAST(sa.vocab_size + sb.vocab_size - common AS DOUBLE), 6) AS jaccard
+         | FROM pairs JOIN sizes sa ON sa.source = source_a
+         |   JOIN sizes sb ON sb.source = source_b
+         | ORDER BY source_a, source_b""".stripMargin
     )
   )
+
+  /** The t19 oracle: identical augmentation (bytes of md5(text) as the
+    * planted address/IP/phone digits) and identical redaction patterns;
+    * DuckDB needs the explicit 'g' flag to match Spark's replace-all.
+    */
+  private def t19Sql: String = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip    = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phone = "\\+\\d{7,}"
+    def b(i: Int) = s"CAST(${hex2(s"substr(h, $i, 2)")} AS VARCHAR)"
+    s"""WITH aug AS (SELECT doc_id,
+       |    text || ' contact ' || substr(h, 1, 6) || '@example.com from '
+       |      || ${b(7)} || '.' || ${b(9)} || '.0.' || ${b(11)}
+       |      || ' call +15550' || lpad(${b(13)}, 3, '0') || lpad(${b(15)}, 3, '0') AS t
+       |  FROM (SELECT doc_id, text, md5(text) AS h FROM documents))
+       | SELECT doc_id,
+       |   CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_emails,
+       |   CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ips,
+       |   CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phones,
+       |   md5(regexp_replace(regexp_replace(regexp_replace(t,
+       |     '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$phone', '<PHONE>', 'g'))
+       |     AS redacted_fp
+       | FROM aug ORDER BY doc_id""".stripMargin
+  }
 
   /** The t15 oracle: three unrolled BPE merge rounds. Each round's CTEs
     * mirror TextOps.bpeTrain exactly — pair counts over the vocab

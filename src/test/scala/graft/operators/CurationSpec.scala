@@ -259,4 +259,33 @@ class CurationSpec extends SparkSpec {
     assert(got(4L)._2 == 0L, "unique text carries no boilerplate")
     assert(got(5L) == ((0L, 0L, None)), "a too-short doc has no grams and a null ratio")
   }
+
+  test("piiRedact scrubs emails/IPs/phones with typed tags; clean text untouched") {
+    val docs = Seq(
+      (1L, "write to alice.b+dev@corp.example.org or bob@x.io today"),
+      (2L, "server at 10.0.42.255 fell over, call +4915551234567 now"),
+      (3L, "no pii here at all"),
+      (4L, "version 1.2.3.4 is an ip-shaped string and redacts as one")
+    ).toDF("doc_id", "text")
+    val got = Curation.piiRedact(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_emails"), r.getAs[Long]("n_ips"), r.getAs[Long]("n_phones"),
+          r.getAs[String]("redacted_fp")))).toMap
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1L)._1 == 2L && got(1L)._2 == 0L && got(1L)._3 == 0L)
+    assert(got(2L) == ((0L, 1L, 1L,
+      md5Hex("server at <IP> fell over, call <PHONE> now"))))
+    assert(got(3L)._1 == 0L && got(3L)._2 == 0L && got(3L)._3 == 0L)
+    assert(got(3L)._4 == md5Hex("no pii here at all"),
+      "clean text must hash unchanged")
+    assert(got(4L)._2 == 1L, "dotted quads redact conservatively (recall over precision)")
+    // the planted-PII fixture redacts to exactly one of each category
+    val planted = Curation.piiRedact(
+      Curation.plantPii(docs.select($"doc_id", lit("some corpus words").as("text")),
+        "doc_id", "text"), "doc_id", "text").head()
+    assert((planted.getAs[Long]("n_emails"), planted.getAs[Long]("n_ips"),
+      planted.getAs[Long]("n_phones")) == ((1L, 1L, 1L)))
+  }
 }
