@@ -550,6 +550,40 @@ object Curation {
       ).as(textCol))
   }
 
+  /** Hashed linear quality-classifier inference — the fasttext-shaped
+    * scoring pass corpus releases run to keep "high-quality-looking" text
+    * (CCNet/FineWeb style): every token hashes into one of `dim` feature
+    * buckets, each bucket carries a model weight, and the document score
+    * is sigmoid(mean bucket weight). The weight table here is
+    * DETERMINISTICALLY SYNTHESIZED (a multiplicative-hash formula — no
+    * model artifact ships in this container); a real deployment swaps in
+    * trained weights via the same bucket arithmetic.
+    *
+    * Scale shape: pure per-row column math — tokens → buckets → weights →
+    * fold, all inside whole-stage codegen, NO join and NO shuffle (the
+    * "broadcast the model" step degenerates to a formula; with real
+    * weights it becomes one broadcast join on bucket id). The fold runs
+    * left-to-right so the oracle reproduces the exact FP sum.
+    */
+  def linearQualityScore(df: DataFrame, idCol: String, textCol: String,
+                         dim: Int = 1024): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val toks = TextOps.tokens(col(textCol))
+    // bucket = portable 32-bit token hash mod dim; weight in [-1, 1] via a
+    // Knuth multiplicative scramble of the bucket id (bucket ≤ dim − 1 and
+    // 2654435761·dim < 2^53, so the product is exact in a double too)
+    val weights = transform(toks, t =>
+      (pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), lit(dim)) * 2654435761L % 2001L
+        - 1000L).cast("double") / 1000.0)
+    df.select(
+      col(idCol),
+      size(toks).cast("long").as("n_tokens"),
+      round(aggregate(weights, lit(0.0), (acc, w) => acc + w)
+        / size(toks).cast("double"), 9).as("margin"))
+      .withColumn("quality_prob",
+        round(lit(1.0) / (lit(1.0) + exp(-col("margin"))), 6))
+  }
+
   /** Cross-source vocabulary overlap — the corpus-composition telemetry a
     * mixture designer reads before weighting sources: for every source
     * pair, the distinct-token Jaccard overlap. Shape: one (source, token)

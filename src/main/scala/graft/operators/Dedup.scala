@@ -685,6 +685,51 @@ object Dedup {
         extraCols = Seq(qualityCol)),
       idCol, qualityCol)
 
+  /** Asymmetric CONTAINMENT detection — the near-dup relation Jaccard
+    * misses: a short document quoted wholesale inside a long one has low
+    * Jaccard (the union is large) but containment |A∩B| / |A| ≈ 1, and a
+    * keep-the-superset dedup policy needs exactly that direction. Broder's
+    * containment measure over k-shingle sets.
+    *
+    * Scale shape: the candidate stage is the same bucket-groupBy pair
+    * expansion every near-dup family here uses (shingles explode →
+    * groupBy shingle → in-bucket ordered pairs, `maxBucket` valve) — the
+    * all-pairs join never materializes; per-pair shared counts and the
+    * per-doc distinct-shingle sizes are combine-friendly aggregations.
+    * Emits both directions' containment for each candidate pair with
+    * shared ≥ `minShared`.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleSize: Int = 3, minShared: Int = 2,
+                       threshold: Double = 0.5,
+                       maxBucket: Option[Int] = None): DataFrame = {
+    val sh = df
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        explode(TextOps.shingleHashArray(col("__toks"), shingleSize)).as("sh"))
+      .distinct() // set semantics: a repeated shingle counts once
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
+    val grouped = sh.groupBy("sh")
+      .agg(sort_array(collect_set(col(idCol))).as("__ids"))
+      .filter(size(col("__ids")) > 1)
+    val buckets = maxBucket.fold(grouped)(m => grouped.filter(size(col("__ids")) <= m))
+    val shared = buckets
+      .select(explode(orderedPairs(col("__ids"))).as("__p"))
+      .select(col("__p.a").as("id_a"), col("__p.b").as("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    // sizes is CORPUS-sized (one row per doc) — never broadcast it; the
+    // bucket-bounded candidate relation is the small side of both joins
+    // and AQE picks the build side accordingly
+    shared
+      .join(sizes.select(col(idCol).as("id_a"), col("__sz").as("size_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("__sz").as("size_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("shared"), col("size_a"), col("size_b"),
+        round(col("shared").cast("double") / col("size_a").cast("double"), 6).as("containment_a"),
+        round(col("shared").cast("double") / col("size_b").cast("double"), 6).as("containment_b"))
+      .filter(col("containment_a") >= threshold || col("containment_b") >= threshold)
+  }
+
   /** Semantic deduplication in embedding space (the SemDeDup recipe,
     * Abbas et al. 2023): assign every vector to its nearest coarse
     * centroid, compare pairs only WITHIN a cell, and drop any vector that

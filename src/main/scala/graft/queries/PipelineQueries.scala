@@ -1282,6 +1282,39 @@ object PipelineQueries {
       d12Sql
     ),
 
+    // D13 — asymmetric containment (Broder): |A∩B| / |A| over 3-shingle
+    // sets for bucket-bounded candidate pairs — the quoted-wholesale
+    // relation Jaccard's union denominator hides. Both directions emitted;
+    // keep-the-superset dedup filters on the max.
+    "d13_containment" -> QueryDef.sql(
+      (s, d) => Dedup.containmentPairs(Tables(s, d).documents, "doc_id", "text",
+          shingleSize = 3, minShared = 2, threshold = 0.5)
+        .orderBy("id_a", "id_b"),
+      d13Sql
+    ),
+
+    // T21 — hashed linear quality-classifier inference (the fasttext-
+    // shaped CCNet/FineWeb keep-score): token → feature bucket → weight →
+    // sigmoid(mean). Weights are a deterministic formula of the bucket id
+    // (no model artifact in the container); the whole pass is per-row
+    // codegen column math — no join, no shuffle.
+    "t21_quality_classifier" -> QueryDef.sql(
+      (s, d) => Curation.linearQualityScore(Tables(s, d).documents, "doc_id", "text")
+        .orderBy("doc_id"),
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         | w AS (SELECT doc_id, len(t) AS n,
+         |    list_transform(t, tok ->
+         |      CAST((${hex8("md5(tok)", 0)} % 1024) * 2654435761 % 2001 - 1000 AS DOUBLE)
+         |        / 1000.0) AS ws
+         |  FROM toks),
+         | m AS (SELECT doc_id, n,
+         |    round(list_reduce(ws, (a, b) -> a + b) / CAST(n AS DOUBLE), 9) AS margin
+         |  FROM w)
+         | SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, margin,
+         |   round(1.0 / (1.0 + exp(-margin)), 6) AS quality_prob
+         | FROM m ORDER BY doc_id""".stripMargin
+    ),
+
     // T17 — cross-document boilerplate: 3-grams in ≥ 3 distinct docs are
     // boilerplate; per-doc positions covered by one. The template-text
     // screen per-doc quality features can't see.
@@ -1359,6 +1392,32 @@ object PipelineQueries {
          | ORDER BY source_a, source_b""".stripMargin
     )
   )
+
+  /** The d13 oracle: the identical 3-shingle hash sets (distinct per
+    * doc), pair candidates from shared hashes with the same a < b
+    * ordering, containment both ways at round-6, threshold on either
+    * direction. Thresholds repeat in the WHERE (no alias references).
+    */
+  private def d13Sql: String =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+       | grams AS (SELECT doc_id,
+       |     [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] AS gs
+       |   FROM toks),
+       | sh AS (SELECT DISTINCT doc_id,
+       |     unnest([${hex8("md5(g)", 0)} % ${Dedup.MersennePrime} for g in gs]) AS sh
+       |   FROM grams),
+       | sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
+       | shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |     CAST(count(*) AS BIGINT) AS shared
+       |   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |   GROUP BY 1, 2 HAVING count(*) >= 2)
+       | SELECT id_a, id_b, shared, sa.sz AS size_a, sb.sz AS size_b,
+       |   round(CAST(shared AS DOUBLE) / CAST(sa.sz AS DOUBLE), 6) AS containment_a,
+       |   round(CAST(shared AS DOUBLE) / CAST(sb.sz AS DOUBLE), 6) AS containment_b
+       | FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+       | WHERE round(CAST(shared AS DOUBLE) / CAST(sa.sz AS DOUBLE), 6) >= 0.5
+       |    OR round(CAST(shared AS DOUBLE) / CAST(sb.sz AS DOUBLE), 6) >= 0.5
+       | ORDER BY id_a, id_b""".stripMargin
 
   /** The t19 oracle: identical augmentation (bytes of md5(text) as the
     * planted address/IP/phone digits) and identical redaction patterns;
