@@ -54,6 +54,23 @@ final case class TableStore(spark: SparkSession, root: String, bucketSize: Long 
 
   def bucketOf(v: Long): Long = Math.floorDiv(v, bucketSize)
 
+  /** File-count threshold above which a clean deleteRange probe compacts
+    * the partial bucket anyway (see deleteRange). 64 balances rewrite
+    * amortization against listing/footer cost growth; coalesce(1) is safe
+    * because a single bucket is by construction a bounded slice of the
+    * table.
+    */
+  private val CompactFiles = 64
+
+  private def dataFileCount(d: Path): Long = {
+    val s = Files.list(d)
+    try s.filter(p => Files.isRegularFile(p) && {
+      val n = p.getFileName.toString
+      !(n.startsWith(".") || n.startsWith("_"))
+    }).count()
+    finally s.close()
+  }
+
   /** A table exists only if it holds at least one DATA file: an append of
     * an empty DataFrame leaves a `_SUCCESS`-only directory, and swap
     * machinery can leave hidden `.bucket=N_tmp`/`_old` siblings — counting
@@ -140,18 +157,21 @@ final case class TableStore(spark: SparkSession, root: String, bucketSize: Long 
 
   /** Plain append for small non-range tables (reorg audit, head state). */
   def append(table: String, df: DataFrame): Unit = {
-    invalidate(table)
     df.write.mode(SaveMode.Append).parquet(dir(table).toString)
     rememberSchema(table, df.schema)
+    // invalidate AFTER the mutation: invalidating first leaves a window
+    // where a concurrent collectSmall (Par runs store actions on pool
+    // threads) re-caches the PRE-write rows and nothing ever clears them
+    invalidate(table)
   }
 
   /** Append into the bucketed layout, bucketed on `rangeCol`. */
   def appendBucketed(table: String, df: DataFrame, rangeCol: String): Unit = {
-    invalidate(table)
     df.withColumn("bucket", floor(col(rangeCol) / bucketSize).cast("long"))
       .write.mode(SaveMode.Append).partitionBy("bucket")
       .parquet(dir(table).toString)
     rememberSchema(table, df.schema) // pre-bucket shape — reads drop `bucket`
+    invalidate(table) // after the mutation — see append
   }
 
   /** Append into a layout partitioned by a discrete CATEGORY column (hash
@@ -162,9 +182,9 @@ final case class TableStore(spark: SparkSession, root: String, bucketSize: Long 
     * data, not a derived bucket.
     */
   def appendPartitioned(table: String, df: DataFrame, partCol: String): Unit = {
-    invalidate(table)
     df.write.mode(SaveMode.Append).partitionBy(partCol).parquet(dir(table).toString)
     rememberSchema(table, df.schema)
+    invalidate(table) // after the mutation — see append
   }
 
   /** Delete rows with rangeCol ∈ [from, to]: drop fully-covered bucket
@@ -172,7 +192,6 @@ final case class TableStore(spark: SparkSession, root: String, bucketSize: Long 
     * O(table).
     */
   def deleteRange(table: String, rangeCol: String, from: Long, to: Long): Unit = {
-    invalidate(table)
     if (!exists(table)) return
     (bucketOf(from) to bucketOf(to)).foreach { b =>
       val bd = bucketDir(table, b)
@@ -190,13 +209,25 @@ final case class TableStore(spark: SparkSession, root: String, bucketSize: Long 
           // group-stat-pruned limit-1 job; only an actual replay/reorg
           // pays the rewrite. Files inside `bucket=N` carry the pre-
           // bucket schema, which is exactly the remembered sidecar.
+          //
+          // BUT skipping every rewrite un-does the compaction the old
+          // unconditional path provided: per-block append-only traffic
+          // would accumulate one part-file set per block, unbounded up to
+          // bucketSize appends, and every later read pays per-file
+          // listing/footer costs. So the clean-probe path still compacts
+          // once the bucket's file count crosses `CompactFiles` —
+          // amortized O(1/CompactFiles) rewrites per block, bounded file
+          // counts forever.
           val bucket = open(bd.toString, table)
           if (!bucket.filter(col(rangeCol).between(from, to)).isEmpty)
             swapInto(bd, bucket.filter(!col(rangeCol).between(from, to)))
+          else if (dataFileCount(bd) > CompactFiles)
+            swapInto(bd, bucket.coalesce(1))
         }
       }
     }
     refresh(table)
+    invalidate(table) // after the mutation — see append
   }
 
   /** Replace the table's whole content with `df` — for tiny state tables
@@ -205,11 +236,11 @@ final case class TableStore(spark: SparkSession, root: String, bucketSize: Long 
     * the write lands in a sibling tmp dir before the swap.
     */
   def replace(table: String, df: DataFrame): Unit = {
-    invalidate(table)
     val schema = df.schema // capture BEFORE the swap deletes the old dir
     swapInto(dir(table), df)
     rememberSchema(table, schema)
     refresh(table)
+    invalidate(table) // after the mutation — see append
   }
 
   /** Replace several tables whose NEW contents may read each other's OLD
@@ -217,7 +248,6 @@ final case class TableStore(spark: SparkSession, root: String, bucketSize: Long 
     * plan ever re-reads a directory that was already swapped under it.
     */
   def replaceAll(tables: Seq[(String, DataFrame)]): Unit = {
-    tables.foreach { case (t, _) => invalidate(t) }
     // stage CONCURRENTLY (independent tmp dirs, every plan reads only OLD
     // files — see Par's contract); promote strictly in caller order: the
     // crash-recovery protocol depends on the FIRST table (ledger marker)
@@ -236,6 +266,7 @@ final case class TableStore(spark: SparkSession, root: String, bucketSize: Long 
       refresh(t)
     }
     tables.foreach { case (t, df) => rememberSchema(t, df.schema) }
+    tables.foreach { case (t, _) => invalidate(t) } // after every promote — see append
   }
 
   /** Remove a table entirely — for state tables that drain to empty (the
@@ -244,9 +275,9 @@ final case class TableStore(spark: SparkSession, root: String, bucketSize: Long 
     * pay nothing for it.
     */
   def drop(table: String): Unit = {
-    invalidate(table)
     deleteRecursive(dir(table))
     refresh(table)
+    invalidate(table) // after the mutation — see append
   }
 
   /** Drop Spark's cached file listing for the table's path — a swapped or

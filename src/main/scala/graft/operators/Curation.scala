@@ -519,17 +519,18 @@ object Curation {
     */
   def piiRedact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
-    val redacted =
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(t, EmailPattern, "<EMAIL>"),
-          Ipv4Pattern, "<IP>"),
-        PhonePattern, "<PHONE>")
+    // counts run on the PROGRESSIVELY-REDACTED string, category by
+    // category, so they count exactly the tags the scrub emits: a phone
+    // run nested inside an email's local part (sam+19995551234@ex.com)
+    // redacts as ONE <EMAIL> and must not also count as a phone
+    val afterEmail = regexp_replace(t, EmailPattern, "<EMAIL>")
+    val afterIp    = regexp_replace(afterEmail, Ipv4Pattern, "<IP>")
+    val redacted   = regexp_replace(afterIp, PhonePattern, "<PHONE>")
     df.select(
       col(idCol),
       regexp_count(t, lit(EmailPattern)).cast("long").as("n_emails"),
-      regexp_count(t, lit(Ipv4Pattern)).cast("long").as("n_ips"),
-      regexp_count(t, lit(PhonePattern)).cast("long").as("n_phones"),
+      regexp_count(afterEmail, lit(Ipv4Pattern)).cast("long").as("n_ips"),
+      regexp_count(afterIp, lit(PhonePattern)).cast("long").as("n_phones"),
       md5(redacted).as("redacted_fp"))
   }
 

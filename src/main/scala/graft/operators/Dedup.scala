@@ -500,9 +500,11 @@ object Dedup {
       labels = next
       it += 1
     }
-    // und is checkpointed, so the edge count here is a cheap block scan,
-    // and this path only runs for graphs already past the driver valve.
-    lastCcStats = CcStats("min-label", und.count(), it)
+    // edges = −1: counting the checkpointed edge relation would add a
+    // Spark job to every PRODUCTION call of the distributed path purely
+    // for telemetry; the round count is the attribution signal here (the
+    // driver path reports its exact edge count for free).
+    lastCcStats = CcStats("min-label", -1L, it)
     labels
   }
 

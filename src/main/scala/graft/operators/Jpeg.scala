@@ -40,10 +40,6 @@ object Jpeg {
     private var bitBuf = 0
     private var bitCnt = 0
 
-    /** True if the next bytes are a marker (FF xx, xx != 00). */
-    def atMarker: Boolean =
-      pos + 1 < data.length && (data(pos) & 0xFF) == 0xFF && data(pos + 1) != 0
-
     /** Skip an RSTn marker and reset bit state. */
     def restart(): Boolean =
       if (pos + 1 < data.length && (data(pos) & 0xFF) == 0xFF &&

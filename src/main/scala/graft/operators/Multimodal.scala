@@ -131,13 +131,14 @@ object Multimodal {
   }
 
   /** Resize seam over the asset contract. Decodable rasters (uncompressed
-    * 24-bit BMP, 8-bit truecolor PNG) get a REAL nearest-neighbor resize:
-    * decode → integer NN resample → re-encode as uncompressed BMP, with
-    * the meta struct updated to the actual output geometry. Payloads no
-    * decoder here understands (jpeg/mp3/h264 — their codecs are not in
-    * this container) fall through to the stub path: metadata rewrite only,
-    * payload untouched. Either way the shape is the per-partition
-    * mapPartitions seam a real codec plugs into.
+    * 24-bit BMP, 8-bit truecolor PNG, baseline JPEG via [[Jpeg.decode]])
+    * get a REAL nearest-neighbor resize: decode → integer NN resample →
+    * re-encode as uncompressed BMP, with the meta struct updated to the
+    * actual output geometry. Payloads no decoder here understands
+    * (mp3/h264/progressive-jpeg — their codecs are not in this container)
+    * fall through to the stub path: metadata rewrite only, payload
+    * untouched. Either way the shape is the per-partition mapPartitions
+    * seam a real codec plugs into.
     */
   def resizeAssets(spark: SparkSession, assets: DataFrame, width: Int, height: Int): DataFrame = {
     val schema     = assets.schema
@@ -152,7 +153,7 @@ object Multimodal {
             val newMeta = Row(out.length, width, height, 3)
             Row.fromSeq(r.toSeq.updated(payloadIdx, out).updated(metaIdx, newMeta))
           case None =>
-            // ??? <- compressed-codec decode+resize goes here; stub instead:
+            // ??? <- non-raster codec decode+resize goes here; stub instead:
             val meta = r.getStruct(metaIdx)
             val newMeta = Row(meta.get(0), width, height, meta.get(3))
             Row.fromSeq(r.toSeq.updated(metaIdx, newMeta))
@@ -169,27 +170,59 @@ object Multimodal {
     resizeAssets(spark, assets, width, height)
 
   /** Decode any supported raster payload to TOP-DOWN row-major RGB bytes:
-    * tries BMP (stored bottom-up BGR — flipped and swizzled here) then PNG
-    * (already top-down RGB). Returns (width, height, rgb).
+    * tries BMP (stored bottom-up BGR — flipped and swizzled straight into
+    * a flat byte buffer, no per-pixel tuple boxing: a 1920×1080 frame is
+    * ~6 MB of bytes, not ~80 MB of Tuple3s), then PNG (already top-down
+    * RGB), then baseline JPEG (grayscale replicates to three channels).
+    * Returns (width, height, rgb).
     */
-  def decodeRgb(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
-    val asBmp = decodeBmpRgb(payload).map { bmp =>
-      val (w, h) = (bmp.width, bmp.height)
-      val rgb = new Array[Byte](w * h * 3)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val (b, g, r) = bmp.pixels((h - 1 - y) * w + x) // stored row h-1-y = image row y
-          val d = (y * w + x) * 3
-          rgb(d) = r.toByte; rgb(d + 1) = g.toByte; rgb(d + 2) = b.toByte
-          x += 1
+  def decodeRgb(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    decodeBmpFlat(payload)
+      .orElse(decodePngRgb(payload).map(p => (p.width, p.height, p.pixels)))
+      .orElse(Jpeg.decode(payload).map { img =>
+        if (img.components == 3) (img.width, img.height, img.pixels)
+        else {
+          val rgb = new Array[Byte](img.width * img.height * 3)
+          var i = 0
+          while (i < img.pixels.length) {
+            val g = img.pixels(i)
+            rgb(3 * i) = g; rgb(3 * i + 1) = g; rgb(3 * i + 2) = g
+            i += 1
+          }
+          (img.width, img.height, rgb)
         }
-        y += 1
+      })
+
+  /** BMP → flat top-down RGB, allocation-lean: the same validation as
+    * [[decodeBmpRgb]] but writing bytes directly (the tuple face stays
+    * for the small-maxPixels stats use).
+    */
+  private def decodeBmpFlat(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (payload == null || payload.length < 54) return None
+    def le(pos: Int, width: Int): Long = leBytes(payload, pos, width)
+    def leS32(pos: Int): Long = { val u = le(pos, 4); if (u >= 2147483648L) u - 4294967296L else u }
+    if (payload(0) != 'B'.toByte || payload(1) != 'M'.toByte) return None
+    if (le(27, 2) != 1L || le(29, 2) != 24L || le(31, 4) != 0L) return None
+    val w = leS32(19); val h = leS32(23)
+    if (w <= 0 || h <= 0 || w * h > (1L << 24)) return None
+    val off = le(11, 4)
+    val rowSize = (w * 3 + 3) / 4 * 4
+    if (off < 54 || off + (h - 1) * rowSize + (w - 1) * 3 + 3 > payload.length) return None
+    val (wi, hi) = (w.toInt, h.toInt)
+    val rgb = new Array[Byte](wi * hi * 3)
+    var y = 0
+    while (y < hi) {
+      val src = (off + (hi - 1 - y).toLong * rowSize).toInt // stored bottom-up
+      var x = 0
+      while (x < wi) {
+        val s = src + x * 3
+        val d = (y * wi + x) * 3
+        rgb(d) = payload(s + 2); rgb(d + 1) = payload(s + 1); rgb(d + 2) = payload(s)
+        x += 1
       }
-      (w, h, rgb)
+      y += 1
     }
-    asBmp.orElse(decodePngRgb(payload).map(p => (p.width, p.height, p.pixels)))
+    Some((wi, hi, rgb))
   }
 
   /** Integer nearest-neighbor resample of a top-down RGB buffer: target

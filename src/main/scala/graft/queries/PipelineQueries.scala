@@ -1432,15 +1432,17 @@ object PipelineQueries {
        |    text || ' contact ' || substr(h, 1, 6) || '@example.com from '
        |      || ${b(7)} || '.' || ${b(9)} || '.0.' || ${b(11)}
        |      || ' call +15550' || lpad(${b(13)}, 3, '0') || lpad(${b(15)}, 3, '0') AS t
-       |  FROM (SELECT doc_id, text, md5(text) AS h FROM documents))
+       |  FROM (SELECT doc_id, text, md5(text) AS h FROM documents)),
+       | staged AS (SELECT doc_id, t,
+       |    regexp_replace(t, '$email', '<EMAIL>', 'g') AS t1 FROM aug),
+       | staged2 AS (SELECT doc_id, t, t1,
+       |    regexp_replace(t1, '$ip', '<IP>', 'g') AS t2 FROM staged)
        | SELECT doc_id,
        |   CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_emails,
-       |   CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ips,
-       |   CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phones,
-       |   md5(regexp_replace(regexp_replace(regexp_replace(t,
-       |     '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$phone', '<PHONE>', 'g'))
-       |     AS redacted_fp
-       | FROM aug ORDER BY doc_id""".stripMargin
+       |   CAST(len(regexp_extract_all(t1, '$ip')) AS BIGINT) AS n_ips,
+       |   CAST(len(regexp_extract_all(t2, '$phone')) AS BIGINT) AS n_phones,
+       |   md5(regexp_replace(t2, '$phone', '<PHONE>', 'g')) AS redacted_fp
+       | FROM staged2 ORDER BY doc_id""".stripMargin
   }
 
   /** The t15 oracle: three unrolled BPE merge rounds. Each round's CTEs

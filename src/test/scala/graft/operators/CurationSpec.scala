@@ -265,7 +265,8 @@ class CurationSpec extends SparkSpec {
       (1L, "write to alice.b+dev@corp.example.org or bob@x.io today"),
       (2L, "server at 10.0.42.255 fell over, call +4915551234567 now"),
       (3L, "no pii here at all"),
-      (4L, "version 1.2.3.4 is an ip-shaped string and redacts as one")
+      (4L, "version 1.2.3.4 is an ip-shaped string and redacts as one"),
+      (5L, "mail sam+19995551234@ex.com please") // phone run INSIDE the email
     ).toDF("doc_id", "text")
     val got = Curation.piiRedact(docs, "doc_id", "text")
       .collect().map(r => r.getAs[Long]("doc_id") ->
@@ -281,6 +282,9 @@ class CurationSpec extends SparkSpec {
     assert(got(3L)._4 == md5Hex("no pii here at all"),
       "clean text must hash unchanged")
     assert(got(4L)._2 == 1L, "dotted quads redact conservatively (recall over precision)")
+    // counts reflect the tags the scrub EMITS: the nested digit run is
+    // consumed by <EMAIL> and must not double-count as a phone
+    assert(got(5L) == ((1L, 0L, 0L, md5Hex("mail <EMAIL> please"))))
     // the planted-PII fixture redacts to exactly one of each category
     val planted = Curation.piiRedact(
       Curation.plantPii(docs.select($"doc_id", lit("some corpus words").as("text")),

@@ -92,6 +92,17 @@ class MultimodalSpec extends SparkSpec {
     assert((rw, rh) == ((2, 2)))
     assert(rrgb.toSeq.take(3) == prgb.toSeq.take(3), "target (0,0) samples source (0,0)")
 
+    // JPEG decodes through the same seam (gray replicates to RGB): the
+    // flat-block synth means target (0,0) must sample block (0,0)'s level
+    val jlevels = Array(17, 200, 90, 255, 0, 128, 64, 32, 250)
+    val Some((jw, jh, jrgb)) = Multimodal.decodeRgb(Jpeg.synthJpegBytes(jlevels, 3, 3))
+    assert((jw, jh) == ((24, 24)))
+    assert((jrgb(0) & 0xFF, jrgb(1) & 0xFF, jrgb(2) & 0xFF) == ((17, 17, 17)))
+    val Some((_, _, jsmall)) = Multimodal.decodeRgb(
+      Multimodal.encodeBmpRgb(Multimodal.nnResample(jrgb, 24, 24, 3, 3), 3, 3))
+    assert(jsmall.toSeq.grouped(3).map(p => p.head & 0xFF).toSeq == jlevels.toSeq,
+      "3x3 NN downsample of the flat-block JPEG must recover exactly the block levels")
+
     // resizeAssets: decodable payloads really resize (payload + meta move)
     val assets = Multimodal.toAssets(
       Seq((7L, Multimodal.synthPngBytes("asset", 5, 5))).toDF("id", "blob"),

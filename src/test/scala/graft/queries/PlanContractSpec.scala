@@ -272,6 +272,23 @@ class PlanContractSpec extends SparkSpec {
       s"serving the three faces cost ${jobCount.get} jobs — a recompute smell")
   }
 
+  test("t21 classifier inference is pure per-row math: no join, no shuffle") {
+    val plan = planOf("t21_quality_classifier")
+    assert(count(plan, "Join") == 0, s"classifier scoring must not join:\n$plan")
+    assert(count(plan, "Exchange hashpartitioning") == 0,
+      s"classifier scoring must not shuffle (only the presentation sort range-partitions):\n$plan")
+  }
+
+  test("d13 containment: candidate pairs from bucket groupBy, sizes never broadcast") {
+    val plan = planOf("d13_containment")
+    // the per-doc size relation is corpus-sized: it must meet the bounded
+    // candidate relation through a non-broadcast join (candidates build),
+    // and the pair stage must come from the in-bucket expansion — no
+    // corpus self-join, no cartesian
+    assert(count(plan, "CartesianProduct") == 0, s"d13 must never go all-pairs:\n$plan")
+    assert(count(plan, "BroadcastNestedLoopJoin") == 0)
+  }
+
   test("d2 LSH plan computes the shingle aggregation exactly once") {
     val plan = planOf("d2_minhash_lsh")
     // Either the per-doc (signature + set) relation is cached — every
