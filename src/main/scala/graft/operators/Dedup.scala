@@ -658,6 +658,49 @@ object Dedup {
         round(col("dup_chunks").cast("double") / col("n_chunks").cast("double"), 6))
   }
 
+  /** Chunk-level dedup's REWRITE face — the operator that actually
+    * produces the cleaned corpus (chunkDedup only reports the fractions):
+    * every `chunkTokens`-token window that is NOT the corpus-wide first
+    * occurrence of its hash (earlier doc id, or earlier offset within the
+    * same doc) is REMOVED, and the surviving chunks rejoin in order —
+    * sub-document boilerplate (headers, licenses, navigation chrome)
+    * disappears while each page's unique content stays.
+    *
+    * Scale shape: first-occurrence is the same skew-immune `min(struct)`
+    * hash aggregation as [[chunkDedup]] (one row per distinct hash on the
+    * build side), the keep test is a hash equi-join of the chunk relation
+    * against it (each hash appears once on the build side — no quadratic
+    * bucket even under billion-fold repetition), and the per-doc
+    * reassembly is a bounded `collect_list` (≤ the doc's own chunks).
+    *
+    * Output: (id, n_chunks, n_kept, clean_text) — docs whose every chunk
+    * is a duplicate keep an EMPTY clean_text row (counted, not dropped).
+    */
+  def chunkClean(df: DataFrame, idCol: String, textCol: String,
+                 chunkTokens: Int = 16): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    val chunks = df.select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= 1)
+      .select(col(idCol), posexplode(expr(
+        s"""transform(sequence(0, CAST((size(__t) - 1) DIV $chunkTokens AS INT)),
+           |  i -> array_join(slice(__t, i * $chunkTokens + 1, $chunkTokens), ' '))"""
+          .stripMargin)).as(Seq("__ci", "__chunk")))
+      .withColumn("__h", md5(col("__chunk")))
+    val firsts = chunks
+      .groupBy("__h")
+      .agg(min(struct(col(idCol).as("i"), col("__ci").as("c"))).as("__first"))
+    chunks.join(firsts, Seq("__h"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__first.i") === col(idCol) && col("__first.c") === col("__ci"), 1L)
+          .otherwise(0L)).as("n_kept"),
+        array_join(transform(sort_array(collect_list(
+          when(col("__first.i") === col(idCol) && col("__first.c") === col("__ci"),
+            struct(col("__ci").as("ci"), col("__chunk").as("chunk"))))),
+          s => s.getField("chunk")), " ").as("clean_text"))
+  }
+
   /** Canonical-representative selection — the step AFTER clustering that
     * actually dedups the corpus: every document maps to its duplicate
     * cluster ([[winnowEdges]] → [[connectedComponents]]; isolated docs are

@@ -1293,6 +1293,30 @@ object PipelineQueries {
       d13Sql
     ),
 
+    // D14 — chunk-level dedup's REWRITE face: remove every 16-token chunk
+    // that is not the corpus-wide first occurrence of its hash, rejoin
+    // the survivors in order — the operator that PRODUCES the cleaned
+    // corpus where d9 only reports fractions. Exact reassembly is the
+    // check: the full cleaned text hashes into the compare.
+    "d14_chunk_clean" -> QueryDef.sql(
+      (s, d) => Dedup.chunkClean(Tables(s, d).documents, "doc_id", "text",
+          chunkTokens = 16)
+        .orderBy("doc_id"),
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         | chunks AS (SELECT doc_id,
+         |    unnest(range(0, (len(t) - 1) // 16 + 1)) AS ci, t FROM toks),
+         | hashed AS (SELECT doc_id, ci,
+         |    array_to_string(t[ci*16+1 : ci*16+16], ' ') AS chunk FROM chunks),
+         | marked AS (SELECT doc_id, ci, chunk,
+         |    row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, ci) AS rn
+         |  FROM hashed)
+         | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |   CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |   coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY ci), '')
+         |     AS clean_text
+         | FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ),
+
     // T21 — hashed linear quality-classifier inference (the fasttext-
     // shaped CCNet/FineWeb keep-score): token → feature bucket → weight →
     // sigmoid(mean). Weights are a deterministic formula of the bucket id

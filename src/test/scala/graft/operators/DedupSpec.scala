@@ -203,6 +203,19 @@ class DedupSpec extends SparkSpec {
     assert(got(2L) == ((3L, 2L, 0.666667)))
     assert(got(3L) == ((2L, 1L, 0.5)))
     assert(got(4L) == ((2L, 1L, 0.5)))
+
+    // the rewrite face removes exactly the duplicate chunks and rejoins
+    // survivors in offset order; an all-duplicate doc keeps an EMPTY row
+    val clean = Dedup.chunkClean(docs.union(Seq((5L, "a b")).toDF("doc_id", "text")),
+        "doc_id", "text", chunkTokens = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(clean(1L) == ((2L, 2L, "a b c d")))
+    assert(clean(2L) == ((3L, 1L, "x y")))
+    assert(clean(3L) == ((2L, 1L, "p q")))
+    assert(clean(4L) == ((2L, 1L, "c")))
+    assert(clean(5L) == ((1L, 0L, "")), "all-duplicate doc stays as an empty row")
   }
 
   test("canonicalPerCluster keeps the best-quality doc per cluster, singletons themselves") {
