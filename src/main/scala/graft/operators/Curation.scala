@@ -612,4 +612,82 @@ object Curation {
         round(col("common").cast("double") /
           (col("vocab_a") + col("vocab_b") - col("common")).cast("double"), 6).as("jaccard"))
   }
+
+  /** Unicode canonical-composition stats — the normalization pass run
+    * before dedup/tokenization so "é" and "e"+U+0301 stop being different
+    * strings (they defeat exact dedup, n-gram matching, and vocab lookup).
+    * Pure per-row column math over the native [[graft.functions.NfcNormalize]]
+    * expression (codegen'd, no UDF, no shuffle): per-doc changed flag,
+    * code-point counts before/after (composition only ever shrinks), and
+    * the normalized fingerprint downstream dedup keys on.
+    */
+  def nfcNormalizeStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t    = col(textCol)
+    val norm = graft.functions.NfcNormalize(t)
+    df.select(col(idCol),
+      when(norm === t, 0).otherwise(1).cast("int").as("changed"),
+      length(t).cast("long").as("n_before"),
+      length(norm).cast("long").as("n_after"),
+      md5(norm).as("norm_fp"))
+  }
+
+  /** Per-domain corpus rollup — crawl curation is domain-centric (domain
+    * blocklists, per-site caps, source diversity audits all key on the
+    * registrable host). Extracts the first URL per document, parses the
+    * host with Spark's codegen'd `parse_url`, and rolls up document and
+    * source counts per host. Docs with no URL group under the empty host
+    * "" (counted, not dropped — a release report needs the no-provenance
+    * mass visible).
+    *
+    * Scale shape: regexp + parse stay in the scan; the rollup is two
+    * combine-friendly aggregations ((host, source) dedup → host), so a
+    * million-doc domain costs one partial per map task — never a
+    * countDistinct Expand over the corpus.
+    */
+  def urlDomainStats(df: DataFrame, idCol: String, textCol: String,
+                     sourceCol: String): DataFrame = {
+    val url  = regexp_extract(col(textCol), "https?://[^\\s]+", 0)
+    val host = coalesce(parse_url(url, lit("HOST")), lit(""))
+    val base = df.select(col(idCol), host.as("host"), col(sourceCol).as("__src"))
+    val docs    = base.groupBy("host").agg(count(lit(1)).as("n_docs"))
+    val sources = base.select(col("host"), col("__src")).distinct()
+      .groupBy("host").agg(count(lit(1)).as("n_sources"))
+    docs.join(sources, Seq("host"))
+  }
+
+  /** Deterministic URL fixture for the t24 oracle: the corpus carries no
+    * provenance URLs, so the fixture appends one per document, derived
+    * from md5(text) — hex digit 1 picks one of 16 domains, digit 2's
+    * parity the TLD, digits 3-8 the path, so domains COLLIDE across docs
+    * and the rollup is non-trivial. The oracle rebuilds the host straight
+    * from the same md5 arithmetic — Spark's parse_url is graded against
+    * the known construction, not against itself.
+    */
+  def plantUrls(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h   = md5(col(textCol))
+    val tld = when(substring(h, 2, 1).isin("0", "2", "4", "6", "8", "a", "c", "e"),
+      lit("com")).otherwise(lit("org"))
+    // withColumn, not select: provenance queries need the OTHER columns
+    // (source, lang) to survive the planting
+    df.withColumn(textCol,
+      concat(col(textCol), lit(" see https://site"), substring(h, 1, 1),
+        lit("."), tld, lit("/p/"), substring(h, 3, 6)))
+  }
+
+  /** Deterministic denormalized-text fixture for the t23 oracle: the
+    * synthetic corpus is pure ASCII (already NFC), so the fixture appends
+    * a marker of DECOMPOSED sequences derived from md5(text) — each of the
+    * first four hex digits picks "e"+U+0301 (→ "é" under NFC) for even
+    * digits or "o"+U+0302 (→ "ô") for odd — the plantPii construction
+    * applied to combining marks. The oracle rebuilds the identical string
+    * with chr() and normalizes with DuckDB's nfc_normalize.
+    */
+  def plantDenormalized(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h = md5(col(textCol))
+    def mark(i: Int): Column =
+      when(substring(h, i, 1).isin("0", "2", "4", "6", "8", "a", "c", "e"),
+        lit("e\u0301")).otherwise(lit("o\u0302")) // decomposed base+combining
+    df.select(col(idCol),
+      concat(col(textCol), lit(" "), mark(1), mark(2), mark(3), mark(4)).as(textCol))
+  }
 }

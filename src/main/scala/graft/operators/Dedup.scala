@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines, from exact to
@@ -812,5 +813,114 @@ object Dedup {
       .join(dominated.withColumn("__dup", lit(1)), Seq(idCol), "left")
       .select(col(idCol), col("centroid_id"),
         when(col("__dup").isNull, 1).otherwise(0).cast("int").as("is_kept"))
+  }
+
+  /** Exact duplicated-SPAN coverage — the substring-level dedup metric from
+    * Lee et al., "Deduplicating Training Data Makes Language Models Better"
+    * (arXiv:2107.06499): the fraction of each document's CHARACTERS covered
+    * by some length-`k` character window that also occurs in another
+    * document. Chunk dedup ([[chunkDedup]]) sees only aligned token
+    * windows; this sees every character offset, so a license block pasted
+    * mid-sentence counts even when no chunk boundary lines up with it.
+    *
+    * Scale shape (the suffix-array paper's result, as three shuffles):
+    * (1) every k-gram hashes (`xxhash64`, codegen'd — raw 8-byte keys, the
+    * gram STRINGS never shuffle); cross-doc frequency is a combine-friendly
+    * count over per-doc-distinct hashes — no per-hash row list, so a
+    * boilerplate gram repeated a billion times costs one partial per map
+    * task. (2) positions semi-join the shared-hash set on the hash key —
+    * each hash occurs once on the build side, no multiplication. (3) the
+    * per-doc gaps-and-islands merge of overlapping [pos, pos+k) spans is
+    * two windows over ONE sort on (doc, pos) — covered chars = Σ island
+    * extents, never materializing per-character rows.
+    *
+    * Output: (id, n_shared_grams, covered_chars, dup_span_fraction ∈ [0,1])
+    * per input document — docs below length `k`, or sharing nothing, report
+    * zeros.
+    */
+  /** WITHIN-document repeated-span coverage — [[dupSpanCoverage]]'s
+    * self-repetition twin (Lee et al. dedup both across AND within
+    * documents): the fraction of a document's characters covered by a
+    * length-`k` window whose content already occurred EARLIER in the same
+    * document — decoder loops, copy-pasted paragraphs, chorus repetition.
+    * t7's repetition ratios see token-level repetition rates; this sees
+    * exactly WHERE and HOW MUCH of the byte stream is literal re-run.
+    *
+    * Scale shape: first occurrence per (doc, gram-hash) is one
+    * combine-friendly min aggregation keyed by (doc, hash) — never a
+    * corpus-global relation, so a gram repeated across a billion docs
+    * costs nothing here (that's d15's job). Repeat positions then merge
+    * via the same single-sort gaps-and-islands as d15.
+    *
+    * Output: (id, n_repeat_grams, covered_chars, self_rep_fraction).
+    */
+  def selfRepetitionCoverage(df: DataFrame, idCol: String, textCol: String,
+                             k: Int = 20): DataFrame = {
+    require(k > 0, "k must be positive")
+    val grams = df
+      .select(col(idCol), col(textCol).as("__txt"))
+      .filter(length(col("__txt")) >= k)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(1, length(__txt) - ${k - 1}), i -> xxhash64(substring(__txt, i, $k)))"))
+        .as(Seq("__pos", "__h")))
+    // a repeat = any position after the gram's first occurrence in THIS doc
+    val wFirst = Window.partitionBy(col(idCol), col("__h"))
+    val hits = grams
+      .withColumn("__minpos", min(col("__pos")).over(wFirst))
+      .filter(col("__pos") > col("__minpos"))
+      .select(col(idCol), col("__pos"), (col("__pos") + k).as("__end"))
+    val wOrd    = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val prevMax = max(col("__end")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+    val perDoc = hits
+      .withColumn("__brk", when(prevMax.isNull || col("__pos") > prevMax, 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__brk")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(count(lit(1)).as("__n"), (max(col("__end")) - min(col("__pos"))).as("__extent"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__n")).as("n_repeat_grams"), sum(col("__extent")).as("covered_chars"))
+    df.select(col(idCol), length(col(textCol)).cast("long").as("__len"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_repeat_grams"), lit(0L)).as("n_repeat_grams"),
+        coalesce(col("covered_chars"), lit(0L)).as("covered_chars"),
+        round(coalesce(col("covered_chars"), lit(0L)).cast("double") /
+          greatest(col("__len"), lit(1L)).cast("double"), 6).as("self_rep_fraction"))
+  }
+
+  def dupSpanCoverage(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 20): DataFrame = {
+    require(k > 0, "k must be positive")
+    val grams = df
+      .select(col(idCol), col(textCol).as("__txt"))
+      .filter(length(col("__txt")) >= k)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(1, length(__txt) - ${k - 1}), i -> xxhash64(substring(__txt, i, $k)))"))
+        .as(Seq("__pos", "__h")))
+    // cross-doc frequency over per-doc-DISTINCT grams; keep hashes seen in ≥2 docs
+    val shared = grams.select(col(idCol), col("__h")).distinct()
+      .groupBy("__h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2)
+      .select("__h")
+    val hits = grams.join(shared, Seq("__h"), "left_semi")
+      .select(col(idCol), col("__pos"), (col("__pos") + k).as("__end"))
+    // gaps-and-islands over [pos, pos+k): an island starts where pos exceeds
+    // the running max end of all earlier spans (same sort key both windows)
+    val wOrd   = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val prevMax = max(col("__end")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = hits
+      .withColumn("__brk", when(prevMax.isNull || col("__pos") > prevMax, 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__brk")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val perDoc = islands
+      .groupBy(col(idCol), col("__isl"))
+      .agg(count(lit(1)).as("__n"), (max(col("__end")) - min(col("__pos"))).as("__extent"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__n")).as("n_shared_grams"), sum(col("__extent")).as("covered_chars"))
+    df.select(col(idCol), length(col(textCol)).cast("long").as("__len"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"),
+        coalesce(col("covered_chars"), lit(0L)).as("covered_chars"),
+        round(coalesce(col("covered_chars"), lit(0L)).cast("double") /
+          greatest(col("__len"), lit(1L)).cast("double"), 6).as("dup_span_fraction"))
   }
 }

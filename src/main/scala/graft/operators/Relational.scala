@@ -142,6 +142,31 @@ object Relational {
       .agg(sum(col("__partial")).as(as))
   }
 
+  /** Gaps-and-islands sessionization: assign each row a per-key session
+    * sequence number, where a new session starts when the gap to the
+    * previous row's timestamp exceeds `gapSeconds`. The classic two-window
+    * formulation — lag to flag session breaks, cumulative sum to number
+    * them — costs ONE hash-partition shuffle on `keys` (both windows share
+    * the same partitioning/ordering, so Catalyst plans a single sort), no
+    * join, no state. This is the batch face; the streaming face is
+    * `streaming.StreamingSessions` (Structured Streaming `session_window`),
+    * which produces the same session boundaries incrementally.
+    *
+    * `order` must be a total order within a key (timestamp + unique
+    * tiebreaker) so the session numbering is deterministic.
+    */
+  def sessionize(df: DataFrame, keys: Seq[String], tsCol: Column,
+                 order: Seq[Column], gapSeconds: Long, as: String = "session_seq"): DataFrame = {
+    val w    = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    val prev = lag(tsCol, 1).over(w)
+    // compare at microsecond precision: a seconds cast TRUNCATES, so a gap
+    // within 1s of the threshold would disagree with any micros-exact system
+    val gapUs = gapSeconds * 1000000L
+    val brk = when(prev.isNull ||
+      unix_micros(tsCol.cast("timestamp")) - unix_micros(prev.cast("timestamp")) > gapUs, 1L).otherwise(0L)
+    df.withColumn(as, sum(brk).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** Disjunctive semi-join: keep `left` rows where ANY of `leftKeys` hits the
     * `right` key set (J2 — events kept when `from` OR `to` is subscribed,
     * `store/transfer_processor.go:164-177`). An OR-condition join defeats

@@ -538,4 +538,37 @@ object Similarity {
           aggregate(col("__err"), lit(0.0), (acc, e) => acc + e * e)
             / size(v).cast("double"), 9).as("mse"))
   }
+
+  /** Label-retrieval MRR — the end-to-end eval an embedding pipeline signs
+    * off on: rank the corpus by cosine per probe (excluding self) and find
+    * the first SAME-LABEL neighbor; reciprocal rank near 1 means the
+    * embedding space clusters its labels. [[annRecall]] grades an index
+    * against exact top-k; this grades the SPACE against ground truth, so
+    * together they separate "bad index" from "bad embeddings".
+    *
+    * Scale shape: [[bruteForceTopK]]'s broadcast-probe / one-corpus-pass
+    * topology; per-probe the window ranks |corpus| rows once, and the
+    * first-relevant selection is a min aggregation — nothing quadratic in
+    * the corpus, probes are the valve.
+    *
+    * Output: (probe_id, probe_label, n_relevant, first_rank, rr) — probes
+    * whose label has no other member report n_relevant = 0 with null
+    * rank/rr (counted, not dropped).
+    */
+  def labelMrr(corpus: DataFrame, probes: DataFrame,
+               idCol: String, vecCol: String, labelCol: String): DataFrame = {
+    val p = broadcast(probes.select(col(idCol).as("probe_id"),
+      col(vecCol).as("__pvec"), col(labelCol).as("probe_label")))
+    val scored = corpus
+      .join(p, col(idCol) =!= col("probe_id"))
+      .withColumn("__sim", round(cosine(col("__pvec"), col(vecCol)), 6))
+    val w = Window.partitionBy("probe_id").orderBy(col("__sim").desc, col(idCol))
+    scored
+      .withColumn("__rank", row_number().over(w))
+      .groupBy(col("probe_id"), col("probe_label"))
+      .agg(
+        sum(when(col(labelCol) === col("probe_label"), 1L).otherwise(0L)).as("n_relevant"),
+        min(when(col(labelCol) === col("probe_label"), col("__rank"))).as("first_rank"))
+      .withColumn("rr", round(lit(1.0) / col("first_rank").cast("double"), 6))
+  }
 }

@@ -274,4 +274,45 @@ object TextOps {
     * array first (see langIdOfTokens).
     */
   def langId(text: Column): Column = langIdOfTokens(tokens(lower(text)))
+
+  /** Fuzzy self-join at edit distance ≤ 1 via the deletion-neighborhood
+    * (SymSpell) trick: two strings are within one edit iff their
+    * {self} ∪ {single-char deletions} variant sets intersect — substitution
+    * meets at the common deletion, indel meets at the shorter string — so
+    * candidate generation is an EQUI-join on the variant key instead of the
+    * all-pairs cross join a distance predicate forces. Each candidate then
+    * verifies with the exact `levenshtein` (codegen'd built-in), which
+    * discards the neighborhood's false positives (distance-2 pairs sharing
+    * a deletion).
+    *
+    * Scale shape: |key| + 1 variant rows per input row, one shuffle on the
+    * variant key, bucket sizes bounded by how many corpus keys share a
+    * variant (the same valve LSH banding uses); the cross join this
+    * replaces is O(n²) over the corpus and appears in no plan. Variants of
+    * a row dedupe BEFORE the join (a key with repeated chars yields the
+    * same deletion twice), so candidate pairs stay distinct-per-cause and
+    * the final `distinct` is bucket-local work.
+    *
+    * Output: (id_a, id_b, key_a, key_b, dist) with id_a < id_b, one row per
+    * document pair whose `keyCol` strings are within one edit.
+    */
+  def editDistanceOnePairs(df: DataFrame, idCol: String, keyCol: String): DataFrame = {
+    val variants = df
+      .select(col(idCol).as("__id"), col(keyCol).as("__key"))
+      .select(col("__id"), col("__key"), explode(array_distinct(expr(
+        """concat(array(__key),
+          |  transform(sequence(1, length(__key)),
+          |    i -> concat(substring(__key, 1, i - 1), substring(__key, i + 1, length(__key)))))"""
+          .stripMargin))).as("__v"))
+    val a = variants.select(col("__id").as("__ida"), col("__key").as("__keya"), col("__v"))
+    val b = variants.select(col("__id").as("__idb"), col("__key").as("__keyb"), col("__v"))
+    a.join(b, Seq("__v"))
+      .filter(col("__ida") < col("__idb"))
+      .select(col("__ida"), col("__idb"), col("__keya"), col("__keyb"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("__keya"), col("__keyb")))
+      .filter(col("dist") <= 1)
+      .select(col("__ida").as("id_a"), col("__idb").as("id_b"),
+        col("__keya").as("key_a"), col("__keyb").as("key_b"), col("dist"))
+  }
 }

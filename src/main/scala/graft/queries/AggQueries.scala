@@ -124,6 +124,60 @@ object AggQueries {
         | FROM events WHERE user_id = 5 ORDER BY ts DESC, event_id DESC""".stripMargin
     ),
 
+    // W4 — gaps-and-islands sessionization (24h inactivity gap) + session
+    // rollup: the canonical event-stream prep step (per-user activity
+    // bursts for engagement/behavior features). Two windows + one groupBy,
+    // all sharing ONE hash-partition shuffle on user_id — Catalyst plans a
+    // single sort, no join, no state. The streaming face of the same
+    // boundaries is streaming.StreamingSessions (session_window).
+    "w4_sessionize" -> QueryDef.sql(
+      (s, d) => Relational.sessionize(Tables(s, d).events, Seq("user_id"),
+          col("ts"), Seq(col("ts"), col("event_id")), gapSeconds = 86400L)
+        .groupBy("user_id", "session_seq")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts").as("start_ts"), max("ts").as("end_ts"),
+          (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("duration_us"))
+        .orderBy("user_id", "session_seq"),
+      """WITH g AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 86400000000 THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        | n AS (SELECT user_id, ts,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM g)
+        | SELECT user_id, session_seq, count(*) AS n_events,
+        |   CAST(min(ts) AS TIMESTAMP) AS start_ts, CAST(max(ts) AS TIMESTAMP) AS end_ts,
+        |   epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+        | FROM n GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin
+    ),
+
+    // A11 — recency-weighted rollup: each event weighs by an INTEGER
+    // recency ramp (30-day linear decay anchored at the corpus max date),
+    // so the arithmetic is decimal-exact end to end — no transcendental
+    // decay factor whose last ULP differs across engines. The anchor is a
+    // one-row broadcast (scalar subquery shape); the rollup itself is one
+    // combine-friendly aggregation.
+    "a11_decayed_sum" -> QueryDef.sql(
+      (s, d) => {
+        val ev     = Tables(s, d).events
+        val anchor = ev.agg(max(to_date(col("ts"))).as("__anchor"))
+        ev.crossJoin(broadcast(anchor))
+          .withColumn("__w",
+            greatest(lit(0), lit(30) - datediff(col("__anchor"), to_date(col("ts")))))
+          .groupBy("user_id")
+          .agg(sum((col("value").cast(dec) * col("__w")).cast(dec)).cast("double").as("decayed_total"),
+            count(lit(1)).as("n"))
+          .orderBy("user_id")
+      },
+      """WITH mx AS (SELECT CAST(max(ts) AS DATE) AS anchor FROM events)
+        | SELECT user_id,
+        |   CAST(sum(CAST(CAST(value AS DECIMAL(38,6))
+        |     * greatest(0, 30 - date_diff('day', CAST(ts AS DATE), anchor)) AS DECIMAL(38,6))) AS DOUBLE) AS decayed_total,
+        |   count(*) AS n
+        | FROM events, mx GROUP BY user_id ORDER BY user_id""".stripMargin
+    ),
+
     // W1 variant — top-n per key (rank ≤ 3 latest events per user)
     "w1_topn_per_key" -> QueryDef.sql(
       (s, d) => Relational.topNPerKey(

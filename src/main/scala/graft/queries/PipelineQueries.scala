@@ -1414,6 +1414,184 @@ object PipelineQueries {
          | FROM pairs JOIN sizes sa ON sa.source = source_a
          |   JOIN sizes sb ON sb.source = source_b
          | ORDER BY source_a, source_b""".stripMargin
+    ),
+
+    // D15 — exact duplicated-SPAN coverage (Lee et al., arXiv:2107.06499):
+    // per-doc fraction of characters inside some 20-char window that also
+    // occurs in another document, overlapping windows merged to true
+    // character coverage (gaps-and-islands). Sees what chunk dedup (d9)
+    // can't: duplicated runs that never line up with a chunk boundary.
+    "d15_dup_spans" -> QueryDef.sql(
+      (s, d) => Dedup.dupSpanCoverage(Tables(s, d).documents, "doc_id", "text", k = 20)
+        .orderBy("doc_id"),
+      """WITH kg AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |     substr(text, CAST(i AS INT), 20) AS g
+        |   FROM documents CROSS JOIN LATERAL unnest(range(1, len(text) - 18)) t(i)
+        |   WHERE len(text) >= 20),
+        | dg AS (SELECT DISTINCT doc_id, g FROM kg),
+        | shared AS (SELECT g FROM (SELECT g, count(*) AS df FROM dg GROUP BY g)
+        |   WHERE df >= 2),
+        | hits AS (SELECT doc_id, pos, pos + 20 AS e FROM kg JOIN shared USING (g)),
+        | isl AS (SELECT doc_id, pos, e,
+        |    CASE WHEN max(e) OVER wp IS NULL OR pos > max(e) OVER wp THEN 1 ELSE 0 END AS brk
+        |  FROM hits WINDOW wp AS (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        | num AS (SELECT doc_id, pos, e,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+        |  FROM isl),
+        | agg AS (SELECT doc_id, isl_id, count(*) AS n, max(e) - min(pos) AS extent
+        |  FROM num GROUP BY 1, 2),
+        | perdoc AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_shared_grams,
+        |    CAST(sum(extent) AS BIGINT) AS covered_chars FROM agg GROUP BY 1)
+        | SELECT d.doc_id,
+        |   CAST(coalesce(p.n_shared_grams, 0) AS BIGINT) AS n_shared_grams,
+        |   CAST(coalesce(p.covered_chars, 0) AS BIGINT) AS covered_chars,
+        |   round(CAST(coalesce(p.covered_chars, 0) AS DOUBLE)
+        |     / greatest(CAST(len(d.text) AS DOUBLE), 1.0), 6) AS dup_span_fraction
+        | FROM documents d LEFT JOIN perdoc p USING (doc_id)
+        | ORDER BY doc_id""".stripMargin
+    ),
+
+    // T22 — fuzzy (edit-distance ≤ 1) self-join on the 16-char title
+    // prefix via the SymSpell deletion neighborhood: candidates come from
+    // an EQUI-join on deletion variants, then the exact levenshtein
+    // verifies — the oracle's all-pairs distance join appears in no Spark
+    // plan. Catches the near-identical-title families (re-crawls,
+    // trailing-char edits) that exact dedup misses.
+    "t22_fuzzy_pairs" -> QueryDef.sql(
+      (s, d) => TextOps.editDistanceOnePairs(
+          Tables(s, d).documents.select(col("doc_id"), substring(col("text"), 1, 16).as("title")),
+          "doc_id", "title")
+        .orderBy("id_a", "id_b"),
+      """WITH t AS (SELECT doc_id, substr(text, 1, 16) AS ttl FROM documents)
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |   a.ttl AS key_a, b.ttl AS key_b,
+        |   CAST(levenshtein(a.ttl, b.ttl) AS INTEGER) AS dist
+        | FROM t a JOIN t b ON a.doc_id < b.doc_id AND levenshtein(a.ttl, b.ttl) <= 1
+        | ORDER BY id_a, id_b""".stripMargin
+    ),
+
+    // M10 — audio sequency-band energies (Walsh–Hadamard filterbank) over
+    // the synth WAV's first 64 PCM samples: a REAL spectral decomposition
+    // in exact 64-bit integer arithmetic (±1 coefficients — no
+    // transcendental ULP drift), all per-row codegen column math. The
+    // cheap audio bandwidth/quality screen that runs before any expensive
+    // codec work.
+    "m10_wht_bands" -> QueryDef.sql(
+      (s, d) => Multimodal.whtBandEnergies(
+          Multimodal.synthWav(Tables(s, d).documents, "doc_id", "text"),
+          idCol = "doc_id", payloadCol = "payload")
+        .orderBy("doc_id", "band"),
+      m10Sql
+    ),
+
+    // T23 — Unicode NFC normalization via the native NfcNormalize
+    // Catalyst expression (codegen'd, no UDF): composed/decomposed glyph
+    // variants break exact dedup and vocab lookup, so this is the
+    // standard first text pass. The corpus is ASCII (already NFC), so the
+    // fixture plants md5-derived DECOMPOSED sequences per doc; the oracle
+    // rebuilds the identical string with chr() and DuckDB's nfc_normalize.
+    "t23_nfc_normalize" -> QueryDef.sql(
+      (s, d) => Curation.nfcNormalizeStats(
+          Curation.plantDenormalized(Tables(s, d).documents, "doc_id", "text"),
+          "doc_id", "text")
+        .orderBy("doc_id"),
+      {
+        def mark(i: Int) =
+          s"""CASE WHEN substr(md5(text), $i, 1) IN ('0','2','4','6','8','a','c','e')
+             |  THEN 'e' || chr(769) ELSE 'o' || chr(770) END""".stripMargin
+        s"""WITH planted AS (SELECT doc_id,
+           |    text || ' ' || ${(1 to 4).map(mark).mkString(" || ")} AS t
+           |  FROM documents),
+           | n AS (SELECT doc_id, t, nfc_normalize(t) AS nt FROM planted)
+           | SELECT doc_id,
+           |   CAST(CASE WHEN nt = t THEN 0 ELSE 1 END AS INTEGER) AS changed,
+           |   CAST(len(t) AS BIGINT) AS n_before,
+           |   CAST(len(nt) AS BIGINT) AS n_after,
+           |   md5(nt) AS norm_fp
+           | FROM n ORDER BY doc_id""".stripMargin
+      }
+    ),
+
+    // D16 — WITHIN-doc repeated-span coverage, d15's self-repetition twin
+    // (Lee et al. dedup across AND within documents): chars covered by a
+    // 20-char window whose content already occurred earlier in the SAME
+    // doc. First occurrence is a (doc, hash)-keyed min — never corpus-
+    // global; spans merge via the same single-sort gaps-and-islands.
+    "d16_self_repetition" -> QueryDef.sql(
+      (s, d) => Dedup.selfRepetitionCoverage(Tables(s, d).documents, "doc_id", "text", k = 20)
+        .orderBy("doc_id"),
+      """WITH kg AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |     substr(text, CAST(i AS INT), 20) AS g
+        |   FROM documents CROSS JOIN LATERAL unnest(range(1, len(text) - 18)) t(i)
+        |   WHERE len(text) >= 20),
+        | firsts AS (SELECT doc_id, g, min(pos) AS minpos FROM kg GROUP BY 1, 2),
+        | hits AS (SELECT k.doc_id, k.pos, k.pos + 20 AS e
+        |   FROM kg k JOIN firsts f ON k.doc_id = f.doc_id AND k.g = f.g
+        |   WHERE k.pos > f.minpos),
+        | isl AS (SELECT doc_id, pos, e,
+        |    CASE WHEN max(e) OVER wp IS NULL OR pos > max(e) OVER wp THEN 1 ELSE 0 END AS brk
+        |  FROM hits WINDOW wp AS (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        | num AS (SELECT doc_id, pos, e,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+        |  FROM isl),
+        | agg AS (SELECT doc_id, isl_id, count(*) AS n, max(e) - min(pos) AS extent
+        |  FROM num GROUP BY 1, 2),
+        | perdoc AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_repeat_grams,
+        |    CAST(sum(extent) AS BIGINT) AS covered_chars FROM agg GROUP BY 1)
+        | SELECT d.doc_id,
+        |   CAST(coalesce(p.n_repeat_grams, 0) AS BIGINT) AS n_repeat_grams,
+        |   CAST(coalesce(p.covered_chars, 0) AS BIGINT) AS covered_chars,
+        |   round(CAST(coalesce(p.covered_chars, 0) AS DOUBLE)
+        |     / greatest(CAST(len(d.text) AS DOUBLE), 1.0), 6) AS self_rep_fraction
+        | FROM documents d LEFT JOIN perdoc p USING (doc_id)
+        | ORDER BY doc_id""".stripMargin
+    ),
+
+    // S15 — label-retrieval MRR: the embedding-SPACE acceptance metric
+    // (first same-label neighbor's reciprocal rank), complementing the
+    // index-acceptance annRecall. Broadcast probes, one corpus pass.
+    "s15_label_mrr" -> QueryDef.sql(
+      (s, d) => {
+        val e = Tables(s, d).embeddings
+        Similarity.labelMrr(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", "label")
+          .orderBy("probe_id")
+      },
+      s"""WITH cand AS (SELECT p.vec_id AS probe_id, p.label AS probe_label,
+         |    c.vec_id AS nid, c.label AS nlabel,
+         |    round(${sqlCosine("p.embedding", "c.embedding")}, 6) AS sim
+         |  FROM embeddings p JOIN embeddings c ON p.vec_id < 5 AND c.vec_id <> p.vec_id),
+         | ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY sim DESC, nid) AS rnk FROM cand)
+         | SELECT probe_id, probe_label,
+         |   CAST(sum(CASE WHEN nlabel = probe_label THEN 1 ELSE 0 END) AS BIGINT) AS n_relevant,
+         |   CAST(min(CASE WHEN nlabel = probe_label THEN rnk END) AS INTEGER) AS first_rank,
+         |   round(1.0 / min(CASE WHEN nlabel = probe_label THEN rnk END), 6) AS rr
+         | FROM ranked GROUP BY 1, 2 ORDER BY probe_id""".stripMargin
+    ),
+
+    // T24 — per-domain rollup over planted provenance URLs: crawl
+    // curation keys on the registrable host (blocklists, per-site caps,
+    // diversity audits). Spark's parse_url is graded against the oracle's
+    // direct md5 host construction — the parser vs the ground truth.
+    "t24_domain_stats" -> QueryDef.sql(
+      (s, d) => Curation.urlDomainStats(
+          Curation.plantUrls(Tables(s, d).documents, "doc_id", "text"),
+          "doc_id", "text", "source")
+        .orderBy("host"),
+      """WITH hosts AS (SELECT doc_id, source,
+        |    'site' || substr(md5(text), 1, 1) || '.' ||
+        |    CASE WHEN substr(md5(text), 2, 1) IN ('0','2','4','6','8','a','c','e')
+        |      THEN 'com' ELSE 'org' END AS host
+        |  FROM documents),
+        | d AS (SELECT host, count(*) AS n_docs FROM hosts GROUP BY 1),
+        | s AS (SELECT host, count(*) AS n_sources
+        |   FROM (SELECT DISTINCT host, source FROM hosts) GROUP BY 1)
+        | SELECT host, d.n_docs, s.n_sources FROM d JOIN s USING (host)
+        | ORDER BY host""".stripMargin
     )
   )
 
@@ -1593,6 +1771,34 @@ object PipelineQueries {
        |       (a, b) -> a + b) AS DOUBLE)
        |     / CAST(least(n_samples, 64) AS DOUBLE)), 6) AS rms
        | FROM sampled ORDER BY doc_id""".stripMargin
+  }
+
+  /** The m10 oracle: the identical WAV synthesis as m5, then the same
+    * 64-point Walsh–Hadamard transform and 8-band energy rollup in exact
+    * integer arithmetic — sign of coefficient (i,k) is (−1)^popcount(i∧k),
+    * bit_count on both engines.
+    */
+  private def m10Sql: String = {
+    val hdr = graft.operators.Multimodal.wavHeaderHex(256)
+    def sample = s"((${hexByteAt("45 + 2*i")}) + 256 * (${hexByteAt("46 + 2*i")}))"
+    s"""WITH phex AS (SELECT doc_id,
+       |    '$hdr' || ${(0 until 16).map(i => s"md5(text || '$i')").mkString(" || ")} AS h
+       |  FROM documents),
+       | sampled AS (SELECT doc_id,
+       |    list_transform(range(0, 64), i ->
+       |      CASE WHEN $sample >= 32768 THEN $sample - 65536 ELSE $sample END) AS s
+       |  FROM phex),
+       | wt AS (SELECT doc_id,
+       |    list_transform(range(0, 64), k ->
+       |      list_reduce(list_transform(range(0, 64), i ->
+       |        CASE WHEN bit_count(i & k) % 2 = 0 THEN s[CAST(i AS INT) + 1]
+       |             ELSE -s[CAST(i AS INT) + 1] END), (a, b) -> a + b)) AS w
+       |  FROM sampled)
+       | SELECT doc_id, CAST(b AS INT) AS band,
+       |   CAST(list_reduce(list_transform(range(b * 8, b * 8 + 8), k ->
+       |     w[CAST(k AS INT) + 1] * w[CAST(k AS INT) + 1]), (a, c) -> a + c) AS BIGINT) AS energy
+       | FROM wt CROSS JOIN LATERAL unnest(range(0, 8)) t(b)
+       | ORDER BY doc_id, band""".stripMargin
   }
 
   /** The m6 oracle: the identical BMP synthesis and parse as

@@ -292,4 +292,31 @@ class CurationSpec extends SparkSpec {
     assert((planted.getAs[Long]("n_emails"), planted.getAs[Long]("n_ips"),
       planted.getAs[Long]("n_phones")) == ((1L, 1L, 1L)))
   }
+
+  test("nfcNormalizeStats composes decomposed sequences; NFC text passes through") {
+    val docs = Seq(
+      (1L, "plain ascii text"),
+      (2L, "caf" + "e\u0301"),        // decomposed e+acute -> composes, shrinks by 1
+      (3L, "caf\u00e9"),              // already composed - unchanged
+      (4L, "o\u0302" + " and " + "e\u0301") // two decomposed pairs
+    ).toDF("doc_id", "text")
+    val got = Curation.nfcNormalizeStats(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("changed"), r.getAs[Long]("n_before"), r.getAs[Long]("n_after"),
+          r.getAs[String]("norm_fp"))).toMap
+    assert(got(1L)._1 == 0 && got(1L)._2 == got(1L)._3)
+    assert(got(2L) == ((1, 5L, 4L, got(3L)._4)), "decomposed café must hash like composed café")
+    assert(got(3L)._1 == 0 && got(3L)._2 == 4L && got(3L)._3 == 4L)
+    assert(got(4L)._1 == 1 && got(4L)._2 == 9L && got(4L)._3 == 7L)
+    // the fixture plants sequences NFC actually changes, for every doc
+    val plantedStats = Curation.nfcNormalizeStats(
+      Curation.plantDenormalized(docs, "doc_id", "text"), "doc_id", "text")
+      .collect()
+    assert(plantedStats.forall(_.getAs[Int]("changed") == 1))
+    // every doc shrinks by the 4 planted pairs plus any decomposed pairs
+    // already in its own text (docs 2 and 4 here carry 1 and 2 of their own)
+    val shrink = plantedStats.map(r =>
+      r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_before") - r.getAs[Long]("n_after"))).toMap
+    assert(shrink == Map(1L -> 4L, 2L -> 5L, 3L -> 4L, 4L -> 6L))
+  }
 }

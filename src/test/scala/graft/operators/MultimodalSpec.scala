@@ -289,4 +289,43 @@ class MultimodalSpec extends SparkSpec {
     assert(stats(1L).getAs[Double]("mean_g") == m(1))
     assert(stats(1L).getAs[Double]("mean_b") == m(2))
   }
+
+  test("whtBandEnergies matches a direct JVM Walsh–Hadamard computation") {
+    val docs   = Seq((1L, "alpha doc"), (2L, "beta doc")).toDF("doc_id", "text")
+    val assets = Multimodal.synthWav(docs, "doc_id", "text")
+    val got = Multimodal.whtBandEnergies(assets, "doc_id", "payload")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("band")) ->
+        r.getAs[Long]("energy")).toMap
+    assert(got.size == 16) // 2 docs × 8 bands
+    // reference computation straight off the imperative decoder
+    val payloads = assets.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    for ((id, p) <- payloads) {
+      val s = Multimodal.decodeWavPcm(p, maxSamples = 64).get.samples.map(_.toLong)
+      val w = (0 until 64).map { k =>
+        (0 until 64).map { i =>
+          if (java.lang.Long.bitCount(i & k) % 2 == 0) s(i) else -s(i)
+        }.sum
+      }
+      for (b <- 0 until 8) {
+        val e = (0 until 8).map(j => w(8 * b + j) * w(8 * b + j)).sum
+        assert(got((id, b)) == e, s"doc $id band $b")
+      }
+    }
+    // Parseval: total energy across bands = 64 × Σ s² (orthogonality check)
+    for ((id, p) <- payloads) {
+      val s = Multimodal.decodeWavPcm(p, maxSamples = 64).get.samples.map(_.toLong)
+      val total = (0 until 8).map(b => got((id, b))).sum
+      assert(total == 64L * s.map(x => x * x).sum, s"Parseval fails for doc $id")
+    }
+  }
+
+  test("whtBandEnergies zero-pads truncated payloads instead of failing") {
+    val docs = Seq((1L, "some doc")).toDF("doc_id", "text")
+    // truncate to 44-byte header + 8 bytes → only 4 real samples
+    val truncated = Multimodal.synthWav(docs, "doc_id", "text")
+      .select(col("doc_id"), expr("substring(payload, 1, 52)").as("payload"))
+    val rows = Multimodal.whtBandEnergies(truncated, "doc_id", "payload").collect()
+    assert(rows.length == 8) // still all 8 bands, finite energies
+    assert(rows.forall(_.getAs[Long]("energy") >= 0L))
+  }
 }

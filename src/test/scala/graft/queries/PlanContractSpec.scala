@@ -57,11 +57,14 @@ class PlanContractSpec extends SparkSpec {
       // s13/s14 are s1's broadcast-probe topology (s13 streams the corpus
       // as two BIGINT sig words, s14 carries two sims); d12 is s3/s4's
       // broadcast-centroid assignment — its pairwise stage is an equi-join
+      // a11 joins a broadcast ONE-ROW max-date anchor keylessly onto the
+      // event stream — the r4/t11 scalar-subquery shape; s15 is s1's
+      // broadcast-probe topology (probes × corpus, one corpus pass)
       if (!Set("j7_cross_join", "s1_cosine_topk", "s3_ann_ivf", "s4_kmeans_step",
           "r4_temperature_mix", "t11_unigram_logprob", "s6_pq_adc_topk",
           "s7_hard_negatives", "s9_range_search", "t16_bigram_logprob",
           "s12_ivf_pq", "s13_sign_hamming", "s14_matryoshka",
-          "d12_semdedup").contains(q))
+          "d12_semdedup", "a11_decayed_sum", "s15_label_mrr").contains(q))
         assert(count(plan, "BroadcastNestedLoopJoin") == 0, s"$q plans a nested-loop join")
     }
   }
@@ -287,6 +290,45 @@ class PlanContractSpec extends SparkSpec {
     // corpus self-join, no cartesian
     assert(count(plan, "CartesianProduct") == 0, s"d13 must never go all-pairs:\n$plan")
     assert(count(plan, "BroadcastNestedLoopJoin") == 0)
+  }
+
+  test("w4 sessionize: both windows and the rollup share ONE user-key shuffle") {
+    val plan = planOf("w4_sessionize")
+    // lag-flag window, cumulative-count window, and the session groupBy
+    // all partition on user_id: Catalyst must plan a single hash exchange
+    // (plus the presentation orderBy's range exchange) — a second hash
+    // exchange means the windows/agg stopped sharing their partitioning
+    assert(count(plan, "Exchange hashpartitioning") == 1,
+      s"sessionize must shuffle exactly once on the session key:\n$plan")
+    assert(count(plan, "Join") == 0, s"sessionize needs no join:\n$plan")
+  }
+
+  test("d15 dup spans: gram strings never shuffle; span merge is windowed, not joined") {
+    val plan = planOf("d15_dup_spans")
+    // every hash exchange partitions on the 8-byte gram hash (__h) or the
+    // doc id — a raw 20-char gram string as a shuffle key would 3× the
+    // shuffle bytes and re-hash variable-length keys at every exchange
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(e =>
+      e.contains("__h#") || e.contains("doc_id#")),
+      s"an exchange partitions on something other than the gram hash/doc id:\n$plan")
+    assert(count(plan, "CartesianProduct") == 0)
+    assert(count(plan, "Expand") == 0, "doc frequency must be dedup+count, not countDistinct")
+  }
+
+  test("t22 fuzzy pairs: candidates via variant equi-join — the distance cross join appears in no plan") {
+    val plan = planOf("t22_fuzzy_pairs")
+    assert(count(plan, "CartesianProduct") == 0, s"t22 must never go all-pairs:\n$plan")
+    assert(count(plan, "BroadcastNestedLoopJoin") == 0,
+      s"t22's candidate join must be an equi-join on the variant key:\n$plan")
+  }
+
+  test("m10 WHT is one native-expression pass: no join, no pre-sort shuffle") {
+    val plan = planOf("m10_wht_bands")
+    assert(plan.contains("wht_band_energies"), "native WhtEnergiesExpr must appear in the plan")
+    assert(count(plan, "Join") == 0, s"WHT must not join:\n$plan")
+    assert(count(plan, "Exchange hashpartitioning") == 0,
+      s"WHT must not shuffle (only the presentation sort range-partitions):\n$plan")
   }
 
   test("d2 LSH plan computes the shingle aggregation exactly once") {
