@@ -32,9 +32,38 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def materialize(name: String, dir: String): Long =
-      try SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
-      catch { case _: Throwable => -1L }
+    // Per-query WATCHDOG: one bench run hung forever in
+    // AdaptiveSparkPlanExec.withFinalPlanUpdate (main parked on the stage
+    // event queue with the whole cluster idle — a lost-event race inside
+    // AQE, not slow work; jstack-verified). One flaky query must not turn
+    // the round's entire BENCH artifact into "parsed: null", so each
+    // materialization runs on a daemon thread with a generous timeout
+    // (~40× the slowest query's median) and a job-group cancel on expiry;
+    // a timed-out query records -1 like any other failure and the
+    // remaining inventory still measures.
+    val watchdogPool = java.util.concurrent.Executors.newCachedThreadPool(
+      (r: Runnable) => { val t = new Thread(r, "bench-watchdog"); t.setDaemon(true); t })
+    val queryTimeoutSec =
+      sys.env.get("SPARK_GRAFT_BENCH_QUERY_TIMEOUT").map(_.toLong).getOrElse(180L)
+    def materialize(name: String, dir: String): Long = {
+      val group = s"bench-$name"
+      val task = new java.util.concurrent.FutureTask[Long](() =>
+        try {
+          // job group is thread-local: set it in the thread that SUBMITS
+          spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+          SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
+        } catch { case _: Throwable => -1L })
+      watchdogPool.execute(task)
+      try task.get(queryTimeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          Console.err.println(s"[bench] watchdog: $name exceeded ${queryTimeoutSec}s, cancelling")
+          spark.sparkContext.cancelJobGroup(group)
+          task.cancel(true)
+          -1L
+        case _: Throwable => -1L
+      }
+    }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")

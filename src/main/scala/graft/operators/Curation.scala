@@ -631,6 +631,35 @@ object Curation {
       md5(norm).as("norm_fp"))
   }
 
+  /** Readability scoring (Flesch–Kincaid grade with an integer syllable
+    * proxy) — the classic text-difficulty screen corpus curation uses to
+    * stratify by audience level. Syllables per word ≈ max(1, vowel runs)
+    * — the standard dictionary-free heuristic, exact-integer so both
+    * engines count identically; sentences ≈ terminal-punctuation runs
+    * (min 1). Pure per-row regexp/aggregate column math: codegen'd scan
+    * work, no shuffle, no UDF.
+    *
+    * Output: (id, n_words, n_sentences, n_syllables, fk_grade) with
+    * fk_grade = 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59
+    * rounded to 4 decimals — the double arithmetic is a fixed three-term
+    * expression over exact integer ratios, so it is engine-reproducible.
+    */
+  def readabilityStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    df.select(col(idCol), toks.as("__t"),
+        greatest(regexp_count(col(textCol), lit("[.!?]+")), lit(1)).cast("long").as("n_sentences"))
+      .select(col(idCol),
+        size(col("__t")).cast("long").as("n_words"),
+        col("n_sentences"),
+        aggregate(col("__t"), lit(0L),
+          (acc, w) => acc + greatest(size(regexp_extract_all(w, lit("[aeiouAEIOU]+"), lit(0))), lit(1)))
+          .as("n_syllables"))
+      .withColumn("fk_grade",
+        round(lit(0.39) * (col("n_words").cast("double") / col("n_sentences").cast("double"))
+          + lit(11.8) * (col("n_syllables").cast("double") / col("n_words").cast("double"))
+          - lit(15.59), 4))
+  }
+
   /** Per-domain corpus rollup — crawl curation is domain-centric (domain
     * blocklists, per-site caps, source diversity audits all key on the
     * registrable host). Extracts the first URL per document, parses the

@@ -534,6 +534,40 @@ object Multimodal {
         when(col("__n") > 0, channelMean(2)).as("mean_r"))
   }
 
+  /** Image average-hash (aHash) + exact-duplicate grouping — the content
+    * fingerprint tier for IMAGES that `TextOps.fingerprint` provides for
+    * text: each decoded pixel grays to (b+g+r) DIV 3, the hash sets bit i
+    * when gray_i exceeds the image's integer mean, and images sharing a
+    * hash are duplicate candidates (re-encodes, metadata-only edits).
+    * All integer arithmetic — engine-exact, no float thresholds.
+    *
+    * Scale shape: the hash is per-row column math inside the scan (the
+    * gray array is materialized per row and consumed by mean + bits — a
+    * bounded 2× re-evaluation, never the n× lambda-inlining blowup m10
+    * hit); duplicate counts follow the d9 discipline — groupBy count on
+    * the hash (map-side combined), then a once-per-hash equi-join back,
+    * so a billion-fold repeated logo never hot-spots a window partition.
+    *
+    * Output: (id, ahash, n_same_hash); invalid payloads report null hash
+    * and count (counted, not dropped).
+    */
+  def imageAHash(assets: DataFrame, idCol: String = "asset_id",
+                 payloadCol: String = "payload",
+                 maxPixels: Int = 64): DataFrame = {
+    require(maxPixels > 0 && maxPixels <= 64, "ahash uses at most 64 bits")
+    // one native-expression call per row (graft.functions.AHash): the
+    // declarative gray-array form re-evaluated its 36-byte-extract tree
+    // once per BIT after CollapseProject inlined the mean into the
+    // comparison lambda — the m10/WhtEnergies blowup class; see the
+    // expression's scaladoc
+    val hashes = assets.select(col(idCol),
+      graft.functions.AHash(col(payloadCol), maxPixels).as("ahash"))
+    val counts = hashes.filter(col("ahash").isNotNull)
+      .groupBy("ahash").agg(count(lit(1)).as("n_same_hash"))
+    hashes.join(counts, Seq("ahash"), "left")
+      .select(col(idCol), col("ahash"), col("n_same_hash"))
+  }
+
   /** Decoded BI_RGB bitmap: dimensions plus the first pixels as (b, g, r)
     * byte triples in stored row order. */
   final case class BmpRgb(width: Int, height: Int, bpp: Int,

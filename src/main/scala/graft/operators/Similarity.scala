@@ -539,6 +539,37 @@ object Similarity {
             / size(v).cast("double"), 9).as("mse"))
   }
 
+  /** IVF index-health telemetry: per posting list, the member count and
+    * the cosine-to-centroid distribution (min/max/avg) — the numbers that
+    * tell an operator whether the coarse quantizer is BALANCED (skewed
+    * cells make nProbe recall erratic and one cell quadratic-hot for
+    * SemDeDup) and TIGHT (low within-cell similarity means the centroids
+    * no longer fit the data and need re-training via [[kmeansStep]]).
+    *
+    * Scale shape: one broadcast-centroid assignment pass over the corpus,
+    * then a combine-friendly aggregation on centroid_id — the avg carries
+    * as an exact DECIMAL sum of 6-decimal-rounded cosines, so it is
+    * engine-reproducible (a raw double sum would drift with partition
+    * order).
+    */
+  def postingListStats(df: DataFrame, centroids: DataFrame,
+                       idCol: String, vecCol: String): DataFrame = {
+    val c = broadcast(centroids.select(col(idCol).as("__cid"), col(vecCol).as("__cvec")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(round(cosine(col(vecCol), col("__cvec")), 6).desc, col("__cid"))
+    df.crossJoin(c)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("__cid").as("centroid_id"),
+        round(cosine(col(vecCol), col("__cvec")), 6).as("__sim"))
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col("__sim")).as("min_sim"),
+        max(col("__sim")).as("max_sim"),
+        round(sum(col("__sim").cast("decimal(38,6)")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("avg_sim"))
+  }
+
   /** Label-retrieval MRR — the end-to-end eval an embedding pipeline signs
     * off on: rank the corpus by cosine per probe (excluding self) and find
     * the first SAME-LABEL neighbor; reciprocal rank near 1 means the

@@ -178,6 +178,52 @@ object AggQueries {
         | FROM events, mx GROUP BY user_id ORDER BY user_id""".stripMargin
     ),
 
+    // A12 — session funnel: within each w4 session, did the user progress
+    // view → click (after the first view) → purchase (after that click)?
+    // The event-analytics staple over sessionized streams. Three chained
+    // min-CASE windows plus the session rollup, ALL on the same (user)
+    // partition key — Catalyst plans one hash shuffle for the lot;
+    // timestamps compare at exact micros.
+    "a12_session_funnel" -> QueryDef.sql(
+      (s, d) => {
+        val sess = Relational.sessionize(Tables(s, d).events, Seq("user_id"),
+          col("ts"), Seq(col("ts"), col("event_id")), gapSeconds = 86400L)
+        val w  = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "session_seq")
+        val us = unix_micros(col("ts"))
+        val v  = min(when(col("event_type") === "view", us)).over(w)
+        val sv = sess.withColumn("__v", v)
+        val c  = min(when(col("event_type") === "click" && us > col("__v"), us)).over(w)
+        val sc = sv.withColumn("__c", c)
+        val p  = min(when(col("event_type") === "purchase" && us > col("__c"), us)).over(w)
+        sc.withColumn("__p", p)
+          .withColumn("__reached",
+            when(col("__p").isNotNull, 3).when(col("__c").isNotNull, 2)
+              .when(col("__v").isNotNull, 1).otherwise(0).cast("int"))
+          .groupBy("user_id", "session_seq")
+          .agg(count(lit(1)).as("n_events"), max(col("__reached")).as("reached"))
+          .orderBy("user_id", "session_seq")
+      },
+      """WITH g AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 86400000000 THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        | n AS (SELECT user_id, ts, event_type,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM g),
+        | v AS (SELECT *, min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+        |    OVER (PARTITION BY user_id, session_seq) AS fv FROM n),
+        | c AS (SELECT *, min(CASE WHEN event_type = 'click' AND epoch_us(ts) > fv
+        |    THEN epoch_us(ts) END) OVER (PARTITION BY user_id, session_seq) AS fc FROM v),
+        | p AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND epoch_us(ts) > fc
+        |    THEN epoch_us(ts) END) OVER (PARTITION BY user_id, session_seq) AS fp FROM c)
+        | SELECT user_id, session_seq, count(*) AS n_events,
+        |   CAST(max(CASE WHEN fp IS NOT NULL THEN 3 WHEN fc IS NOT NULL THEN 2
+        |     WHEN fv IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER) AS reached
+        | FROM p GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin
+    ),
+
     // W1 variant — top-n per key (rank ≤ 3 latest events per user)
     "w1_topn_per_key" -> QueryDef.sql(
       (s, d) => Relational.topNPerKey(

@@ -1514,6 +1514,65 @@ object PipelineQueries {
       }
     ),
 
+    // M11 — image average-hash + exact-dup grouping: the content
+    // fingerprint tier for images (re-encodes/metadata edits collapse to
+    // one hash). Integer-exact grayscale/mean/bits; duplicate counts via
+    // the d9 groupBy-then-equi-join discipline, never a hash window.
+    "m11_image_ahash" -> QueryDef.sql(
+      (s, d) => Multimodal.imageAHash(
+          Multimodal.synthBmp(Tables(s, d).documents, "doc_id", "text"),
+          idCol = "doc_id", payloadCol = "payload")
+        .orderBy("doc_id"),
+      m11Sql
+    ),
+
+    // S16 — IVF posting-list health: per-cell member count and cosine-to-
+    // centroid distribution — the balance/tightness telemetry that says
+    // when the coarse quantizer needs re-training (s4's kmeansStep).
+    "s16_ivf_health" -> QueryDef.sql(
+      (s, d) => {
+        val e = Tables(s, d).embeddings
+        Similarity.postingListStats(e, e.filter(col("vec_id") % 97 === 0),
+            "vec_id", "embedding")
+          .orderBy("centroid_id")
+      },
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cvec
+         |    FROM embeddings WHERE vec_id % 97 = 0),
+         | assign AS (SELECT vec_id, cid, sim FROM (
+         |   SELECT e.vec_id, c.cid, round(${sqlCosine("e.embedding", "c.cvec")}, 6) AS sim,
+         |     row_number() OVER (PARTITION BY e.vec_id
+         |       ORDER BY round(${sqlCosine("e.embedding", "c.cvec")}, 6) DESC, c.cid) AS rn
+         |   FROM embeddings e CROSS JOIN cents c) WHERE rn = 1)
+         | SELECT cid AS centroid_id, CAST(count(*) AS BIGINT) AS n_vectors,
+         |   min(sim) AS min_sim, max(sim) AS max_sim,
+         |   round(CAST(sum(CAST(sim AS DECIMAL(38,6))) AS DOUBLE)
+         |     / CAST(count(*) AS DOUBLE), 6) AS avg_sim
+         | FROM assign GROUP BY 1 ORDER BY centroid_id""".stripMargin
+    ),
+
+    // T26 — Flesch–Kincaid readability with the dictionary-free integer
+    // syllable proxy (vowel runs, min 1) — the audience-level screen;
+    // exact integer counts under a fixed three-term double formula.
+    "t26_readability" -> QueryDef.sql(
+      (s, d) => Curation.readabilityStats(Tables(s, d).documents, "doc_id", "text")
+        .orderBy("doc_id"),
+      s"""WITH s AS (SELECT doc_id, $toksSql AS t,
+         |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS ns
+         |  FROM documents),
+         | m AS (SELECT doc_id,
+         |    CAST(len(t) AS BIGINT) AS n_words,
+         |    CAST(ns AS BIGINT) AS n_sentences,
+         |    CAST(list_reduce(list_transform(t, w ->
+         |      greatest(len(regexp_extract_all(w, '[aeiouAEIOU]+')), 1)),
+         |      (a, b) -> a + b) AS BIGINT) AS n_syllables
+         |  FROM s)
+         | SELECT doc_id, n_words, n_sentences, n_syllables,
+         |   round(0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+         |     + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+         |     - 15.59, 4) AS fk_grade
+         | FROM m ORDER BY doc_id""".stripMargin
+    ),
+
     // D16 — WITHIN-doc repeated-span coverage, d15's self-repetition twin
     // (Lee et al. dedup across AND within documents): chars covered by a
     // 20-char window whose content already occurred earlier in the SAME
@@ -1799,6 +1858,42 @@ object PipelineQueries {
        |     w[CAST(k AS INT) + 1] * w[CAST(k AS INT) + 1]), (a, c) -> a + c) AS BIGINT) AS energy
        | FROM wt CROSS JOIN LATERAL unnest(range(0, 8)) t(b)
        | ORDER BY doc_id, band""".stripMargin
+  }
+
+  /** The m11 oracle: the identical BMP synthesis and parse as m6, then
+    * the same integer aHash — gray = (b+g+r) // 3 addressed through the
+    * padded bottom-up stride, integer mean, bit i set when gray_i > mean,
+    * duplicate counts per hash.
+    */
+  private def m11Sql: String = {
+    val hdr = graft.operators.Multimodal.bmpHeaderHex(3, 4)
+    def byteAt(pos: String)  = hexByteAt(pos)
+    def le(pos: Int, w: Int) = hexLe(pos, w)
+    def s32(pos: Int) =
+      s"(CASE WHEN ${le(pos, 4)} >= 2147483648 THEN ${le(pos, 4)} - 4294967296 ELSE ${le(pos, 4)} END)"
+    val gray =
+      s"""((${byteAt("off + (i // width) * row_size + (i % width) * 3 + 1")})
+         | + (${byteAt("off + (i // width) * row_size + (i % width) * 3 + 2")})
+         | + (${byteAt("off + (i // width) * row_size + (i % width) * 3 + 3")})) // 3""".stripMargin
+    s"""WITH phex AS (SELECT doc_id,
+       |    '$hdr' || md5(text || 'b0') || md5(text || 'b1') || md5(text || 'b2') AS h
+       |  FROM documents),
+       | dims AS (SELECT doc_id, h, ${s32(19)} AS width, ${s32(23)} AS height,
+       |    (${s32(19)} * 3 + 3) // 4 * 4 AS row_size, ${le(11, 4)} AS off FROM phex),
+       | grays AS (SELECT doc_id,
+       |    list_transform(range(0, least(width * height, 64)), i -> $gray) AS g,
+       |    least(width * height, 64) AS n FROM dims),
+       | hashed AS (SELECT doc_id,
+       |    list_reduce(list_transform(range(0, n), i ->
+       |      CASE WHEN g[CAST(i AS INT) + 1] >
+       |        (list_reduce(g, (a, b) -> a + b) // n)
+       |      THEN CAST(1 AS BIGINT) << CAST(i AS INT) ELSE CAST(0 AS BIGINT) END),
+       |      (a, b) -> a + b) AS ahash
+       |  FROM grays),
+       | counts AS (SELECT ahash, CAST(count(*) AS BIGINT) AS n_same_hash
+       |  FROM hashed GROUP BY 1)
+       | SELECT h.doc_id, h.ahash, c.n_same_hash
+       | FROM hashed h JOIN counts c USING (ahash) ORDER BY h.doc_id""".stripMargin
   }
 
   /** The m6 oracle: the identical BMP synthesis and parse as

@@ -112,6 +112,47 @@ object FullIngest {
       metrics: Option[IngestMetrics] = None,
       mirror: Option[JdbcMirror] = None): Unit = {
     val t0 = System.nanoTime()
+    // Head-follow steady state delivers ONE block per micro-batch, and the
+    // per-block bracket is job-launch-bound, not data-bound: JobDump
+    // attribution showed 36 of 64 jobs on a quiet single-block batch were
+    // AQE stage-materialization submissions — runtime re-planning buys
+    // nothing on a 2-row batch and pays a scheduling round-trip per
+    // shuffle stage. Scope AQE off for single-block batches only (the
+    // limit-2 probe costs one bounded job); catch-up spans keep AQE for
+    // its skew/coalesce value on real backfill volumes.
+    val singleBlock = batch.limit(2).count() < 2
+    val aqeKey   = "spark.sql.adaptive.enabled"
+    val shufKey  = "spark.sql.shuffle.partitions"
+    val aqePrev  = spark.conf.get(aqeKey, "true")
+    val shufPrev = spark.conf.get(shufKey, "200")
+    if (singleBlock) {
+      spark.conf.set(aqeKey, "false")
+      // one block ≈ single-digit rows per relation: every static shuffle
+      // should be ONE task (AQE would have coalesced to this; with it off
+      // the static setting must say so)
+      spark.conf.set(shufKey, "1")
+    }
+    try processBatchInner(spark, store, batch, client, maxBlocksPerChunk,
+      reorgWindow, newSubLimit, cache, fetchBack, metrics, mirror, t0)
+    finally if (singleBlock) {
+      spark.conf.set(aqeKey, aqePrev)
+      spark.conf.set(shufKey, shufPrev)
+    }
+  }
+
+  private def processBatchInner(
+      spark: SparkSession,
+      store: TableStore,
+      batch: DataFrame,
+      client: BalanceClient,
+      maxBlocksPerChunk: Int,
+      reorgWindow: Long,
+      newSubLimit: Int,
+      cache: Option[CachedChainStore],
+      fetchBack: Seq[Byte] => Option[Schemas.Bundle],
+      metrics: Option[IngestMetrics],
+      mirror: Option[JdbcMirror],
+      t0: Long): Unit = {
     // Downstream retraction runs as ChainIngest's onRetract hook — INSIDE
     // the reorg transaction, before the chain deletes — not after the
     // batch: a crash anywhere then converges on the checkpoint replay

@@ -293,6 +293,24 @@ class CurationSpec extends SparkSpec {
       planted.getAs[Long]("n_phones")) == ((1L, 1L, 1L)))
   }
 
+  test("readabilityStats counts vowel-run syllables and sentence runs exactly") {
+    // "Simple text here. It reads well!" → 6 words, 2 sentences,
+    // syllables: sim-ple? vowel runs: S(i)mpl(e)=2, t(e)xt=1, h(e)r(e)=2,
+    // (I)t=1, r(ea)ds=1, w(e)ll=1 → 8
+    val docs = Seq((1L, "Simple text here. It reads well!"),
+      (2L, "xyz")).toDF("doc_id", "text") // no vowels, no terminator → mins kick in
+    val got = Curation.readabilityStats(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_sentences"),
+          r.getAs[Long]("n_syllables"), r.getAs[Double]("fk_grade")))).toMap
+    assert(got(1L)._1 == 6L && got(1L)._2 == 2L && got(1L)._3 == 8L)
+    val fk1 = BigDecimal(0.39 * (6.0 / 2.0) + 11.8 * (8.0 / 6.0) - 15.59)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L)._4 == fk1)
+    assert(got(2L) == ((1L, 1L, 1L,
+      BigDecimal(0.39 + 11.8 - 15.59).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
   test("nfcNormalizeStats composes decomposed sequences; NFC text passes through") {
     val docs = Seq(
       (1L, "plain ascii text"),

@@ -319,6 +319,28 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("imageAHash: identical images share a hash, invalid payloads report null") {
+    val docs = Seq((1L, "same pixels"), (2L, "same pixels"), (3L, "different img"))
+      .toDF("doc_id", "text")
+    val assets = Multimodal.synthBmp(docs, "doc_id", "text")
+      .unionByName(Seq((9L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload"))
+    val got = Multimodal.imageAHash(assets, "doc_id", "payload")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (Option(r.getAs[java.lang.Long]("ahash")), Option(r.getAs[java.lang.Long]("n_same_hash"))))
+      .toMap
+    assert(got(1L)._1.isDefined && got(1L)._1 == got(2L)._1, "same pixels → same hash")
+    assert(got(1L)._2.contains(2L) && got(2L)._2.contains(2L))
+    assert(got(9L) == ((None, None)), "invalid payload → null hash, not dropped")
+    // hand-check doc 1's hash against the imperative decoder
+    val payload = Multimodal.synthBmp(docs.filter($"doc_id" === 1L), "doc_id", "text")
+      .head().getAs[Array[Byte]]("payload")
+    val px = Multimodal.decodeBmpRgb(payload).get.pixels
+    val grays = px.map { case (b, g, r) => (b + g + r) / 3 }
+    val mean = grays.sum / grays.length
+    val expect = grays.zipWithIndex.map { case (g, i) => if (g > mean) 1L << i else 0L }.sum
+    assert(got(1L)._1.contains(expect))
+  }
+
   test("whtBandEnergies zero-pads truncated payloads instead of failing") {
     val docs = Seq((1L, "some doc")).toDF("doc_id", "text")
     // truncate to 44-byte header + 8 bytes → only 4 real samples

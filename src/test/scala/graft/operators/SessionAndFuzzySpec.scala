@@ -137,6 +137,34 @@ class SessionAndFuzzySpec extends SparkSpec {
       "" -> ((1L, 1L))))
   }
 
+  test("session funnel requires stage ORDER, not mere presence") {
+    // purchase BEFORE the first view must not count as a conversion
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "purchase"),
+      (1L, ts("2024-01-01 00:01:00"), 2L, "view"),
+      (1L, ts("2024-01-01 00:02:00"), 3L, "click"),
+      // user 2: full ordered funnel
+      (2L, ts("2024-01-01 00:00:00"), 4L, "view"),
+      (2L, ts("2024-01-01 00:01:00"), 5L, "click"),
+      (2L, ts("2024-01-01 00:02:00"), 6L, "purchase")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val sess = Relational.sessionize(ev, Seq("user_id"), col("ts"),
+      Seq(col("ts"), col("event_id")), gapSeconds = 86400L)
+    val w  = org.apache.spark.sql.expressions.Window.partitionBy("user_id", "session_seq")
+    val us = unix_micros(col("ts"))
+    val withV = sess.withColumn("__v", min(when(col("event_type") === "view", us)).over(w))
+    val withC = withV.withColumn("__c",
+      min(when(col("event_type") === "click" && us > col("__v"), us)).over(w))
+    val got = withC.withColumn("__p",
+        min(when(col("event_type") === "purchase" && us > col("__c"), us)).over(w))
+      .withColumn("reached",
+        when(col("__p").isNotNull, 3).when(col("__c").isNotNull, 2)
+          .when(col("__v").isNotNull, 1).otherwise(0))
+      .groupBy("user_id").agg(max("reached").as("reached"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 2, 2L -> 3), "out-of-order purchase must not convert")
+  }
+
   test("editDistanceOnePairs emits one row per pair despite repeated-char variants") {
     // "aaaa" yields the same deletion variant four times; the pair must
     // still appear exactly once

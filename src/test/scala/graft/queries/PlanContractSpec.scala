@@ -64,7 +64,8 @@ class PlanContractSpec extends SparkSpec {
           "r4_temperature_mix", "t11_unigram_logprob", "s6_pq_adc_topk",
           "s7_hard_negatives", "s9_range_search", "t16_bigram_logprob",
           "s12_ivf_pq", "s13_sign_hamming", "s14_matryoshka",
-          "d12_semdedup", "a11_decayed_sum", "s15_label_mrr").contains(q))
+          "d12_semdedup", "a11_decayed_sum", "s15_label_mrr",
+          "s16_ivf_health").contains(q)) // s16 = s3/s4's broadcast-centroid assignment
         assert(count(plan, "BroadcastNestedLoopJoin") == 0, s"$q plans a nested-loop join")
     }
   }
