@@ -240,6 +240,93 @@ object Curation {
       .select(col(strataCol), col("n_tokens"), col("weight"), col("alloc_tokens"))
   }
 
+  /** Epoch-capped mixture allocation — the data-recipe planner on top of
+    * [[temperatureMixture]]: α-scaled weights propose per-stratum token
+    * draws, but no stratum may repeat beyond `maxEpochs` passes over its
+    * own mass (the over-epoching guard every published pretraining recipe
+    * applies to small high-weight sources). alloc = min(⌊w·B⌋, ⌊E·n⌋);
+    * budget the caps forfeit is REPORTED per stratum (`unfilled` > 0 on
+    * capped rows means the recipe needs more raw data or a lower α), not
+    * silently reassigned — redistribution policy is a recipe decision,
+    * not an engine default.
+    *
+    * Decimal-carried arithmetic end to end (the r4 discipline), so the
+    * allocation is engine-reproducible.
+    */
+  def epochCappedMixture(df: DataFrame, strataCol: String, nTokens: Column,
+                         alpha: Double, tokenBudget: Long,
+                         maxEpochs: Double): DataFrame = {
+    require(alpha > 0 && tokenBudget > 0 && maxEpochs > 0,
+      "alpha, tokenBudget, maxEpochs must be positive")
+    val perStratum = df.groupBy(strataCol).agg(sum(nTokens.cast("long")).as("n_tokens"))
+      .withColumn("__p",
+        round(pow(col("n_tokens").cast("double"), lit(alpha)), 6).cast("decimal(28,6)"))
+    val total = perStratum.agg(sum("__p").as("__tot"))
+    perStratum.crossJoin(broadcast(total))
+      .withColumn("weight",
+        round(col("__p").cast("double") / col("__tot").cast("double"), 6))
+      .withColumn("__raw",
+        floor(col("weight").cast("decimal(12,6)") * lit(tokenBudget)).cast("long"))
+      .withColumn("cap_tokens",
+        floor(col("n_tokens").cast("decimal(28,6)") *
+          lit(BigDecimal(maxEpochs).setScale(6, BigDecimal.RoundingMode.HALF_UP))).cast("long"))
+      .withColumn("alloc_tokens", least(col("__raw"), col("cap_tokens")))
+      .withColumn("unfilled", col("__raw") - col("alloc_tokens"))
+      .withColumn("epochs",
+        round(col("alloc_tokens").cast("double") / col("n_tokens").cast("double"), 6))
+      .select(col(strataCol), col("n_tokens"), col("weight"), col("cap_tokens"),
+        col("alloc_tokens"), col("unfilled"), col("epochs"))
+  }
+
+  /** Canonical-URL deduplication — crawl frontiers hand the pipeline the
+    * same page as `HTTP://Site.com/p/x?utm_source=feed#top` and
+    * `https://site.com/p/x`: canonicalization (lowercase host, drop query
+    * + fragment, strip the trailing slash) plus an exact group-by is the
+    * first-line URL dedup every crawl pipeline runs BEFORE content
+    * hashing. Host/path come from the codegen'd `parse_url`; grouping is
+    * one combine-friendly aggregation on the canonical key; each doc maps
+    * to its group representative (min id).
+    *
+    * Output: (id, canon_url, n_docs, rep_id, is_canonical).
+    */
+  def canonicalUrlDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // (?i): crawl data writes schemes in any case (HTTPS://…)
+    val url  = regexp_extract(col(textCol), "(?i)https?://[^\\s]+", 0)
+    val host = lower(parse_url(url, lit("HOST")))
+    val path = regexp_replace(coalesce(parse_url(url, lit("PATH")), lit("")), "/$", "")
+    val canon = when(host.isNull || host === "", lit(""))
+      .otherwise(concat(lit("https://"), host, path))
+    val docs = df.select(col(idCol), canon.as("canon_url"))
+    val groups = docs.groupBy("canon_url")
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("rep_id"))
+    docs.join(groups, Seq("canon_url"))
+      .select(col(idCol), col("canon_url"), col("n_docs"), col("rep_id"),
+        when(col(idCol) === col("rep_id"), 1).otherwise(0).cast("int").as("is_canonical"))
+  }
+
+  /** Messy-URL fixture for the d17 oracle: each document's provenance URL
+    * carries md5-selected noise a crawl frontier actually produces —
+    * uppercase host, a `?utm_source` tracking query, a `#fragment`, a
+    * trailing slash — around the same canonical core as [[plantUrls]].
+    * The oracle rebuilds the CANONICAL form directly from the md5
+    * arithmetic, so Spark's parse_url + canonicalization chain is graded
+    * against ground truth.
+    */
+  def plantMessyUrls(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h = md5(col(textCol))
+    def even(i: Int): Column =
+      substring(h, i, 1).isin("0", "2", "4", "6", "8", "a", "c", "e")
+    val tld  = when(even(2), lit("com")).otherwise(lit("org"))
+    val site = concat(lit("site"), substring(h, 1, 1), lit("."), tld)
+    val host = when(even(5), upper(site)).otherwise(site)
+    df.withColumn(textCol,
+      concat(col(textCol), lit(" see https://"), host,
+        lit("/p/"), substring(h, 3, 6),
+        when(even(8), lit("/")).otherwise(lit("")),
+        when(even(6), lit("?utm_source=track")).otherwise(lit("")),
+        when(even(7), lit("#sec")).otherwise(lit(""))))
+  }
+
   /** Leakage-safe train/val/test assignment: every member of an exact-dup
     * group (same md5 of the full text) follows its group REPRESENTATIVE
     * (min id) into the same split, so a duplicated document can never sit
@@ -675,8 +762,8 @@ object Curation {
     */
   def urlDomainStats(df: DataFrame, idCol: String, textCol: String,
                      sourceCol: String): DataFrame = {
-    val url  = regexp_extract(col(textCol), "https?://[^\\s]+", 0)
-    val host = coalesce(parse_url(url, lit("HOST")), lit(""))
+    val url  = regexp_extract(col(textCol), "(?i)https?://[^\\s]+", 0)
+    val host = coalesce(lower(parse_url(url, lit("HOST"))), lit(""))
     val base = df.select(col(idCol), host.as("host"), col(sourceCol).as("__src"))
     val docs    = base.groupBy("host").agg(count(lit(1)).as("n_docs"))
     val sources = base.select(col("host"), col("__src")).distinct()

@@ -1573,6 +1573,59 @@ object PipelineQueries {
          | FROM m ORDER BY doc_id""".stripMargin
     ),
 
+    // R6 — epoch-capped mixture allocation: r4's temperature weights
+    // under the over-epoching guard (no stratum repeats beyond maxEpochs
+    // passes of its own mass); forfeited budget reports as `unfilled`
+    // per stratum instead of silently reassigning.
+    "r6_epoch_capped_mix" -> QueryDef.sql(
+      (s, d) => Curation.epochCappedMixture(Tables(s, d).documents, "source",
+          TextOps.tokenCount(col("text")), alpha = 0.5, tokenBudget = 1000000L,
+          maxEpochs = 4.0)
+        .orderBy("source"),
+      s"""WITH per AS (SELECT source, CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         | p AS (SELECT source, n_tokens,
+         |    CAST(round(pow(CAST(n_tokens AS DOUBLE), 0.5), 6) AS DECIMAL(28,6)) AS pp
+         |  FROM per),
+         | tot AS (SELECT sum(pp) AS tt FROM p),
+         | w AS (SELECT source, n_tokens,
+         |    round(CAST(pp AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS weight
+         |  FROM p, tot),
+         | a AS (SELECT source, n_tokens, weight,
+         |    CAST(floor(CAST(weight AS DECIMAL(12,6)) * 1000000) AS BIGINT) AS raw,
+         |    CAST(floor(CAST(n_tokens AS DECIMAL(28,6)) * CAST(4.0 AS DECIMAL(12,6))) AS BIGINT) AS cap_tokens
+         |  FROM w)
+         | SELECT source, n_tokens, weight, cap_tokens,
+         |   least(raw, cap_tokens) AS alloc_tokens,
+         |   raw - least(raw, cap_tokens) AS unfilled,
+         |   round(CAST(least(raw, cap_tokens) AS DOUBLE)
+         |     / CAST(n_tokens AS DOUBLE), 6) AS epochs
+         | FROM a ORDER BY source""".stripMargin
+    ),
+
+    // D17 — canonical-URL dedup over messy provenance URLs (uppercase
+    // hosts, utm queries, fragments, trailing slashes — md5-planted):
+    // parse_url + canonicalization graded against the oracle's direct
+    // ground-truth construction; grouping is one aggregation on the
+    // canonical key.
+    "d17_url_dedup" -> QueryDef.sql(
+      (s, d) => Curation.canonicalUrlDedup(
+          Curation.plantMessyUrls(Tables(s, d).documents, "doc_id", "text"),
+          "doc_id", "text")
+        .orderBy("doc_id"),
+      """WITH hosts AS (SELECT doc_id,
+        |    'https://site' || substr(md5(text), 1, 1) || '.' ||
+        |    CASE WHEN substr(md5(text), 2, 1) IN ('0','2','4','6','8','a','c','e')
+        |      THEN 'com' ELSE 'org' END ||
+        |    '/p/' || substr(md5(text), 3, 6) AS canon_url
+        |  FROM documents),
+        | g AS (SELECT canon_url, CAST(count(*) AS BIGINT) AS n_docs,
+        |    min(doc_id) AS rep_id FROM hosts GROUP BY 1)
+        | SELECT h.doc_id, h.canon_url, g.n_docs, g.rep_id,
+        |   CAST(CASE WHEN h.doc_id = g.rep_id THEN 1 ELSE 0 END AS INTEGER) AS is_canonical
+        | FROM hosts h JOIN g USING (canon_url) ORDER BY h.doc_id""".stripMargin
+    ),
+
     // D16 — WITHIN-doc repeated-span coverage, d15's self-repetition twin
     // (Lee et al. dedup across AND within documents): chars covered by a
     // 20-char window whose content already occurred earlier in the SAME

@@ -293,6 +293,45 @@ class CurationSpec extends SparkSpec {
       planted.getAs[Long]("n_phones")) == ((1L, 1L, 1L)))
   }
 
+  test("epochCappedMixture caps over-epoched strata and reports forfeited budget") {
+    // masses 100/400, α=1 → weights 0.2/0.8; B=1000 → raw 200/800.
+    // E=1.5 → caps 150/600: BOTH bind; unfilled 50/200; epochs 1.5/1.5
+    val df = Seq(("rare", 100L), ("big", 400L)).toDF("s", "n")
+    val got = Curation.epochCappedMixture(df, "s", col("n"), alpha = 1.0,
+        tokenBudget = 1000L, maxEpochs = 1.5)
+      .collect().map(r => r.getAs[String]("s") ->
+        ((r.getAs[Long]("cap_tokens"), r.getAs[Long]("alloc_tokens"),
+          r.getAs[Long]("unfilled"), r.getAs[Double]("epochs")))).toMap
+    assert(got("rare") == ((150L, 150L, 50L, 1.5)))
+    assert(got("big") == ((600L, 600L, 200L, 1.5)))
+    // a generous cap leaves the temperature allocation untouched
+    val loose = Curation.epochCappedMixture(df, "s", col("n"), alpha = 1.0,
+        tokenBudget = 1000L, maxEpochs = 100.0)
+      .collect().map(r => r.getAs[String]("s") ->
+        (r.getAs[Long]("alloc_tokens"), r.getAs[Long]("unfilled"))).toMap
+    assert(loose("rare") == ((200L, 0L)) && loose("big") == ((800L, 0L)))
+  }
+
+  test("canonicalUrlDedup merges case/query/fragment/slash variants of one page") {
+    val docs = Seq(
+      (1L, "a doc citing HTTPS://Example.COM/Page/?utm_source=feed#top"),
+      (2L, "same page as https://example.com/Page"),
+      (3L, "same again https://EXAMPLE.com/Page/#frag"),
+      (4L, "different https://example.com/Other"),
+      (5L, "no url in this one at all")
+    ).toDF("doc_id", "text")
+    val got = Curation.canonicalUrlDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("canon_url"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("rep_id"), r.getAs[Int]("is_canonical")))).toMap
+    // 1, 2, 3 collapse to one canonical page; rep = min id = 1
+    assert(got(1L) == (("https://example.com/Page", 3L, 1L, 1)))
+    assert(got(2L) == (("https://example.com/Page", 3L, 1L, 0)))
+    assert(got(3L) == (("https://example.com/Page", 3L, 1L, 0)))
+    assert(got(4L)._2 == 1L && got(4L)._4 == 1)
+    assert(got(5L)._1 == "" && got(5L)._4 == 1, "url-less docs group under the empty key")
+  }
+
   test("readabilityStats counts vowel-run syllables and sentence runs exactly") {
     // "Simple text here. It reads well!" → 6 words, 2 sentences,
     // syllables: sim-ple? vowel runs: S(i)mpl(e)=2, t(e)xt=1, h(e)r(e)=2,

@@ -65,7 +65,9 @@ class PlanContractSpec extends SparkSpec {
           "s7_hard_negatives", "s9_range_search", "t16_bigram_logprob",
           "s12_ivf_pq", "s13_sign_hamming", "s14_matryoshka",
           "d12_semdedup", "a11_decayed_sum", "s15_label_mrr",
-          "s16_ivf_health").contains(q)) // s16 = s3/s4's broadcast-centroid assignment
+          // s16 = s3/s4's broadcast-centroid assignment; r6 = r4's
+          // broadcast one-row weight-total scalar
+          "s16_ivf_health", "r6_epoch_capped_mix").contains(q))
         assert(count(plan, "BroadcastNestedLoopJoin") == 0, s"$q plans a nested-loop join")
     }
   }
