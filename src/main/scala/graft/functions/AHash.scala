@@ -36,9 +36,17 @@ case class AHashExpr(child: Expression, maxPixels: Int) extends UnaryExpression 
     AHash.compute(input.asInstanceOf[Array[Byte]], maxPixels)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"""${ev.value} = graft.functions.AHash.compute($c, $maxPixels);
-         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+    nullSafeCodeGen(ctx, ev, c => {
+      // ev.value is a primitive `long` slot (dataType = LongType); the kernel
+      // returns a boxed Long so a failed decode can yield SQL NULL. Stage
+      // through a boxed temp — assigning the boxed result straight into the
+      // primitive slot and comparing it to null does not compile under Janino
+      // (the expression would silently fall back to interpreted eval).
+      val boxed = ctx.freshName("ahash")
+      s"""java.lang.Long $boxed = graft.functions.AHash.compute($c, $maxPixels);
+         |${ev.isNull} = ($boxed == null);
+         |${ev.value} = ${ev.isNull} ? -1L : $boxed.longValue();""".stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): AHashExpr =
     copy(child = newChild)

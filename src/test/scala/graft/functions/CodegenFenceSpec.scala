@@ -1,0 +1,115 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.operators.Multimodal
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen FENCE for every native Catalyst expression in the library.
+  *
+  * A `doGenCode` that fails Janino compilation does not fail the query —
+  * Spark logs one WARN and silently evaluates the expression interpreted,
+  * so the entire point of writing a native expression (staying inside
+  * whole-stage codegen) can be dead while every correctness test stays
+  * green. That is exactly what happened to `AHashExpr` in round 10: the
+  * template assigned a boxed `java.lang.Long` into the primitive `long`
+  * result slot and compared the primitive to `null`, so no m11 evaluation
+  * ever ran generated code.
+  *
+  * This spec closes the hole for good: it compiles each expression
+  * DIRECTLY via `GenerateUnsafeProjection.generate` — which throws on a
+  * compile error instead of falling back — and then checks the generated
+  * projection agrees with the interpreted `eval` on real, null, and
+  * malformed inputs. "Native, codegen'd" is now contract-checked, not
+  * doc-claimed.
+  */
+class CodegenFenceSpec extends SparkSpec {
+
+  private def hexBytes(hex: String): Array[Byte] =
+    hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  /** Compile `expr` (throws on any Janino failure) and assert the
+    * generated result matches interpreted eval for every input row.
+    */
+  private def assertCodegenMatchesInterpreted(
+      name: String, expr: Expression, rows: Seq[InternalRow]): Unit = {
+    val projection = GenerateUnsafeProjection.generate(Seq(expr)) // throws if doGenCode is broken
+    rows.foreach { row =>
+      val interpreted = expr.eval(row)
+      val generated   = projection(row).get(0, expr.dataType)
+      (interpreted, generated) match {
+        case (null, g) => assert(g == null, s"$name: interpreted NULL but generated $g")
+        case (i: ArrayData, g: ArrayData) =>
+          assert(i.toLongArray().toSeq == g.toLongArray().toSeq,
+            s"$name: generated array diverges from interpreted")
+        case (i, g) =>
+          assert(i == g, s"$name: interpreted $i but generated $g")
+      }
+    }
+  }
+
+  private val binIn   = BoundReference(0, BinaryType, nullable = true)
+  private val vecIn   = BoundReference(0, ArrayType(FloatType, containsNull = false), nullable = true)
+  private val strIn   = BoundReference(0, StringType, nullable = true)
+  private val codeIn  = BoundReference(1, LongType, nullable = true)
+
+  private def row(v: Any): InternalRow = InternalRow(v)
+
+  private val vec8: ArrayData =
+    new GenericArrayData(Array(0.5f, -1.25f, 2.0f, 0.0f, -0.75f, 1.5f, -2.0f, 0.25f))
+
+  test("AHashExpr compiles and generated eval matches interpreted") {
+    // 3x4 24-bit BMP with deterministic pixel data (exercises row padding)
+    val data = (0 until 48).map(i => f"${(i * 37 + 11) % 256}%02x").mkString
+    val bmp = hexBytes(Multimodal.bmpHeaderHex(3, 4) + data)
+    assertCodegenMatchesInterpreted("image_ahash", AHashExpr(binIn, 64), Seq(
+      row(bmp),
+      row(hexBytes("424d0000")),        // truncated header -> NULL
+      row("not a bmp".getBytes("UTF-8")), // bad magic -> NULL
+      row(null)))
+  }
+
+  test("Uint256ToDecimal compiles and generated eval matches interpreted") {
+    val small = new Array[Byte](32); small(31) = 42
+    val big   = Array.fill[Byte](32)(0xFF.toByte) // > 10^38-1 -> NULL
+    assertCodegenMatchesInterpreted("uint256_to_decimal", Uint256ToDecimal(binIn),
+      Seq(row(small), row(big), row(null)))
+  }
+
+  test("PqEncodeExpr compiles and generated eval matches interpreted") {
+    assertCodegenMatchesInterpreted("pq_encode", PqEncodeExpr(vecIn, 8, 4, 16),
+      Seq(row(vec8), row(null)))
+  }
+
+  test("PqAdcExpr compiles and generated eval matches interpreted") {
+    val expr = PqAdcExpr(vecIn, codeIn, 8, 4, 16)
+    val code = PqEncode.encode(vec8, 8, 4, 16)
+    assertCodegenMatchesInterpreted("pq_adc", expr, Seq(
+      InternalRow(vec8, code), InternalRow(null, code), InternalRow(vec8, null)))
+  }
+
+  test("SignProjectionExpr compiles and generated eval matches interpreted") {
+    assertCodegenMatchesInterpreted("sign_projection", SignProjectionExpr(vecIn, 8, 16),
+      Seq(row(vec8), row(null)))
+  }
+
+  test("WhtEnergiesExpr compiles and generated eval matches interpreted") {
+    val data = (0 until 256).map(i => f"${(i * 73 + 5) % 256}%02x").mkString
+    val wav = hexBytes(Multimodal.wavHeaderHex(256) + data)
+    assertCodegenMatchesInterpreted("wht_energies", WhtEnergiesExpr(binIn, 64, 4), Seq(
+      row(wav),
+      row("RIFFgarbage".getBytes("UTF-8")), // invalid -> all-zero bands
+      row(null)))
+  }
+
+  test("NfcNormalize compiles and generated eval matches interpreted") {
+    assertCodegenMatchesInterpreted("nfc_normalize", NfcNormalize(strIn), Seq(
+      row(UTF8String.fromString("cafe\u0301 mix")), // decomposed -> composes
+      row(UTF8String.fromString("already nfc")),
+      row(null)))
+  }
+}
