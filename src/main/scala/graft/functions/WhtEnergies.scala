@@ -62,11 +62,13 @@ object WhtEnergies {
     val perBand = nSamples / nBands
     val s = new Array[Long](nSamples)
     if (valid(payload)) {
-      val channels  = le(payload, 21, 2)
+      val channels  = le(payload, 23, 2) // NumChannels at offset 23, NOT the format field at 21
       val headerLen = le(payload, 41, 4)
       val present   = math.max(payload.length - (DataOffset - 1), 0).toLong
-      val avail = math.min(math.min(headerLen / (channels * 2L), present / 2L),
-        nSamples.toLong).toInt
+      // decodeWavPcm geometry: clamp the data length FIRST, then frames =
+      // dataLen / (2·channels) — the two differ for a truncated stereo file
+      val dataLen = math.min(headerLen, present)
+      val avail = math.min(dataLen / (channels * 2L), nSamples.toLong).toInt
       var i = 0
       while (i < avail) {
         val u = (payload(DataOffset - 1 + 2 * i) & 0xFF) |
@@ -103,9 +105,12 @@ object WhtEnergies {
     new GenericArrayData(bands)
   }
 
+  // same validation set as Multimodal.decodeWavPcm: all four chunk magics,
+  // PCM format 1, 16-bit, ≥1 channel
   private def valid(p: Array[Byte]): Boolean =
     p != null && p.length >= DataOffset - 1 &&
       ascii(p, 1, 4) == "RIFF" && ascii(p, 9, 4) == "WAVE" &&
+      ascii(p, 13, 4) == "fmt " && ascii(p, 37, 4) == "data" &&
       le(p, 21, 2) == 1L && le(p, 35, 2) == 16L && le(p, 23, 2) >= 1L
 
   private def ascii(p: Array[Byte], pos: Int, n: Int): String =

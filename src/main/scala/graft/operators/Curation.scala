@@ -287,6 +287,13 @@ object Curation {
     * one combine-friendly aggregation on the canonical key; each doc maps
     * to its group representative (min id).
     *
+    * Docs with NO extractable URL get canon_url "" and are NON-GROUPABLE:
+    * each is its own singleton (n_docs=1, rep_id=id, is_canonical=1) —
+    * "no URL" is absence of evidence, not sameness, and a caller keeping
+    * is_canonical=1 rows must not drop every URL-less doc but one. (The
+    * "" rows also never reach the group aggregation, so a mostly-URL-less
+    * corpus cannot form a hot empty-key partition.)
+    *
     * Output: (id, canon_url, n_docs, rep_id, is_canonical).
     */
   def canonicalUrlDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -297,11 +304,16 @@ object Curation {
     val canon = when(host.isNull || host === "", lit(""))
       .otherwise(concat(lit("https://"), host, path))
     val docs = df.select(col(idCol), canon.as("canon_url"))
-    val groups = docs.groupBy("canon_url")
+    val withUrl = docs.filter(col("canon_url") =!= "")
+    val groups = withUrl.groupBy("canon_url")
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("rep_id"))
-    docs.join(groups, Seq("canon_url"))
+    val grouped = withUrl.join(groups, Seq("canon_url"))
       .select(col(idCol), col("canon_url"), col("n_docs"), col("rep_id"),
         when(col(idCol) === col("rep_id"), 1).otherwise(0).cast("int").as("is_canonical"))
+    val singletons = docs.filter(col("canon_url") === "")
+      .select(col(idCol), col("canon_url"), lit(1L).as("n_docs"),
+        col(idCol).as("rep_id"), lit(1).cast("int").as("is_canonical"))
+    grouped.unionByName(singletons)
   }
 
   /** Messy-URL fixture for the d17 oracle: each document's provenance URL
@@ -392,26 +404,40 @@ object Curation {
     * are re-aggregations joined back on their keys; the vocabulary size
     * is a broadcast scalar. Per-instance ln terms round to 9 decimals and
     * sum as DECIMAL — exact, partition-order-independent.
+    *
+    * Every corpus-wide shuffle is keyed on `xxhash64` of the gram, never
+    * the gram STRING (the d15 discipline: 8-byte keys instead of arbitrary-
+    * width text cut shuffle bytes by the mean gram length, and the output
+    * needs no gram strings at all — only per-doc sums). A 64-bit collision
+    * merges two grams' counts; absent at test scale (the oracle agrees),
+    * negligible bias at corpus scale, same tradeoff as [[Dedup.dupSpanCoverage]].
     */
   def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // checkpointed: `toked` feeds BOTH the bigram and the unigram scans —
     // without it each consumer re-runs the tokenization over the corpus
     val toked = df.select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
       .localCheckpoint(true)
+    // (bigram hash, context-word hash) pairs — hashed in the scan, before
+    // any shuffle; ctxh rides along (it is a function of bgh) so the
+    // context join needs no string split downstream
     val bg = toked
-      .select(col(idCol), explode(TextOps.shinglesOfTokens(col("__t"), 2)).as("bg"))
-      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("tf"))
-    val c2 = bg.groupBy("bg").agg(sum("tf").as("__c2"))
+      .select(col(idCol), explode(transform(
+        slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
+        (w, i) => struct(
+          xxhash64(w, element_at(col("__t"), i + 2)).as("bgh"),
+          xxhash64(w).as("ctxh")))).as("__b"))
+      .groupBy(col(idCol), col("__b.bgh").as("bgh"), col("__b.ctxh").as("ctxh"))
+      .agg(count(lit(1)).as("tf"))
+    val c2 = bg.groupBy("bgh").agg(sum("tf").as("__c2"))
     val uni = toked.select(explode(col("__t")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("__c1"))
+      .groupBy(xxhash64(col("w")).as("ctxh")).agg(count(lit(1)).as("__c1"))
     val vocab = uni.agg(count(lit(1)).as("__v"))
     val lnp = round(log(
         (col("__c2").cast("double") + 1.0) /
           (col("__c1").cast("double") + col("__v").cast("double"))), 9)
       .cast("decimal(18,9)")
-    val scored = bg.join(c2, "bg")
-      .withColumn("__ctx", element_at(split(col("bg"), " "), 1))
-      .join(uni.withColumnRenamed("w", "__ctx"), "__ctx")
+    val scored = bg.join(c2, "bgh")
+      .join(uni, "ctxh")
       .crossJoin(broadcast(vocab))
       .groupBy(col(idCol))
       .agg(sum("tf").as("__nb"),
@@ -561,19 +587,24 @@ object Curation {
     * one left-semi join of positions against the boilerplate gram set
     * (column-pruned to the gram key; AQE broadcasts it when small). No
     * windows, no all-pairs; a billion-doc common gram is one map-side-
-    * combined counter, not a hot partition.
+    * combined counter, not a hot partition. Grams hash to `xxhash64` 8-byte
+    * keys IN THE SCAN (the d15 discipline) — the gram strings never
+    * shuffle, and the output carries only per-doc counts; a 64-bit
+    * collision merges two grams' doc frequencies (absent at test scale,
+    * negligible at corpus scale — see [[Dedup.dupSpanCoverage]]).
     */
   def boilerplateNgrams(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, minDocs: Int = 3): DataFrame = {
     require(n >= 1 && minDocs >= 2, "n ≥ 1; boilerplate needs ≥ 2 docs")
     val toked = df.select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
     val grams = toked.select(col(idCol),
-      explode(TextOps.shinglesOfTokens(col("__t"), n)).as("gram"))
-    val boiler = grams.dropDuplicates(idCol, "gram")
-      .groupBy("gram").agg(count(lit(1)).as("doc_freq"))
-      .filter(col("doc_freq") >= minDocs).select("gram")
+      explode(transform(TextOps.shinglesOfTokens(col("__t"), n),
+        g => xxhash64(g))).as("gh"))
+    val boiler = grams.dropDuplicates(idCol, "gh")
+      .groupBy("gh").agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") >= minDocs).select("gh")
     val perDoc = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
-    val flagged = grams.join(boiler, Seq("gram"), "left_semi")
+    val flagged = grams.join(boiler, Seq("gh"), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("boiler_grams"))
     df.select(col(idCol))
       .join(perDoc, Seq(idCol), "left")

@@ -130,26 +130,62 @@ object Dedup {
     flatten(transform(ids, (x, i) =>
       transform(slice(ids, i + 2, size(ids)), y => struct(x.as("a"), y.as("b")))))
 
-  /** Candidate pairs from shared LSH buckets: groupBy the bucket key,
-    * expand pairs inside each bucket. One shuffle on the bucket key; the
-    * upstream banding plan is never duplicated (vs. a self-join, which
-    * would recompute it on both sides).
+  /** Default skew valve for the candidate-bucket stages: a bucket shared by
+    * 10k documents expands 5·10⁷ in-bucket pairs — already pathological as
+    * a dedup signal (production LSH drops hot buckets and lets the other
+    * bands provide recall), so every candidate stage caps there unless the
+    * caller overrides. Well above anything the test scale factors produce,
+    * so small-scale results stay exact.
+    */
+  val DefaultMaxBucket: Int = 10000
+
+  /** Default degenerate-cell valve for [[semanticDedup]]: SemDeDup sizes
+    * centroids so cells hold ~10⁴ vectors, so a cell past 64k means the
+    * centroid fit has collapsed (duplicate/zero centroids) — salt-split it
+    * rather than letting the within-cell join go quadratic.
+    */
+  val DefaultMaxCell: Int = 65536
+
+  /** Count-gated bucket build — the memory-safe form of
+    * `groupBy(key).agg(collect_set(id))`. A naive collect_set materializes
+    * the FULL id array per bucket key before any size filter can drop it,
+    * so one boilerplate fingerprint shared by 10⁶ docs builds a multi-MB
+    * aggregation buffer on a single reducer — an OOM at corpus scale. Here
+    * the sizes come FIRST as a combine-friendly count (the reducer sees one
+    * partial per map task, never a row list), buckets outside
+    * [2, maxBucket] are dropped, and only the survivors' rows are
+    * semi-joined back and collected — the array build touches nothing a hot
+    * key could inflate. Two shuffles on the same key instead of one; the
+    * rows-side exchange is identical in both and eligible for reuse.
+    *
+    * Contract: `rows` must be DISTINCT per (keyCols, payload) — every
+    * caller here guarantees it (posexplode emits each id once per band/
+    * chunk, the winnow/shingle relations are array_distinct/.distinct()) —
+    * so count(*) equals the collected set size exactly.
+    */
+  private def gatedBuckets(rows: DataFrame, keyCols: Seq[String],
+                           payload: Column, maxBucket: Option[Int]): DataFrame = {
+    val keys = keyCols.map(col)
+    val eligible = rows.groupBy(keys: _*).agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > 1 &&
+        maxBucket.fold(lit(true))(m => col("__cnt") <= m))
+      .select(keys: _*)
+    rows.join(eligible, keyCols, "left_semi")
+      .groupBy(keys: _*)
+      .agg(sort_array(collect_set(payload)).as("__ids"))
+  }
+
+  /** Candidate pairs from shared LSH buckets: count-gate the bucket key
+    * (see [[gatedBuckets]]), then expand pairs inside each surviving
+    * bucket. The shuffle is on bucket keys and the upstream banding plan is
+    * never duplicated by a self-join.
     */
   def candidatePairs(bands: DataFrame, idCol: String,
-                     maxBucket: Option[Int] = None): DataFrame = {
-    val grouped = bands.groupBy("band", "band_hash")
-      .agg(sort_array(collect_set(col(idCol))).as("__ids"))
-      .filter(size(col("__ids")) > 1)
-    // Skew valve for 100 TB runs: a degenerate bucket (e.g. the signature
-    // of boilerplate shared by millions of docs) is quadratic in-bucket
-    // and near-useless as a discriminator — production LSH drops buckets
-    // above a cap and lets the remaining bands provide recall. Off by
-    // default so small-scale results stay exact.
-    val buckets = maxBucket.fold(grouped)(m => grouped.filter(size(col("__ids")) <= m))
-    buckets.select(explode(orderedPairs(col("__ids"))).as("__p"))
+                     maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame =
+    gatedBuckets(bands, Seq("band", "band_hash"), col(idCol), maxBucket)
+      .select(explode(orderedPairs(col("__ids"))).as("__p"))
       .select(col("__p.a").as("id_a"), col("__p.b").as("id_b"))
       .distinct()
-  }
 
   /** Graded n-gram-overlap decontamination (D8): for every corpus document,
     * the FRACTION of its distinct n-gram fingerprints that appear anywhere
@@ -300,14 +336,14 @@ object Dedup {
     *
     * `maxBucket` is the same skew valve as `candidatePairs`: a hot 16-bit
     * chunk value (short/boilerplate docs hash near zero) would otherwise
-    * collect an unbounded array into one row and explode O(n²) pairs.
-    * Off by default so small-scale results stay exact; at corpus scale a
-    * bucket above the cap is both quadratic and useless as a discriminator,
-    * and the other three chunks still provide recall.
+    * collect an unbounded array into one row and explode O(n²) pairs. The
+    * count-gate ([[gatedBuckets]]) bounds memory even before the valve; at
+    * corpus scale a bucket above the cap is both quadratic and useless as a
+    * discriminator, and the other three chunks still provide recall.
     */
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3,
-                      maxBucket: Option[Int] = None): DataFrame = {
+                      maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame = {
     val hashed = simHashHalves(df, idCol, textCol)
     val chunkVals = array(
       col("sh_lo").bitwiseAND(lit(0xFFFFL)),
@@ -317,10 +353,7 @@ object Dedup {
     val chunked = hashed.select(
       struct(col(idCol).as("id"), col("sh_lo").as("lo"), col("sh_hi").as("hi")).as("__doc"),
       posexplode(chunkVals).as(Seq("chunk", "chunk_val")))
-    val grouped = chunked.groupBy("chunk", "chunk_val")
-      .agg(sort_array(collect_set(col("__doc"))).as("__ids"))
-      .filter(size(col("__ids")) > 1)
-    val buckets = maxBucket.fold(grouped)(m => grouped.filter(size(col("__ids")) <= m))
+    val buckets = gatedBuckets(chunked, Seq("chunk", "chunk_val"), col("__doc"), maxBucket)
     buckets.select(explode(orderedPairs(col("__ids"))).as("__p"))
       .select(col("__p.a.id").as("id_a"), col("__p.b.id").as("id_b"),
         col("__p.a.lo").as("lo_a"), col("__p.a.hi").as("hi_a"),
@@ -340,14 +373,14 @@ object Dedup {
     * plan runs once; the quadratic check stays inside buckets.
     */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-                     nPlanes: Int = 8, threshold: Double = 0.95): DataFrame = {
+                     nPlanes: Int = 8, threshold: Double = 0.95,
+                     maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame = {
     val bucketed = df.select(
       struct(col(idCol).as("id"), col(vecCol).as("vec")).as("__doc"),
       Similarity.lshBucket(col(vecCol), dim, nPlanes).as("__bucket"),
       lit(0).as("band"))
-    val buckets = bucketed.groupBy(col("band"), col("__bucket").as("band_hash"))
-      .agg(sort_array(collect_set(col("__doc"))).as("__ids"))
-      .filter(size(col("__ids")) > 1)
+      .withColumnRenamed("__bucket", "band_hash")
+    val buckets = gatedBuckets(bucketed, Seq("band", "band_hash"), col("__doc"), maxBucket)
     buckets.select(explode(orderedPairs(col("__ids"))).as("__p"))
       .select(col("__p.a.id").as("id_a"), col("__p.b.id").as("id_b"),
         round(Similarity.cosine(col("__p.a.vec"), col("__p.b.vec")), 6).as("cos_sim"))
@@ -368,16 +401,13 @@ object Dedup {
     */
   def winnowEdges(df: DataFrame, idCol: String, textCol: String,
                   shingleSize: Int = 3, window: Int = 4, minShared: Int = 2,
-                  maxBucket: Option[Int] = None): DataFrame = {
+                  maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame = {
     val wf = df
       .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
       .select(col(idCol), TextOps.shingleHashArray(col("__toks"), shingleSize).as("__hs"))
       .select(col(idCol),
         explode(TextOps.winnowedFingerprintsOfHashes(col("__hs"), window)).as("fp"))
-    val grouped = wf.groupBy("fp")
-      .agg(sort_array(collect_set(col(idCol))).as("__ids"))
-      .filter(size(col("__ids")) > 1)
-    val buckets = maxBucket.fold(grouped)(m => grouped.filter(size(col("__ids")) <= m))
+    val buckets = gatedBuckets(wf, Seq("fp"), col(idCol), maxBucket)
     buckets.select(explode(orderedPairs(col("__ids"))).as("__p"))
       .select(col("__p.a").as("id_a"), col("__p.b").as("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
@@ -748,17 +778,14 @@ object Dedup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        shingleSize: Int = 3, minShared: Int = 2,
                        threshold: Double = 0.5,
-                       maxBucket: Option[Int] = None): DataFrame = {
+                       maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame = {
     val sh = df
       .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
       .select(col(idCol),
         explode(TextOps.shingleHashArray(col("__toks"), shingleSize)).as("sh"))
       .distinct() // set semantics: a repeated shingle counts once
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
-    val grouped = sh.groupBy("sh")
-      .agg(sort_array(collect_set(col(idCol))).as("__ids"))
-      .filter(size(col("__ids")) > 1)
-    val buckets = maxBucket.fold(grouped)(m => grouped.filter(size(col("__ids")) <= m))
+    val buckets = gatedBuckets(sh, Seq("sh"), col(idCol), maxBucket)
     val shared = buckets
       .select(explode(orderedPairs(col("__ids"))).as("__p"))
       .select(col("__p.a").as("id_a"), col("__p.b").as("id_b"))
@@ -789,23 +816,48 @@ object Dedup {
     * Scale shape: assignment is the broadcast-centroid corpus pass of
     * [[Similarity.assignToCentroids]]; the pairwise stage is an equi-join
     * on centroid_id, so the quadratic term is bounded by the LARGEST CELL,
-    * not the corpus — the centroid count is the valve (size it ~N/10⁴ so
-    * cells hold ~10⁴ vectors; SemDeDup runs exactly this shape at
-    * billion-vector scale). Never an unbucketed all-pairs.
+    * not the corpus — the centroid count is the first valve (size it
+    * ~N/10⁴ so cells hold ~10⁴ vectors; SemDeDup runs exactly this shape at
+    * billion-vector scale). `maxCell` is the second, DEGENERATE-cell valve:
+    * a pathological centroid set (e.g. a zero-vector mass all assigned to
+    * one centroid) silently makes one cell corpus-sized and the equi-join
+    * quadratic. Cells above `maxCell` are split into ⌈size/maxCell⌉
+    * deterministic salt groups (xxhash64 of the id) and pairs compare only
+    * within a salt group — work becomes linear·maxCell instead of
+    * quadratic, at the cost of missing cross-group pairs inside the
+    * oversized cell (the same recall-for-boundedness trade every hot-bucket
+    * valve here makes; a cell that big means the centroids need re-fitting
+    * anyway). Cells at or under `maxCell` — every cell at sane centroid
+    * sizing — are byte-identical to the unguarded form. Cell sizes are the
+    * s16 postingListStats count, broadcast (one row per centroid).
     *
     * Returns (id, centroid_id, is_kept 1|0).
     */
   def semanticDedup(df: DataFrame, centroids: DataFrame,
-                    idCol: String, vecCol: String, tau: Double): DataFrame = {
+                    idCol: String, vecCol: String, tau: Double,
+                    maxCell: Option[Int] = Some(DefaultMaxCell)): DataFrame = {
     // three consumers (both pairwise sides + the output) — materialize the
     // assignment once (eager localCheckpoint, the clusterLabels
     // discipline: no session-lifetime cache entry, lineage cut) instead of
     // re-running the broadcast-centroid corpus pass per consumer
     val posted = Similarity.assignToCentroids(df, centroids, idCol, vecCol)
       .localCheckpoint(true)
-    val a = posted.select(col("centroid_id"), col(idCol).as("__ida"), col(vecCol).as("__va"))
-    val b = posted.select(col("centroid_id"), col(idCol).as("__idb"), col(vecCol).as("__vb"))
-    val dominated = a.join(b, Seq("centroid_id"))
+    val salted = maxCell match {
+      case None => posted.withColumn("__salt", lit(0L))
+      case Some(m) =>
+        val cellSizes = posted.groupBy("centroid_id").agg(count(lit(1)).as("__cellsz"))
+        posted.join(broadcast(cellSizes), Seq("centroid_id"))
+          .withColumn("__salt",
+            when(col("__cellsz") <= m, lit(0L))
+              .otherwise(pmod(xxhash64(col(idCol)),
+                ceil(col("__cellsz").cast("double") / m).cast("long"))))
+          .drop("__cellsz")
+    }
+    val a = salted.select(col("centroid_id"), col("__salt"),
+      col(idCol).as("__ida"), col(vecCol).as("__va"))
+    val b = salted.select(col("centroid_id"), col("__salt"),
+      col(idCol).as("__idb"), col(vecCol).as("__vb"))
+    val dominated = a.join(b, Seq("centroid_id", "__salt"))
       .filter(col("__ida") < col("__idb"))
       .filter(round(Similarity.cosine(col("__va"), col("__vb")), 6) >= tau)
       .select(col("__idb").as(idCol)).distinct()
@@ -815,29 +867,6 @@ object Dedup {
         when(col("__dup").isNull, 1).otherwise(0).cast("int").as("is_kept"))
   }
 
-  /** Exact duplicated-SPAN coverage — the substring-level dedup metric from
-    * Lee et al., "Deduplicating Training Data Makes Language Models Better"
-    * (arXiv:2107.06499): the fraction of each document's CHARACTERS covered
-    * by some length-`k` character window that also occurs in another
-    * document. Chunk dedup ([[chunkDedup]]) sees only aligned token
-    * windows; this sees every character offset, so a license block pasted
-    * mid-sentence counts even when no chunk boundary lines up with it.
-    *
-    * Scale shape (the suffix-array paper's result, as three shuffles):
-    * (1) every k-gram hashes (`xxhash64`, codegen'd — raw 8-byte keys, the
-    * gram STRINGS never shuffle); cross-doc frequency is a combine-friendly
-    * count over per-doc-distinct hashes — no per-hash row list, so a
-    * boilerplate gram repeated a billion times costs one partial per map
-    * task. (2) positions semi-join the shared-hash set on the hash key —
-    * each hash occurs once on the build side, no multiplication. (3) the
-    * per-doc gaps-and-islands merge of overlapping [pos, pos+k) spans is
-    * two windows over ONE sort on (doc, pos) — covered chars = Σ island
-    * extents, never materializing per-character rows.
-    *
-    * Output: (id, n_shared_grams, covered_chars, dup_span_fraction ∈ [0,1])
-    * per input document — docs below length `k`, or sharing nothing, report
-    * zeros.
-    */
   /** WITHIN-document repeated-span coverage — [[dupSpanCoverage]]'s
     * self-repetition twin (Lee et al. dedup both across AND within
     * documents): the fraction of a document's characters covered by a
@@ -846,11 +875,12 @@ object Dedup {
     * t7's repetition ratios see token-level repetition rates; this sees
     * exactly WHERE and HOW MUCH of the byte stream is literal re-run.
     *
-    * Scale shape: first occurrence per (doc, gram-hash) is one
-    * combine-friendly min aggregation keyed by (doc, hash) — never a
-    * corpus-global relation, so a gram repeated across a billion docs
-    * costs nothing here (that's d15's job). Repeat positions then merge
-    * via the same single-sort gaps-and-islands as d15.
+    * Scale shape: first occurrence is a min-position window over
+    * (doc, gram-hash) — partitioned by doc, so it's doc-local work sharing
+    * the same doc-keyed shuffle as the islands stage, never a corpus-global
+    * relation; a gram repeated across a billion docs costs nothing here
+    * (that's d15's job). Repeat positions then merge via the same
+    * single-sort gaps-and-islands as d15.
     *
     * Output: (id, n_repeat_grams, covered_chars, self_rep_fraction).
     */
@@ -887,6 +917,39 @@ object Dedup {
           greatest(col("__len"), lit(1L)).cast("double"), 6).as("self_rep_fraction"))
   }
 
+  /** Exact duplicated-SPAN coverage — the substring-level dedup metric from
+    * Lee et al., "Deduplicating Training Data Makes Language Models Better"
+    * (arXiv:2107.06499): the fraction of each document's CHARACTERS covered
+    * by some length-`k` character window that also occurs in another
+    * document. Chunk dedup ([[chunkDedup]]) sees only aligned token
+    * windows; this sees every character offset, so a license block pasted
+    * mid-sentence counts even when no chunk boundary lines up with it.
+    *
+    * Scale shape (the suffix-array paper's result, as three shuffles):
+    * (1) every k-gram hashes (`xxhash64`, codegen'd — raw 8-byte keys, the
+    * gram STRINGS never shuffle); cross-doc frequency is a combine-friendly
+    * count over per-doc-distinct hashes — no per-hash row list, so a
+    * boilerplate gram repeated a billion times costs one partial per map
+    * task. (2) positions semi-join the shared-hash set on the hash key —
+    * each hash occurs once on the build side, no multiplication. (3) the
+    * per-doc gaps-and-islands merge of overlapping [pos, pos+k) spans is
+    * two windows over ONE sort on (doc, pos) — covered chars = Σ island
+    * extents, never materializing per-character rows.
+    *
+    * Collision tradeoff: "same gram" is keyed on the 64-bit xxhash64, not
+    * the string, so two DIFFERENT grams colliding count as shared. At test
+    * scale factors collisions are absent (the DuckDB oracle compares the
+    * same construction); at the billions-of-grams scale this targets,
+    * expected collisions exceed zero and the fraction is biased up by
+    * ~n²·2⁻⁶⁵ grams — accepted, because shipping the gram STRINGS through
+    * the shuffle costs ~k× the IO, and a false "shared" span only inflates
+    * coverage by ≤ k chars. Salt with a second independent hash if an
+    * application needs collision odds below that.
+    *
+    * Output: (id, n_shared_grams, covered_chars, dup_span_fraction ∈ [0,1])
+    * per input document — docs below length `k`, or sharing nothing, report
+    * zeros.
+    */
   def dupSpanCoverage(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 20): DataFrame = {
     require(k > 0, "k must be positive")

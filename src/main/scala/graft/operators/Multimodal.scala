@@ -9,14 +9,17 @@ import org.apache.spark.sql.types._
   * training pipeline carries them (decode happens late, next to the
   * consumer, never at ingest).
   *
-  * Decode status: uncompressed RIFF/WAV PCM is REALLY decoded — twice, in
-  * fact: [[wavPcmStats]] parses the container and samples as codegen
-  * column expressions (distributed, oracle-checkable), and
+  * Decode status: the image family (BMP, 8-bit truecolor PNG, baseline
+  * JPEG via [[graft.operators.Jpeg]]) and RIFF/WAV PCM are REALLY decoded
+  * — WAV twice, in fact: [[wavPcmStats]] parses the container and samples
+  * as codegen column expressions (distributed, oracle-checkable), and
   * [[decodeWavPcm]] is the imperative per-partition decoder behind the
-  * mapPartitions seam. COMPRESSED codecs (jpeg/mp3/h264…) remain stubbed
-  * behind `decodeStub` — those libraries are not in this container — and
-  * the fake is clearly marked. Everything around both is real and tested:
-  * the schema contract, the mapPartitions batching, and the column-level
+  * mapPartitions seam. MP3's METADATA tier is real too ([[mp3Meta]] /
+  * [[mp3FrameWalk]]: frame headers, tables, frame count, duration); its
+  * sample SYNTHESIS — and every video codec — remains stubbed behind
+  * `decodeStub` (those libraries are not in this container) with the fake
+  * clearly marked. Everything around the seam is real and tested: the
+  * schema contract, the mapPartitions batching, and the column-level
   * metadata extraction.
   */
 object Multimodal {
@@ -647,6 +650,143 @@ object Multimodal {
       .map(i => md5(concat(col(textCol), lit(i.toString)))): _*)
     df.select(col(idCol),
       unhex(concat(lit(wavHeaderHex(256)), dataHex)).as("payload"))
+  }
+
+  // ---- Real MP3 frame-header metadata ---------------------------------
+
+  /** MPEG-1 Layer III bitrate table (kbps) for bitrate indices 1–14
+    * (index 0 = "free" and 15 = "bad" are rejected), and the MPEG-1
+    * sample-rate table for indices 0–2 (3 = reserved). ISO/IEC 11172-3
+    * header layout: AAAAAAAA AAABBCCD EEEEFFGH IIJJKLMM — sync(11)
+    * version(2) layer(2) protection(1) bitrate(4) samplerate(2)
+    * padding(1) private(1) mode(2) modeExt(2) copyright(1) original(1)
+    * emphasis(2).
+    */
+  val Mp3BitrateKbps: Seq[Long] =
+    Seq(32L, 40L, 48L, 56L, 64L, 80L, 96L, 112L, 128L, 160L, 192L, 224L, 256L, 320L)
+  val Mp3SampleRates: Seq[Long] = Seq(44100L, 48000L, 32000L)
+
+  /** REAL MP3 (MPEG-1 Layer III) frame-header metadata as a distributed
+    * column plan — the m5 discipline applied to the compressed-audio tier:
+    * sync word, version/layer bits, bitrate + sample-rate table lookups,
+    * channel mode, frame geometry, and the CBR frame-count/duration
+    * estimate floor(bytes / frameLen) — exactly what a metadata probe
+    * reports for a constant-bitrate stream without decoding a single
+    * sample (sample SYNTHESIS stays behind the codec seam; this tier is
+    * pure header math). Per-frame padding / VBR streams need the
+    * imperative frame walk ([[mp3FrameWalk]]), which this plan's estimate
+    * matches exactly on padding-free CBR input.
+    *
+    * Invalid payloads (bad sync, reserved version/layer/rate, free/bad
+    * bitrate) keep their row with valid=0 and null fields — counted, not
+    * dropped. All arithmetic is integer-exact, so the oracle hash-compares.
+    */
+  def mp3Meta(assets: DataFrame, idCol: String = "asset_id",
+              payloadCol: String = "payload"): DataFrame = {
+    val p = col(payloadCol)
+    val b2 = byteAt(p, lit(2)); val b3 = byteAt(p, lit(3)); val b4 = byteAt(p, lit(4))
+    val versionBits = shiftright(b2, 3).bitwiseAND(lit(3L)) // 3 = MPEG-1
+    val layerBits   = shiftright(b2, 1).bitwiseAND(lit(3L)) // 1 = Layer III
+    val bi      = shiftright(b3, 4).bitwiseAND(lit(15L))
+    val srIdx   = shiftright(b3, 2).bitwiseAND(lit(3L))
+    val padding = shiftright(b3, 1).bitwiseAND(lit(1L))
+    val mode    = shiftright(b4, 6).bitwiseAND(lit(3L))
+    val valid = (length(p) >= 4) &&
+      (byteAt(p, lit(1)) === 255L) && (shiftright(b2, 5) === 7L) &&
+      (versionBits === 3L) && (layerBits === 1L) &&
+      (bi >= 1L) && (bi <= 14L) && (srIdx <= 2L)
+    // guard the table indices: element_at is 1-based and must never see a
+    // reserved index even on invalid rows (the when() keeps them null)
+    val kbps = when(valid,
+      element_at(array(Mp3BitrateKbps.map(lit): _*), bi.cast("int")))
+    val rate = when(valid,
+      element_at(array(Mp3SampleRates.map(lit): _*), srIdx.cast("int") + 1))
+    val frameLen = when(valid, floor(lit(144000L) * kbps / rate) + padding)
+    val nFrames  = when(valid, floor(length(p).cast("long") / frameLen))
+    assets.select(col(idCol),
+      valid.cast("int").as("valid"),
+      when(valid, lit(1L)).as("mpeg_version"),
+      when(valid, lit(3L)).as("layer"),
+      kbps.as("bitrate_kbps"),
+      rate.as("sample_rate"),
+      when(valid, mode).as("channel_mode"),
+      when(valid, padding).as("padding"),
+      frameLen.cast("long").as("frame_len"),
+      nFrames.cast("long").as("n_frames"),
+      // 1152 samples per MPEG-1 Layer III frame; integer-exact ms
+      when(valid, floor(nFrames * lit(1152000L) / rate)).cast("long").as("duration_ms"))
+  }
+
+  /** Parsed MP3 stream metadata from an imperative frame WALK. */
+  final case class Mp3Info(bitrateKbps: Int, sampleRate: Int, channelMode: Int,
+                           nFrames: Int, durationMs: Long)
+
+  /** Frame-by-frame MP3 walk — the per-partition twin of [[mp3Meta]] that
+    * per-frame padding and VBR streams need (each frame's length depends on
+    * its own bitrate + padding bits, so a single division cannot count
+    * frames). Walks headers until the payload ends or a header stops
+    * validating; reports the FIRST frame's bitrate/rate/mode (the CBR
+    * convention) and the exact frame count / duration summed per frame.
+    * Pure JDK byte math; None if even the first header is invalid.
+    */
+  def mp3FrameWalk(payload: Array[Byte]): Option[Mp3Info] = {
+    if (payload == null || payload.length < 4) return None
+    var off = 0
+    var nFrames = 0
+    var durationUs = 0L
+    var first: Option[(Int, Int, Int)] = None
+    var ok = true
+    while (ok && off + 4 <= payload.length) {
+      val b1 = payload(off) & 0xFF; val b2 = payload(off + 1) & 0xFF
+      val b3 = payload(off + 2) & 0xFF; val b4 = payload(off + 3) & 0xFF
+      val bi = (b3 >> 4) & 15; val sr = (b3 >> 2) & 3; val pad = (b3 >> 1) & 1
+      if (b1 != 255 || (b2 >> 5) != 7 || ((b2 >> 3) & 3) != 3 ||
+          ((b2 >> 1) & 3) != 1 || bi < 1 || bi > 14 || sr > 2) {
+        ok = false
+      } else {
+        val kbps = Mp3BitrateKbps(bi - 1).toInt
+        val rate = Mp3SampleRates(sr).toInt
+        if (first.isEmpty) first = Some((kbps, rate, (b4 >> 6) & 3))
+        nFrames += 1
+        durationUs += 1152L * 1000000L / rate
+        off += (144000 * kbps / rate) + pad
+      }
+    }
+    first.map { case (kbps, rate, mode) =>
+      Mp3Info(kbps, rate, mode, nFrames, durationUs / 1000L) }
+  }
+
+  /** Deterministic, VALID CBR MPEG-1 Layer III stream synthesized from a
+    * text column's md5 nibbles (the synthWav construction for the
+    * compressed tier): bitrate index 1–14, sample-rate index 0–2, channel
+    * mode, and 3–8 frames all selected by md5 digits; every frame is the
+    * same 4-byte header (padding 0) plus md5-stream filler of the exact
+    * frame length 144000·kbps/rate. Any standard MP3 prober accepts the
+    * headers; the oracle rebuilds the expected metadata from the same md5
+    * arithmetic.
+    */
+  def synthMp3(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h = md5(col(textCol))
+    def nib(i: Int): Column = conv(substring(h, i, 1), 16, 10).cast("int")
+    val bi     = nib(1) % 14 + 1
+    val srIdx  = nib(2) % 3
+    val mode   = nib(3) % 4
+    val frames = nib(4) % 6 + 3
+    val kbps = element_at(array(Mp3BitrateKbps.map(lit): _*), bi)
+    val rate = element_at(array(Mp3SampleRates.map(lit): _*), srIdx + 1)
+    val frameLen = floor(lit(144000L) * kbps / rate).cast("int")
+    val headerHex = concat(lit("fffb"),
+      lpad(lower(hex((bi * 16 + srIdx * 4).cast("long"))), 2, "0"),
+      lpad(lower(hex((mode * 64).cast("long"))), 2, "0"))
+    // filler: one md5 repeated past the max frame length (1440 bytes =
+    // 2880 hex chars), sliced to exactly frameLen − 4 bytes
+    val fillerHex = repeat(md5(concat(col(textCol), lit("mp3"))), 90)
+      .substr(lit(1), (frameLen - 4) * 2)
+    // frames is data-dependent and repeat() takes a literal count: repeat
+    // to the 8-frame maximum, slice to frames × frameLen bytes
+    val frameHex = concat(headerHex, fillerHex)
+    df.select(col(idCol),
+      unhex(repeat(frameHex, 8).substr(lit(1), frames * frameLen * 2)).as("payload"))
   }
 
   // ---- Real PNG (8-bit truecolor) decode ------------------------------

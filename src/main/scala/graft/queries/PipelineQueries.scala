@@ -1195,6 +1195,21 @@ object PipelineQueries {
       m9Sql
     ),
 
+    // M12 — REAL MP3 (MPEG-1 Layer III) frame-header metadata: payloads
+    // are valid CBR streams synthesized from md5 nibbles; the parser reads
+    // sync/version/layer bits, the bitrate/sample-rate tables, channel
+    // mode, frame geometry, and the CBR frame-count/duration estimate —
+    // pure integer column math, no codec. The oracle rebuilds every field
+    // from the SAME md5 arithmetic (ground truth, not a byte re-parse), so
+    // a parser bug in any bit offset or table lookup diverges the hash.
+    "m12_mp3_meta" -> QueryDef.sql(
+      (s, d) => Multimodal.mp3Meta(
+          Multimodal.synthMp3(Tables(s, d).documents, "doc_id", "text"),
+          idCol = "doc_id", payloadCol = "payload")
+        .orderBy("doc_id"),
+      m12Sql
+    ),
+
     // D11 — duplicate-cluster size histogram: the release-report telemetry
     // for how duplicated the corpus is (singletons included) and how much
     // a keep-one pass removes. Same CC closure as d6/d10, two more aggs.
@@ -1883,6 +1898,35 @@ object PipelineQueries {
        |       (a, b) -> a + b) AS DOUBLE)
        |     / CAST(least(n_samples, 64) AS DOUBLE)), 6) AS rms
        | FROM sampled ORDER BY doc_id""".stripMargin
+  }
+
+  /** The m12 oracle: ground truth for the MP3 frame-header metadata,
+    * rebuilt from the SAME md5 nibble arithmetic the synthesizer used —
+    * not a byte re-parse — so a bit-offset or table bug in the Spark
+    * parser diverges the hash while a correct parse matches exactly.
+    */
+  private def m12Sql: String = {
+    def nib(i: Int) = s"(instr('0123456789abcdef', substr(md5(text), $i, 1)) - 1)"
+    s"""WITH g AS (SELECT doc_id,
+       |    (${nib(1)} % 14) + 1 AS bi,
+       |    ${nib(2)} % 3 AS sr,
+       |    ${nib(3)} % 4 AS mode,
+       |    (${nib(4)} % 6) + 3 AS nf
+       |  FROM documents),
+       | t AS (SELECT doc_id, mode, nf,
+       |    list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320], bi) AS kbps,
+       |    list_extract([44100,48000,32000], sr + 1) AS rate FROM g)
+       | SELECT doc_id, CAST(1 AS INT) AS valid,
+       |   CAST(1 AS BIGINT) AS mpeg_version,
+       |   CAST(3 AS BIGINT) AS layer,
+       |   CAST(kbps AS BIGINT) AS bitrate_kbps,
+       |   CAST(rate AS BIGINT) AS sample_rate,
+       |   CAST(mode AS BIGINT) AS channel_mode,
+       |   CAST(0 AS BIGINT) AS padding,
+       |   CAST(144000 * kbps // rate AS BIGINT) AS frame_len,
+       |   CAST(nf AS BIGINT) AS n_frames,
+       |   CAST(nf * 1152000 // rate AS BIGINT) AS duration_ms
+       | FROM t ORDER BY doc_id""".stripMargin
   }
 
   /** The m10 oracle: the identical WAV synthesis as m5, then the same

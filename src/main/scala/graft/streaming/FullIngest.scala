@@ -120,6 +120,14 @@ object FullIngest {
     // shuffle stage. Scope AQE off for single-block batches only (the
     // limit-2 probe costs one bounded job); catch-up spans keep AQE for
     // its skew/coalesce value on real backfill volumes.
+    //
+    // CONTRACT: these are SESSION-scoped conf flips (the batch DataFrame is
+    // bound to `spark`, so a cloned newSession() cannot plan it) — the
+    // ingest session must not run concurrent queries while a batch is in
+    // flight. That holds by construction here: ChainIngest's micro-batch
+    // loop is strictly sequential and FullIngest owns its session; serve
+    // ad-hoc queries from a separate SparkSession (newSession()) sharing
+    // the SparkContext, never from the ingest session.
     val singleBlock = batch.limit(2).count() < 2
     val aqeKey   = "spark.sql.adaptive.enabled"
     val shufKey  = "spark.sql.shuffle.partitions"

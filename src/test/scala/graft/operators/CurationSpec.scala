@@ -329,7 +329,28 @@ class CurationSpec extends SparkSpec {
     assert(got(2L) == (("https://example.com/Page", 3L, 1L, 0)))
     assert(got(3L) == (("https://example.com/Page", 3L, 1L, 0)))
     assert(got(4L)._2 == 1L && got(4L)._4 == 1)
-    assert(got(5L)._1 == "" && got(5L)._4 == 1, "url-less docs group under the empty key")
+    assert(got(5L)._1 == "" && got(5L)._4 == 1, "url-less docs keep the empty key")
+  }
+
+  test("canonicalUrlDedup never groups URL-less docs with each other") {
+    // "no URL" is absence of evidence, not sameness: every URL-less doc is
+    // its own singleton, so a keep-is_canonical policy retains all of them
+    val docs = Seq(
+      (1L, "nothing to extract here"),
+      (2L, "still no link"),
+      (3L, "also blank"),
+      (4L, "a real one https://example.com/p")
+    ).toDF("doc_id", "text")
+    val got = Curation.canonicalUrlDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("canon_url"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("rep_id"), r.getAs[Int]("is_canonical")))).toMap
+    assert(got.size == 4)
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(got(id) == (("", 1L, id, 1)),
+        s"URL-less doc $id must be a singleton with itself as representative")
+    }
+    assert(got(4L) == (("https://example.com/p", 1L, 4L, 1)))
   }
 
   test("readabilityStats counts vowel-run syllables and sentence runs exactly") {

@@ -331,4 +331,32 @@ class DedupSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.sum("is_kept")).head().getLong(0)
     assert(all == 5L)
   }
+
+  test("semanticDedup maxCell valve bounds a degenerate single-cell corpus") {
+    // pathological centroid fit: ONE centroid, so every vector lands in one
+    // cell and the unguarded within-cell join is quadratic. Under the valve
+    // the cell salt-splits into ceil(n/maxCell) groups; identical vectors
+    // inside a salt group still dedup to their minimum.
+    val n = 200
+    val vecs = (0 until n).map(i => (i.toLong, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val centroids = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val guarded = Dedup.semanticDedup(vecs, centroids, "vec_id", "embedding",
+      tau = 0.99, maxCell = Some(20))
+    val rows = guarded.collect()
+    assert(rows.length == n)
+    val kept = rows.filter(_.getAs[Int]("is_kept") == 1).map(_.getAs[Long]("vec_id")).sorted
+    // exactly one keeper per salt group (all vectors identical, cos = 1):
+    // ceil(200/20) = 10 groups → ≤ 10 keepers, and the global minimum id 0
+    // is always one of them
+    assert(kept.length <= 10, s"valve must bound keepers to the salt-group count, got ${kept.length}")
+    assert(kept.contains(0L))
+    // sanity: cells at or under the valve are byte-identical to unguarded
+    val loose = Dedup.semanticDedup(vecs, centroids, "vec_id", "embedding",
+      tau = 0.99, maxCell = Some(n)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    val unguarded = Dedup.semanticDedup(vecs, centroids, "vec_id", "embedding",
+      tau = 0.99, maxCell = None).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    assert(loose.sameElements(unguarded))
+  }
 }

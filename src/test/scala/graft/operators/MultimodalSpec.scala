@@ -341,6 +341,103 @@ class MultimodalSpec extends SparkSpec {
     assert(got(1L)._1.contains(expect))
   }
 
+  test("mp3Meta parses the synthesized CBR stream back to its md5 ground truth") {
+    val docs = Seq((1L, "first mp3 doc"), (2L, "second, different")).toDF("doc_id", "text")
+    val got = Multimodal.mp3Meta(
+        Multimodal.synthMp3(docs, "doc_id", "text"), idCol = "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    for ((id, text) <- Seq(1L -> "first mp3 doc", 2L -> "second, different")) {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      def nib(i: Int) = Integer.parseInt(h.substring(i - 1, i), 16)
+      val kbps = Multimodal.Mp3BitrateKbps(nib(1) % 14)
+      val rate = Multimodal.Mp3SampleRates(nib(2) % 3)
+      val nf   = nib(4) % 6 + 3
+      val r = got(id)
+      assert(r.getAs[Int]("valid") == 1)
+      assert(r.getAs[Long]("mpeg_version") == 1L && r.getAs[Long]("layer") == 3L)
+      assert(r.getAs[Long]("bitrate_kbps") == kbps, s"doc $id bitrate")
+      assert(r.getAs[Long]("sample_rate") == rate, s"doc $id rate")
+      assert(r.getAs[Long]("channel_mode") == (nib(3) % 4).toLong)
+      assert(r.getAs[Long]("frame_len") == 144000L * kbps / rate)
+      assert(r.getAs[Long]("n_frames") == nf.toLong, s"doc $id frames")
+      assert(r.getAs[Long]("duration_ms") == nf * 1152000L / rate)
+    }
+    // garbage payload: counted with valid=0 and null fields, never dropped
+    val bad = Multimodal.mp3Meta(
+        Seq((9L, Array[Byte](1, 2, 3, 4, 5))).toDF("doc_id", "payload"), idCol = "doc_id")
+      .collect()
+    assert(bad.length == 1 && bad(0).getAs[Int]("valid") == 0)
+    assert(bad(0).isNullAt(bad(0).fieldIndex("bitrate_kbps")))
+  }
+
+  test("mp3FrameWalk counts frames exactly through per-frame padding") {
+    // hand-built stream: 3 frames of 128 kbps @ 44100 Hz (417 bytes
+    // unpadded) with padding bits 0,1,0 → lengths 417, 418, 417. The CBR
+    // division estimate cannot see this; the walker must.
+    def header(pad: Int): Array[Byte] =
+      Array(0xFF, 0xFB, (9 << 4) | (0 << 2) | (pad << 1), 1 << 6).map(_.toByte)
+    val frameLens = Seq(417, 418, 417)
+    val bytes = new java.io.ByteArrayOutputStream()
+    for ((len, pad) <- frameLens.zip(Seq(0, 1, 0))) {
+      val f = new Array[Byte](len)
+      header(pad).copyToArray(f)
+      bytes.write(f)
+    }
+    val info = Multimodal.mp3FrameWalk(bytes.toByteArray).get
+    assert(info.bitrateKbps == 128 && info.sampleRate == 44100 && info.channelMode == 1)
+    assert(info.nFrames == 3, "walker must follow each frame's own padding bit")
+    assert(info.durationMs == 3 * (1152L * 1000000L / 44100L) / 1000L)
+    // and on the padding-free synthesized CBR stream the walker agrees
+    // with the column-expression estimate
+    val docs = Seq((1L, "cbr agreement doc")).toDF("doc_id", "text")
+    val payload = Multimodal.synthMp3(docs, "doc_id", "text")
+      .head().getAs[Array[Byte]]("payload")
+    val meta = Multimodal.mp3Meta(
+        Multimodal.synthMp3(docs, "doc_id", "text"), idCol = "doc_id").head()
+    val walked = Multimodal.mp3FrameWalk(payload).get
+    assert(walked.nFrames.toLong == meta.getAs[Long]("n_frames"))
+    assert(walked.bitrateKbps.toLong == meta.getAs[Long]("bitrate_kbps"))
+    assert(walked.sampleRate.toLong == meta.getAs[Long]("sample_rate"))
+    assert(Multimodal.mp3FrameWalk(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("whtBandEnergies reads stereo geometry identically to decodeWavPcm") {
+    // channels live at offset 23 (NumChannels), not 21 (the PCM format
+    // field): a stereo file has half as many frames as int16 words, and
+    // both decoders must take the same first dataLen/(2·channels) words
+    def stereoWav(samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+        .putInt(16).putShort(1).putShort(2).putInt(8000).putInt(8000 * 4)
+        .putShort(4).putShort(16).put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    // 40 interleaved L,R words → 20 frames; distinct L vs R values so a
+    // mono misread (treating all 40 words as samples) cannot pass
+    val interleaved = (0 until 40).map(i =>
+      (if (i % 2 == 0) 100 + i else -(200 + i)).toShort).toArray
+    val payload = stereoWav(interleaved)
+    val decoded = Multimodal.decodeWavPcm(payload, maxSamples = 64).get
+    assert(decoded.channels == 2 && decoded.nSamples == 20)
+    val assets = Seq((1L, payload)).toDF("doc_id", "payload")
+    val got = Multimodal.whtBandEnergies(assets, "doc_id", "payload")
+      .collect().map(r => r.getAs[Int]("band") -> r.getAs[Long]("energy")).toMap
+    val s = decoded.samples.map(_.toLong).padTo(64, 0L)
+    val w = (0 until 64).map { k =>
+      (0 until 64).map(i =>
+        if (java.lang.Long.bitCount(i & k) % 2 == 0) s(i) else -s(i)).sum
+    }
+    for (b <- 0 until 8) {
+      val e = (0 until 8).map(j => w(8 * b + j) * w(8 * b + j)).sum
+      assert(got(b) == e, s"stereo band $b diverges from decodeWavPcm geometry")
+    }
+  }
+
   test("whtBandEnergies zero-pads truncated payloads instead of failing") {
     val docs = Seq((1L, "some doc")).toDF("doc_id", "text")
     // truncate to 44-byte header + 8 bytes → only 4 real samples

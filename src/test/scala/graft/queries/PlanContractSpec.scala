@@ -334,6 +334,36 @@ class PlanContractSpec extends SparkSpec {
       s"WHT must not shuffle (only the presentation sort range-partitions):\n$plan")
   }
 
+  test("candidate buckets are count-gated: the semi-join precedes every collect_set") {
+    // the memory contract for the whole near-dup family: bucket membership
+    // arrays (collect_set) may only aggregate rows that SURVIVED the
+    // combine-friendly count gate (groupBy key → count → filter ≤ maxBucket
+    // → left-semi back). A collect_set with no semi join below it builds
+    // the full id array of a hot fingerprint BEFORE any valve can drop it —
+    // a single-reducer OOM at corpus scale. The executed plan prints
+    // parent-above-child, so the gate shows as a LeftSemi join at a higher
+    // string offset than its consuming collect_set aggregate.
+    val direct = {
+      val docs = graft.sources.Tables(spark, sf).documents
+      Seq(
+        "winnowEdges" -> graft.operators.Dedup
+          .winnowEdges(docs, "doc_id", "text"),
+        "containmentPairs" -> graft.operators.Dedup
+          .containmentPairs(docs, "doc_id", "text"),
+        "simHashNearDups" -> graft.operators.Dedup
+          .simHashNearDups(docs, "doc_id", "text"))
+        .map { case (n, df) => n -> df.queryExecution.executedPlan.toString }
+    }
+    val fromInventory = Seq("d2_minhash_lsh").map(q => q -> planOf(q))
+    (direct ++ fromInventory).foreach { case (name, plan) =>
+      val setIdx = plan.indexOf("collect_set")
+      assert(setIdx >= 0, s"$name must build bucket arrays via collect_set:\n$plan")
+      assert(plan.indexOf("LeftSemi", setIdx) > setIdx,
+        s"$name: no count-gate semi join below the collect_set aggregate — " +
+          s"hot buckets would materialize before the valve:\n$plan")
+    }
+  }
+
   test("d2 LSH plan computes the shingle aggregation exactly once") {
     val plan = planOf("d2_minhash_lsh")
     // Either the per-doc (signature + set) relation is cached — every
