@@ -27,18 +27,27 @@ object JobDump {
       }.toMap
       Fixtures.bundleChain(1, 4, Fixtures.hash32(0), txsAt = txsAt, withTransferLogs = true)
     }
-    // warm: blocks 1-3
-    chain.take(3).foreach(b => FullIngest.processBatch(spark, store, Seq(b).toDS().toDF(), client))
-    Thread.sleep(500); counts.clear()
-    // measured: block 4 (quiet steady-state head-follow)
-    val t0 = System.nanoTime()
-    FullIngest.processBatch(spark, store, Seq(chain(3)).toDS().toDF(), client)
-    val dt = (System.nanoTime()-t0)/1e9
-    Thread.sleep(800)
     import scala.jdk.CollectionConverters._
-    val total = counts.values.asScala.map(_.toInt).sum
-    println(f"BLOCK_TIME $dt%.2f s, TOTAL_JOBS $total")
-    counts.asScala.toSeq.sortBy(-_._2).foreach { case (k, v) => println(f"$v%4d  $k") }
+    def bracket(label: String)(f: => Unit): Unit = {
+      Thread.sleep(500); counts.clear()
+      val t0 = System.nanoTime()
+      f
+      val dt = (System.nanoTime()-t0)/1e9
+      Thread.sleep(800)
+      val total = counts.values.asScala.map(_.toInt).sum
+      println(f"[$label] BLOCK_TIME $dt%.2f s, TOTAL_JOBS $total")
+      counts.asScala.toSeq.sortBy(-_._2).foreach { case (k, v) => println(f"$v%4d  $k") }
+    }
+    // warm: blocks 1-2 (block 1 is quiet here — no pending subs yet)
+    chain.take(2).foreach(b => FullIngest.processBatch(spark, store, Seq(b).toDS().toDF(), client))
+    // make block 3 an ADMISSION event: a pending sub + a pending token
+    store.replace(BalanceIngest.SubsTable,
+      Seq((1L, 1L, 1L, Fixtures.alice), (2L, 0L, 2L, Fixtures.bob))
+        .toDF("id", "block_number", "group", "address"))
+    store.replace(BalanceIngest.RegistryTable,
+      Seq((Fixtures.tokenX, 0L, 18, "TOK")).toDF("address", "block_number", "decimals", "name"))
+    bracket("event")(FullIngest.processBatch(spark, store, Seq(chain(2)).toDS().toDF(), client))
+    bracket("quiet")(FullIngest.processBatch(spark, store, Seq(chain(3)).toDS().toDF(), client))
     spark.stop()
   }
 }

@@ -23,9 +23,13 @@ import graft.operators.Relational
   *      balance deltas (old subs: new − latest-recorded; new subs: seed
   *      balance), tx fees, miner/uncle rewards (:322-416)
   *
-  * Scale notes: the subscription set broadcasts (it is the small dimension);
-  * transfers/accounts shuffle once on address; totals aggregate with
-  * map-side combine on (group, token).
+  * Scale notes: the subscription set broadcasts (it is the small
+  * dimension) — by the PLANNER's size estimate or AQE's runtime
+  * conversion, never an explicit broadcast() hint: a hint would force a
+  * per-exchange broadcast JOB even inside the single-block ingest bracket,
+  * which disables auto-broadcast precisely because job launches (not data)
+  * dominate a single-digit-row batch. Transfers/accounts shuffle once on
+  * address; totals aggregate with map-side combine on (group, token).
   */
 object BalancePipeline {
   import Rewards.wei
@@ -93,7 +97,7 @@ object BalancePipeline {
   def feesBySender(txs: DataFrame, receipts: DataFrame, active: DataFrame): DataFrame =
     txs.join(receipts.select(col("tx_hash"), col("gas_used")),
         txs("hash") === col("tx_hash"))
-      .join(broadcast(active.select("address").distinct()),
+      .join(active.select("address").distinct(),
         txs("from") === col("address"), "left_semi")
       .groupBy(col("from").as("fee_payer"))
       // Cast EACH operand to wei BEFORE multiplying: LongType×LongType wraps
@@ -108,7 +112,7 @@ object BalancePipeline {
     transfers
       .filter(col("from") === lit(Sentinels.MinerReward) ||
         col("from") === lit(Sentinels.UncleReward))
-      .join(broadcast(active.select("address").distinct()),
+      .join(active.select("address").distinct(),
         col("to") === col("address"), "left_semi")
       .groupBy(col("to").as("address"))
       .agg(
@@ -131,7 +135,7 @@ object BalancePipeline {
       resolver: DataFrame,
       accountsAreLatest: Boolean = false): DataFrame = {
     val touched = active
-      .join(broadcast(changed), Seq("address"), "left_semi")
+      .join(changed, Seq("address"), "left_semi")
       .unionByName(active.filter(col("block_number") === 0L))
       .dropDuplicates("address")
       .select(col("address"), col("group"), (col("block_number") === 0L).as("is_new"))
@@ -172,10 +176,10 @@ object BalancePipeline {
     val deltas = snapshots.groupBy("group", "token")
       .agg(sum(col("delta")).cast(wei).as("delta"))
     val subGroups = active.select("address", "group").dropDuplicates("address")
-    val feeByGroup = fees.join(broadcast(subGroups), Seq("address"))
+    val feeByGroup = fees.join(subGroups, Seq("address"))
       .groupBy("group").agg(sum(col("tx_fee")).cast(wei).as("tx_fee"))
       .withColumn("token", lit(Sentinels.EthToken))
-    val rewardByGroup = rewards.join(broadcast(subGroups), Seq("address"))
+    val rewardByGroup = rewards.join(subGroups, Seq("address"))
       .groupBy("group")
       .agg(sum(col("miner_reward")).cast(wei).as("miner_reward"),
         sum(col("uncles_reward")).cast(wei).as("uncles_reward"))

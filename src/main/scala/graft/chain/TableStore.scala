@@ -230,6 +230,50 @@ final case class TableStore(spark: SparkSession, root: String, bucketSize: Long 
     invalidate(table) // after the mutation — see append
   }
 
+  /** Batched happy-path form of [[deleteRange]] over several tables
+    * sharing one [from, to]: fully-covered buckets still drop as directory
+    * deletes (no job), but the partial EDGE buckets of ALL tables probe in
+    * ONE union job instead of one `isEmpty` job per table — the per-block
+    * ingest bracket runs this delete-then-append idempotency sweep over
+    * 6–9 tables per micro-batch, and on the happy path (no replay, no
+    * reorg) every probe comes back clean, so per-table probing pays 6–9
+    * Spark-job launches per block for nothing (the reference's analogue is
+    * ONE DB transaction per chunk, store/store.go:129-147). Dirty buckets
+    * rewrite exactly as [[deleteRange]] does; compaction for clean
+    * over-fragmented buckets is unchanged.
+    */
+  def deleteRangeAll(tables: Seq[(String, String)], from: Long, to: Long): Unit = {
+    val edges = Seq.newBuilder[(String, String, Path, Long)]
+    val touched = tables.filter { case (table, _) => exists(table) }
+    touched.foreach { case (table, rangeCol) =>
+      (bucketOf(from) to bucketOf(to)).foreach { b =>
+        val bd = bucketDir(table, b)
+        if (Files.exists(bd)) {
+          val bucketLo = b * bucketSize
+          val bucketHi = bucketLo + bucketSize - 1
+          if (from <= bucketLo && bucketHi <= to) deleteRecursive(bd)
+          else edges += ((table, rangeCol, bd, b))
+        }
+      }
+    }
+    val es = edges.result()
+    if (es.nonEmpty) {
+      val dirty = es.map { case (table, rangeCol, bd, b) =>
+        open(bd.toString, table).filter(col(rangeCol).between(from, to))
+          .select(lit(table).as("t"), lit(b).as("b")).limit(1)
+      }.reduce(_ unionByName _)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      es.foreach { case (table, rangeCol, bd, b) =>
+        val bucket = open(bd.toString, table)
+        if (dirty((table, b)))
+          swapInto(bd, bucket.filter(!col(rangeCol).between(from, to)))
+        else if (dataFileCount(bd) > CompactFiles)
+          swapInto(bd, bucket.coalesce(1))
+      }
+    }
+    touched.foreach { case (t, _) => refresh(t); invalidate(t) }
+  }
+
   /** Replace the table's whole content with `df` — for tiny state tables
     * only (head_state, ledger state, subscriptions); range tables retract
     * via deleteRange. The input may read from the table being replaced:
@@ -268,6 +312,27 @@ final case class TableStore(spark: SparkSession, root: String, bucketSize: Long 
     tables.foreach { case (t, df) => rememberSchema(t, df.schema) }
     tables.foreach { case (t, _) => invalidate(t) } // after every promote — see append
   }
+
+  /** [[replace]] for a DRIVER-LOCAL tiny state table (the df must be built
+    * from a local Seq — a LocalTableScan), priming the row cache with the
+    * written rows: the `collect()` here is job-free (LocalTableScanExec
+    * returns its rows without submitting a job), and the read-back Spark
+    * job a later [[collectSmall]] would otherwise pay — one per state
+    * table per micro-batch in the ingest loop — never happens.
+    */
+  def replaceSmall(table: String, df: DataFrame): Unit = {
+    val rows = df.collect()
+    replace(table, df)
+    rowCache.put(table, Some(rows))
+  }
+
+  /** Prime the row cache for a DRIVER-LOCAL tiny table that was just
+    * written through [[replaceAll]] (whose promote ordering the caller
+    * needed — e.g. the ledger marker must land before the state dirs):
+    * same job-free LocalTableScan collect contract as [[replaceSmall]].
+    */
+  def primeSmall(table: String, df: DataFrame): Unit =
+    rowCache.put(table, Some(df.collect()))
 
   /** Remove a table entirely — for state tables that drain to empty (the
     * ingest side pool): unlike replacing with an empty DataFrame, a dropped

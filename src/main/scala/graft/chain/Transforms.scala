@@ -123,7 +123,10 @@ object Transforms {
 
   /** Decoded ERC20 transfers: logs ⋉ broadcast(token registry) on contract
     * address, topic0 = Transfer signature, from/to = low 20 bytes of
-    * topics 1/2, value = uint256 data (store/event_erc20.go:37-62).
+    * topics 1/2, value = uint256 data (store/event_erc20.go:37-62). The
+    * explicit hint pins the broadcast in the static plan — this runs per
+    * admitted chunk on the backfill hot path, where an AQE conversion
+    * round per chunk is pure scheduling overhead.
     */
   def erc20Transfers(logs: DataFrame, tokens: DataFrame): DataFrame = {
     val transferSigHex = lower(lit(Sentinels.TransferSig.map("%02x".format(_)).mkString))

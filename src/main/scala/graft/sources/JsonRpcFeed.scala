@@ -48,7 +48,7 @@ import graft.streaming.HeadSubscription
   * Long.
   */
 class JsonRpcFeed(endpoints: Seq[String], startBlock: Long,
-                  httpTimeoutMs: Int) extends HeadSubscription {
+                  protected val httpTimeoutMs: Int) extends HeadSubscription {
   require(endpoints.nonEmpty, "at least one endpoint required")
 
   def this(endpoint: String, startBlock: Long = 1L, httpTimeoutMs: Int = 30000) =

@@ -34,10 +34,11 @@ import java.nio.charset.StandardCharsets
   * others, and the duplicate announcements the healthy nodes produce are
   * no-ops against the shared cursor.
   */
-final class JsonRpcPushFeed(endpoints: Seq[String], subscribeUrls: Seq[String],
-                            startBlock: Long,
-                            httpTimeoutMs: Int,
-                            reconnectMs: Long)
+class JsonRpcPushFeed(endpoints: Seq[String],
+                      protected val subscribeUrls: Seq[String],
+                      startBlock: Long,
+                      httpTimeoutMs: Int,
+                      reconnectMs: Long)
     extends JsonRpcFeed(endpoints, startBlock, httpTimeoutMs) {
   require(subscribeUrls.size == endpoints.size,
     "one subscribe URL per RPC endpoint (index-aligned)")
@@ -51,7 +52,7 @@ final class JsonRpcPushFeed(endpoints: Seq[String], subscribeUrls: Seq[String],
   /** Parse a notification line; malformed lines (keep-alive comments,
     * partial writes at disconnect) are skipped, not fatal.
     */
-  private def headNumber(line: String): Option[Long] = {
+  protected def headNumber(line: String): Option[Long] = {
     val m = """"number"\s*:\s*"0x([0-9a-fA-F]+)"""".r.findFirstMatchIn(line)
     m.map(g => java.lang.Long.parseLong(g.group(1), 16))
   }

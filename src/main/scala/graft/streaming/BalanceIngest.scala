@@ -88,10 +88,14 @@ object BalanceIngest {
   private def commitState(spark: SparkSession, store: TableStore,
                           state: BalanceLedger.State, through: Long): Unit = {
     import spark.implicits._
+    val marker = Seq(Tuple1(through)).toDF("number")
     store.replaceAll(Seq(
-      LedgerBlockTable -> Seq(Tuple1(through)).toDF("number"),
+      LedgerBlockTable -> marker,
       LatestAccounts   -> state.latestAccounts,
       LatestTotals     -> state.latestTotals))
+    // driver-local marker: prime the cache so the next batch's ledger read
+    // costs no Spark job (the replaceAll above had to own promote order)
+    store.primeSmall(LedgerBlockTable, marker)
   }
 
   /** Rebuild compact state from full history — the recovery path after a
@@ -114,23 +118,27 @@ object BalanceIngest {
     * a pending subscription (admitted at the very next processed block), a
     * pending registry token (seeded at the very next processed block), or a
     * token already flipped to m+1 with m in range (a replay must re-seed at
-    * m). Quiet prefixes before the event vectorize. Bounded driver reads:
-    * two limit-1 probes and one min().
+    * m). Quiet prefixes before the event vectorize. Bounded driver read:
+    * the two limit-1 probes and the min() run as ONE union job — the loop
+    * asks this question once per bracket, and three separate probe jobs
+    * per block were a third of the per-block job budget.
     */
   private def firstEventBlock(store: TableStore, n: Long, to: Long): Option[Long] = {
     val subs = store.readOr(SubsTable, null)
-    val pendingSub = subs != null &&
-      subs.filter(col("block_number") === 0L).limit(1).collect().nonEmpty
-    if (pendingSub) Some(n)
-    else {
-      val reg = store.readOr(RegistryTable, null)
-      if (reg == null) None
-      else if (reg.filter(col("block_number") === 0L).limit(1).collect().nonEmpty) Some(n)
-      else {
-        val m = reg.filter(col("block_number").between(n + 1, to + 1))
-          .agg(min("block_number")).head()
-        if (m.isNullAt(0)) None else Some(m.getLong(0) - 1L)
-      }
+    val reg  = store.readOr(RegistryTable, null)
+    val probes = Seq(
+      Option(subs).map(_.filter(col("block_number") === 0L)
+        .select(lit("pending").as("k"), lit(0L).as("v")).limit(1)),
+      Option(reg).map(_.filter(col("block_number") === 0L)
+        .select(lit("pending").as("k"), lit(0L).as("v")).limit(1)),
+      Option(reg).map(_.filter(col("block_number").between(n + 1, to + 1))
+        .agg(min("block_number").as("v")).select(lit("seeded").as("k"), col("v")))
+    ).flatten
+    if (probes.isEmpty) return None
+    val rows = probes.reduce(_ unionByName _).collect()
+    if (rows.exists(_.getString(0) == "pending")) Some(n)
+    else rows.collectFirst {
+      case r if r.getString(0) == "seeded" && !r.isNullAt(1) => r.getLong(1) - 1L
     }
   }
 
@@ -163,7 +171,7 @@ object BalanceIngest {
       retract(spark, store, wm + 1, ahead)
     }
     def advance(n: Long): Unit = if (n > wm) {
-      store.replace(BalanceHeadTable, Seq(Tuple1(n)).toDF("number"))
+      store.replaceSmall(BalanceHeadTable, Seq(Tuple1(n)).toDF("number"))
       wm = n
     }
     // un-subscribed stores are a pure watermark advance — the reference
@@ -286,15 +294,20 @@ object BalanceIngest {
       // a crash-recovery replay of an event block counts its admissions
       // again
       metrics.foreach { m =>
-        m.newSubscription.addAndGet(out.updatedSubs.count())
-        m.changedAccountPerBlock.set(touched.count())
+        // both gauges in ONE union job instead of two count() jobs
+        val counts = out.updatedSubs.select(lit("subs").as("k"))
+          .unionByName(touched.select(lit("touched").as("k")))
+          .groupBy("k").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        m.newSubscription.addAndGet(counts.getOrElse("subs", 0L))
+        m.changedAccountPerBlock.set(counts.getOrElse("touched", 0L))
       }
 
       // replay-idempotent bracket (same as ChainIngest.appendChunk): a
       // reprocessed block rewrites its rows instead of duplicating them;
-      // distinct tables → both phases run concurrently (Par)
-      Par.run(Seq(AccountsTable, TotalsTable, MatchedTable)
-        .map(t => () => store.deleteRange(t, "block_number", n, n)))
+      // one union probe over all three tables' edge buckets
+      store.deleteRangeAll(
+        Seq(AccountsTable, TotalsTable, MatchedTable).map(_ -> "block_number"), n, n)
 
       val accRows = out.newAccounts
         .select("token", "address", "block_number", "balance", "group")
@@ -362,6 +375,11 @@ object BalanceIngest {
       .select(col("number").as("block_number"), col("hash"))
 
     // quiet ⇒ every subscription is active; both projections broadcast
+    // EXPLICITLY: this span DAG is the backfill hot path, and the hint
+    // pins the broadcast in the static plan (no AQE conversion round,
+    // futures overlap the span scan). The per-block bracket pays a couple
+    // of broadcast-job launches for single-block spans — measured cheaper
+    // than the serialized shuffle stages the hintless form plans.
     val active    = subs.filter(col("block_number") > 0L)
     val subAddrs  = broadcast(active.select("address").distinct())
     val subGroups = broadcast(active.select("address", "group").dropDuplicates("address"))
@@ -480,10 +498,10 @@ object BalanceIngest {
         resolved.select("block_number", "address").distinct().count() / (hi - lo + 1))
     }
 
-    // replay-idempotent bracket over the whole span; distinct tables →
-    // both phases run concurrently (Par)
-    Par.run(Seq(AccountsTable, TotalsTable, MatchedTable)
-      .map(t => () => store.deleteRange(t, "block_number", lo, hi)))
+    // replay-idempotent bracket over the whole span: one union probe
+    // over all three tables' edge buckets
+    store.deleteRangeAll(
+      Seq(AccountsTable, TotalsTable, MatchedTable).map(_ -> "block_number"), lo, hi)
     Par.run(Seq(
       () => store.appendBucketed(AccountsTable,
         snaps.select("token", "address", "block_number", "balance", "group"), "block_number"),
@@ -517,8 +535,8 @@ object BalanceIngest {
     */
   def retract(spark: SparkSession, store: TableStore, from: Long, to: Long): Unit = {
     import spark.implicits._
-    Par.run(Seq(AccountsTable, TotalsTable, MatchedTable)
-      .map(t => () => store.deleteRange(t, "block_number", from, to)))
+    store.deleteRangeAll(
+      Seq(AccountsTable, TotalsTable, MatchedTable).map(_ -> "block_number"), from, to)
     val subs = store.readOr(SubsTable, null)
     if (subs != null) {
       store.replace(SubsTable, subs.withColumn("block_number",
@@ -530,8 +548,8 @@ object BalanceIngest {
     // at those heights must flow through the pipeline on reprocess; the
     // ledger marker lowers with the watermark so recovery stays idempotent
     if (ledgerBlock(store).exists(_ >= from))
-      store.replace(LedgerBlockTable, Seq(Tuple1(from - 1)).toDF("number"))
+      store.replaceSmall(LedgerBlockTable, Seq(Tuple1(from - 1)).toDF("number"))
     if (processedThrough(store).exists(_ >= from))
-      store.replace(BalanceHeadTable, Seq(Tuple1(from - 1)).toDF("number"))
+      store.replaceSmall(BalanceHeadTable, Seq(Tuple1(from - 1)).toDF("number"))
   }
 }

@@ -138,25 +138,31 @@ object ChainIngest {
     // ancient header must not widen the driver read to the whole chain
     val windowLo = cur.map(c => math.max(0L, c.number - reorgWindow)).getOrElse(0L)
 
-    // Bounded canonical-chain window + its TDs — O(reorgWindow) tiny rows
+    // Bounded canonical-chain window + its TDs — O(reorgWindow) tiny rows,
+    // both tables read in ONE union job (the head-follow loop pays this
+    // read every micro-batch; two separate collects were two job launches)
     val chainByNumber = mutable.Map[Long, Hdr]()
     val tdByHash      = mutable.Map[Seq[Byte], BigInt]()
     cur.foreach { c =>
-      if (store.exists(HeadersTable)) {
+      val hdrPart = if (!store.exists(HeadersTable)) None else Some(
         store.readRange(HeadersTable, "number", windowLo, c.number, null)
-          .select("number", "hash", "parent_hash", "difficulty").collect()
-          .foreach { r =>
-            val h = Hdr(r.getLong(0), r.getAs[Array[Byte]](1).toSeq,
-              r.getAs[Array[Byte]](2).toSeq, r.getLong(3))
-            chainByNumber(h.number) = h
-          }
-      }
-      if (store.exists(TdTable)) {
+          .select(lit("h").as("__k"), col("number"), col("hash"),
+            col("parent_hash"), col("difficulty"),
+            lit(null).cast(Rewards.wei).as("td")))
+      val tdPart = if (!store.exists(TdTable)) None else Some(
         store.readRange(TdTable, "block", windowLo, c.number, null)
-          .select("hash", "td").collect()
-          .foreach(r => tdByHash(r.getAs[Array[Byte]](0).toSeq) =
-            BigInt(r.getDecimal(1).toBigInteger))
-      }
+          .select(lit("t").as("__k"), col("block").as("number"), col("hash"),
+            lit(null).cast("binary").as("parent_hash"), lit(0L).as("difficulty"),
+            col("td")))
+      (hdrPart ++ tdPart).reduceOption(_ unionByName _).foreach(_.collect().foreach { r =>
+        if (r.getString(0) == "h") {
+          val h = Hdr(r.getLong(1), r.getAs[Array[Byte]](2).toSeq,
+            r.getAs[Array[Byte]](3).toSeq, r.getLong(4))
+          chainByNumber(h.number) = h
+        } else {
+          tdByHash(r.getAs[Array[Byte]](2).toSeq) = BigInt(r.getDecimal(5).toBigInteger)
+        }
+      })
     }
 
     // Side pool: bundles delivered in EARLIER batches but not admitted. A
@@ -408,7 +414,9 @@ object ChainIngest {
     // T4: persist the head for the next batch / restart
     cur.foreach { c =>
       import spark.implicits._
-      store.replace(HeadTable,
+      // replaceSmall: driver-local rows prime the row cache, so the next
+      // batch's head read costs no Spark job
+      store.replaceSmall(HeadTable,
         Seq((c.number, c.hash.toArray, c.td.toString)).toDF("number", "hash", "td"))
     }
 
@@ -456,10 +464,10 @@ object ChainIngest {
           .toDF("from", "from_hash", "to", "to_hash"))
     }
     onRetract(from, to)
-    store.deleteRange(HeadersTable, "number", from, to)
-    Seq(TxTable, ReceiptsTable, LogsTable, TransfersTable)
-      .foreach(t => store.deleteRange(t, "block_number", from, to))
-    store.deleteRange(TdTable, "block", from, to)
+    store.deleteRangeAll(
+      (HeadersTable -> "number") +:
+      Seq(TxTable, ReceiptsTable, LogsTable, TransfersTable).map(_ -> "block_number") :+
+      (TdTable -> "block"), from, to)
   }
 
   /** Transform one admitted chunk and append to all sinks (stage 6 of the
@@ -483,15 +491,13 @@ object ChainIngest {
     import spark.implicits._
     val lo = tds.map(_._1).min
     val hi = tds.map(_._1).max
-    // the six tables are independent of each other; only the per-table
-    // delete-before-append order matters, so each bracket runs as two
-    // concurrent phases (Par overlaps the serial job-launch latency that
-    // otherwise dominates a small chunk)
-    Par.run(
-      (() => store.deleteRange(HeadersTable, "number", lo, hi)) +:
-      Seq(TxTable, ReceiptsTable, LogsTable, TransfersTable)
-        .map(t => () => store.deleteRange(t, "block_number", lo, hi)) :+
-      (() => store.deleteRange(TdTable, "block", lo, hi)))
+    // only the per-table delete-before-append order matters; the six
+    // deletes probe their edge buckets in ONE union job (happy path: all
+    // clean) instead of six per-table isEmpty jobs per chunk
+    store.deleteRangeAll(
+      (HeadersTable -> "number") +:
+      Seq(TxTable, ReceiptsTable, LogsTable, TransfersTable).map(_ -> "block_number") :+
+      (TdTable -> "block"), lo, hi)
 
     val blocks       = slice.select("block.*")
     val receipts     = slice.select(explode(col("receipts")).as("r")).select("r.*")

@@ -131,20 +131,29 @@ object FullIngest {
     val singleBlock = batch.limit(2).count() < 2
     val aqeKey   = "spark.sql.adaptive.enabled"
     val shufKey  = "spark.sql.shuffle.partitions"
-    val aqePrev  = spark.conf.get(aqeKey, "true")
-    val shufPrev = spark.conf.get(shufKey, "200")
+    val bcastKey = "spark.sql.autoBroadcastJoinThreshold"
+    val aqePrev   = spark.conf.get(aqeKey, "true")
+    val shufPrev  = spark.conf.get(shufKey, "200")
+    val bcastPrev = spark.conf.get(bcastKey, "10485760")
     if (singleBlock) {
       spark.conf.set(aqeKey, "false")
       // one block ≈ single-digit rows per relation: every static shuffle
       // should be ONE task (AQE would have coalesced to this; with it off
       // the static setting must say so)
       spark.conf.set(shufKey, "1")
+      // every BroadcastExchange materializes through a SEPARATE Spark job
+      // (the CompletableFuture submissions JobDump attributes): on a
+      // single-digit-row batch a 1-partition shuffle join is stages inside
+      // the SAME job, so planner-chosen broadcasts only add job launches.
+      // Explicit broadcast() hints in operator code are unaffected.
+      spark.conf.set(bcastKey, "-1")
     }
     try processBatchInner(spark, store, batch, client, maxBlocksPerChunk,
       reorgWindow, newSubLimit, cache, fetchBack, metrics, mirror, t0)
     finally if (singleBlock) {
       spark.conf.set(aqeKey, aqePrev)
       spark.conf.set(shufKey, shufPrev)
+      spark.conf.set(bcastKey, bcastPrev)
     }
   }
 
