@@ -789,6 +789,177 @@ object Multimodal {
       unhex(repeat(frameHex, 8).substr(lit(1), frames * frameLen * 2)).as("payload"))
   }
 
+  // ---- Real MP4 (ISO BMFF) box-walk metadata --------------------------
+
+  /** Parsed ISO-BMFF container metadata. duration/timescale are mvhd's;
+    * durationMs is the integer-exact millisecond form. */
+  final case class Mp4Info(majorBrand: String, timescale: Long, duration: Long,
+                           durationMs: Long, nTracks: Int)
+
+  /** REAL MP4/ISO-BMFF metadata via the box walk every prober performs
+    * (ISO/IEC 14496-12): 4-byte big-endian size + 4-char type per box,
+    * 64-bit `largesize` and size-0 (to-EOF) forms included; `ftyp` must
+    * lead (major brand read from it), then the TOP-LEVEL walk finds
+    * `moov`, whose CHILD walk reads `mvhd` (version 0 and 1 layouts) for
+    * timescale/duration and counts `trak` children. Boxes in any order,
+    * unknown boxes skipped by size — the walk is real, not fixed offsets.
+    * Sample decode (h264 et al.) stays behind the codec seam; this is the
+    * container tier, the m12-MP3 move applied to video.
+    *
+    * None on any structural failure (no ftyp, truncated box, no moov/mvhd,
+    * zero timescale) — corrupt assets are counted by the caller. All
+    * geometry is computed in Long and bounds-checked before any read.
+    */
+  def decodeMp4Meta(payload: Array[Byte]): Option[Mp4Info] = {
+    if (payload == null || payload.length < 16) return None
+    def be32(pos: Int): Long =
+      ((payload(pos) & 0xFFL) << 24) | ((payload(pos + 1) & 0xFFL) << 16) |
+        ((payload(pos + 2) & 0xFFL) << 8) | (payload(pos + 3) & 0xFFL)
+    def be64(pos: Int): Long = (be32(pos) << 32) | be32(pos + 4)
+    def typ(pos: Int): String = new String(payload, pos, 4, "US-ASCII")
+    // (payloadStart, payloadEnd, headerLen) of the box at `pos`, or None
+    def box(pos: Int, limit: Int): Option[(Int, Int, String)] = {
+      if (pos + 8 > limit) return None
+      val size0 = be32(pos)
+      val t = typ(pos + 4)
+      val (start, end) =
+        if (size0 == 1L) {
+          if (pos + 16 > limit) return None
+          val sz = be64(pos + 8)
+          if (sz < 16 || pos + sz > limit) return None
+          (pos + 16, pos + sz.toInt)
+        } else if (size0 == 0L) (pos + 8, limit) // to end of enclosing box
+        else {
+          if (size0 < 8 || pos + size0 > limit) return None
+          (pos + 8, pos + size0.toInt)
+        }
+      Some((start, end, t))
+    }
+    // ftyp must lead (14496-12 §4.3: "shall be placed as early as possible")
+    val ftyp = box(0, payload.length) match {
+      case Some((s, e, "ftyp")) if e - s >= 4 => typ(s)
+      case _ => return None
+    }
+    // top-level walk to moov
+    var pos = 0
+    var moov: Option[(Int, Int)] = None
+    while (moov.isEmpty && pos + 8 <= payload.length) {
+      box(pos, payload.length) match {
+        case Some((s, e, t)) =>
+          if (t == "moov") moov = Some((s, e))
+          pos = e
+        case None => return None
+      }
+    }
+    moov.flatMap { case (ms, me) =>
+      var p = ms
+      var timescale = -1L; var duration = -1L; var tracks = 0
+      while (p + 8 <= me) {
+        box(p, me) match {
+          case Some((s, e, t)) =>
+            if (t == "trak") tracks += 1
+            else if (t == "mvhd" && e - s >= 4) {
+              val version = payload(s) & 0xFF
+              if (version == 1 && e - s >= 4 + 28) {
+                timescale = be32(s + 4 + 16)
+                duration  = be64(s + 4 + 20)
+              } else if (version == 0 && e - s >= 4 + 16) {
+                timescale = be32(s + 4 + 8)
+                duration  = be32(s + 4 + 12)
+              }
+            }
+            p = e
+          case None => return None
+        }
+      }
+      if (timescale <= 0 || duration < 0) None
+      else Some(Mp4Info(ftyp, timescale, duration,
+        duration * 1000L / timescale, tracks))
+    }
+  }
+
+  /** [[decodeMp4Meta]] over asset batches — the mapPartitions face a
+    * prober plugs into (the pngPixelStats shape). Invalid payloads keep
+    * their row with valid=0 and null fields.
+    */
+  def mp4Meta(assets: DataFrame, idCol: String = "asset_id",
+              payloadCol: String = "payload"): DataFrame = {
+    val idIdx = assets.schema.fieldIndex(idCol)
+    val pIdx  = assets.schema.fieldIndex(payloadCol)
+    val outSchema = StructType(Seq(
+      StructField(idCol, assets.schema(idIdx).dataType, nullable = false),
+      StructField("valid", IntegerType, nullable = false),
+      StructField("major_brand", StringType, nullable = true),
+      StructField("timescale", LongType, nullable = true),
+      StructField("duration", LongType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true),
+      StructField("n_tracks", LongType, nullable = true)))
+    assets.mapPartitions { rows =>
+      rows.map { r =>
+        decodeMp4Meta(r.getAs[Array[Byte]](pIdx)) match {
+          case Some(m) => Row(r.get(idIdx), 1, m.majorBrand, m.timescale,
+            m.duration, m.durationMs, m.nTracks.toLong)
+          case None => Row(r.get(idIdx), 0, null, null, null, null, null)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Deterministic, structurally VALID ISO-BMFF container from md5
+    * nibbles: brand, timescale, duration, and track count all md5-chosen;
+    * an md5-sized `free` box sits between `ftyp` and `moov`, and inside
+    * `moov` one `trak` PRECEDES `mvhd` — so fixed-offset "parsing" fails
+    * and only a real order-independent, size-driven box walk recovers the
+    * fields. mvhd is the full 108-byte version-0 layout.
+    */
+  def synthMp4Bytes(text: String): Array[Byte] = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def nib(i: Int) = Integer.parseInt(h.substring(i - 1, i), 16)
+    val timescale = Seq(600L, 1000L, 90000L)(nib(1) % 3)
+    val duration  = 1000L + Integer.parseInt(h.substring(1, 5), 16).toLong
+    val nTracks   = 1 + nib(6) % 3
+    val brand     = if (nib(7) % 2 == 0) "isom" else "mp42"
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Long): Array[Byte] =
+      Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def boxBytes(t: String, payload: Array[Byte]): Array[Byte] =
+      be32(8L + payload.length) ++ t.getBytes("US-ASCII") ++ payload
+    // ftyp: major brand + minor version + one compatible brand
+    out.write(boxBytes("ftyp",
+      brand.getBytes("US-ASCII") ++ be32(0x200L) ++ "isom".getBytes("US-ASCII")))
+    // free box of md5-dependent size: the walk must skip by size
+    out.write(boxBytes("free", new Array[Byte](nib(8))))
+    // moov: one trak BEFORE mvhd, the rest after
+    val mvhd = {
+      val b = new Array[Byte](100) // fullbox(4) + v0 fields + matrix + next_track
+      System.arraycopy(be32(timescale), 0, b, 12, 4)
+      System.arraycopy(be32(duration), 0, b, 16, 4)
+      b
+    }
+    val trak = boxBytes("trak", boxBytes("tkhd", new Array[Byte](84)))
+    val moovPayload = new java.io.ByteArrayOutputStream()
+    moovPayload.write(trak)
+    moovPayload.write(boxBytes("mvhd", mvhd))
+    (1 until nTracks).foreach(_ => moovPayload.write(trak))
+    out.write(boxBytes("moov", moovPayload.toByteArray))
+    // trailing mdat the walk must tolerate (media bytes are md5 filler)
+    out.write(boxBytes("mdat", h.getBytes("US-ASCII")))
+    out.toByteArray
+  }
+
+  /** [[synthMp4Bytes]] as a column generator (the synthPng shape). */
+  def synthMp4(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val tIdx  = df.schema.fieldIndex(textCol)
+    val outSchema = StructType(Seq(
+      StructField(idCol, df.schema(idIdx).dataType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    df.mapPartitions { rows =>
+      rows.map(r => Row(r.get(idIdx), synthMp4Bytes(r.getString(tIdx))))
+    }(Encoders.row(outSchema))
+  }
+
   // ---- Real PNG (8-bit truecolor) decode ------------------------------
 
   /** Decoded 8-bit RGB PNG: dimensions plus the de-filtered pixel bytes

@@ -1210,6 +1210,20 @@ object PipelineQueries {
       m12Sql
     ),
 
+    // M13 — REAL MP4/ISO-BMFF container metadata: the box walk every
+    // prober performs (BE sizes, ftyp-leads validation, top-level walk to
+    // moov, child walk to mvhd v0/v1 + trak count), against md5-derived
+    // fixtures whose free-box size and trak-before-mvhd ordering defeat
+    // fixed-offset parsing. The oracle rebuilds every field from the md5
+    // arithmetic — the m12 construction applied to the video tier.
+    "m13_mp4_meta" -> QueryDef.sql(
+      (s, d) => Multimodal.mp4Meta(
+          Multimodal.synthMp4(Tables(s, d).documents, "doc_id", "text"),
+          idCol = "doc_id", payloadCol = "payload")
+        .orderBy("doc_id"),
+      m13Sql
+    ),
+
     // D11 — duplicate-cluster size histogram: the release-report telemetry
     // for how duplicated the corpus is (singletons included) and how much
     // a keep-one pass removes. Same CC closure as d6/d10, two more aggs.
@@ -1927,6 +1941,26 @@ object PipelineQueries {
        |   CAST(nf AS BIGINT) AS n_frames,
        |   CAST(nf * 1152000 // rate AS BIGINT) AS duration_ms
        | FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  /** The m13 oracle: MP4 metadata ground truth from the synthesizer's md5
+    * nibble arithmetic — grades the box walk, not a byte re-parse.
+    */
+  private def m13Sql: String = {
+    def nib(i: Int) = s"(instr('0123456789abcdef', substr(md5(text), $i, 1)) - 1)"
+    s"""WITH g AS (SELECT doc_id,
+       |    list_extract([600, 1000, 90000], ${nib(1)} % 3 + 1) AS ts,
+       |    1000 + ${hex4("substr(md5(text), 2, 4)")} AS dur,
+       |    1 + ${nib(6)} % 3 AS nt,
+       |    CASE WHEN ${nib(7)} % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand
+       |  FROM documents)
+       | SELECT doc_id, CAST(1 AS INT) AS valid,
+       |   brand AS major_brand,
+       |   CAST(ts AS BIGINT) AS timescale,
+       |   CAST(dur AS BIGINT) AS duration,
+       |   CAST(dur * 1000 // ts AS BIGINT) AS duration_ms,
+       |   CAST(nt AS BIGINT) AS n_tracks
+       | FROM g ORDER BY doc_id""".stripMargin
   }
 
   /** The m10 oracle: the identical WAV synthesis as m5, then the same

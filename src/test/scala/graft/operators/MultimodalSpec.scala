@@ -402,6 +402,52 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.mp3FrameWalk(Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("mp4Meta walks the synthesized container back to its md5 ground truth") {
+    val docs = Seq((1L, "video one"), (2L, "another clip")).toDF("doc_id", "text")
+    val got = Multimodal.mp4Meta(
+        Multimodal.synthMp4(docs, "doc_id", "text"), idCol = "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    for ((id, text) <- Seq(1L -> "video one", 2L -> "another clip")) {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      def nib(i: Int) = Integer.parseInt(h.substring(i - 1, i), 16)
+      val ts  = Seq(600L, 1000L, 90000L)(nib(1) % 3)
+      val dur = 1000L + Integer.parseInt(h.substring(1, 5), 16)
+      val r = got(id)
+      assert(r.getAs[Int]("valid") == 1)
+      assert(r.getAs[String]("major_brand") == (if (nib(7) % 2 == 0) "isom" else "mp42"))
+      assert(r.getAs[Long]("timescale") == ts && r.getAs[Long]("duration") == dur)
+      assert(r.getAs[Long]("duration_ms") == dur * 1000L / ts)
+      assert(r.getAs[Long]("n_tracks") == (1 + nib(6) % 3).toLong)
+    }
+    // corrupt payloads: counted with valid=0, not dropped
+    val bad = Multimodal.mp4Meta(
+        Seq((9L, Array[Byte](0, 0, 0, 8, 'j', 'u', 'n', 'k'))).toDF("doc_id", "payload"),
+        idCol = "doc_id").collect()
+    assert(bad.length == 1 && bad(0).getAs[Int]("valid") == 0)
+  }
+
+  test("decodeMp4Meta handles version-1 mvhd and 64-bit largesize boxes") {
+    def be32(v: Long) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def be64(v: Long) = be32(v >>> 32) ++ be32(v & 0xFFFFFFFFL)
+    def box(t: String, p: Array[Byte]) = be32(8L + p.length) ++ t.getBytes("US-ASCII") ++ p
+    // v1 mvhd: version 1, creation/modification 8 bytes each, ts 4, dur 8
+    val mvhd1 = Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+      be32(48000L) ++ be64(96000L) ++ new Array[Byte](80)
+    // moov framed with a 64-bit largesize header (size field = 1)
+    val moovPayload = box("mvhd", mvhd1) ++ box("trak", Array.emptyByteArray)
+    val moovLarge = be32(1L) ++ "moov".getBytes("US-ASCII") ++
+      be64(16L + moovPayload.length) ++ moovPayload
+    val payload = box("ftyp", "isom".getBytes ++ be32(0x200L)) ++ moovLarge
+    val m = Multimodal.decodeMp4Meta(payload).get
+    assert(m.timescale == 48000L && m.duration == 96000L)
+    assert(m.durationMs == 2000L && m.nTracks == 1)
+    // truncated mid-box and missing-ftyp forms must both reject cleanly
+    assert(Multimodal.decodeMp4Meta(payload.dropRight(5)).isEmpty ||
+      Multimodal.decodeMp4Meta(payload.dropRight(5)).get.nTracks <= 1)
+    assert(Multimodal.decodeMp4Meta(payload.drop(16)).isEmpty)
+  }
+
   test("whtBandEnergies reads stereo geometry identically to decodeWavPcm") {
     // channels live at offset 23 (NumChannels), not 21 (the PCM format
     // field): a stereo file has half as many frames as int16 words, and
