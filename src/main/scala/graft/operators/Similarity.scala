@@ -500,6 +500,60 @@ object Similarity {
           - col("__mean") * col("__mean"), 6).as("variance"))
   }
 
+  /** Per-dimension POPULATION STABILITY INDEX between a reference
+    * embedding snapshot and the current corpus — the standard drift gate a
+    * production vector pipeline runs before trusting a frozen quantizer /
+    * index / classifier against newly-embedded data (s11's moments see a
+    * mean/variance shift; PSI sees SHAPE changes those miss — a
+    * bimodal split, a tail migration). Per dim: fixed-width buckets over
+    * [−1, 1) (clamped), add-one smoothing so empty buckets stay finite,
+    * PSI = Σ_b (p_cur − p_ref) · ln(p_cur/p_ref). The usual reading:
+    * <0.1 stable, 0.1–0.25 drifting, >0.25 re-fit.
+    *
+    * Shape: one posexplode + (dim, bucket)-keyed count per side with
+    * map-side combine — each corpus is scanned ONCE and only
+    * dims×buckets rows shuffle; everything after the counts is tiny-
+    * relation math. Each PSI term rounds to 9 decimals and sums as
+    * DECIMAL (the t11 discipline), so the result is partition-order-
+    * independent and engine-exact; the full dim×bucket grid is generated
+    * explicitly so zero-zero buckets contribute their (nonzero, smoothed)
+    * term identically on every engine.
+    */
+  def dimensionPsi(ref: DataFrame, cur: DataFrame, vecCol: String,
+                   nBuckets: Int = 8): DataFrame = {
+    require(nBuckets > 1, "psi needs at least 2 buckets")
+    def bucketCounts(df: DataFrame, tag: String) = df
+      .select(posexplode(col(vecCol)).as(Seq("dim", "__v")))
+      .withColumn("__b", least(greatest(
+        floor((col("__v").cast("double") + 1.0) * (nBuckets / 2.0)).cast("int"),
+        lit(0)), lit(nBuckets - 1)))
+      .groupBy("dim", "__b").agg(count(lit(1)).as(tag))
+    val r = bucketCounts(ref, "__cr")
+    val c = bucketCounts(cur, "__cc")
+    val joined = r.join(c, Seq("dim", "__b"), "full_outer")
+    val grid = joined.select("dim").distinct()
+      .select(col("dim"), explode(sequence(lit(0), lit(nBuckets - 1))).as("__b"))
+    val wDim = Window.partitionBy("dim")
+    val full = grid.join(joined, Seq("dim", "__b"), "left")
+      .select(col("dim"), col("__b"),
+        coalesce(col("__cr"), lit(0L)).as("__cr"),
+        coalesce(col("__cc"), lit(0L)).as("__cc"))
+      .withColumn("__nr", sum("__cr").over(wDim) + nBuckets)
+      .withColumn("__nc", sum("__cc").over(wDim) + nBuckets)
+    val pr = (col("__cr") + 1).cast("double") / col("__nr").cast("double")
+    val pc = (col("__cc") + 1).cast("double") / col("__nc").cast("double")
+    val ratio = ((col("__cc") + 1) * col("__nr")).cast("double") /
+      ((col("__cr") + 1) * col("__nc")).cast("double")
+    full
+      .withColumn("__term", round((pc - pr) * log(ratio), 9).cast("decimal(18,9)"))
+      .groupBy("dim")
+      .agg(first(col("__nr") - nBuckets).as("n_ref"),
+        first(col("__nc") - nBuckets).as("n_cur"),
+        round(sum("__term").cast("double"), 6).as("psi"))
+      .select(col("dim"), col("n_ref").cast("long").as("n_ref"),
+        col("n_cur").cast("long").as("n_cur"), col("psi"))
+  }
+
   /** Symmetric int8 scalar quantization (the SQ8 memory tier between raw
     * floats and PQ codes: 4× smaller than float32 with ~exact recall for
     * reranking): per vector, scale = max|x|/127, code_i = round(x_i/scale)

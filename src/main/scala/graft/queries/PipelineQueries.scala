@@ -1017,6 +1017,49 @@ object PipelineQueries {
 
     // S11 — per-dimension corpus moments (whitening/PCA prep, drift
     // monitoring): one posexplode aggregation, 64 rows out.
+    // S17 — per-dimension PSI drift between a reference snapshot (even
+    // vec_ids) and the current corpus (odd): the shape-change gate s11's
+    // moments can't see. Fixed [-1,1) buckets, add-one smoothing, 9-decimal
+    // DECIMAL terms — engine-exact.
+    "s17_dim_psi" -> QueryDef.sql(
+      (s, d) => {
+        val e = Tables(s, d).embeddings
+        Similarity.dimensionPsi(
+          e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
+          "embedding", nBuckets = 8)
+          .orderBy("dim")
+      },
+      s"""WITH rb AS (SELECT d.i - 1 AS dim,
+         |    least(greatest(CAST(floor((CAST(embedding[d.i] AS DOUBLE) + 1.0) * 4.0)
+         |      AS INT), 0), 7) AS b, count(*) AS cr
+         |  FROM embeddings CROSS JOIN range(1, 65) AS d(i)
+         |  WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+         | cb AS (SELECT d.i - 1 AS dim,
+         |    least(greatest(CAST(floor((CAST(embedding[d.i] AS DOUBLE) + 1.0) * 4.0)
+         |      AS INT), 0), 7) AS b, count(*) AS cc
+         |  FROM embeddings CROSS JOIN range(1, 65) AS d(i)
+         |  WHERE vec_id % 2 = 1 GROUP BY 1, 2),
+         | grid AS (SELECT dm.i - 1 AS dim, CAST(bk.j AS INT) AS b
+         |  FROM range(1, 65) dm(i) CROSS JOIN range(0, 8) bk(j)),
+         | f AS (SELECT g.dim, g.b,
+         |    coalesce(rb.cr, 0) AS cr, coalesce(cb.cc, 0) AS cc
+         |  FROM grid g
+         |  LEFT JOIN rb ON g.dim = rb.dim AND g.b = rb.b
+         |  LEFT JOIN cb ON g.dim = cb.dim AND g.b = cb.b),
+         | t AS (SELECT dim, b, cr, cc,
+         |    sum(cr) OVER (PARTITION BY dim) + 8 AS nr,
+         |    sum(cc) OVER (PARTITION BY dim) + 8 AS nc FROM f),
+         | terms AS (SELECT dim, nr, nc,
+         |    CAST(round((CAST(cc + 1 AS DOUBLE) / CAST(nc AS DOUBLE)
+         |        - CAST(cr + 1 AS DOUBLE) / CAST(nr AS DOUBLE))
+         |      * ln(CAST((cc + 1) * nr AS DOUBLE) / CAST((cr + 1) * nc AS DOUBLE)),
+         |      9) AS DECIMAL(18,9)) AS term
+         |  FROM t)
+         | SELECT dim, CAST(nr - 8 AS BIGINT) AS n_ref, CAST(nc - 8 AS BIGINT) AS n_cur,
+         |   round(CAST(sum(term) AS DOUBLE), 6) AS psi
+         | FROM terms GROUP BY 1, 2, 3 ORDER BY dim""".stripMargin
+    ),
+
     "s11_dim_moments" -> QueryDef.sql(
       (s, d) => Similarity.dimensionMoments(Tables(s, d).embeddings, "embedding")
         .orderBy("dim"),

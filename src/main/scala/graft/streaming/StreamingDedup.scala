@@ -1,0 +1,203 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StructField, StructType}
+import graft.chain.TableStore
+import graft.operators.Dedup
+
+/** Streaming face of MinHash-LSH near-dup detection (the d2 family): a
+  * crawl feed arrives over micro-batches, every new document must be
+  * checked against EVERYTHING kept so far, and the index must grow
+  * incrementally — never rebuild. Same foreachBatch + persistent-table
+  * architecture as [[StreamingText.processChunkBatch]] and
+  * [[StreamingSimilarity.processEmbeddingBatch]] (a stateful-operator
+  * formulation can't express it: the index is a TABLE probed by band
+  * keys, and the verdict re-aggregates by doc).
+  *
+  * Index layout — CANONICAL DOCS ONLY, two tables:
+  *   - `lsh_postings` (band, band_hash, doc_id, batch_id), partitioned by
+  *     the band-hash prefix `bp` (0..255): a batch's candidate probe reads
+  *     only the partitions for prefixes present in the batch — an `isin`
+  *     predicate Spark prunes before opening a file, the chunk_hashes
+  *     discipline. At corpus scale a batch touches its share of the index,
+  *     not the index.
+  *   - `lsh_sigs` (doc_id, sig, batch_id), partitioned by the doc-id
+  *     prefix `sp`: signatures are fetched ONLY for the candidate set
+  *     (bounded by the bucket valve), again partition-pruned.
+  * Keeping only canonicals in the index is what production frontiers do:
+  * dups never accumulate as index mass, and a chain of near-dups all
+  * resolves against the one kept representative.
+  *
+  * Per-batch verdict (`near_dups`, delete-then-append on batch_id):
+  * (batch_id, doc_id, is_new 1|0, dup_of, est_jaccard). Matching is the
+  * standard MinHash estimator — the fraction of equal signature
+  * components, which estimates Jaccard unbiasedly — against (a) earlier
+  * batches' canonicals sharing an LSH bucket and (b) the batch's own
+  * within-batch candidate groups, collapsed through connected components
+  * (batch-bounded) so chains keep exactly their min-id member. A doc
+  * whose batch-canonical matched an older doc resolves to THAT older doc.
+  *
+  * Replay idempotency: postings/sigs rows are tagged with batch_id; the
+  * "earlier corpus" is `batch_id < bid`, so a replayed batch never
+  * matches its own half-landed rows, recomputes the identical verdict,
+  * and appends only the rows a crashed attempt didn't land — a crash
+  * loop converges instead of growing the index.
+  */
+object StreamingDedup {
+
+  val PostingsTable = "lsh_postings"
+  val SigsTable     = "lsh_sigs"
+  val VerdictTable  = "near_dups"
+
+  val postingsSchema: StructType = StructType(Seq(
+    StructField("band", IntegerType), StructField("band_hash", LongType),
+    StructField("doc_id", LongType), StructField("batch_id", LongType),
+    StructField("bp", IntegerType)))
+
+  val sigsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("sig", ArrayType(LongType)),
+    StructField("batch_id", LongType), StructField("sp", IntegerType)))
+
+  private def bandPrefix(h: org.apache.spark.sql.Column) = pmod(h, lit(256L)).cast("int")
+  private def docPrefix(id: org.apache.spark.sql.Column) = pmod(id, lit(256L)).cast("int")
+
+  /** Estimated Jaccard: fraction of equal MinHash components. */
+  private def sigAgreement(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+                           numHashes: Int) =
+    round(aggregate(zip_with(a, b, (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), _ + _).cast("double") / numHashes, 6)
+
+  /** foreachBatch body. `maxBucket` is the usual hot-bucket valve on both
+    * the index probe and the within-batch candidate stage.
+    */
+  def processLshBatch(store: TableStore,
+                      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                      simThreshold: Double = 0.7,
+                      maxBucket: Int = Dedup.DefaultMaxBucket)
+                     (batch: DataFrame, bid: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+
+    // 1. one signature pass per doc; band rows derived from it
+    val sigs = Dedup.minHashSignatureArray(batch, "doc_id", "text", shingleSize, numHashes)
+      .localCheckpoint(true)
+    val bandRows = Dedup.lshBands(sigs, "doc_id", numHashes, bands)
+      .withColumn("bp", bandPrefix(col("band_hash")))
+      .localCheckpoint(true)
+
+    // 2. bounded probe of the canonical index: only this batch's band-hash
+    //    prefix partitions are read; earlier batches only (replay safety)
+    val prefixes = bandRows.select("bp").distinct().collect().map(_.getInt(0)).toSeq
+    val oldPostings = store.read(PostingsTable, postingsSchema)
+      .filter(col("bp").isin(prefixes: _*) && col("batch_id") < bid)
+    val oldPairs = bandRows
+      .join(oldPostings.select(col("band"), col("band_hash"), col("doc_id").as("old_id")),
+        Seq("band", "band_hash"))
+      .select(col("doc_id"), col("old_id")).distinct()
+      .localCheckpoint(true)
+
+    // 3. signatures for the candidate OLD docs — partition-pruned by the
+    //    candidates' doc prefixes (bounded: candidate set ≤ batch × valve)
+    val oldSps = oldPairs.select(docPrefix(col("old_id")).as("sp")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val oldSigs =
+      if (oldSps.isEmpty) spark.emptyDataset[(Long, Array[Long])].toDF("old_id", "old_sig")
+      else store.read(SigsTable, sigsSchema).filter(col("sp").isin(oldSps: _*))
+        .select(col("doc_id").as("old_id"), col("sig").as("old_sig"))
+    val oldMatches = oldPairs
+      .join(sigs, "doc_id")
+      .join(oldSigs, "old_id")
+      .withColumn("est_jaccard", sigAgreement(col("sig"), col("old_sig"), numHashes))
+      .filter(col("est_jaccard") >= simThreshold)
+      .select(col("doc_id"), col("old_id"), col("est_jaccard"))
+      .localCheckpoint(true)
+
+    // 4. within-batch candidates (count-gated buckets via candidatePairs),
+    //    verified by the same estimator, collapsed via CC so chains keep
+    //    their min-id member
+    val inBatchPairs = Dedup.candidatePairs(bandRows, "doc_id", Some(maxBucket))
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("__sa")), "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("__sb")), "id_b")
+      .withColumn("est_jaccard", sigAgreement(col("__sa"), col("__sb"), numHashes))
+      .filter(col("est_jaccard") >= simThreshold)
+      .select("id_a", "id_b", "est_jaccard")
+    val labels = Dedup.connectedComponents(
+      inBatchPairs.select("id_a", "id_b"), "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("label"))
+
+    // 5. verdicts. Precedence: an old-index match beats in-batch identity
+    //    (the corpus saw it first); a doc whose batch-canonical matched an
+    //    old doc resolves to that old doc too. est_jaccard reports the
+    //    estimator that triggered the verdict (the old match's, else the
+    //    best in-batch pair's — only ever computed values, never inferred
+    //    across a CC chain).
+    val bestOld = oldMatches
+      .groupBy("doc_id")
+      .agg(max(struct(col("est_jaccard"), (-col("old_id")).as("__nid"))).as("__m"))
+      .select(col("doc_id"), (-col("__m.__nid")).as("dup_of_old"),
+        col("__m.est_jaccard").as("old_sim"))
+    // a CC member is id_b of ≥1 pair unless it is the group minimum (pairs
+    // are ordered a<b), so in_sim is non-null exactly for in-batch dups
+    val bestIn = inBatchPairs.groupBy(col("id_b").as("doc_id"))
+      .agg(max("est_jaccard").as("in_sim"))
+    val withLabel = sigs.select(col("doc_id"), col("sig"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("canon", coalesce(col("label"), col("doc_id")))
+    val canonOld = bestOld.select(col("doc_id").as("canon"),
+      col("dup_of_old").as("canon_dup_of"))
+    val verdicts = withLabel
+      .join(bestOld, Seq("doc_id"), "left")
+      .join(bestIn, Seq("doc_id"), "left")
+      .join(canonOld, Seq("canon"), "left")
+      .select(
+        lit(bid).as("batch_id"),
+        col("doc_id"),
+        col("sig"),
+        coalesce(col("dup_of_old"),
+          when(col("canon") =!= col("doc_id"),
+            coalesce(col("canon_dup_of"), col("canon")))).as("dup_of"),
+        coalesce(col("old_sim"), col("in_sim")).as("est_jaccard"))
+      .withColumn("is_new", when(col("dup_of").isNull, 1).otherwise(0).cast("int"))
+      .localCheckpoint(true)
+
+    store.deleteRange(VerdictTable, "batch_id", bid, bid)
+    store.appendBucketed(VerdictTable,
+      verdicts.select("batch_id", "doc_id", "is_new", "dup_of", "est_jaccard"),
+      "batch_id")
+
+    // 6. index growth: canonicals only, append-only-missing under replay —
+    //    the probe for this batch's already-landed rows prunes to the KEPT
+    //    docs' prefix partitions (bounded ≤256-int driver read)
+    val kept = verdicts.filter(col("is_new") === 1).select(col("doc_id"), col("sig"))
+    val keptSps = kept.select(docPrefix(col("doc_id")).as("sp")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val alreadySigs =
+      if (keptSps.isEmpty) kept.limit(0).select(col("doc_id"))
+      else store.read(SigsTable, sigsSchema)
+        .filter(col("sp").isin(keptSps: _*) && col("batch_id") === bid)
+        .select(col("doc_id"))
+    val freshKept = kept.join(alreadySigs, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    store.appendPartitioned(SigsTable,
+      freshKept.select(col("doc_id"), col("sig"), lit(bid).as("batch_id"),
+        docPrefix(col("doc_id")).as("sp")), "sp")
+    store.appendPartitioned(PostingsTable,
+      bandRows.join(freshKept.select("doc_id"), Seq("doc_id"), "left_semi")
+        .select(col("band"), col("band_hash"), col("doc_id"),
+          lit(bid).as("batch_id"), col("bp")), "bp")
+  }
+
+  /** The processor wired as a streaming query. */
+  def lshDedupStream(docs: org.apache.spark.sql.Dataset[StreamingText.Doc],
+                     store: TableStore, checkpointDir: String,
+                     shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                     simThreshold: Double = 0.7) =
+    docs.toDF().writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        processLshBatch(store, shingleSize, numHashes, bands, simThreshold)(batch, bid): Unit
+      }
+      .start()
+}

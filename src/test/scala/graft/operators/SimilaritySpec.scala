@@ -317,4 +317,29 @@ class SimilaritySpec extends SparkSpec {
     assert(trunc.getAs[Long]("n_overlap") <= 2L)
     assert(trunc.getAs[Double]("mse") > 0.0)
   }
+
+  test("dimensionPsi: zero on identical corpora, flags exactly the shifted dim") {
+    import spark.implicits._
+    def corpus(shift: Float) = (0 until 40).map { i =>
+      (i.toLong, Array(((i % 8) / 8.0f - 0.5f) + shift, 0.1f))
+    }.toDF("vec_id", "embedding")
+    // same distribution on both sides → every term is exactly zero
+    val same = graft.operators.Similarity
+      .dimensionPsi(corpus(0.0f), corpus(0.0f), "embedding", nBuckets = 8)
+      .collect().map(r => r.getAs[Int]("dim") -> r.getAs[Double]("psi")).toMap
+    assert(same.size == 2 && same.values.forall(_ == 0.0))
+    // dim 0 mass shifted by two buckets; dim 1 untouched
+    val drifted = graft.operators.Similarity
+      .dimensionPsi(corpus(0.0f), corpus(0.5f), "embedding", nBuckets = 8)
+      .collect().map(r => r.getAs[Int]("dim") ->
+        ((r.getAs[Double]("psi"), r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur")))).toMap
+    assert(drifted(0)._1 > 0.25, s"shifted dim must cross the re-fit line: $drifted")
+    assert(drifted(1)._1 == 0.0, "untouched dim must stay exactly zero")
+    assert(drifted(0)._2 == 40L && drifted(0)._3 == 40L)
+    // PSI is symmetric-ish but not equal under swap; both directions flag
+    val reverse = graft.operators.Similarity
+      .dimensionPsi(corpus(0.5f), corpus(0.0f), "embedding", nBuckets = 8)
+      .collect().map(r => r.getAs[Int]("dim") -> r.getAs[Double]("psi")).toMap
+    assert(reverse(0) > 0.25)
+  }
 }

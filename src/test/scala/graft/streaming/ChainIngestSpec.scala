@@ -224,11 +224,14 @@ class ChainIngestSpec extends SparkSpec {
     val runner = new Thread(() => ChainIngest.runWithRestart(
       () => {
         val q = mkQuery().start()
-        // stop the query once the pending batch drains so awaitTermination exits
+        // stop the query once the pending batch has COMPLETED (batchesSeen
+        // moves) so awaitTermination exits — stopping on any earlier signal
+        // (e.g. failuresLeft going negative at the START of the replay
+        // batch) races the in-flight batch and cancels it under load
         new Thread(() => {
           while (q.isActive && RestartProbe.batchesSeen.get() == 0 &&
-            RestartProbe.failuresLeft.get() >= 0 && q.exception.isEmpty) Thread.sleep(50)
-          Thread.sleep(200); if (q.isActive && q.exception.isEmpty) q.stop()
+            q.exception.isEmpty) Thread.sleep(50)
+          if (q.exception.isEmpty) { Thread.sleep(200); if (q.isActive) q.stop() }
         }).start()
         q
       },

@@ -1,0 +1,120 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.chain.TableStore
+
+/** Cross-batch near-dup detection over the incrementally-maintained LSH
+  * index: batch-2 arrivals must match batch-1 canonicals, within-batch
+  * chains keep their minimum, the index holds canonicals only, and a
+  * crash-replayed batch converges (identical verdict, no index growth).
+  */
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // long enough that a one-word edit keeps shingle-Jaccard well above the
+  // 0.7 match threshold (60 tokens -> ~58 shingles, one edit perturbs 3)
+  private val baseA = (0 until 60).map(i => s"alpha$i").mkString(" ")
+  private val baseC = (0 until 60).map(i => s"gamma$i").mkString(" ")
+  private val baseE = (0 until 60).map(i => s"epsilon$i").mkString(" ")
+
+  private def mkStore() =
+    TableStore(spark, Files.createTempDirectory("graft-lsh-stream").toString)
+
+  private def verdicts(store: TableStore, bid: Long): Map[Long, (Int, Option[Long])] =
+    store.readOr(StreamingDedup.VerdictTable, null)
+      .filter(col("batch_id") === bid)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("is_new"),
+          Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong))))
+      .toMap
+
+  test("near-dups resolve across batches against canonicals only; replay converges") {
+    val store = mkStore()
+    def proc(bid: Long, docs: Seq[(Long, String)]): Unit =
+      StreamingDedup.processLshBatch(store)(docs.toDF("doc_id", "text"), bid)
+
+    // batch 0: A kept; B ≈ A (one word changed) dups A in-batch; C kept
+    proc(0L, Seq(
+      1L -> baseA,
+      2L -> baseA.replace("alpha30", "edited"),
+      3L -> baseC))
+    val v0 = verdicts(store, 0L)
+    assert(v0(1L) == ((1, None)))
+    assert(v0(2L)._1 == 0 && v0(2L)._2.contains(1L), s"B must dup A in-batch: $v0")
+    assert(v0(3L) == ((1, None)))
+
+    // index holds ONLY canonicals (A, C) — the dropped dup adds no mass
+    val indexed = store.readOr(StreamingDedup.SigsTable, null)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(indexed == Set(1L, 3L))
+
+    // batch 1: D ≈ A → cross-batch dup of the CANONICAL 1; E kept
+    proc(1L, Seq(
+      10L -> baseA.replace("alpha50", "changed"),
+      11L -> baseE))
+    val v1 = verdicts(store, 1L)
+    assert(v1(10L)._1 == 0 && v1(10L)._2.contains(1L),
+      s"batch-2 near-dup must resolve to the batch-1 canonical: $v1")
+    assert(v1(11L) == ((1, None)))
+    val afterB1 = store.readOr(StreamingDedup.SigsTable, null)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(afterB1 == Set(1L, 3L, 11L))
+
+    // crash replay of batch 1: identical verdict, ZERO index growth
+    proc(1L, Seq(
+      10L -> baseA.replace("alpha50", "changed"),
+      11L -> baseE))
+    assert(verdicts(store, 1L) == v1, "replay must recompute the identical verdict")
+    val postings = store.readOr(StreamingDedup.PostingsTable, null)
+    assert(store.readOr(StreamingDedup.SigsTable, null).count() == 3L,
+      "replayed sigs must not re-append")
+    assert(postings.groupBy("doc_id", "band").count().filter(col("count") > 1).isEmpty,
+      "replayed postings must not duplicate any (doc, band) row")
+  }
+
+  test("within-batch chain keeps exactly its minimum; est_jaccard is a computed estimator") {
+    val store = mkStore()
+    // three near-identical docs: the chain must collapse to doc 5
+    val docs = Seq(
+      5L -> baseA,
+      6L -> baseA.replace("alpha10", "edit1"),
+      7L -> baseA.replace("alpha40", "edit2"))
+    StreamingDedup.processLshBatch(store)(docs.toDF("doc_id", "text"), 0L)
+    val v = verdicts(store, 0L)
+    assert(v(5L) == ((1, None)))
+    assert(v(6L)._1 == 0 && v(6L)._2.contains(5L))
+    assert(v(7L)._1 == 0 && v(7L)._2.contains(5L))
+    val sims = store.readOr(StreamingDedup.VerdictTable, null)
+      .filter(col("is_new") === 0).select("est_jaccard").collect()
+    assert(sims.nonEmpty && sims.forall { r =>
+      val s = r.getDouble(0); s >= 0.7 && s <= 1.0
+    })
+    // streaming verdict agrees with the batch operator's verify on the
+    // same corpus: every flagged pair is a real ≥-threshold near-dup there
+    val batchPairs = graft.operators.Dedup.minHashLshNearDups(
+        docs.toDF("doc_id", "text"), "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchPairs.contains((5L, 6L)) && batchPairs.contains((5L, 7L)))
+  }
+
+  test("the wired streaming query maintains the index end-to-end") {
+    val store = mkStore()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingText.Doc]
+    val q = StreamingDedup.lshDedupStream(src.toDS(), store,
+      Files.createTempDirectory("graft-lsh-ckpt").toString)
+    try {
+      src.addData(StreamingText.Doc(1L, baseA), StreamingText.Doc(2L, baseC))
+      q.processAllAvailable()
+      src.addData(StreamingText.Doc(3L, baseA.replace("alpha20", "swapped")))
+      q.processAllAvailable()
+      val all = store.readOr(StreamingDedup.VerdictTable, null).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("is_new")).toMap
+      assert(all == Map(1L -> 1, 2L -> 1, 3L -> 0))
+    } finally q.stop()
+  }
+}
