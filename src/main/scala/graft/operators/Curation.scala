@@ -186,6 +186,34 @@ object Curation {
     df.filter(keyHash(col(idCol)) < rate)
   }
 
+  /** Deterministic shard-and-shuffle — the step every pretraining pipeline
+    * ENDS with: assign each document a pseudo-random position in one of
+    * `nShards` output shards, so the training loader reads a well-mixed
+    * stream without any coordination. Order comes from the portable md5
+    * hash of (id, seed): reshuffling is a seed change, reproducing a run
+    * is the same seed, and no RNG state ever lives on an executor. shard =
+    * hash mod nShards; position = dense 0-based rank of the hash within
+    * the shard (id as tiebreak).
+    *
+    * Scale shape: the shard assignment is a pure per-row expression, and
+    * the in-shard position is ONE window over the shard key — exactly the
+    * repartition-then-sort a shard writer performs, so materializing the
+    * shards is `.repartition(col("shard")).sortWithinPartitions("pos")`
+    * with zero extra shuffles. No global sort, no single-partition stage;
+    * shard sizes are n/nShards ± binomial noise.
+    */
+  def shardShuffle(df: DataFrame, idCol: String, nShards: Int,
+                   seed: String = ""): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val h = pmod(Dedup.portableHashLo(concat(col(idCol).cast("string"), lit(seed))),
+      lit(Dedup.MersennePrime))
+    val w = Window.partitionBy("shard").orderBy(col("__h"), col(idCol))
+    df.select(col(idCol), h.as("__h"))
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
   /** Temperature-scaled mixture weights — the multilingual/multi-domain
     * rebalancing rule (exponent α < 1 upsamples rare strata, α = 1 is
     * proportional): weight_s = n_s^α / Σ_t n_t^α, and a global token

@@ -654,6 +654,23 @@ object PipelineQueries {
 
     // R1 — deterministic stratified sampling by language: portable-hash
     // permille filter, reproducible with no RNG state
+    // R8 — deterministic shard-and-shuffle: the final materialization step
+    // of every pretraining mix (pseudo-random position in one of N shards,
+    // reshuffle = seed change). Pure per-row hash + one shard-key window —
+    // the repartition+sortWithinPartitions write shape, no global sort.
+    "r8_shard_shuffle" -> QueryDef.sql(
+      (s, d) => Curation.shardShuffle(Tables(s, d).documents, "doc_id",
+          nShards = 8, seed = "mix1")
+        .orderBy("doc_id"),
+      s"""WITH h AS (SELECT doc_id,
+         |    ${hex8("md5(CAST(doc_id AS VARCHAR) || 'mix1')", 0)} % ${Dedup.MersennePrime} AS hv
+         |  FROM documents)
+         | SELECT doc_id, CAST(hv % 8 AS INT) AS shard,
+         |   CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) - 1
+         |     AS BIGINT) AS pos
+         | FROM h ORDER BY doc_id""".stripMargin
+    ),
+
     "r1_stratified_sample" -> QueryDef.sql(
       (s, d) => Curation.stratifiedSample(Tables(s, d).documents, "doc_id", "lang",
           Map("en" -> 100, "de" -> 300, "fr" -> 300), defaultPermille = 500)

@@ -332,6 +332,27 @@ class CurationSpec extends SparkSpec {
     assert(got(5L)._1 == "" && got(5L)._4 == 1, "url-less docs keep the empty key")
   }
 
+  test("shardShuffle: every doc exactly once, deterministic, reshuffled by seed") {
+    val docs = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val a = Curation.shardShuffle(docs, "doc_id", nShards = 4, seed = "s1").collect()
+    assert(a.length == 200 && a.map(_.getLong(0)).toSet.size == 200)
+    // positions are a dense 0..k-1 sequence within each shard
+    a.groupBy(_.getInt(1)).foreach { case (shard, rows) =>
+      val ps = rows.map(_.getLong(2)).sorted
+      assert(ps.sameElements(0L until rows.length.toLong), s"shard $shard positions not dense")
+    }
+    // same seed → identical placement; different seed → a different order
+    val a2 = Curation.shardShuffle(docs, "doc_id", nShards = 4, seed = "s1").collect()
+    assert(a.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet ==
+      a2.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet)
+    val b = Curation.shardShuffle(docs, "doc_id", nShards = 4, seed = "s2").collect()
+    assert(a.map(r => (r.getLong(0), r.getInt(1))).toSet !=
+      b.map(r => (r.getLong(0), r.getInt(1))).toSet, "a new seed must reshuffle")
+    // shards are near-balanced (binomial noise around 50 per shard)
+    val sizes = a.groupBy(_.getInt(1)).view.mapValues(_.length)
+    assert(sizes.values.forall(n => n > 20 && n < 80), s"skewed shards: ${sizes.toMap}")
+  }
+
   test("canonicalUrlDedup never groups URL-less docs with each other") {
     // "no URL" is absence of evidence, not sameness: every URL-less doc is
     // its own singleton, so a keep-is_canonical policy retains all of them

@@ -101,6 +101,19 @@ class StreamingDedupSpec extends SparkSpec {
     assert(batchPairs.contains((5L, 6L)) && batchPairs.contains((5L, 7L)))
   }
 
+  test("the index probe prunes to the batch's band-hash prefix partitions") {
+    val store = mkStore()
+    StreamingDedup.processLshBatch(store)(
+      Seq(1L -> baseA, 2L -> baseC).toDF("doc_id", "text"), 0L)
+    // the state table is partitioned by bp: a probe carrying an isin(bp)
+    // predicate must show as a PartitionFilter, pruned before file opens
+    val probe = store.read(StreamingDedup.PostingsTable, StreamingDedup.postingsSchema)
+      .filter(col("bp").isin(Seq(1, 2, 3).map(Integer.valueOf): _*))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bp"),
+      s"postings scan must carry a bp partition filter:\n$plan")
+  }
+
   test("the wired streaming query maintains the index end-to-end") {
     val store = mkStore()
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
