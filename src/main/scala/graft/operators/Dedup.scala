@@ -366,6 +366,32 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Near-dup pairs over ANY precomputed 64-bit perceptual hash column —
+    * the d3 pigeonhole machinery (4×16-bit chunk buckets guarantee recall
+    * for Hamming ≤ 3; larger `maxHamming` keeps it as a recall-tuned LSH)
+    * detached from SimHash's text pipeline, so image aHashes, audio
+    * fingerprints, or any other 64-bit signature family reuses the same
+    * count-gated candidate stage and exact `bit_count(xor)` verify.
+    */
+  def hamming64NearDups(df: DataFrame, idCol: String, hashCol: String,
+                        maxHamming: Int = 3,
+                        maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame = {
+    val chunkVals = array((0 until 4).map(i =>
+      shiftrightunsigned(col(hashCol), 16 * i).bitwiseAND(lit(0xFFFFL))): _*)
+    val chunked = df
+      .filter(col(hashCol).isNotNull)
+      .select(struct(col(idCol).as("id"), col(hashCol).as("h")).as("__doc"),
+        posexplode(chunkVals).as(Seq("chunk", "chunk_val")))
+    val buckets = gatedBuckets(chunked, Seq("chunk", "chunk_val"), col("__doc"), maxBucket)
+    buckets.select(explode(orderedPairs(col("__ids"))).as("__p"))
+      .select(col("__p.a.id").as("id_a"), col("__p.b.id").as("id_b"),
+        col("__p.a.h").as("h_a"), col("__p.b.h").as("h_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   // ---- Embedding near-dup ----------------------------------------------
 
   /** Embedding-cosine near-dup: LSH-bucketed candidate pairs above a cosine

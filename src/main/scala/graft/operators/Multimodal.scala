@@ -571,6 +571,22 @@ object Multimodal {
       .select(col(idCol), col("ahash"), col("n_same_hash"))
   }
 
+  /** Image NEAR-dup pairs — the m11 exact-hash story completed: two
+    * re-encodes of the same picture (resize artifacts, palette dither, a
+    * flipped pixel) share most aHash bits but not all of them, which the
+    * n_same_hash equality join can never see. aHash per asset via the
+    * native expression, then [[Dedup.hamming64NearDups]]'s pigeonhole
+    * buckets + exact `bit_count(xor)` verify — complete recall for
+    * Hamming ≤ 3 by construction, count-gated buckets, never all-pairs.
+    */
+  def imageNearDups(assets: DataFrame, idCol: String = "asset_id",
+                    payloadCol: String = "payload",
+                    maxHamming: Int = 3): DataFrame =
+    Dedup.hamming64NearDups(
+      assets.select(col(idCol),
+        graft.functions.AHash(col(payloadCol), 64).as("ahash")),
+      idCol, "ahash", maxHamming)
+
   /** Decoded BI_RGB bitmap: dimensions plus the first pixels as (b, g, r)
     * byte triples in stored row order. */
   final case class BmpRgb(width: Int, height: Int, bpp: Int,

@@ -1615,6 +1615,18 @@ object PipelineQueries {
       m11Sql
     ),
 
+    // M14 — image NEAR-dup pairs: the m11 exact-hash story completed for
+    // re-encodes that flip a few aHash bits. Pigeonhole chunk buckets +
+    // exact bit_count(xor) verify — complete recall for Hamming ≤ 3, so
+    // the all-pairs oracle matches exactly.
+    "m14_image_neardup" -> QueryDef.sql(
+      (s, d) => Multimodal.imageNearDups(
+          Multimodal.synthBmp(Tables(s, d).documents, "doc_id", "text"),
+          idCol = "doc_id", payloadCol = "payload", maxHamming = 3)
+        .orderBy("id_a", "id_b"),
+      m14Sql
+    ),
+
     // S16 — IVF posting-list health: per-cell member count and cosine-to-
     // centroid distribution — the balance/tightness telemetry that says
     // when the coarse quantizer needs re-training (s4's kmeansStep).
@@ -2056,7 +2068,11 @@ object PipelineQueries {
     * padded bottom-up stride, integer mean, bit i set when gray_i > mean,
     * duplicate counts per hash.
     */
-  private def m11Sql: String = {
+  /** The ground-truth aHash CTE chain shared by m11 and m14: the synthBmp
+    * payload rebuilt from md5 hex, gray/mean/bit arithmetic mirrored
+    * exactly, ending in `hashed(doc_id, ahash)`.
+    */
+  private def ahashCtes: String = {
     val hdr = graft.operators.Multimodal.bmpHeaderHex(3, 4)
     def byteAt(pos: String)  = hexByteAt(pos)
     def le(pos: Int, w: Int) = hexLe(pos, w)
@@ -2080,12 +2096,27 @@ object PipelineQueries {
        |        (list_reduce(g, (a, b) -> a + b) // n)
        |      THEN CAST(1 AS BIGINT) << CAST(i AS INT) ELSE CAST(0 AS BIGINT) END),
        |      (a, b) -> a + b) AS ahash
-       |  FROM grays),
+       |  FROM grays)""".stripMargin
+  }
+
+  private def m11Sql: String =
+    s"""$ahashCtes,
        | counts AS (SELECT ahash, CAST(count(*) AS BIGINT) AS n_same_hash
        |  FROM hashed GROUP BY 1)
        | SELECT h.doc_id, h.ahash, c.n_same_hash
        | FROM hashed h JOIN counts c USING (ahash) ORDER BY h.doc_id""".stripMargin
-  }
+
+  /** The m14 oracle: all-pairs Hamming over the ground-truth aHashes —
+    * complete for the ≤3 threshold, so it equals the pigeonhole-bucketed
+    * Spark plan exactly.
+    */
+  private def m14Sql: String =
+    s"""$ahashCtes
+       | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |   CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+       | FROM hashed a JOIN hashed b ON a.doc_id < b.doc_id
+       | WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+       | ORDER BY id_a, id_b""".stripMargin
 
   /** The m6 oracle: the identical BMP synthesis and parse as
     * Multimodal.synthBmp/bmpPixelStats over the hex representation —

@@ -484,6 +484,18 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("imageNearDups pairs identical images at Hamming 0; invalid payloads never pair") {
+    val docs = Seq((1L, "same pixels"), (2L, "same pixels"), (7L, "another view"))
+      .toDF("doc_id", "text")
+    val assets = Multimodal.synthBmp(docs, "doc_id", "text")
+      .unionByName(Seq((9L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload"))
+    val got = Multimodal.imageNearDups(assets, idCol = "doc_id", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.contains((1L, 2L, 0)), s"identical images must pair at Hamming 0: ${got.toSeq}")
+    assert(got.forall(_._3 == 0))
+    assert(!got.exists(p => p._1 == 9L || p._2 == 9L), "null-hash assets must not pair")
+  }
+
   test("whtBandEnergies zero-pads truncated payloads instead of failing") {
     val docs = Seq((1L, "some doc")).toDF("doc_id", "text")
     // truncate to 44-byte header + 8 bytes → only 4 real samples
