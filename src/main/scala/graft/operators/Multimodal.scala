@@ -644,6 +644,44 @@ object Multimodal {
       unhex(concat(lit(bmpHeaderHex(3, 4)), dataHex)).as("payload"))
   }
 
+  /** 8×8 variant for the perceptual-hash family (m14): 64 pixels populate
+    * ALL 64 aHash bits — the 3×4 fixture's 12-bit hashes would leave the
+    * upper Hamming-chunk buckets degenerate corpus-wide. 192 data bytes =
+    * 12 md5 blocks, rowSize 24 (no padding; the stride exercise stays
+    * with m6's 3×4 form).
+    */
+  def synthBmpSquare(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val dataHex = concat((0 until 12)
+      .map(i => md5(concat(col(textCol), lit(s"b$i")))): _*)
+    df.select(col(idCol),
+      unhex(concat(lit(bmpHeaderHex(8, 8)), dataHex)).as("payload"))
+  }
+
+  /** Near-dup IMAGE family fixture for m14: 8×8 payloads content-keyed on
+    * `doc_id % 50` — ten-ish docs share each base picture, so dup families
+    * EXIST (the corpus's text near-dups don't survive md5 into pixel
+    * space) — and every third doc gets a deterministic white pixel at
+    * position `doc_id % 64` painted over its base, so nonzero-Hamming
+    * pairs exist too (the overlay flips that pixel's bit and can ripple a
+    * few mean-adjacent bits; the oracle recomputes the hash from the
+    * mutated payload, so the ripple is graded, not assumed).
+    */
+  def plantNearDupImages(df: DataFrame, idCol: String): DataFrame = {
+    val key = pmod(col(idCol), lit(50L)).cast("string")
+    val baseHex = concat(lit(bmpHeaderHex(8, 8)) +:
+      (0 until 12).map(i => md5(concat(key, lit(s"b$i")))): _*)
+    // pixel p sits at data byte 54 + 3p (rowSize 24, no padding) →
+    // hex chars [108 + 6p + 1, 108 + 6p + 6] (1-based)
+    val cut = lit(108) + pmod(col(idCol), lit(64L)).cast("int") * 6
+    val mutated = concat(
+      baseHex.substr(lit(1), cut),
+      lit("ffffff"),
+      baseHex.substr(cut + 7, lit(1000000)))
+    df.select(col(idCol),
+      unhex(when(pmod(col(idCol), lit(3L)) === 1L, mutated).otherwise(baseHex))
+        .as("payload"))
+  }
+
   private def leHex(v: Long, bytes: Int): String =
     (0 until bytes).map(i => f"${(v >> (8 * i)) & 0xFF}%02x").mkString
 

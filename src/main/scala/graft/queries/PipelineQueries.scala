@@ -1616,12 +1616,13 @@ object PipelineQueries {
     ),
 
     // M14 — image NEAR-dup pairs: the m11 exact-hash story completed for
-    // re-encodes that flip a few aHash bits. Pigeonhole chunk buckets +
-    // exact bit_count(xor) verify — complete recall for Hamming ≤ 3, so
-    // the all-pairs oracle matches exactly.
+    // re-encodes that flip a few aHash bits. 8×8 planted families (shared
+    // base picture + deterministic white-pixel overlays), pigeonhole chunk
+    // buckets + exact bit_count(xor) verify — complete recall for
+    // Hamming ≤ 3, so the all-pairs oracle matches exactly.
     "m14_image_neardup" -> QueryDef.sql(
       (s, d) => Multimodal.imageNearDups(
-          Multimodal.synthBmp(Tables(s, d).documents, "doc_id", "text"),
+          Multimodal.plantNearDupImages(Tables(s, d).documents, "doc_id"),
           idCol = "doc_id", payloadCol = "payload", maxHamming = 3)
         .orderBy("id_a", "id_b"),
       m14Sql
@@ -2072,8 +2073,13 @@ object PipelineQueries {
     * payload rebuilt from md5 hex, gray/mean/bit arithmetic mirrored
     * exactly, ending in `hashed(doc_id, ahash)`.
     */
-  private def ahashCtes: String = {
-    val hdr = graft.operators.Multimodal.bmpHeaderHex(3, 4)
+  /** The ground-truth aHash CTE TAIL shared by m11 and m14: given a prior
+    * CTE `phex(doc_id, h)` holding the payload hex, mirror the gray/mean/
+    * bit arithmetic exactly, ending in `hashed(doc_id, ahash)`. Bit 63
+    * accumulates as the two's-complement constant — a literal `1 << 63`
+    * overflows DuckDB's checked signed shift.
+    */
+  private def ahashTail: String = {
     def byteAt(pos: String)  = hexByteAt(pos)
     def le(pos: Int, w: Int) = hexLe(pos, w)
     def s32(pos: Int) =
@@ -2082,10 +2088,7 @@ object PipelineQueries {
       s"""((${byteAt("off + (i // width) * row_size + (i % width) * 3 + 1")})
          | + (${byteAt("off + (i // width) * row_size + (i % width) * 3 + 2")})
          | + (${byteAt("off + (i // width) * row_size + (i % width) * 3 + 3")})) // 3""".stripMargin
-    s"""WITH phex AS (SELECT doc_id,
-       |    '$hdr' || md5(text || 'b0') || md5(text || 'b1') || md5(text || 'b2') AS h
-       |  FROM documents),
-       | dims AS (SELECT doc_id, h, ${s32(19)} AS width, ${s32(23)} AS height,
+    s"""dims AS (SELECT doc_id, h, ${s32(19)} AS width, ${s32(23)} AS height,
        |    (${s32(19)} * 3 + 3) // 4 * 4 AS row_size, ${le(11, 4)} AS off FROM phex),
        | grays AS (SELECT doc_id,
        |    list_transform(range(0, least(width * height, 64)), i -> $gray) AS g,
@@ -2094,29 +2097,53 @@ object PipelineQueries {
        |    list_reduce(list_transform(range(0, n), i ->
        |      CASE WHEN g[CAST(i AS INT) + 1] >
        |        (list_reduce(g, (a, b) -> a + b) // n)
-       |      THEN CAST(1 AS BIGINT) << CAST(i AS INT) ELSE CAST(0 AS BIGINT) END),
+       |      THEN (CASE WHEN CAST(i AS INT) = 63
+       |        THEN CAST(-9223372036854775808 AS BIGINT)
+       |        ELSE CAST(1 AS BIGINT) << CAST(i AS INT) END)
+       |      ELSE CAST(0 AS BIGINT) END),
        |      (a, b) -> a + b) AS ahash
        |  FROM grays)""".stripMargin
   }
 
-  private def m11Sql: String =
-    s"""$ahashCtes,
+  private def m11Sql: String = {
+    val hdr = graft.operators.Multimodal.bmpHeaderHex(3, 4)
+    s"""WITH phex AS (SELECT doc_id,
+       |    '$hdr' || md5(text || 'b0') || md5(text || 'b1') || md5(text || 'b2') AS h
+       |  FROM documents),
+       | $ahashTail,
        | counts AS (SELECT ahash, CAST(count(*) AS BIGINT) AS n_same_hash
        |  FROM hashed GROUP BY 1)
        | SELECT h.doc_id, h.ahash, c.n_same_hash
        | FROM hashed h JOIN counts c USING (ahash) ORDER BY h.doc_id""".stripMargin
+  }
 
-  /** The m14 oracle: all-pairs Hamming over the ground-truth aHashes —
+  /** The m14 oracle: rebuild the PLANTED image family construction (8×8
+    * payloads keyed on doc_id % 50 so families exist, with a deterministic
+    * white-pixel overlay on every third doc so nonzero-Hamming pairs
+    * exist), then all-pairs Hamming over the ground-truth aHashes —
     * complete for the ≤3 threshold, so it equals the pigeonhole-bucketed
     * Spark plan exactly.
     */
-  private def m14Sql: String =
-    s"""$ahashCtes
+  private def m14Sql: String = {
+    val hdr = graft.operators.Multimodal.bmpHeaderHex(8, 8)
+    val blocks = (0 until 12)
+      .map(i => s"md5(CAST(doc_id % 50 AS VARCHAR) || 'b$i')").mkString(" || ")
+    s"""WITH phex0 AS (SELECT doc_id,
+       |    '$hdr' || $blocks AS h0,
+       |    CAST(doc_id % 64 AS INT) AS p
+       |  FROM documents),
+       | phex AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 1
+       |      THEN substr(h0, 1, 108 + p * 6) || 'ffffff' || substr(h0, 108 + p * 6 + 7)
+       |      ELSE h0 END AS h
+       |  FROM phex0),
+       | $ahashTail
        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |   CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
        | FROM hashed a JOIN hashed b ON a.doc_id < b.doc_id
        | WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
        | ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** The m6 oracle: the identical BMP synthesis and parse as
     * Multimodal.synthBmp/bmpPixelStats over the hex representation —
