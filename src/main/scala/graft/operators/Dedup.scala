@@ -343,28 +343,9 @@ object Dedup {
     */
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3,
-                      maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame = {
-    val hashed = simHashHalves(df, idCol, textCol)
-    val chunkVals = array(
-      col("sh_lo").bitwiseAND(lit(0xFFFFL)),
-      shiftrightunsigned(col("sh_lo"), 16).bitwiseAND(lit(0xFFFFL)),
-      col("sh_hi").bitwiseAND(lit(0xFFFFL)),
-      shiftrightunsigned(col("sh_hi"), 16).bitwiseAND(lit(0xFFFFL)))
-    val chunked = hashed.select(
-      struct(col(idCol).as("id"), col("sh_lo").as("lo"), col("sh_hi").as("hi")).as("__doc"),
-      posexplode(chunkVals).as(Seq("chunk", "chunk_val")))
-    val buckets = gatedBuckets(chunked, Seq("chunk", "chunk_val"), col("__doc"), maxBucket)
-    buckets.select(explode(orderedPairs(col("__ids"))).as("__p"))
-      .select(col("__p.a.id").as("id_a"), col("__p.b.id").as("id_b"),
-        col("__p.a.lo").as("lo_a"), col("__p.a.hi").as("hi_a"),
-        col("__p.b.lo").as("lo_b"), col("__p.b.hi").as("hi_b"))
-      .distinct()
-      .withColumn("hamming",
-        bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
-          bit_count(col("hi_a").bitwiseXOR(col("hi_b"))))
-      .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
-  }
+                      maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame =
+    hamming64NearDups(simHash64(df, idCol, textCol), idCol, "simhash",
+      maxHamming, maxBucket)
 
   /** Near-dup pairs over ANY precomputed 64-bit perceptual hash column —
     * the d3 pigeonhole machinery (4×16-bit chunk buckets guarantee recall
