@@ -87,12 +87,21 @@ object StreamingDedup {
       .localCheckpoint(true)
 
     // 2. bounded probe of the canonical index: only this batch's band-hash
-    //    prefix partitions are read; earlier batches only (replay safety)
+    //    prefix partitions are read; earlier batches only (replay safety).
+    //    The old side is count-gated per bucket BEFORE the join — a band
+    //    hash shared by 10⁶ distinct canonicals (boilerplate signatures)
+    //    would otherwise multiply every matching batch row by the full
+    //    bucket; above the valve the bucket is dropped and the other
+    //    bands provide recall, the maxBucket discipline throughout Dedup.
     val prefixes = bandRows.select("bp").distinct().collect().map(_.getInt(0)).toSeq
     val oldPostings = store.read(PostingsTable, postingsSchema)
       .filter(col("bp").isin(prefixes: _*) && col("batch_id") < bid)
+    val coldBuckets = oldPostings.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") <= maxBucket).select("band", "band_hash")
     val oldPairs = bandRows
-      .join(oldPostings.select(col("band"), col("band_hash"), col("doc_id").as("old_id")),
+      .join(oldPostings.select(col("band"), col("band_hash"), col("doc_id").as("old_id"))
+          .join(coldBuckets, Seq("band", "band_hash"), "left_semi"),
         Seq("band", "band_hash"))
       .select(col("doc_id"), col("old_id")).distinct()
       .localCheckpoint(true)
