@@ -667,7 +667,10 @@ object Multimodal {
     * mutated payload, so the ripple is graded, not assumed).
     */
   def plantNearDupImages(df: DataFrame, idCol: String): DataFrame = {
-    val key = pmod(col(idCol), lit(50L)).cast("string")
+    // consecutive-id families of TEN at any scale factor (a modulus key
+    // would grow family size — and pair count QUADRATICALLY — with the
+    // corpus; div keying keeps the fixture's cost linear in rows)
+    val key = floor(col(idCol) / 10L).cast("long").cast("string")
     val baseHex = concat(lit(bmpHeaderHex(8, 8)) +:
       (0 until 12).map(i => md5(concat(key, lit(s"b$i")))): _*)
     // pixel p sits at data byte 54 + 3p (rowSize 24, no padding) →

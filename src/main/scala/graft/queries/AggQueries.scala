@@ -224,6 +224,45 @@ object AggQueries {
         | FROM p GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin
     ),
 
+    // A13 — weekly cohort retention: the classic activation telemetry
+    // (users whose FIRST event fell in week c, still active in week c+k).
+    // Shape: first-week is one user-keyed min (map-side combine), activity
+    // is a distinct (user, week) aggregation, and the rollup counts rows —
+    // never countDistinct's Expand; cohort sizes are a tiny relation the
+    // planner broadcasts. Monday-start date_trunc('week') on both engines.
+    "a13_cohort_retention" -> QueryDef.sql(
+      (s, d) => {
+        val ev = Tables(s, d).events
+        val firstWeek = ev.groupBy("user_id")
+          .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort"))
+        val sizes = firstWeek.groupBy("cohort").agg(count(lit(1)).as("cohort_users"))
+        val active = ev.select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("week")).distinct()
+        active.join(firstWeek, "user_id")
+          .withColumn("week_offset",
+            (datediff(col("week"), col("cohort")) / 7).cast("int"))
+          .groupBy("cohort", "week_offset").agg(count(lit(1)).as("n_active"))
+          .join(sizes, "cohort")
+          .select(col("cohort"), col("week_offset"), col("n_active"),
+            round(col("n_active").cast("double") / col("cohort_users").cast("double"), 6)
+              .as("retention"))
+          .orderBy("cohort", "week_offset")
+      },
+      """WITH fw AS (SELECT user_id,
+        |    CAST(date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS DATE) AS cohort
+        |  FROM events GROUP BY user_id),
+        | sz AS (SELECT cohort, count(*) AS cohort_users FROM fw GROUP BY 1),
+        | aw AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week FROM events),
+        | act AS (SELECT f.cohort,
+        |    CAST(date_diff('day', f.cohort, a.week) // 7 AS INT) AS week_offset,
+        |    CAST(count(*) AS BIGINT) AS n_active
+        |  FROM aw a JOIN fw f USING (user_id) GROUP BY 1, 2)
+        | SELECT act.cohort, act.week_offset, act.n_active,
+        |   round(CAST(n_active AS DOUBLE) / CAST(cohort_users AS DOUBLE), 6) AS retention
+        | FROM act JOIN sz USING (cohort) ORDER BY cohort, week_offset""".stripMargin
+    ),
+
     // W1 variant — top-n per key (rank ≤ 3 latest events per user)
     "w1_topn_per_key" -> QueryDef.sql(
       (s, d) => Relational.topNPerKey(

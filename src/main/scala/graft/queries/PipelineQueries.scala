@@ -508,6 +508,31 @@ object PipelineQueries {
          | FROM documents ORDER BY doc_id""".stripMargin
     ),
 
+    // T27 — tokenizer fertility per source: BPE tokens emitted per
+    // whitespace word, the tokenizer-health metric a multilingual mix is
+    // budgeted with (a high-fertility source burns sequence length; the
+    // per-source number is what the mixture weights consume). One
+    // combine-friendly aggregation over the t5 token machinery.
+    "t27_fertility" -> QueryDef.sql(
+      (s, d) => Tables(s, d).documents
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text"))).as("ws_tokens"),
+          sum(TextOps.bpeTokenCount(col("text"))).as("bpe_tokens"))
+        .withColumn("fertility",
+          round(col("bpe_tokens").cast("double") / col("ws_tokens").cast("double"), 6))
+        .orderBy("source"),
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS ws_tokens,
+         |  CAST(sum(len(regexp_extract_all(text,
+         |    '${TextOps.BpeTokenRegex.replace("'", "''")}'))) AS BIGINT) AS bpe_tokens,
+         |  round(CAST(sum(len(regexp_extract_all(text,
+         |      '${TextOps.BpeTokenRegex.replace("'", "''")}'))) AS DOUBLE)
+         |    / CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS DOUBLE), 6)
+         |    AS fertility
+         | FROM documents GROUP BY source ORDER BY source""".stripMargin
+    ),
+
     // T6 — winnowing fingerprints (rolling k-gram hash, min per window):
     // one row per (doc, fingerprint); shared ≥(w+k−1)-token runs between
     // documents are guaranteed to share a fingerprint
@@ -1616,10 +1641,11 @@ object PipelineQueries {
     ),
 
     // M14 — image NEAR-dup pairs: the m11 exact-hash story completed for
-    // re-encodes that flip a few aHash bits. 8×8 planted families (shared
-    // base picture + deterministic white-pixel overlays), pigeonhole chunk
-    // buckets + exact bit_count(xor) verify — complete recall for
-    // Hamming ≤ 3, so the all-pairs oracle matches exactly.
+    // re-encodes that flip a few aHash bits. 8×8 planted ten-doc families
+    // (shared base picture + deterministic white-pixel overlays; div-keyed
+    // so family size — and pair count — stays constant per row at any
+    // scale), pigeonhole chunk buckets + exact bit_count(xor) verify —
+    // complete recall for Hamming ≤ 3, so the all-pairs oracle matches.
     "m14_image_neardup" -> QueryDef.sql(
       (s, d) => Multimodal.imageNearDups(
           Multimodal.plantNearDupImages(Tables(s, d).documents, "doc_id"),
@@ -2118,7 +2144,7 @@ object PipelineQueries {
   }
 
   /** The m14 oracle: rebuild the PLANTED image family construction (8×8
-    * payloads keyed on doc_id % 50 so families exist, with a deterministic
+    * payloads keyed on doc_id // 10 so constant-size families exist, with a deterministic
     * white-pixel overlay on every third doc so nonzero-Hamming pairs
     * exist), then all-pairs Hamming over the ground-truth aHashes —
     * complete for the ≤3 threshold, so it equals the pigeonhole-bucketed
@@ -2127,7 +2153,7 @@ object PipelineQueries {
   private def m14Sql: String = {
     val hdr = graft.operators.Multimodal.bmpHeaderHex(8, 8)
     val blocks = (0 until 12)
-      .map(i => s"md5(CAST(doc_id % 50 AS VARCHAR) || 'b$i')").mkString(" || ")
+      .map(i => s"md5(CAST(doc_id // 10 AS VARCHAR) || 'b$i')").mkString(" || ")
     s"""WITH phex0 AS (SELECT doc_id,
        |    '$hdr' || $blocks AS h0,
        |    CAST(doc_id % 64 AS INT) AS p
