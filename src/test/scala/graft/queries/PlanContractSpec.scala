@@ -354,7 +354,7 @@ class PlanContractSpec extends SparkSpec {
           .simHashNearDups(docs, "doc_id", "text"))
         .map { case (n, df) => n -> df.queryExecution.executedPlan.toString }
     }
-    val fromInventory = Seq("d2_minhash_lsh").map(q => q -> planOf(q))
+    val fromInventory = Seq("d2_minhash_lsh", "m14_image_neardup").map(q => q -> planOf(q))
     (direct ++ fromInventory).foreach { case (name, plan) =>
       val setIdx = plan.indexOf("collect_set")
       assert(setIdx >= 0, s"$name must build bucket arrays via collect_set:\n$plan")
@@ -362,6 +362,19 @@ class PlanContractSpec extends SparkSpec {
         s"$name: no count-gate semi join below the collect_set aggregate — " +
           s"hot buckets would materialize before the valve:\n$plan")
     }
+  }
+
+  test("a13 cohort retention counts distinct activity via dedup+count, never Expand") {
+    val plan = planOf("a13_cohort_retention")
+    assert(count(plan, "Expand") == 0,
+      s"retention must aggregate distinct (user, week) rows, not countDistinct:\n$plan")
+    assert(count(plan, "CartesianProduct") == 0)
+  }
+
+  test("t27 fertility is one combine-friendly rollup: partial aggregates, no join") {
+    val plan = planOf("t27_fertility")
+    assert(count(plan, "partial_") >= 1, s"t27 must keep map-side partials:\n$plan")
+    assert(count(plan, "Join") == 0, s"t27 needs no join:\n$plan")
   }
 
   test("d2 LSH plan computes the shingle aggregation exactly once") {
