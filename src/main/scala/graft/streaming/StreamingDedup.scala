@@ -146,9 +146,16 @@ object StreamingDedup {
       .agg(max(struct(col("est_jaccard"), (-col("old_id")).as("__nid"))).as("__m"))
       .select(col("doc_id"), (-col("__m.__nid")).as("dup_of_old"),
         col("__m.est_jaccard").as("old_sim"))
-    // a CC member is id_b of ≥1 pair unless it is the group minimum (pairs
-    // are ordered a<b), so in_sim is non-null exactly for in-batch dups
-    val bestIn = inBatchPairs.groupBy(col("id_b").as("doc_id"))
+    // best computed estimator over BOTH pair sides: a CC member can appear
+    // only as id_a of its surviving pairs (e.g. pairs (3,9) and (5,9) from
+    // two different bands put 5 in component {3,5,9} with 5 never an id_b),
+    // so aggregating one side alone would leave a real dup with a null
+    // estimator. The group minimum also gets an in_sim here; the verdict
+    // select nulls est_jaccard whenever dup_of is null, preserving the
+    // invariant est_jaccard non-null ⟺ dup verdict.
+    val bestIn = inBatchPairs.select(col("id_a").as("doc_id"), col("est_jaccard"))
+      .unionByName(inBatchPairs.select(col("id_b").as("doc_id"), col("est_jaccard")))
+      .groupBy("doc_id")
       .agg(max("est_jaccard").as("in_sim"))
     val withLabel = sigs.select(col("doc_id"), col("sig"))
       .join(labels, Seq("doc_id"), "left")
@@ -159,14 +166,17 @@ object StreamingDedup {
       .join(bestOld, Seq("doc_id"), "left")
       .join(bestIn, Seq("doc_id"), "left")
       .join(canonOld, Seq("canon"), "left")
+      .withColumn("dup_of",
+        coalesce(col("dup_of_old"),
+          when(col("canon") =!= col("doc_id"),
+            coalesce(col("canon_dup_of"), col("canon")))))
       .select(
         lit(bid).as("batch_id"),
         col("doc_id"),
         col("sig"),
-        coalesce(col("dup_of_old"),
-          when(col("canon") =!= col("doc_id"),
-            coalesce(col("canon_dup_of"), col("canon")))).as("dup_of"),
-        coalesce(col("old_sim"), col("in_sim")).as("est_jaccard"))
+        col("dup_of"),
+        when(col("dup_of").isNotNull,
+          coalesce(col("old_sim"), col("in_sim"))).as("est_jaccard"))
       .withColumn("is_new", when(col("dup_of").isNull, 1).otherwise(0).cast("int"))
       .localCheckpoint(true)
 
@@ -175,9 +185,14 @@ object StreamingDedup {
       verdicts.select("batch_id", "doc_id", "is_new", "dup_of", "est_jaccard"),
       "batch_id")
 
-    // 6. index growth: canonicals only, append-only-missing under replay —
-    //    the probe for this batch's already-landed rows prunes to the KEPT
-    //    docs' prefix partitions (bounded ≤256-int driver read)
+    // 6. index growth: canonicals only, append-only-missing under replay.
+    //    EACH table gates its append on ITS OWN already-landed rows: a
+    //    crash between the two appends (sigs landed, postings not) must
+    //    leave the postings append — not nothing — for the replay to redo,
+    //    or those canonicals would be permanently invisible to later
+    //    batches' index probes. Both probes prune to the KEPT docs'
+    //    prefix partitions (bounded ≤256-int driver read); each append is
+    //    one Spark write job, so per-doc presence is the right granule.
     val kept = verdicts.filter(col("is_new") === 1).select(col("doc_id"), col("sig"))
     val keptSps = kept.select(docPrefix(col("doc_id")).as("sp")).distinct()
       .collect().map(_.getInt(0)).toSeq
@@ -186,13 +201,23 @@ object StreamingDedup {
       else store.read(SigsTable, sigsSchema)
         .filter(col("sp").isin(keptSps: _*) && col("batch_id") === bid)
         .select(col("doc_id"))
-    val freshKept = kept.join(alreadySigs, Seq("doc_id"), "left_anti")
+    val freshSigs = kept.join(alreadySigs, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val keptBps = bandRows.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select("bp").distinct().collect().map(_.getInt(0)).toSeq
+    val alreadyPostings =
+      if (keptBps.isEmpty) kept.limit(0).select(col("doc_id"))
+      else store.read(PostingsTable, postingsSchema)
+        .filter(col("bp").isin(keptBps: _*) && col("batch_id") === bid)
+        .select(col("doc_id")).distinct()
+    val freshPostingDocs = kept.select("doc_id")
+      .join(alreadyPostings, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
     store.appendPartitioned(SigsTable,
-      freshKept.select(col("doc_id"), col("sig"), lit(bid).as("batch_id"),
+      freshSigs.select(col("doc_id"), col("sig"), lit(bid).as("batch_id"),
         docPrefix(col("doc_id")).as("sp")), "sp")
     store.appendPartitioned(PostingsTable,
-      bandRows.join(freshKept.select("doc_id"), Seq("doc_id"), "left_semi")
+      bandRows.join(freshPostingDocs, Seq("doc_id"), "left_semi")
         .select(col("band"), col("band_hash"), col("doc_id"),
           lit(bid).as("batch_id"), col("bp")), "bp")
   }

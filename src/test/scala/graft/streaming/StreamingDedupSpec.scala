@@ -101,6 +101,79 @@ class StreamingDedupSpec extends SparkSpec {
     assert(batchPairs.contains((5L, 6L)) && batchPairs.contains((5L, 7L)))
   }
 
+  test("a dup that appears only as id_a of its pairs still reports est_jaccard") {
+    val store = mkStore()
+    // the two-band shape from the round-11 verdict: 3≈9 and 5≈9 above
+    // threshold, 3≉5 below it, so the surviving pairs are (3,9) and (5,9)
+    // and doc 5 is in component {3,5,9} while never appearing as id_b.
+    // Construction: 9 = X++Y; 3 edits a tail slice of Y; 5 edits a head
+    // slice of X — each shares ~0.75 shingle-Jaccard with 9 but only ~0.55
+    // with the other.
+    val x = (0 until 40).map(i => s"xx$i")
+    val y = (0 until 40).map(i => s"yy$i")
+    val doc9 = (x ++ y).mkString(" ")
+    val doc3 = (x ++ y.dropRight(10) ++ (0 until 10).map(i => s"tail$i")).mkString(" ")
+    val doc5 = ((0 until 10).map(i => s"head$i") ++ x.drop(10) ++ y).mkString(" ")
+    StreamingDedup.processLshBatch(store)(
+      Seq(3L -> doc3, 5L -> doc5, 9L -> doc9).toDF("doc_id", "text"), 0L)
+    val rows = store.readOr(StreamingDedup.VerdictTable, null).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("is_new"),
+          Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong),
+          Option(r.getAs[java.lang.Double]("est_jaccard")).map(_.toDouble))))
+      .toMap
+    assert(rows(3L)._1 == 1 && rows(3L)._3.isEmpty,
+      s"canonical keeps a null estimator: $rows")
+    assert(rows(9L)._1 == 0 && rows(9L)._2.contains(3L))
+    assert(rows(5L)._1 == 0 && rows(5L)._2.contains(3L),
+      s"doc 5 must collapse into component {3,5,9}: $rows")
+    // the fix under test: 5's only surviving pair is (5,9) where it is
+    // id_a — its verdict must still carry the computed estimator
+    assert(rows(5L)._3.exists(s => s >= 0.7 && s <= 1.0),
+      s"id_a-only dup must report a non-null est_jaccard: $rows")
+    assert(rows(9L)._3.exists(s => s >= 0.7 && s <= 1.0))
+    // shape check: the pair (3,5) really is sub-threshold (the scenario
+    // collapses to the ordinary id_b case otherwise)
+    val est35 = graft.operators.Dedup.minHashLshNearDups(
+        Seq(3L -> doc3, 5L -> doc5).toDF("doc_id", "text"), "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.7)
+    assert(est35.isEmpty, "docs 3 and 5 must NOT be near-dups of each other")
+  }
+
+  test("a crash between the sigs and postings appends replays to a complete index") {
+    val store = mkStore()
+    def proc(bid: Long, docs: Seq[(Long, String)]): Unit =
+      StreamingDedup.processLshBatch(store)(docs.toDF("doc_id", "text"), bid)
+    proc(0L, Seq(1L -> baseA, 3L -> baseC))
+
+    // simulate batch 1 crashing AFTER the lsh_sigs append and BEFORE the
+    // lsh_postings append: land exactly the sigs rows the real batch
+    // writes for the new canonical (doc 11), nothing else
+    val sigs11 = graft.operators.Dedup.minHashSignatureArray(
+        Seq(11L -> baseE).toDF("doc_id", "text"), "doc_id", "text", 3, 64)
+      .select(col("doc_id"), col("sig"), lit(1L).as("batch_id"),
+        pmod(col("doc_id"), lit(256L)).cast("int").as("sp"))
+    store.appendPartitioned(StreamingDedup.SigsTable, sigs11, "sp")
+
+    // replay the whole batch: the postings append must be gated on the
+    // POSTINGS table (empty for doc 11), not on the sigs table
+    proc(1L, Seq(11L -> baseE))
+    val sigCount = store.readOr(StreamingDedup.SigsTable, null)
+      .filter(col("doc_id") === 11L).count()
+    assert(sigCount == 1L, "replay must not duplicate the landed sigs row")
+    val postingBands = store.readOr(StreamingDedup.PostingsTable, null)
+      .filter(col("doc_id") === 11L).select("band").distinct().count()
+    assert(postingBands == 16L,
+      "replay must land the postings the crashed attempt lost")
+
+    // and the recovered index actually serves recall: a later near-dup of
+    // doc 11 resolves against it
+    proc(2L, Seq(20L -> baseE.replace("epsilon30", "edited")))
+    val v2 = verdicts(store, 2L)
+    assert(v2(20L)._1 == 0 && v2(20L)._2.contains(11L),
+      s"doc 20 must resolve to the crash-recovered canonical 11: $v2")
+  }
+
   test("the index probe prunes to the batch's band-hash prefix partitions") {
     val store = mkStore()
     StreamingDedup.processLshBatch(store)(
