@@ -136,6 +136,12 @@ object Dedup {
     * bands provide recall), so every candidate stage caps there unless the
     * caller overrides. Well above anything the test scale factors produce,
     * so small-scale results stay exact.
+    *
+    * COMPATIBILITY NOTE: before round 11 these stages defaulted to
+    * maxBucket = None (exact — every bucket expanded regardless of size).
+    * A caller whose corpus has buckets above 10k now silently loses those
+    * buckets' pairs under the default; pass `maxBucket = None` explicitly
+    * to recover the old exact contract.
     */
   val DefaultMaxBucket: Int = 10000
 

@@ -658,8 +658,9 @@ object Multimodal {
   }
 
   /** Near-dup IMAGE family fixture for m14: 8×8 payloads content-keyed on
-    * `doc_id % 50` — ten-ish docs share each base picture, so dup families
-    * EXIST (the corpus's text near-dups don't survive md5 into pixel
+    * `floor(doc_id / 10)` — consecutive-id families of ten share each base
+    * picture, so dup families EXIST (the corpus's text near-dups don't
+    * survive md5 into pixel
     * space) — and every third doc gets a deterministic white pixel at
     * position `doc_id % 64` painted over its base, so nonzero-Hamming
     * pairs exist too (the overlay flips that pixel's bit and can ripple a
@@ -726,32 +727,81 @@ object Multimodal {
   /** REAL MP3 (MPEG-1 Layer III) frame-header metadata as a distributed
     * column plan — the m5 discipline applied to the compressed-audio tier:
     * sync word, version/layer bits, bitrate + sample-rate table lookups,
-    * channel mode, frame geometry, and the CBR frame-count/duration
-    * estimate floor(bytes / frameLen) — exactly what a metadata probe
-    * reports for a constant-bitrate stream without decoding a single
+    * channel mode, frame geometry, and the frame-count/duration report —
+    * exactly what a metadata probe reports without decoding a single
     * sample (sample SYNTHESIS stays behind the codec seam; this tier is
-    * pure header math). Per-frame padding / VBR streams need the
-    * imperative frame walk ([[mp3FrameWalk]]), which this plan's estimate
-    * matches exactly on padding-free CBR input.
+    * pure header math). Real-world coverage:
+    *   - a leading ID3v2 tag (10-byte header, 28-bit synchsafe length,
+    *     footer flag) is skipped; `id3_len` reports the bytes skipped —
+    *     almost every crawled MP3 leads with one;
+    *   - a Xing/Info tag in the first frame (at the MPEG-1 side-info
+    *     offset: 21 bytes into the frame for mono, 36 otherwise) with the
+    *     frames-field flag set overrides the frame count — the VBR
+    *     convention, where floor(bytes / firstFrameLen) is wrong because
+    *     every frame picks its own bitrate. `vbr` = 1 for a `Xing` tag
+    *     (VBR encoder), 0 for `Info` (CBR encoder) or no tag;
+    *   - otherwise the count is the CBR estimate
+    *     floor((bytes − id3_len) / frameLen) — complete frames only,
+    *     which [[mp3FrameWalk]] matches exactly on padding-free input.
+    * bitrate_kbps/frame_len always report the FIRST frame's header (for a
+    * VBR stream that is the Xing frame's — the standard probe convention);
+    * duration_ms is floor(n_frames · 1152000 / rate), integer-exact.
     *
     * Invalid payloads (bad sync, reserved version/layer/rate, free/bad
-    * bitrate) keep their row with valid=0 and null fields — counted, not
-    * dropped. All arithmetic is integer-exact, so the oracle hash-compares.
+    * bitrate, truncated ID3 tag) keep their row with valid=0 and null
+    * fields — counted, not dropped.
     */
   def mp3Meta(assets: DataFrame, idCol: String = "asset_id",
               payloadCol: String = "payload"): DataFrame = {
-    val p = col(payloadCol)
-    val b2 = byteAt(p, lit(2)); val b3 = byteAt(p, lit(3)); val b4 = byteAt(p, lit(4))
+    // STAGED projections, one value per intermediate: the data-dependent
+    // frame offset (id3_len) feeds ~20 downstream byte reads, and inlining
+    // it into each would re-evaluate the whole synchsafe subtree per read
+    // (codegen CSE does not reliably fold conditional substr chains —
+    // measured 15× slower as one projection). Each stage materializes its
+    // bytes once; Catalyst keeps the stages inside one WholeStageCodegen.
+    val p0 = col(payloadCol)
+    // stage 1: optional leading ID3v2 tag — "ID3" magic, version (2),
+    // flags (bit 4 appends a 10-byte footer), 28-bit synchsafe size
+    val hasId3 = (length(p0) >= 10) &&
+      (byteAt(p0, lit(1)) === 0x49L) && (byteAt(p0, lit(2)) === 0x44L) &&
+      (byteAt(p0, lit(3)) === 0x33L)
+    val synchsafe =
+      shiftleft(byteAt(p0, lit(7)).bitwiseAND(lit(127L)), 21) +
+      shiftleft(byteAt(p0, lit(8)).bitwiseAND(lit(127L)), 14) +
+      shiftleft(byteAt(p0, lit(9)).bitwiseAND(lit(127L)), 7) +
+      byteAt(p0, lit(10)).bitwiseAND(lit(127L))
+    val s1 = assets.select(col(idCol), p0.as("__p"),
+      length(p0).cast("long").as("__len"),
+      when(hasId3, lit(10L) + synchsafe +
+          shiftright(byteAt(p0, lit(6)), 4).bitwiseAND(lit(1L)) * 10L)
+        .otherwise(lit(0L)).as("__id3"))
+    // stage 2: the first frame's 4 header bytes at the skipped offset
+    val p = col("__p"); val len = col("__len"); val id3Len = col("__id3")
+    val s2 = s1.select(col(idCol), p, len, id3Len,
+      byteAt(p, id3Len + 1).as("__h1"), byteAt(p, id3Len + 2).as("__h2"),
+      byteAt(p, id3Len + 3).as("__h3"), byteAt(p, id3Len + 4).as("__h4"))
+    // stage 3: header fields + the Xing/Info probe region — the 12 tag
+    // bytes fetched as ONE slice at the MPEG-1 side-info offset (17 bytes
+    // for mono mode 3, 32 otherwise, +4 header), hexed once
+    val b2 = col("__h2"); val b3 = col("__h3"); val b4 = col("__h4")
     val versionBits = shiftright(b2, 3).bitwiseAND(lit(3L)) // 3 = MPEG-1
     val layerBits   = shiftright(b2, 1).bitwiseAND(lit(3L)) // 1 = Layer III
-    val bi      = shiftright(b3, 4).bitwiseAND(lit(15L))
-    val srIdx   = shiftright(b3, 2).bitwiseAND(lit(3L))
-    val padding = shiftright(b3, 1).bitwiseAND(lit(1L))
-    val mode    = shiftright(b4, 6).bitwiseAND(lit(3L))
-    val valid = (length(p) >= 4) &&
-      (byteAt(p, lit(1)) === 255L) && (shiftright(b2, 5) === 7L) &&
-      (versionBits === 3L) && (layerBits === 1L) &&
-      (bi >= 1L) && (bi <= 14L) && (srIdx <= 2L)
+    val mode0   = shiftright(b4, 6).bitwiseAND(lit(3L))
+    val sideOff0 = when(mode0 === 3L, lit(21L)).otherwise(lit(36L))
+    val s3 = s2.select(col(idCol), len, id3Len,
+      ((col("__h1") === 255L) && (shiftright(b2, 5) === 7L) &&
+        (versionBits === 3L) && (layerBits === 1L) &&
+        (len >= id3Len + 4L)).as("__sync"),
+      shiftright(b3, 4).bitwiseAND(lit(15L)).as("__bi"),
+      shiftright(b3, 2).bitwiseAND(lit(3L)).as("__sr"),
+      shiftright(b3, 1).bitwiseAND(lit(1L)).as("__pad"),
+      mode0.as("__mode"),
+      sideOff0.as("__side"),
+      lower(hex(p.substr((id3Len + sideOff0 + 1).cast("int"), lit(12)))).as("__tag"))
+    // stage 4: validity, table lookups, Xing frames-field override
+    val bi = col("__bi"); val srIdx = col("__sr"); val padding = col("__pad")
+    val mode = col("__mode"); val tagHex = col("__tag")
+    val valid = col("__sync") && (bi >= 1L) && (bi <= 14L) && (srIdx <= 2L)
     // guard the table indices: element_at is 1-based and must never see a
     // reserved index even on invalid rows (the when() keeps them null)
     val kbps = when(valid,
@@ -759,8 +809,16 @@ object Multimodal {
     val rate = when(valid,
       element_at(array(Mp3SampleRates.map(lit): _*), srIdx.cast("int") + 1))
     val frameLen = when(valid, floor(lit(144000L) * kbps / rate) + padding)
-    val nFrames  = when(valid, floor(length(p).cast("long") / frameLen))
-    assets.select(col(idCol),
+    // tag layout: tag(4) flags(4,BE) frames(4,BE) when flags bit 0 set
+    def tagBe32(hexPos: Int) = conv(substring(tagHex, hexPos, 8), 16, 10).cast("long")
+    val isXing = substring(tagHex, 1, 8) === "58696e67"
+    val isInfo = substring(tagHex, 1, 8) === "496e666f"
+    val tagRoom = len >= id3Len + col("__side") + 12L
+    val hasFrames = valid && tagRoom && (isXing || isInfo) &&
+      (tagBe32(9).bitwiseAND(lit(1L)) === 1L)
+    val nFrames = when(hasFrames, tagBe32(17))
+      .otherwise(when(valid, floor((len - id3Len) / frameLen)))
+    s3.select(col(idCol),
       valid.cast("int").as("valid"),
       when(valid, lit(1L)).as("mpeg_version"),
       when(valid, lit(3L)).as("layer"),
@@ -768,6 +826,8 @@ object Multimodal {
       rate.as("sample_rate"),
       when(valid, mode).as("channel_mode"),
       when(valid, padding).as("padding"),
+      when(valid, id3Len).as("id3_len"),
+      when(valid, when(hasFrames && isXing, 1L).otherwise(0L)).as("vbr"),
       frameLen.cast("long").as("frame_len"),
       nFrames.cast("long").as("n_frames"),
       // 1152 samples per MPEG-1 Layer III frame; integer-exact ms
@@ -779,18 +839,31 @@ object Multimodal {
                            nFrames: Int, durationMs: Long)
 
   /** Frame-by-frame MP3 walk — the per-partition twin of [[mp3Meta]] that
-    * per-frame padding and VBR streams need (each frame's length depends on
-    * its own bitrate + padding bits, so a single division cannot count
-    * frames). Walks headers until the payload ends or a header stops
-    * validating; reports the FIRST frame's bitrate/rate/mode (the CBR
-    * convention) and the exact frame count / duration summed per frame.
-    * Pure JDK byte math; None if even the first header is invalid.
+    * per-frame padding and true VBR streams need (each frame's length
+    * depends on its own bitrate + padding bits, so a single division
+    * cannot count frames). Skips a leading ID3v2 tag (same synchsafe
+    * math as the column plan), then walks headers until the payload ends
+    * or a header stops validating. Reports the FIRST frame's
+    * bitrate/rate/mode (the probe convention) and the exact COMPLETE
+    * frame count — a truncated final frame whose header is present but
+    * whose body is cut off is not counted, matching the plan's
+    * floor(bytes / frameLen) on CBR input. Duration is computed once
+    * from the frame count at the first frame's sample rate
+    * (floor(n · 1152000 / rate) ms — the same formula as [[mp3Meta]];
+    * MPEG-1 streams don't change sample rate mid-stream). Pure JDK byte
+    * math; None if even the first header is invalid or incomplete.
     */
   def mp3FrameWalk(payload: Array[Byte]): Option[Mp3Info] = {
     if (payload == null || payload.length < 4) return None
     var off = 0
+    // ID3v2: "ID3", version (2), flags at index 5 (bit 4 = 10-byte
+    // footer), 28-bit synchsafe size in bytes 6-9
+    if (payload.length >= 10 && payload(0) == 'I' && payload(1) == 'D' && payload(2) == '3') {
+      val size = ((payload(6) & 0x7F) << 21) | ((payload(7) & 0x7F) << 14) |
+        ((payload(8) & 0x7F) << 7) | (payload(9) & 0x7F)
+      off = 10 + size + (if (((payload(5) >> 4) & 1) == 1) 10 else 0)
+    }
     var nFrames = 0
-    var durationUs = 0L
     var first: Option[(Int, Int, Int)] = None
     var ok = true
     while (ok && off + 4 <= payload.length) {
@@ -803,38 +876,53 @@ object Multimodal {
       } else {
         val kbps = Mp3BitrateKbps(bi - 1).toInt
         val rate = Mp3SampleRates(sr).toInt
-        if (first.isEmpty) first = Some((kbps, rate, (b4 >> 6) & 3))
-        nFrames += 1
-        durationUs += 1152L * 1000000L / rate
-        off += (144000 * kbps / rate) + pad
+        val frameLen = (144000 * kbps / rate) + pad
+        if (off + frameLen > payload.length) {
+          ok = false // header-only truncated tail: not a complete frame
+        } else {
+          if (first.isEmpty) first = Some((kbps, rate, (b4 >> 6) & 3))
+          nFrames += 1
+          off += frameLen
+        }
       }
     }
     first.map { case (kbps, rate, mode) =>
-      Mp3Info(kbps, rate, mode, nFrames, durationUs / 1000L) }
+      Mp3Info(kbps, rate, mode, nFrames, nFrames.toLong * 1152000L / rate) }
   }
 
-  /** Deterministic, VALID CBR MPEG-1 Layer III stream synthesized from a
+  /** Deterministic, VALID MPEG-1 Layer III stream synthesized from a
     * text column's md5 nibbles (the synthWav construction for the
     * compressed tier): bitrate index 1–14, sample-rate index 0–2, channel
-    * mode, and 3–8 frames all selected by md5 digits; every frame is the
-    * same 4-byte header (padding 0) plus md5-stream filler of the exact
-    * frame length 144000·kbps/rate. Any standard MP3 prober accepts the
-    * headers; the oracle rebuilds the expected metadata from the same md5
-    * arithmetic.
+    * mode, and 3–8 frames all selected by md5 digits; every data frame is
+    * the same 4-byte header (padding 0) plus md5-stream filler of the
+    * exact frame length 144000·kbps/rate. Nibble 5 picks one of the three
+    * real-world stream SHAPES the parser must handle:
+    *   - shape 0: bare CBR frames (byte-identical to the original synth);
+    *   - shape 1: the same CBR frames behind an ID3v2.3 tag whose body is
+    *     20 + 8·nibble(6) bytes of md5 filler (synchsafe length, no
+    *     footer) — the almost-universal crawled-MP3 prefix;
+    *   - shape 2: a VBR-style stream whose FIRST frame is a 320 kbps
+    *     Xing frame (zeroed side info, `Xing` tag + frames-flag + BE32
+    *     total frame count = data frames + 1) followed by the CBR data
+    *     frames — first-frame division math is wrong here by
+    *     construction, only the Xing field gives the right count.
+    * Any standard MP3 prober accepts the headers; the oracle rebuilds the
+    * expected metadata from the same md5 arithmetic.
     */
   def synthMp3(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val h = md5(col(textCol))
     def nib(i: Int): Column = conv(substring(h, i, 1), 16, 10).cast("int")
+    def hex2(c: Column): Column = lpad(lower(hex(c.cast("long"))), 2, "0")
     val bi     = nib(1) % 14 + 1
     val srIdx  = nib(2) % 3
     val mode   = nib(3) % 4
     val frames = nib(4) % 6 + 3
+    val shape  = nib(5) % 3
     val kbps = element_at(array(Mp3BitrateKbps.map(lit): _*), bi)
     val rate = element_at(array(Mp3SampleRates.map(lit): _*), srIdx + 1)
     val frameLen = floor(lit(144000L) * kbps / rate).cast("int")
     val headerHex = concat(lit("fffb"),
-      lpad(lower(hex((bi * 16 + srIdx * 4).cast("long"))), 2, "0"),
-      lpad(lower(hex((mode * 64).cast("long"))), 2, "0"))
+      hex2(bi * 16 + srIdx * 4), hex2(mode * 64))
     // filler: one md5 repeated past the max frame length (1440 bytes =
     // 2880 hex chars), sliced to exactly frameLen − 4 bytes
     val fillerHex = repeat(md5(concat(col(textCol), lit("mp3"))), 90)
@@ -842,8 +930,29 @@ object Multimodal {
     // frames is data-dependent and repeat() takes a literal count: repeat
     // to the 8-frame maximum, slice to frames × frameLen bytes
     val frameHex = concat(headerHex, fillerHex)
-    df.select(col(idCol),
-      unhex(repeat(frameHex, 8).substr(lit(1), frames * frameLen * 2)).as("payload"))
+    val cbrHex = repeat(frameHex, 8).substr(lit(1), frames * frameLen * 2)
+    // shape 1: ID3v2.3 tag — "ID3" 03 00, flags 00, synchsafe body length
+    // (fits 14 bits), md5 body filler (≤140 bytes → repeat(md5, 9))
+    val id3Body = nib(6) * 8 + 20
+    val id3HexFull = concat(lit("494433030000"), lit("0000"),
+      hex2(id3Body / 128), hex2(id3Body % 128),
+      repeat(md5(concat(col(textCol), lit("id3"))), 9).substr(lit(1), id3Body * 2))
+    // shape 2: Xing frame at 320 kbps (bitrate index 14) — header, zeroed
+    // side info (17 bytes mono / 32 otherwise), "Xing", flags 0x1, BE32
+    // frame count (data frames + this one), md5 filler to the frame length
+    val xFrameLen = floor(lit(144000L) * 320 / rate).cast("int")
+    val xHeaderHex = concat(lit("fffb"), hex2(lit(14) * 16 + srIdx * 4), hex2(mode * 64))
+    val sideHex = when(mode === 3, lit("00" * 17)).otherwise(lit("00" * 32))
+    val sideLen = when(mode === 3, lit(17)).otherwise(lit(32))
+    val xingHex = concat(lit("58696e67"), lit("00000001"),
+      lpad(lower(hex((frames + 1).cast("long"))), 8, "0"))
+    val xFillerHex = repeat(md5(concat(col(textCol), lit("xing"))), 90)
+      .substr(lit(1), (xFrameLen - 4 - sideLen - 12) * 2)
+    val xFrameHex = concat(xHeaderHex, sideHex, xingHex, xFillerHex)
+    val payloadHex = when(shape === 1, concat(id3HexFull, cbrHex))
+      .when(shape === 2, concat(xFrameHex, cbrHex))
+      .otherwise(cbrHex)
+    df.select(col(idCol), unhex(payloadHex).as("payload"))
   }
 
   // ---- Real MP4 (ISO BMFF) box-walk metadata --------------------------

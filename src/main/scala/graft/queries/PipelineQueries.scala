@@ -1281,12 +1281,16 @@ object PipelineQueries {
     ),
 
     // M12 — REAL MP3 (MPEG-1 Layer III) frame-header metadata: payloads
-    // are valid CBR streams synthesized from md5 nibbles; the parser reads
-    // sync/version/layer bits, the bitrate/sample-rate tables, channel
-    // mode, frame geometry, and the CBR frame-count/duration estimate —
-    // pure integer column math, no codec. The oracle rebuilds every field
-    // from the SAME md5 arithmetic (ground truth, not a byte re-parse), so
-    // a parser bug in any bit offset or table lookup diverges the hash.
+    // are valid streams synthesized from md5 nibbles in the three
+    // real-world shapes (bare CBR, ID3v2-prefixed, Xing/VBR-tagged); the
+    // parser skips the synchsafe-length ID3 tag, reads sync/version/layer
+    // bits, the bitrate/sample-rate tables, channel mode, frame geometry,
+    // and takes the frame count from the Xing frames-field when present
+    // (division math is wrong on VBR by construction) — pure integer
+    // column math, no codec. The oracle rebuilds every field from the
+    // SAME md5 arithmetic (ground truth, not a byte re-parse), so a
+    // parser bug in any bit offset, table lookup, tag skip, or Xing
+    // branch diverges the hash.
     "m12_mp3_meta" -> QueryDef.sql(
       (s, d) => Multimodal.mp3Meta(
           Multimodal.synthMp3(Tables(s, d).documents, "doc_id", "text"),
@@ -2020,15 +2024,28 @@ object PipelineQueries {
     */
   private def m12Sql: String = {
     def nib(i: Int) = s"(instr('0123456789abcdef', substr(md5(text), $i, 1)) - 1)"
+    // mirror of synthMp3's shape arithmetic: shape 0 bare CBR, shape 1
+    // the same stream behind an ID3v2 tag of 10 + 20 + 8·nib6 bytes,
+    // shape 2 a Xing frame at 320 kbps leading nf CBR data frames (the
+    // Xing count nf+1 is the truth; first-frame division math is wrong)
     s"""WITH g AS (SELECT doc_id,
        |    (${nib(1)} % 14) + 1 AS bi,
        |    ${nib(2)} % 3 AS sr,
        |    ${nib(3)} % 4 AS mode,
-       |    (${nib(4)} % 6) + 3 AS nf
+       |    (${nib(4)} % 6) + 3 AS nf,
+       |    ${nib(5)} % 3 AS shape,
+       |    ${nib(6)} * 8 + 20 AS id3body
        |  FROM documents),
-       | t AS (SELECT doc_id, mode, nf,
-       |    list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320], bi) AS kbps,
-       |    list_extract([44100,48000,32000], sr + 1) AS rate FROM g)
+       | t AS (SELECT doc_id, mode, nf, shape, id3body,
+       |    CASE WHEN shape = 2 THEN 320
+       |      ELSE list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320], bi)
+       |    END AS kbps,
+       |    list_extract([44100,48000,32000], sr + 1) AS rate FROM g),
+       | u AS (SELECT doc_id, mode, kbps, rate,
+       |    CASE WHEN shape = 1 THEN 10 + id3body ELSE 0 END AS id3_len,
+       |    CASE WHEN shape = 2 THEN 1 ELSE 0 END AS vbr,
+       |    CASE WHEN shape = 2 THEN nf + 1 ELSE nf END AS n_frames
+       |  FROM t)
        | SELECT doc_id, CAST(1 AS INT) AS valid,
        |   CAST(1 AS BIGINT) AS mpeg_version,
        |   CAST(3 AS BIGINT) AS layer,
@@ -2036,10 +2053,12 @@ object PipelineQueries {
        |   CAST(rate AS BIGINT) AS sample_rate,
        |   CAST(mode AS BIGINT) AS channel_mode,
        |   CAST(0 AS BIGINT) AS padding,
+       |   CAST(id3_len AS BIGINT) AS id3_len,
+       |   CAST(vbr AS BIGINT) AS vbr,
        |   CAST(144000 * kbps // rate AS BIGINT) AS frame_len,
-       |   CAST(nf AS BIGINT) AS n_frames,
-       |   CAST(nf * 1152000 // rate AS BIGINT) AS duration_ms
-       | FROM t ORDER BY doc_id""".stripMargin
+       |   CAST(n_frames AS BIGINT) AS n_frames,
+       |   CAST(n_frames * 1152000 // rate AS BIGINT) AS duration_ms
+       | FROM u ORDER BY doc_id""".stripMargin
   }
 
   /** The m13 oracle: MP4 metadata ground truth from the synthesizer's md5

@@ -341,28 +341,38 @@ class MultimodalSpec extends SparkSpec {
     assert(got(1L)._1.contains(expect))
   }
 
-  test("mp3Meta parses the synthesized CBR stream back to its md5 ground truth") {
-    val docs = Seq((1L, "first mp3 doc"), (2L, "second, different")).toDF("doc_id", "text")
+  test("mp3Meta parses all three synthesized stream shapes back to md5 ground truth") {
+    // enough texts that all three shapes (bare CBR / ID3-prefixed /
+    // Xing-VBR, keyed on md5 nibble 5) occur; asserted below
+    val texts = (0 until 12).map(i => i.toLong -> s"mp3 shape doc $i")
+    val docs = texts.toDF("doc_id", "text")
     val got = Multimodal.mp3Meta(
         Multimodal.synthMp3(docs, "doc_id", "text"), idCol = "doc_id")
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
-    for ((id, text) <- Seq(1L -> "first mp3 doc", 2L -> "second, different")) {
+    val shapesSeen = scala.collection.mutable.Set[Int]()
+    for ((id, text) <- texts) {
       val h = java.security.MessageDigest.getInstance("MD5")
         .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
       def nib(i: Int) = Integer.parseInt(h.substring(i - 1, i), 16)
-      val kbps = Multimodal.Mp3BitrateKbps(nib(1) % 14)
+      val shape = nib(5) % 3
+      shapesSeen += shape
+      val kbps = if (shape == 2) 320L else Multimodal.Mp3BitrateKbps(nib(1) % 14)
       val rate = Multimodal.Mp3SampleRates(nib(2) % 3)
-      val nf   = nib(4) % 6 + 3
+      val nf   = (nib(4) % 6 + 3) + (if (shape == 2) 1 else 0)
       val r = got(id)
-      assert(r.getAs[Int]("valid") == 1)
+      assert(r.getAs[Int]("valid") == 1, s"doc $id shape $shape")
       assert(r.getAs[Long]("mpeg_version") == 1L && r.getAs[Long]("layer") == 3L)
       assert(r.getAs[Long]("bitrate_kbps") == kbps, s"doc $id bitrate")
       assert(r.getAs[Long]("sample_rate") == rate, s"doc $id rate")
       assert(r.getAs[Long]("channel_mode") == (nib(3) % 4).toLong)
+      assert(r.getAs[Long]("id3_len") ==
+        (if (shape == 1) 30L + nib(6) * 8 else 0L), s"doc $id id3_len")
+      assert(r.getAs[Long]("vbr") == (if (shape == 2) 1L else 0L), s"doc $id vbr")
       assert(r.getAs[Long]("frame_len") == 144000L * kbps / rate)
-      assert(r.getAs[Long]("n_frames") == nf.toLong, s"doc $id frames")
+      assert(r.getAs[Long]("n_frames") == nf.toLong, s"doc $id shape $shape frames")
       assert(r.getAs[Long]("duration_ms") == nf * 1152000L / rate)
     }
+    assert(shapesSeen == Set(0, 1, 2), s"fixture texts must cover all shapes: $shapesSeen")
     // garbage payload: counted with valid=0 and null fields, never dropped
     val bad = Multimodal.mp3Meta(
         Seq((9L, Array[Byte](1, 2, 3, 4, 5))).toDF("doc_id", "payload"), idCol = "doc_id")

@@ -45,9 +45,35 @@ class Round11PropertySpec extends SparkSpec {
       val walked = Multimodal.mp3FrameWalk(payload).get
       assert(walked.bitrateKbps == kbps && walked.sampleRate == rate &&
         walked.nFrames == frames, s"walker disagrees on stream $id")
-      assert(walked.durationMs == frames * (1152L * 1000000L / rate) / 1000L)
+      // duration computed ONCE from the frame count — same formula as the
+      // column plan, no per-frame floor drift at any stream length
+      assert(walked.durationMs == frames.toLong * 1152000L / rate)
+
+      // the same stream behind an ID3v2 tag (md5-free: lcg filler body)
+      // must parse identically in BOTH faces; a truncated final frame
+      // (header present, body cut) must NOT be counted by either
+      val body = Array.fill((math.abs(it.next()) % 200).toInt)((it.next() & 0x3F).toByte)
+      val tag = Array[Byte]('I', 'D', '3', 3, 0, 0,
+        ((body.length >> 21) & 0x7F).toByte, ((body.length >> 14) & 0x7F).toByte,
+        ((body.length >> 7) & 0x7F).toByte, (body.length & 0x7F).toByte) ++ body
+      val tagged = tag ++ payload
+      val wTag = Multimodal.mp3FrameWalk(tagged).get
+      assert(wTag == walked, s"ID3-prefixed walk must equal the bare walk on stream $id")
+      val mTag = Multimodal.mp3Meta(
+          Seq((0L, tagged)).toDF("doc_id", "payload"), idCol = "doc_id").head()
+      assert(mTag.getAs[Int]("valid") == 1 &&
+        mTag.getAs[Long]("id3_len") == (10 + body.length).toLong &&
+        mTag.getAs[Long]("n_frames") == frames.toLong,
+        s"ID3-prefixed parse disagrees on stream $id")
+      val truncated = tagged.dropRight(frameLenOf(kbps, rate) - 4) // leave a bare header
+      val wTrunc = Multimodal.mp3FrameWalk(truncated)
+      if (frames == 1) assert(wTrunc.isEmpty)
+      else assert(wTrunc.get.nFrames == frames - 1,
+        s"truncated tail must not count as a frame on stream $id")
     }
   }
+
+  private def frameLenOf(kbps: Int, rate: Int): Int = 144000 * kbps / rate
 
   test("mp4: the box walk recovers fields under random box order, free sizes, versions") {
     def be32(v: Long) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
