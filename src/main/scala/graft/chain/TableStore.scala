@@ -40,7 +40,27 @@ final case class TableStore(spark: SparkSession, root: String, bucketSize: Long 
     */
   private val rowCache =
     new java.util.concurrent.ConcurrentHashMap[String, Option[Array[org.apache.spark.sql.Row]]]()
-  private def invalidate(table: String): Unit = rowCache.remove(table)
+
+  /** Driver-side RESOLVED-RELATION cache: `spark.read.parquet` builds a
+    * fresh `InMemoryFileIndex` per call — one directory listing (one
+    * object-store LIST round per partition dir at deployment scale) and
+    * one relation resolution each — and the per-block ingest bracket
+    * opens the same handful of tables many times per block. The store is
+    * single-writer, and every mutation path ends in [[invalidate]], so a
+    * cached relation is exactly the persisted file set; the stale-recache
+    * race is closed by ConcurrentHashMap's bin lock (a `remove` racing a
+    * `computeIfAbsent` either waits and removes the fresh entry, or the
+    * compute re-lists post-mutation files — same argument as [[rowCache]]).
+    * Only whole-table opens cache; bucket-dir opens inside deleteRange are
+    * one-shot by nature.
+    */
+  private val relCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def invalidate(table: String): Unit = {
+    rowCache.remove(table)
+    relCache.remove(table)
+  }
 
   /** Collected rows of a tiny state table (None when absent), cached on
     * the driver until the next write to the table through this store.
@@ -131,9 +151,14 @@ final case class TableStore(spark: SparkSession, root: String, bucketSize: Long 
     * and appended to the user schema by Spark, so bucketed tables read
     * identically either way.
     */
-  private def open(path: String, table: String): DataFrame =
+  private def doOpen(path: String, table: String): DataFrame =
     rememberedSchema(table).fold(spark.read)(s => spark.read.schema(s))
       .parquet(path)
+
+  private def open(path: String, table: String): DataFrame =
+    if (path == dir(table).toString)
+      relCache.computeIfAbsent(table, _ => doOpen(path, table))
+    else doOpen(path, table)
 
   def readOr(table: String, fallback: => DataFrame): DataFrame =
     if (exists(table)) {
@@ -292,25 +317,41 @@ final case class TableStore(spark: SparkSession, root: String, bucketSize: Long 
     * plan ever re-reads a directory that was already swapped under it.
     */
   def replaceAll(tables: Seq[(String, DataFrame)]): Unit = {
-    // stage CONCURRENTLY (independent tmp dirs, every plan reads only OLD
-    // files — see Par's contract); promote strictly in caller order: the
-    // crash-recovery protocol depends on the FIRST table (ledger marker)
-    // being visible before any state dir swaps
+    val (stage, promoteAll) = stageReplaceAll(tables)
+    Par.run(stage)
+    promoteAll()
+  }
+
+  /** The two halves of [[replaceAll]] exposed separately: `_1` are the
+    * independent staging thunks (each writes one table's new content to
+    * its tmp dir — safe to run in the SAME Par.run as other independent
+    * store writes, which is how the per-block ingest bracket overlaps its
+    * history appends with the state staging), `_2` promotes every staged
+    * dir strictly in caller order (the crash-recovery protocol depends on
+    * the FIRST table — the ledger marker — being visible before any state
+    * dir swaps). Nothing is visible until `_2` runs; every staged plan
+    * reads only OLD files.
+    */
+  def stageReplaceAll(tables: Seq[(String, DataFrame)])
+      : (Seq[() => Unit], () => Unit) = {
     val staged = tables.map { case (t, df) =>
       val target = dir(t)
       val tmp    = target.resolveSibling("." + target.getFileName.toString + "_tmp")
       (t, df, target, tmp)
     }
-    Par.run(staged.map { case (_, df, _, tmp) => () => {
+    val stage = staged.map { case (_, df, _, tmp) => () => {
       deleteRecursive(tmp)
       df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    }})
-    staged.foreach { case (t, _, target, tmp) =>
-      promote(target, tmp)
-      refresh(t)
+    }}
+    val promoteAll = () => {
+      staged.foreach { case (t, _, target, tmp) =>
+        promote(target, tmp)
+        refresh(t)
+      }
+      tables.foreach { case (t, df) => rememberSchema(t, df.schema) }
+      tables.foreach { case (t, _) => invalidate(t) } // after every promote — see append
     }
-    tables.foreach { case (t, df) => rememberSchema(t, df.schema) }
-    tables.foreach { case (t, _) => invalidate(t) } // after every promote — see append
+    (stage, promoteAll)
   }
 
   /** [[replace]] for a DRIVER-LOCAL tiny state table (the df must be built

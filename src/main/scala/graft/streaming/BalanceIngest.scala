@@ -87,15 +87,37 @@ object BalanceIngest {
     */
   private def commitState(spark: SparkSession, store: TableStore,
                           state: BalanceLedger.State, through: Long): Unit = {
+    val (stage, promote) = commitStateStaged(spark, store, state, through)
+    Par.run(stage)
+    promote()
+  }
+
+  /** [[commitState]] split into its staging thunks and ordered promote, so
+    * the quiet-span bracket can overlap the state staging with its history
+    * appends in ONE Par.run. With `advanceHead` the balance watermark
+    * swap rides the same bracket as the LAST promote — crash between the
+    * state promotes and the head promote leaves marker > watermark, which
+    * the recovery path already rolls back, exactly as the separate
+    * replaceSmall did.
+    */
+  private def commitStateStaged(spark: SparkSession, store: TableStore,
+                                state: BalanceLedger.State, through: Long,
+                                advanceHead: Boolean = false)
+      : (Seq[() => Unit], () => Unit) = {
     import spark.implicits._
     val marker = Seq(Tuple1(through)).toDF("number")
-    store.replaceAll(Seq(
+    val (stage, promoteAll) = store.stageReplaceAll(Seq(
       LedgerBlockTable -> marker,
       LatestAccounts   -> state.latestAccounts,
-      LatestTotals     -> state.latestTotals))
-    // driver-local marker: prime the cache so the next batch's ledger read
-    // costs no Spark job (the replaceAll above had to own promote order)
-    store.primeSmall(LedgerBlockTable, marker)
+      LatestTotals     -> state.latestTotals) ++
+      (if (advanceHead) Seq(BalanceHeadTable -> marker) else Nil))
+    (stage, () => {
+      promoteAll()
+      // driver-local markers: prime the cache so the next batch's ledger /
+      // watermark reads cost no Spark job (promote order was owned above)
+      store.primeSmall(LedgerBlockTable, marker)
+      if (advanceHead) store.primeSmall(BalanceHeadTable, marker)
+    })
   }
 
   /** Rebuild compact state from full history — the recovery path after a
@@ -177,17 +199,35 @@ object BalanceIngest {
     // un-subscribed stores are a pure watermark advance — the reference
     // only transfer-processes when subscriptions exist
     if (store.readOr(SubsTable, null) == null) { advance(to); return }
-    var state = loadState(spark, store)
+    // LAZY state reload: each bracket persists its successor state and the
+    // next iteration re-opens it from the store (lineage truncation), but
+    // the LAST bracket's reload has no consumer — loading on demand makes
+    // the loop-exit reload free, which in head-follow mode (one bracket
+    // per processRange call) is one table-open + analysis per block saved
+    var stateCache: BalanceLedger.State = null
+    def state: BalanceLedger.State = {
+      if (stateCache == null) stateCache = loadState(spark, store)
+      stateCache
+    }
     var n = from
     while (n <= to) {
       firstEventBlock(store, n, to) match {
         case Some(e) if e == n =>
-          state = processBlock(spark, store, n, client, newSubLimit, state, advance, metrics)
+          // the block's commit bracket persists the watermark itself (the
+          // head marker rides the staged promote); only the loop variable
+          // advances here
+          if (processBlock(spark, store, n, client, newSubLimit, state,
+              nn => wm = math.max(wm, nn), metrics))
+            stateCache = null // the bracket swapped the state dirs
           n += 1
         case other =>
           val hi = other.map(_ - 1L).getOrElse(to)
-          state = processQuietSpan(spark, store, n, hi, client, state, metrics)
-          advance(hi)
+          processQuietSpan(spark, store, n, hi, client, state, metrics)
+          stateCache = null // the span bracket always swaps state
+          // the span's commit bracket already swapped the watermark (the
+          // head rides the state promote, advanceHead) — only the loop
+          // variable needs the advance
+          wm = math.max(wm, hi)
           n = hi + 1
       }
     }
@@ -207,9 +247,9 @@ object BalanceIngest {
       newSubLimit: Int,
       state0: BalanceLedger.State,
       advance: Long => Unit,
-      metrics: Option[IngestMetrics] = None): BalanceLedger.State = {
+      metrics: Option[IngestMetrics] = None): Boolean = {
     import spark.implicits._
-    var state = state0
+    val state = state0
     val transfers = store.readRange(ChainIngest.TransfersTable, "block_number", n, n, null)
     val txs       = store.readRange(ChainIngest.TxTable, "block_number", n, n, null)
     val receipts  = store.readRange(ChainIngest.ReceiptsTable, "block_number", n, n, null)
@@ -286,14 +326,43 @@ object BalanceIngest {
             Seq("group", "token")))
       }
 
+      // replay-idempotent bracket (same as ChainIngest.appendChunk): a
+      // reprocessed block rewrites its rows instead of duplicating them;
+      // one union probe over all three tables' edge buckets
+      store.deleteRangeAll(
+        Seq(AccountsTable, TotalsTable, MatchedTable).map(_ -> "block_number"), n, n)
+
+      // ONE concurrent bracket: the three history appends, the staging of
+      // EVERY state swap the block performs (ledger marker, compact state,
+      // registry token flip, subscription flip, balance watermark), and
+      // the per-block gauges. Every staged plan reads only OLD files —
+      // nothing is visible until the ordered promote below, whose order is
+      // exactly the old sequential-swap order (marker, state, registry,
+      // subs, head), so every crash window converges identically: marker
+      // ahead of the watermark rolls back through the recovery retract.
+      val marker = Seq(Tuple1(n)).toDF("number")
+      val regFlip = seeds.map { _ => RegistryTable ->
+        // flip seeded tokens to n+1 (BatchUpdateERC20BlockNumber); the
+        // seed plans are checkpointed, so the registry swap is safe
+        registry.withColumn("block_number",
+          when(col("block_number") === 0L, lit(n + 1))
+            .otherwise(col("block_number")))
+      }
+      // flip admitted new subs to active at n (BatchUpdateBlockNumber)
+      val newSubs = subs.join(out.updatedSubs.select("id"), Seq("id"), "left_anti")
+        .unionByName(out.updatedSubs)
+      val (stage, promoteAll) = store.stageReplaceAll(
+        Seq(LedgerBlockTable -> marker,
+          LatestAccounts -> next.latestAccounts,
+          LatestTotals   -> next.latestTotals) ++
+        regFlip.toSeq ++
+        Seq(SubsTable -> newSubs, BalanceHeadTable -> marker))
       // gauges the reference sets per processed block
       // (transfer_processor.go:42-43): both counts are tiny — admissions
-      // cap at newSubLimit, touched is the block's subscribed∩changed set —
-      // and run only when metrics are wired, only on event blocks. Like
-      // the reference's, these are operational signals, not ledger state:
-      // a crash-recovery replay of an event block counts its admissions
-      // again
-      metrics.foreach { m =>
+      // cap at newSubLimit, touched is the block's subscribed∩changed set.
+      // Operational signals, not ledger state: a crash-recovery replay of
+      // an event block counts its admissions again
+      val gauges = metrics.toSeq.map { m => () =>
         // both gauges in ONE union job instead of two count() jobs
         val counts = out.updatedSubs.select(lit("subs").as("k"))
           .unionByName(touched.select(lit("touched").as("k")))
@@ -302,13 +371,6 @@ object BalanceIngest {
         m.newSubscription.addAndGet(counts.getOrElse("subs", 0L))
         m.changedAccountPerBlock.set(counts.getOrElse("touched", 0L))
       }
-
-      // replay-idempotent bracket (same as ChainIngest.appendChunk): a
-      // reprocessed block rewrites its rows instead of duplicating them;
-      // one union probe over all three tables' edge buckets
-      store.deleteRangeAll(
-        Seq(AccountsTable, TotalsTable, MatchedTable).map(_ -> "block_number"), n, n)
-
       val accRows = out.newAccounts
         .select("token", "address", "block_number", "balance", "group")
       Par.run(Seq(
@@ -319,30 +381,16 @@ object BalanceIngest {
           "block_number"),
         () => store.appendBucketed(MatchedTable,
           out.matchedTransfers.select("token", "from", "to", "value", "block_number"),
-          "block_number")))
-
-      // persist state FIRST (atomic swap also truncates plan lineage) —
-      // `next`'s plans still read the un-flipped subscriptions table
-      commitState(spark, store, next, n)
-      state = loadState(spark, store)
-
-      // flip seeded tokens to n+1 (BatchUpdateERC20BlockNumber); the
-      // seed plans are checkpointed, so the registry swap is safe
-      seeds.foreach { _ =>
-        store.replace(RegistryTable, registry.withColumn("block_number",
-          when(col("block_number") === 0L, lit(n + 1))
-            .otherwise(col("block_number"))))
-      }
-
-      // flip admitted new subs to active at n (BatchUpdateBlockNumber);
-      // last mutation of the block so no pending plan re-reads the old files
-      val flippedIds = out.updatedSubs.select("id")
-      val newSubs = subs.join(flippedIds, Seq("id"), "left_anti")
-        .unionByName(out.updatedSubs)
-      store.replace(SubsTable, newSubs)
-      advance(n) // per-block crash bracket where work actually happened
+          "block_number"))
+        ++ stage ++ gauges)
+      promoteAll()
+      store.primeSmall(LedgerBlockTable, marker)
+      store.primeSmall(BalanceHeadTable, marker)
+      advance(n) // the caller's watermark note — the store already swapped
     }
-    state
+    // true ⇒ the bracket ran and swapped the state dirs (caller reloads
+    // lazily); an un-landed height is a pure no-op
+    blockHashOpt.nonEmpty
   }
 
   /** Vectorized catch-up over a quiet span [lo, hi]: no subscriptions to
@@ -366,7 +414,7 @@ object BalanceIngest {
       hi: Long,
       client: BalanceClient,
       state0: BalanceLedger.State,
-      metrics: Option[IngestMetrics] = None): BalanceLedger.State = {
+      metrics: Option[IngestMetrics] = None): Unit = {
     val subs      = store.readOr(SubsTable, null)
     val transfers = store.readRange(ChainIngest.TransfersTable, "block_number", lo, hi, null)
     val txs       = store.readRange(ChainIngest.TxTable, "block_number", lo, hi, null)
@@ -377,12 +425,15 @@ object BalanceIngest {
     // quiet ⇒ every subscription is active; both projections broadcast
     // EXPLICITLY: this span DAG is the backfill hot path, and the hint
     // pins the broadcast in the static plan (no AQE conversion round,
-    // futures overlap the span scan). The per-block bracket pays a couple
-    // of broadcast-job launches for single-block spans — measured cheaper
-    // than the serialized shuffle stages the hintless form plans.
+    // futures overlap the span scan)
+    // ... except on a SINGLE-block span (the head-follow steady state,
+    // declared below): there every shuffle is one task inside the same
+    // job, while each broadcast hint materializes through a SEPARATE job
+    // PER CONSUMING ACTION — measured as 6-8 extra job launches per block
+    val hintB: DataFrame => DataFrame = if (lo == hi) identity else broadcast
     val active    = subs.filter(col("block_number") > 0L)
-    val subAddrs  = broadcast(active.select("address").distinct())
-    val subGroups = broadcast(active.select("address", "group").dropDuplicates("address"))
+    val subAddrs  = hintB(active.select("address").distinct())
+    val subGroups = hintB(active.select("address", "group").dropDuplicates("address"))
 
     // per-block changed ∩ subscribed (BalancePipeline.changedAddresses with
     // block_number kept)
@@ -403,11 +454,12 @@ object BalanceIngest {
       .dropDuplicates("block_number", "token")
     val pairs = tokens.join(changed, Seq("block_number")).join(headers, Seq("block_number"))
 
-    // one distributed resolver pass for the whole span; checkpointed so the
-    // client is called exactly once per triple across the downstream actions
+    // one distributed resolver pass for the whole span. NOT separately
+    // checkpointed: `snaps` directly below is its only consumer and is
+    // itself checkpointed, so the client still runs exactly once per
+    // triple — one fewer materialization job in the per-block bracket.
     val resolved = BalanceResolver
       .resolveAt(pairs.select("token", "address", "block_number", "hash"), client)
-      .localCheckpoint(true)
 
     // delta per snapshot: against the previous snapshot WITHIN the span
     // (lag), else the compact state's latest balance, else zero — the
@@ -418,20 +470,36 @@ object BalanceIngest {
     // below the span), and on a replay below the watermark both paths
     // identically treat the key as having no prior, instead of this one
     // silently diffing against future state.
+    //
+    // A SINGLE-block span (the head-follow steady state) has exactly one
+    // row per (token, address), so the in-span lag is identically null —
+    // elide the window and its shuffle instead of planning a no-op stage.
+    val single = lo == hi
     val base = state0.latestAccounts
       .filter(col("block_number") < lo)
       .select(col("token"), col("address"), col("balance").as("__base"))
     val wKey = Window.partitionBy("token", "address").orderBy("block_number")
-    // checkpointed like `resolved`: snaps feeds FOUR downstream actions
-    // (accounts append, totals via deltas, both state folds) — without the
-    // checkpoint each one re-runs the lag window and the base/group joins
-    val snaps = resolved
+    // checkpointed: snaps feeds FOUR downstream actions (accounts append,
+    // totals via deltas, both state folds) — without the checkpoint each
+    // one re-runs the resolver pass and the base/group joins
+    val joined = resolved
       .join(base, Seq("token", "address"), "left_outer")
       .join(subGroups, Seq("address"))
-      .withColumn("__prev", lag(col("balance"), 1).over(wKey))
-      .withColumn("delta",
-        (col("balance") - coalesce(col("__prev"), col("__base"), zeroWei)).cast(wei))
-      .localCheckpoint(true)
+    // Eager on multi-block spans (materialize the windowed span once,
+    // before anything fans out). LAZY on a single block: the first
+    // consumer task in the concurrent commit bracket computes it and the
+    // block-manager's per-partition cache lock makes every concurrent
+    // sibling WAIT and read the cached rows — compute-once (and the
+    // resolver client called once per triple) without paying a serialized
+    // materialization job + plan round-trip before the bracket.
+    val snaps = (if (single)
+        joined.withColumn("delta",
+          (col("balance") - coalesce(col("__base"), zeroWei)).cast(wei))
+      else joined
+        .withColumn("__prev", lag(col("balance"), 1).over(wKey))
+        .withColumn("delta",
+          (col("balance") - coalesce(col("__prev"), col("__base"), zeroWei)).cast(wei)))
+      .localCheckpoint(eager = !single)
 
     // matched transfers over the whole span (J2), landed heights only
     val matched = Relational.semiJoinAny(
@@ -477,49 +545,63 @@ object BalanceIngest {
       .select(col("group"), col("token"), col("balance").as("__tbase"))
     val wTot = Window.partitionBy("group", "token").orderBy("block_number")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val totals = deltas
+    // single-block spans have one row per (group, token): the running
+    // total IS the delta — elide the cumulative window and its shuffle.
+    // Same eager/lazy checkpoint split as snaps: multi-block spans
+    // materialize the cumulative window once up front; a single block
+    // computes lazily under the cache lock inside the commit bracket.
+    val totals0 = deltas
       .join(feeByGroup, Seq("block_number", "group", "token"), "full_outer")
       .join(rewardByGroup, Seq("block_number", "group", "token"), "full_outer")
       .join(totBase, Seq("group", "token"), "left_outer")
       .select(
         col("block_number"), col("token"), col("group"),
         (coalesce(col("__tbase"), zeroWei) +
-          sum(coalesce(col("delta"), zeroWei)).over(wTot)).cast(wei).as("balance"),
+          (if (single) coalesce(col("delta"), zeroWei)
+           else sum(coalesce(col("delta"), zeroWei)).over(wTot))).cast(wei).as("balance"),
         coalesce(col("tx_fee"), zeroWei).cast(wei).as("tx_fee"),
         coalesce(col("miner_reward"), zeroWei).cast(wei).as("miner_reward"),
         coalesce(col("uncles_reward"), zeroWei).cast(wei).as("uncles_reward"))
-      .localCheckpoint(true) // feeds the append AND the state fold
+    val totals = totals0.localCheckpoint(eager = !single)
 
-    // quiet-span gauges: no admissions by definition; changed accounts
-    // average over the span, counted off the already-materialized
-    // checkpoint (no recompute of the resolver pass)
-    metrics.foreach { m =>
-      m.changedAccountPerBlock.set(
-        resolved.select("block_number", "address").distinct().count() / (hi - lo + 1))
-    }
+    // the span's latest row per key; for a single block every key appears
+    // once, so the rank window collapses to the rows themselves
+    def latest(df: DataFrame, keys: Seq[String]): DataFrame =
+      if (single) df else Relational.latestPerKey(df, keys, Seq(col("block_number")))
+    val next = BalanceLedger.State(
+      latestAccounts = BalanceLedger.upsert(state0.latestAccounts,
+        latest(snaps.select("token", "address", "block_number", "balance"),
+          Seq("token", "address")),
+        Seq("token", "address")),
+      latestTotals = BalanceLedger.upsert(state0.latestTotals,
+        latest(totals, Seq("group", "token")),
+        Seq("group", "token")))
 
-    // replay-idempotent bracket over the whole span: one union probe
-    // over all three tables' edge buckets
+    // replay-idempotent bracket over the whole span: one union probe over
+    // all three tables' edge buckets, then ONE concurrent bracket carrying
+    // the history appends, the state+watermark staging, AND the span gauge
+    // (the state plans read only OLD files until the ordered promote below
+    // — marker first, state dirs, balance watermark last, same crash
+    // protocol as before). The gauge counts off the snaps checkpoint:
+    // snaps keeps exactly resolved's rows — every resolved address is
+    // subscribed, so the subGroups join drops nothing.
     store.deleteRangeAll(
       Seq(AccountsTable, TotalsTable, MatchedTable).map(_ -> "block_number"), lo, hi)
+    val (commitStage, promoteCommit) =
+      commitStateStaged(spark, store, next, hi, advanceHead = true)
+    val gauge = metrics.toSeq.map { m => () =>
+      m.changedAccountPerBlock.set(
+        snaps.select("block_number", "address").distinct().count() / (hi - lo + 1))
+    }
     Par.run(Seq(
       () => store.appendBucketed(AccountsTable,
         snaps.select("token", "address", "block_number", "balance", "group"), "block_number"),
       () => store.appendBucketed(TotalsTable, totals, "block_number"),
       () => store.appendBucketed(MatchedTable,
-        matched.select("token", "from", "to", "value", "block_number"), "block_number")))
-
-    val next = BalanceLedger.State(
-      latestAccounts = BalanceLedger.upsert(state0.latestAccounts,
-        Relational.latestPerKey(
-          snaps.select("token", "address", "block_number", "balance"),
-          Seq("token", "address"), Seq(col("block_number"))),
-        Seq("token", "address")),
-      latestTotals = BalanceLedger.upsert(state0.latestTotals,
-        Relational.latestPerKey(totals, Seq("group", "token"), Seq(col("block_number"))),
-        Seq("group", "token")))
-    commitState(spark, store, next, hi)
-    loadState(spark, store)
+        matched.select("token", "from", "to", "value", "block_number"), "block_number"))
+      ++ commitStage ++ gauge)
+    promoteCommit()
+    // successor state is in the store; the caller reloads lazily
   }
 
   /** Reorg path: retract balance rows in [from, to], RESET subscriptions

@@ -123,8 +123,8 @@ object ChainIngest {
       reorgWindow: Long = 512L,
       onRetract: (Long, Long) => Unit = (_, _) => (),
       fetchBack: Seq[Byte] => Option[Schemas.Bundle] = _ => None): Option[BatchSummary] = {
-    if (bundles.isEmpty) return None
-
+    // header collect doubles as the emptiness probe — a separate isEmpty
+    // was one more job launch per micro-batch on the head-follow path
     val incoming: Array[Hdr] = bundles
       .select(col("block.number"), col("block.hash"), col("block.parentHash"),
         col("block.difficulty"))
@@ -132,6 +132,7 @@ object ChainIngest {
       .collect()
       .map(r => Hdr(r.getLong(0), r.getAs[Array[Byte]](1).toSeq,
         r.getAs[Array[Byte]](2).toSeq, r.getLong(3)))
+    if (incoming.isEmpty) return None
 
     var cur: Option[Head] = loadHead(store)
     // Window anchored to the HEAD, not min(incoming): a single replayed

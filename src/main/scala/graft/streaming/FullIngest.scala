@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions.{col, min}
+import org.apache.spark.sql.functions.{col, lit, min}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.chain._
 
@@ -128,13 +128,18 @@ object FullIngest {
     // loop is strictly sequential and FullIngest owns its session; serve
     // ad-hoc queries from a separate SparkSession (newSession()) sharing
     // the SparkContext, never from the ingest session.
-    val singleBlock = batch.limit(2).count() < 2
+    // take(2) instead of limit(2).count(): executeTake short-circuits (a
+    // LocalRelation batch — the specs' and bench's shape — answers with
+    // NO job; a source batch pays one bounded job, same as before)
+    val singleBlock = batch.select(lit(1)).take(2).length < 2
     val aqeKey   = "spark.sql.adaptive.enabled"
     val shufKey  = "spark.sql.shuffle.partitions"
     val bcastKey = "spark.sql.autoBroadcastJoinThreshold"
+    val wscgKey  = "spark.sql.codegen.wholeStage"
     val aqePrev   = spark.conf.get(aqeKey, "true")
     val shufPrev  = spark.conf.get(shufKey, "200")
     val bcastPrev = spark.conf.get(bcastKey, "10485760")
+    val wscgPrev  = spark.conf.get(wscgKey, "true")
     if (singleBlock) {
       spark.conf.set(aqeKey, "false")
       // one block ≈ single-digit rows per relation: every static shuffle
@@ -147,6 +152,12 @@ object FullIngest {
       // the SAME job, so planner-chosen broadcasts only add job launches.
       // Explicit broadcast() hints in operator code are unaffected.
       spark.conf.set(bcastKey, "-1")
+      // whole-stage codegen compiles a fresh class per distinct stage
+      // shape (~50-300 ms of Janino each) to speed up row THROUGHPUT the
+      // single-digit-row bracket never has; interpreted execution skips
+      // the compile entirely. Catch-up spans keep codegen — there the
+      // row volume pays for it.
+      spark.conf.set(wscgKey, "false")
     }
     try processBatchInner(spark, store, batch, client, maxBlocksPerChunk,
       reorgWindow, newSubLimit, cache, fetchBack, metrics, mirror, t0)
@@ -154,6 +165,7 @@ object FullIngest {
       spark.conf.set(aqeKey, aqePrev)
       spark.conf.set(shufKey, shufPrev)
       spark.conf.set(bcastKey, bcastPrev)
+      spark.conf.set(wscgKey, wscgPrev)
     }
   }
 
