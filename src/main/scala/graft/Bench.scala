@@ -70,6 +70,31 @@ object Bench {
     // one throwaway query to absorb session/VM startup
     names.headOption.foreach(materialize(_, warmDir))
 
+    // CONTENTION CALIBRATION: a fixed single-thread integer loop (pure
+    // register work — no allocation, no I/O, immune to page cache) timed
+    // before and after the query sweep. On a quiesced box both samples sit
+    // at the loop's natural floor; a contended box (CPU-starved driver,
+    // noisy neighbors) inflates them roughly in proportion to the steal.
+    // Emitted in the STDOUT line so every BENCH_rN.json carries its own
+    // environment evidence — a total that moved together with calib is a
+    // degraded box, not a plan regression (see the round-8/9/10 notes
+    // above, where exactly this ambiguity cost a round each time).
+    def calibrate(): Double = {
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      val t0 = System.nanoTime()
+      while (i < 200000000) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        x ^= x >>> 33
+        i += 1
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (x == 42L) Console.err.println("") // defeat dead-code elimination
+      dt
+    }
+    calibrate() // JIT warm
+    val calibBefore = calibrate()
+
     val trials = sys.env.get("SPARK_GRAFT_BENCH_TRIALS").map(_.toInt).getOrElse(3)
     // Round-7 flagged m1/m2 medians jumping 4-5× on untouched single-stage
     // column-projection plans. Round-8 measurement: both queries returned to
@@ -120,8 +145,18 @@ object Bench {
       val s = s"%.${decimals}f".formatLocal(java.util.Locale.ROOT, v)
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
     }
+    val calibAfter = calibrate()
     val total = results.map { case (_, v) => v(v.length / 2) }.sum
     val sfTag = Paths.get(sfDir).getFileName.toString
+    // Compact spread aggregate for the stdout line: median and max of the
+    // per-query RELATIVE trial spread (max-min)/median. Environmental noise
+    // widens these; a clean run keeps p50 near zero. The full per-query
+    // spread map stays in the FILE artifact.
+    val relSpreads = results.map { case (_, v) =>
+      val med = v(v.length / 2); if (med <= 0) 0.0 else (v.last - v.head) / med
+    }.sorted
+    val sprP50 = if (relSpreads.isEmpty) 0.0 else relSpreads(relSpreads.length / 2)
+    val sprMax = if (relSpreads.isEmpty) 0.0 else relSpreads.last
     // The round-7 line parsed at 1990 bytes and the tail window measured
     // out at ~2048 minus ~76 bytes of sbt suffix, so 1960 is the proven-
     // safe stdout budget.
@@ -133,7 +168,10 @@ object Bench {
         .mkString("{", ",", "}")
       val omitted = if (keep >= results.length) ""
         else s""","qomitted":${results.length - keep}"""
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfTag"$omitted}"""
+      val f2c = fmt(2) _
+      val env = s""","calib":[${f2c(calibBefore)},${f2c(calibAfter)}]""" +
+        s""","spr":[${f2c(sprP50)},${f2c(sprMax)}]"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfTag"$omitted$env}"""
     }
     // Degradation ladder for the bounded stdout window, in order of what
     // perf attribution can best afford to lose: centiseconds, then
