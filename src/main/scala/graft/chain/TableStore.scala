@@ -375,6 +375,53 @@ final case class TableStore(spark: SparkSession, root: String, bucketSize: Long 
   def primeSmall(table: String, df: DataFrame): Unit =
     rowCache.put(table, Some(df.collect()))
 
+  /** Threshold-triggered compaction for CATEGORY-partitioned tables (the
+    * streaming index tables: `lsh_postings`/`lsh_sigs`/`ivf_postings`/
+    * `chunk_hashes`). Each micro-batch's [[appendPartitioned]] lands one
+    * file-set per touched partition and nothing ever range-deletes them,
+    * so after 10⁴ batches a partition-pruned probe would open 10⁴ small
+    * files: any partition in `parts` (default: all) whose data-file count
+    * exceeds `maxFiles` is rewritten to one file via the same atomic
+    * directory swap as [[deleteRange]]'s edge buckets. Rows (including
+    * their batch_id replay tags) are byte-identical, so every replay and
+    * probe invariant is untouched; a crash mid-compaction leaves some
+    * partitions compacted and others not, which the next trigger converges.
+    * The partition column lives in the DIRECTORY name, not the files — the
+    * rewrite reads the partition dir with the remembered schema minus
+    * `partCol` and writes the same shape back. Callers trigger with the
+    * batch's TOUCHED partitions so the listing cost scales with the batch,
+    * not the table. Returns the number of partitions rewritten.
+    */
+  def compactPartitions(table: String, partCol: String,
+                        parts: Option[Seq[Any]] = None,
+                        maxFiles: Int = CompactFiles): Int = {
+    if (!exists(table)) return 0
+    val dirs: Seq[Path] = parts match {
+      case Some(vs) => vs.map(v => dir(table).resolve(s"$partCol=$v"))
+      case None =>
+        val s = Files.list(dir(table))
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala
+            .filter(p => Files.isDirectory(p) &&
+              p.getFileName.toString.startsWith(partCol + "="))
+            .toSeq
+        } finally s.close()
+    }
+    val fileSchema = rememberedSchema(table)
+      .map(s => StructType(s.filterNot(_.name == partCol)))
+    var n = 0
+    dirs.foreach { pd =>
+      if (Files.exists(pd) && dataFileCount(pd) > maxFiles) {
+        val rows = fileSchema.fold(spark.read)(spark.read.schema(_)).parquet(pd.toString)
+        swapInto(pd, rows.coalesce(1))
+        n += 1
+      }
+    }
+    if (n > 0) { refresh(table); invalidate(table) }
+    n
+  }
+
   /** Remove a table entirely — for state tables that drain to empty (the
     * ingest side pool): unlike replacing with an empty DataFrame, a dropped
     * table reads as absent, so steady-state paths that branch on `exists`

@@ -74,7 +74,8 @@ object StreamingDedup {
   def processLshBatch(store: TableStore,
                       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
                       simThreshold: Double = 0.7,
-                      maxBucket: Int = Dedup.DefaultMaxBucket)
+                      maxBucket: Int = Dedup.DefaultMaxBucket,
+                      compactFiles: Int = 64)
                      (batch: DataFrame, bid: Long): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
@@ -220,6 +221,16 @@ object StreamingDedup {
       bandRows.join(freshPostingDocs, Seq("doc_id"), "left_semi")
         .select(col("band"), col("band_hash"), col("doc_id"),
           lit(bid).as("batch_id"), col("bp")), "bp")
+
+    // 7. bounded file counts: every batch lands one file-set per touched
+    //    partition and nothing range-deletes the index, so without this
+    //    the probe's open cost grows one file per batch per partition
+    //    forever. Threshold-compact exactly the partitions this batch
+    //    touched (listing cost scales with the batch); rows and their
+    //    batch_id replay tags are unchanged, so the idempotency probes
+    //    above see the identical index.
+    store.compactPartitions(SigsTable, "sp", Some(keptSps), compactFiles)
+    store.compactPartitions(PostingsTable, "bp", Some(keptBps), compactFiles)
   }
 
   /** The processor wired as a streaming query. */

@@ -54,6 +54,9 @@ object StreamingSimilarity {
         .select(col("vec_id"))
       val fresh = assigned.join(existing, Seq("vec_id"), "left_anti")
       store.appendPartitioned("ivf_postings", fresh, "centroid_id")
+      // bounded file counts per posting list: threshold-compact exactly
+      // the lists this batch touched (rows unchanged — see TableStore)
+      store.compactPartitions("ivf_postings", "centroid_id", Some(cids))
     }
   }
 

@@ -170,6 +170,10 @@ object StreamingText {
       .withColumn("batch_id", lit(bid))
       .withColumn("hp", hashPrefix(col("h")))
     store.appendPartitioned("chunk_hashes", toAppend, "hp")
+    // bounded file counts per hash-prefix partition: threshold-compact
+    // exactly the partitions this batch touched (rows and batch_id replay
+    // tags unchanged — see TableStore.compactPartitions)
+    store.compactPartitions("chunk_hashes", "hp", Some(prefixes))
   }
 
   /** First two hex chars of an md5 hash as the partition category 0..255. */

@@ -187,6 +187,62 @@ class StreamingDedupSpec extends SparkSpec {
       s"postings scan must carry a bp partition filter:\n$plan")
   }
 
+  test("50 batches keep bounded file counts per partition; verdicts stay correct") {
+    val store = mkStore()
+    val threshold = 6
+    // every batch: one FRESH doc (kept, id ≡ 0 mod 256 so all sigs land in
+    // the SAME sp=0 partition — worst case for file growth) and one
+    // near-dup of the batch-0 canonical (cross-batch probe must keep
+    // resolving through arbitrarily many interleaved compactions)
+    val canonId = 256L
+    (0 until 50).foreach { b =>
+      val fresh = (0 until 60).map(i => s"w${b}_$i").mkString(" ")
+      // near-dup = baseA with exactly ONE token swapped (an index-based
+      // rebuild — a substring replace of "alpha2" would also hit
+      // alpha20..alpha29 and sink Jaccard below the threshold)
+      val editAt = 10 + (b % 40)
+      val nearDup = (0 until 60)
+        .map(i => if (i == editAt) s"edited$b" else s"alpha$i").mkString(" ")
+      val docs =
+        if (b == 0) Seq(canonId -> baseA)
+        else Seq(
+          (512L * b + 256) -> fresh,
+          (512L * b + 257) -> nearDup)
+      StreamingDedup.processLshBatch(store, compactFiles = threshold)(
+        docs.toDF("doc_id", "text"), b.toLong)
+      if (b > 0) {
+        val v = verdicts(store, b.toLong)
+        assert(v(512L * b + 256) == ((1, None)), s"batch $b fresh doc must keep: $v")
+        assert(v(512L * b + 257) == ((0, Some(canonId))),
+          s"batch $b near-dup must resolve to the batch-0 canonical: $v")
+      }
+    }
+    // bounded: every partition dir of both index tables holds at most
+    // threshold+2 data files (grows ~1/batch, compacts back to 1 whenever
+    // the post-append count exceeds the threshold)
+    def maxFiles(table: String): (String, Long) = {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(store.root, table)
+      val parts = Files.list(root).iterator().asScala
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
+        .toSeq
+      parts.map { pd =>
+        val s = Files.list(pd)
+        try pd.getFileName.toString -> s.iterator().asScala.count { p =>
+          val n = p.getFileName.toString
+          Files.isRegularFile(p) && !n.startsWith(".") && !n.startsWith("_")
+        }.toLong
+        finally s.close()
+      }.maxBy(_._2)
+    }
+    val (sigPart, sigMax) = maxFiles(StreamingDedup.SigsTable)
+    val (postPart, postMax) = maxFiles(StreamingDedup.PostingsTable)
+    assert(sigMax <= threshold + 2, s"sigs partition $sigPart grew to $sigMax files")
+    assert(postMax <= threshold + 2, s"postings partition $postPart grew to $postMax files")
+    // the index still holds exactly the canonicals (one per batch)
+    assert(store.readOr(StreamingDedup.SigsTable, null).count() == 50L)
+  }
+
   test("the wired streaming query maintains the index end-to-end") {
     val store = mkStore()
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
