@@ -1,0 +1,194 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.chain._
+import graft.sources.{JsonRpcAccountClient, JsonRpcWsFeed}
+import graft.streaming._
+
+/** The deployable entry point — the analogue of the reference's
+  * `cmd/indexer` binary (cmd/indexer/root.go:88-177): read a small config
+  * file, subscribe the configured ERC20 tokens, and run the full
+  * lifecycle — WebSocket `newHeads` feed → DSv2 bundle stream →
+  * [[FullIngest]] (chain + reorg + balance pipeline) — with the
+  * Prometheus metrics endpoint on the side.
+  *
+  * Config file: the flag surface of root.go:209-235 plus the
+  * `configs/erc20.yaml` token map, as flat `key: value` lines —
+  *
+  * {{{
+  * endpoints:
+  *   - http://127.0.0.1:8545
+  * ws:
+  *   - ws://127.0.0.1:8546
+  * dataDir: /var/lib/graft/data
+  * checkpointDir: /var/lib/graft/checkpoint
+  * fromBlock: 1
+  * metricsPort: 9092          # <0 disables (the --metrics flag)
+  * maxBlocksPerChunk: 50      # maxBlocksToInsert, indexer.go:39
+  * reorgWindow: 512
+  * newSubLimit: 990
+  * master: local[*]
+  * erc20:                     # configs/erc20.yaml — name: address
+  *   usdt: "0xdAC17F958D2ee523a2206206994597C13D831ec7"
+  * }}}
+  *
+  * The parser is deliberately minimal (flat keys, one two-space-indented
+  * block, `- ` list items, `#` comments) — the deployment seam where a
+  * real YAML loader would slot in; the config SHAPE is the contract.
+  */
+object Indexer {
+
+  final case class Config(
+      endpoints: Seq[String],
+      wsUrls: Seq[String],
+      dataDir: String,
+      checkpointDir: String,
+      erc20: Seq[(String, Array[Byte])] = Nil,
+      fromBlock: Long = 1L,
+      metricsPort: Int = 9092,
+      maxBlocksPerChunk: Int = 50,
+      reorgWindow: Long = 512L,
+      newSubLimit: Int = 990,
+      master: String = "local[*]")
+
+  def parseConfig(text: String): Config = {
+    val lines = text.linesIterator
+      .map(_.takeWhile(_ != '#'))
+      .filter(_.trim.nonEmpty).toSeq
+    var scalars = Map.empty[String, String]
+    var blocks  = Map.empty[String, Seq[(String, String)]].withDefaultValue(Nil)
+    var current: Option[String] = None
+    def unquote(v: String) = v.trim.stripPrefix("\"").stripSuffix("\"")
+    lines.foreach { line =>
+      val indented = line.startsWith(" ") || line.startsWith("\t")
+      val t = line.trim
+      if (!indented) {
+        val i = t.indexOf(':')
+        require(i > 0, s"bad config line: $t")
+        val (k, v) = (t.take(i).trim, t.drop(i + 1).trim)
+        if (v.isEmpty) { current = Some(k) }
+        else { scalars += k -> unquote(v); current = None }
+      } else current match {
+        case Some(k) if t.startsWith("- ") =>
+          blocks += k -> (blocks(k) :+ ("" -> unquote(t.drop(2))))
+        case Some(k) =>
+          val i = t.indexOf(':')
+          require(i > 0, s"bad config entry under '$k': $t")
+          blocks += k -> (blocks(k) :+ (t.take(i).trim -> unquote(t.drop(i + 1))))
+        case None => throw new IllegalArgumentException(s"indented line outside a block: $t")
+      }
+    }
+    def list(k: String): Seq[String] = blocks(k).map(_._2)
+    def str(k: String, d: => String = null): String =
+      scalars.getOrElse(k, Option(d).getOrElse(
+        throw new IllegalArgumentException(s"config key '$k' is required")))
+    val base = Config(
+      endpoints     = list("endpoints"),
+      wsUrls        = list("ws"),
+      dataDir       = str("dataDir"),
+      checkpointDir = str("checkpointDir"),
+      erc20         = blocks("erc20").map { case (n, a) => n -> hexBytes(a) })
+    base.copy(
+      fromBlock         = scalars.get("fromBlock").map(_.toLong).getOrElse(base.fromBlock),
+      metricsPort       = scalars.get("metricsPort").map(_.toInt).getOrElse(base.metricsPort),
+      maxBlocksPerChunk = scalars.get("maxBlocksPerChunk").map(_.toInt).getOrElse(base.maxBlocksPerChunk),
+      reorgWindow       = scalars.get("reorgWindow").map(_.toLong).getOrElse(base.reorgWindow),
+      newSubLimit       = scalars.get("newSubLimit").map(_.toInt).getOrElse(base.newSubLimit),
+      master            = scalars.getOrElse("master", base.master))
+  }
+
+  private def hexBytes(s: String): Array[Byte] = {
+    val h = s.stripPrefix("0x")
+    require(h.length % 2 == 0, s"odd-length hex address: $s")
+    h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+  }
+
+  /** Everything `start` wires, so an embedding caller (or the smoke spec)
+    * can drive and tear down each piece.
+    */
+  final case class Wiring(
+      query: StreamingQuery,
+      metrics: IngestMetrics,
+      feed: JsonRpcWsFeed,
+      metricsServer: Option[MetricsServer],
+      store: TableStore) {
+    def close(): Unit = {
+      try query.stop() finally {
+        feed.stopSubscription()
+        metricsServer.foreach(_.close())
+      }
+    }
+  }
+
+  /** SubscribeErc20Tokens (cmd/indexer/root.go:148-156 →
+    * service/indexer SubscribeErc20Tokens): insert each configured token
+    * NOT already in the registry as a PENDING row (block_number 0) with
+    * its fetched metadata; the balance pipeline's admission path seeds it
+    * at the next processed block. Already-registered tokens are left
+    * untouched (duplicate-key tolerance, common/errors.go:48-57).
+    */
+  def subscribeErc20Tokens(spark: SparkSession, store: TableStore,
+                           tokens: Seq[(String, Array[Byte])],
+                           client: TokenMetadataClient): Unit = {
+    if (tokens.isEmpty) return
+    import spark.implicits._
+    val want = tokens.map(_._2).toDF("address")
+    val existing = store.readOr(BalanceIngest.RegistryTable, null)
+    val fresh = Option(existing)
+      .fold(want)(e => want.join(e.select("address"), Seq("address"), "left_anti"))
+    val rows = TokenMetadata.resolve(fresh, 0L, client)
+      .select(col("address"), col("block_number"), col("decimals"), col("name"))
+    if (existing == null) store.append(BalanceIngest.RegistryTable, rows)
+    else store.replace(BalanceIngest.RegistryTable,
+      existing.select("address", "block_number", "decimals", "name").unionByName(rows))
+  }
+
+  /** Wire the full deployment: store, live RPC clients, WS head feed,
+    * metrics endpoint, and the streaming query. Does not block — `main`
+    * awaits the query; tests drive `processAllAvailable` and `close()`.
+    */
+  def start(spark: SparkSession, cfg: Config): Wiring = {
+    val store  = TableStore(spark, cfg.dataDir)
+    val client = new JsonRpcAccountClient(cfg.endpoints)
+    subscribeErc20Tokens(spark, store, cfg.erc20, client)
+
+    val feed = new JsonRpcWsFeed(cfg.endpoints, cfg.wsUrls, cfg.fromBlock,
+      httpTimeoutMs = 30000, reconnectMs = 200L)
+    val subId = s"indexer-${java.util.UUID.randomUUID()}"
+    HeadSubscriptions.register(subId, feed)
+    feed.startSubscription()
+
+    val metrics = new IngestMetrics
+    val server =
+      if (cfg.metricsPort < 0) None
+      else Some(MetricsServer.start(metrics, cfg.metricsPort))
+
+    val bundles = spark.readStream
+      .format(classOf[BundleStreamProvider].getName)
+      .option(BundleStream.SubscriptionOption, subId)
+      .option(BundleStream.MaxBlocksOption, cfg.maxBlocksPerChunk.toString)
+      .load()
+    val query = FullIngest.start(bundles, store, client, cfg.checkpointDir,
+      cfg.maxBlocksPerChunk, cfg.reorgWindow, cfg.newSubLimit,
+      fetchBack = feed.byHash, metrics = Some(metrics))
+    Wiring(query, metrics, feed, server, store)
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: graft.Indexer <config.yaml>")
+    val cfg = parseConfig(Files.readString(Paths.get(args(0))))
+    val spark = SparkSession.builder()
+      .master(cfg.master)
+      .appName("graft-indexer")
+      .config("spark.sql.shuffle.partitions",
+        Runtime.getRuntime.availableProcessors.toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val wiring = start(spark, cfg)
+    sys.addShutdownHook(wiring.close()) // the reference's SIGTERM path
+    wiring.query.awaitTermination()
+  }
+}

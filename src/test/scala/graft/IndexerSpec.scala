@@ -1,0 +1,174 @@
+package graft
+
+import java.net.URI
+import java.nio.file.Files
+import org.apache.spark.sql.functions.col
+import graft.chain._
+import graft.chain.Fixtures._
+import graft.sources.{JsonRpcAccountClient, RpcStub, WsStub}
+import graft.streaming._
+
+/** The deployable entry point end-to-end: a config file on disk, the
+  * in-repo stub node (HTTP JSON-RPC + real WebSocket `newHeads`), a
+  * subscription and a configured ERC20 token — [[Indexer.start]] must
+  * ingest the pushed chain, survive a reorg through the live fetch-back,
+  * and serve the reference's port-9092 metrics contract over HTTP.
+  */
+class IndexerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eventually[A](what: String, timeoutMs: Long = 20000L)(cond: => Boolean): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!cond) {
+      assert(System.currentTimeMillis() < deadline, s"timed out waiting for $what")
+      Thread.sleep(20)
+    }
+  }
+
+  private def httpGet(url: String): String = {
+    val conn = URI.create(url).toURL.openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    try new String(conn.getInputStream.readAllBytes(), "UTF-8")
+    finally conn.disconnect()
+  }
+
+  test("config parses the reference's flag+erc20.yaml surface") {
+    val cfg = Indexer.parseConfig(
+      """# graft indexer
+        |endpoints:
+        |  - http://10.0.0.1:8545
+        |  - http://10.0.0.2:8545
+        |ws:
+        |  - ws://10.0.0.1:8546
+        |dataDir: /data        # comment after value
+        |checkpointDir: /ckpt
+        |fromBlock: 7
+        |metricsPort: 1234
+        |erc20:
+        |  usdt: "0xdAC17F958D2ee523a2206206994597C13D831ec7"
+        |""".stripMargin)
+    assert(cfg.endpoints == Seq("http://10.0.0.1:8545", "http://10.0.0.2:8545"))
+    assert(cfg.wsUrls == Seq("ws://10.0.0.1:8546"))
+    assert(cfg.dataDir == "/data" && cfg.checkpointDir == "/ckpt")
+    assert(cfg.fromBlock == 7L && cfg.metricsPort == 1234)
+    assert(cfg.maxBlocksPerChunk == 50 && cfg.reorgWindow == 512L) // defaults
+    assert(cfg.erc20.map(_._1) == Seq("usdt"))
+    assert(cfg.erc20.head._2.length == 20)
+  }
+
+  test("launches against the stub node, ingests a reorg, serves /metrics") {
+    val t2 = tx(1, alice, carol, 500, gasPrice = 100L)
+    val main = bundleChain(1, 4, hash32(0), txsAt = Map(2L -> Seq(t2)),
+      withTransferLogs = true)
+    val fork = bundleChain(4, 5, main(2).block.hash, difficulty = 5000L,
+      hashSeedBase = 900, withTransferLogs = true)
+
+    val rpc = new RpcStub
+    rpc.setCanonical(main)
+    val rpcPort = rpc.start()
+    val ws = new WsStub
+    val wsPort = ws.start()
+
+    val dataDir = Files.createTempDirectory("graft-indexer-data").toString
+    val ckptDir = Files.createTempDirectory("graft-indexer-ckpt").toString
+    val tokenHex = "0x" + tokenX.map("%02x".format(_)).mkString
+    val cfgPath = Files.createTempFile("graft-indexer", ".yaml")
+    Files.writeString(cfgPath,
+      s"""endpoints:
+         |  - http://127.0.0.1:$rpcPort/
+         |ws:
+         |  - ws://127.0.0.1:$wsPort/
+         |dataDir: $dataDir
+         |checkpointDir: $ckptDir
+         |fromBlock: 1
+         |metricsPort: 0       # ephemeral — the spec reads the bound port
+         |maxBlocksPerChunk: 3
+         |erc20:
+         |  tokx: "$tokenHex"
+         |""".stripMargin)
+    val cfg = Indexer.parseConfig(Files.readString(cfgPath))
+
+    // one pre-existing subscription, pending admission — root.go's indexer
+    // reads subscriptions from its store the same way
+    val store0 = TableStore(spark, dataDir)
+    store0.replace(BalanceIngest.SubsTable,
+      Seq((1L, 0L, 1L, alice)).toDF("id", "block_number", "group", "address"))
+
+    val wiring = Indexer.start(spark, cfg)
+    try {
+      // SubscribeErc20Tokens: the configured token landed PENDING with its
+      // RPC-fetched metadata (decimals 18, name from the stub's eth_call)
+      val reg = wiring.store.readOr(BalanceIngest.RegistryTable, null).collect()
+      assert(reg.length == 1)
+      assert(reg.head.getAs[Long]("block_number") == 0L)
+      assert(reg.head.getAs[Int]("decimals") == 18)
+      assert(reg.head.getAs[String]("name") == "Stub Token")
+
+      eventually("ws subscriber")(ws.subscriberCount >= 1)
+      ws.pushHead(main.last) // one head announce pulls 1..4 in order
+      eventually("feed caught up")(wiring.feed.latestSeq == 4L)
+      wiring.query.processAllAvailable()
+      assert(ChainIngest.loadHead(wiring.store).exists(_.number == 4L))
+      assert(BalanceIngest.processedThrough(wiring.store).contains(4L))
+      // the sub was admitted and the token flipped out of pending
+      assert(wiring.store.readOr(BalanceIngest.SubsTable, null)
+        .head().getAs[Long]("block_number") > 0L)
+      assert(wiring.store.readOr(BalanceIngest.RegistryTable, null)
+        .head().getAs[Long]("block_number") > 0L)
+      // balances resolved over the LIVE batched RPC: alice's ETH snapshot
+      // matches the stub's balance model at the admission block's hash
+      val row = wiring.store.readOr(BalanceIngest.AccountsTable, null)
+        .filter(col("token") === Schemas.Sentinels.EthToken && col("address") === alice)
+        .orderBy(col("block_number")).head()
+      val admittedAt = row.getAs[Long]("block_number")
+      val expected = (BigInt(1, alice) % BigInt(10).pow(20)) +
+        (main(admittedAt.toInt - 1).block.hash(0) & 0xff).toLong
+      assert(BigInt(row.getAs[java.math.BigDecimal]("balance").toBigInteger) == expected)
+
+      // node reorganizes: 4'/5' replace 4; only height 5 is new to the
+      // puller, so 4' must arrive through the live eth_getBlockByHash
+      rpc.setCanonical(main.take(3) ++ fork)
+      ws.pushHead(fork.last)
+      eventually("fork head pulled")(wiring.feed.latestSeq == 5L)
+      wiring.query.processAllAvailable()
+      assert(ChainIngest.loadHead(wiring.store).exists(_.number == 5L))
+      assert(hashAt(wiring.store, 4L).toSeq == fork.head.block.hash.toSeq,
+        "the winning branch's parent must land through the fetch-back")
+
+      // the reference's --metrics contract: scrape the HTTP endpoint
+      val port = wiring.metricsServer.get.port
+      val scraped = httpGet(s"http://127.0.0.1:$port/metrics")
+      assert(scraped.contains("graft_reorg 1"), s"expected one reorg:\n$scraped")
+      assert(scraped.contains("graft_new_block 6"), // 4 + the 2 fork blocks
+        s"expected 6 inserted blocks:\n$scraped")
+      assert(scraped.contains("graft_insert_block_seconds_count"))
+    } finally {
+      wiring.close()
+      ws.stop()
+      rpc.stop()
+    }
+  }
+
+  test("the live account client round-trips balances and metadata") {
+    val main = bundleChain(1, 2, hash32(0), withTransferLogs = true)
+    val rpc = new RpcStub
+    rpc.setCanonical(main)
+    val port = rpc.start()
+    try {
+      val client = new JsonRpcAccountClient(Seq(s"http://127.0.0.1:$port/"))
+      val h = main.head.block.hash
+      val got = client.balances(h, Seq(
+        (Schemas.Sentinels.EthToken, alice), // eth_getBalance
+        (tokenX, bob)))                      // eth_call balanceOf
+      def expect(a: Array[Byte]) =
+        ((BigInt(1, a) % BigInt(10).pow(20)) + (h(0) & 0xff).toLong).toString
+      assert(got == Seq(expect(alice), expect(bob)))
+      assert(client.metadata(Seq(tokenX)) ==
+        Seq((Some(BigInt(10).pow(21).toString), 18, "Stub Token")))
+    } finally rpc.stop()
+  }
+
+  private def hashAt(store: TableStore, n: Long): Array[Byte] =
+    store.readRange(ChainIngest.HeadersTable, "number", n, n, null)
+      .select("hash").head().getAs[Array[Byte]](0)
+}

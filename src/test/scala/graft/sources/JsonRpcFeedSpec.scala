@@ -115,7 +115,45 @@ final class RpcStub {
     a
   }
 
+  /** The deterministic balance model every fixture client uses —
+    * bal(addr, hash) = addr-mod-10^20 + hash's first byte — so Indexer
+    * assertions can share the specs' expected values.
+    */
+  private def bal(addr: Array[Byte], hash: Array[Byte]): BigInt =
+    (BigInt(1, addr) % BigInt(10).pow(20)) + (if (hash.nonEmpty) (hash(0) & 0xff).toLong else 0L)
+
+  private def hexToBytes(s: String): Array[Byte] =
+    s.stripPrefix("0x").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  private def hexUint(v: BigInt): String = "0x" + v.toString(16)
+
+  /** EIP-1898 anchor: an object `{"blockHash": …}` or the tag "latest". */
+  private def anchorHash(n: JsonNode): Array[Byte] =
+    if (n.isObject) hexToBytes(n.get("blockHash").asText)
+    else if (canonical.isEmpty) Array.emptyByteArray
+    else canonical(canonical.keys.max).block.hash
+
+  private def abiString(s: String): String = {
+    val b = s.getBytes("UTF-8")
+    val data = b.map("%02x".format(_)).mkString.padTo(((b.length + 31) / 32) * 64, '0')
+    "0x" + "0" * 62 + "20" + "%064x".format(b.length) + data
+  }
+
   private def dispatch(method: String, params: ArrayNode): JsonNode = method match {
+    case "eth_getBalance" =>
+      val addr = hexToBytes(params.get(0).asText)
+      mapper.getNodeFactory.textNode(hexUint(bal(addr, anchorHash(params.get(1)))))
+    case "eth_call" =>
+      val data = params.get(0).get("data").asText.stripPrefix("0x")
+      val out = data.take(8) match {
+        case "70a08231" => // balanceOf(address): arg = 12B pad + 20B addr
+          hexUint(bal(hexToBytes(data.slice(8 + 24, 8 + 64)), anchorHash(params.get(1))))
+        case "18160ddd" => hexUint(BigInt(10).pow(21)) // totalSupply()
+        case "313ce567" => hexUint(BigInt(18))         // decimals()
+        case "06fdde03" => abiString("Stub Token")     // name()
+        case other => throw new IllegalArgumentException(s"unexpected eth_call selector $other")
+      }
+      mapper.getNodeFactory.textNode(out)
     case "eth_blockNumber" =>
       blockNumberCalls.incrementAndGet()
       mapper.getNodeFactory.textNode(hxNum(if (canonical.isEmpty) 0L else canonical.keys.max))
@@ -137,11 +175,20 @@ final class RpcStub {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/", (x: HttpExchange) => {
       val req = mapper.readTree(x.getRequestBody)
-      val resp = mapper.createObjectNode()
-      resp.put("jsonrpc", "2.0").put("id", req.path("id").asInt(1))
-      resp.set[ObjectNode]("result",
-        dispatch(req.get("method").asText, req.get("params").asInstanceOf[ArrayNode]))
-      val body = mapper.writeValueAsBytes(resp)
+      def one(r: JsonNode): ObjectNode = {
+        val resp = mapper.createObjectNode()
+        resp.put("jsonrpc", "2.0").put("id", r.path("id").asInt(1))
+        resp.set[ObjectNode]("result",
+          dispatch(r.get("method").asText, r.get("params").asInstanceOf[ArrayNode]))
+        resp
+      }
+      // the batched array form (JsonRpcAccountClient's one-POST chunks)
+      val body = mapper.writeValueAsBytes(
+        if (req.isArray) {
+          val arr = mapper.createArrayNode()
+          req.forEach(r => { arr.add(one(r)); () })
+          arr
+        } else one(req))
       x.getResponseHeaders.add("Content-Type", "application/json")
       x.sendResponseHeaders(200, body.length.toLong)
       x.getResponseBody.write(body)
