@@ -31,6 +31,19 @@ object ScaleProbe {
       val t0 = System.nanoTime(); val n = f
       println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
+    // fresh-JVM floor for the two gram-coverage queries that ran ~15× at
+    // sf1 inside the 120-queries-deep bench JVM: if a fresh process lands
+    // near 10× the sf0.1 medians, the residual was heap/GC state, not plan
+    // shape
+    val docs = Tables(spark, dir).documents
+    time("d15_dup_spans (fresh JVM)") {
+      Dedup.dupSpanCoverage(docs, "doc_id", "text", k = 20)
+        .queryExecution.toRdd.count()
+    }
+    time("d16_self_repetition (fresh JVM)") {
+      Dedup.selfRepetitionCoverage(docs, "doc_id", "text", k = 20)
+        .queryExecution.toRdd.count()
+    }
     Seq(97L -> "k~n (bench fixture)", 971L -> "k fixed at sf0.1 value").foreach {
       case (m, label) =>
         val cents = e.filter(col("vec_id") % m === 0)
