@@ -222,7 +222,8 @@ object BalanceIngest {
           n += 1
         case other =>
           val hi = other.map(_ - 1L).getOrElse(to)
-          processQuietSpan(spark, store, n, hi, client, state, metrics)
+          if (n == hi) processSingleQuietBlock(spark, store, n, client, state, metrics)
+          else processQuietSpan(spark, store, n, hi, client, state, metrics)
           stateCache = null // the span bracket always swaps state
           // the span's commit bracket already swapped the watermark (the
           // head rides the state promote, advanceHead) — only the loop
@@ -391,6 +392,248 @@ object BalanceIngest {
     // true ⇒ the bracket ran and swapped the state dirs (caller reloads
     // lazily); an un-landed height is a pure no-op
     blockHashOpt.nonEmpty
+  }
+
+  /** The head-follow steady state: ONE quiet block, folded on the DRIVER —
+    * the reference's own architecture (it processes the block it holds in
+    * memory, store/transfer_processor.go:85-418), with Spark kept for what
+    * is genuinely distributed: the subscription/state-table probes and the
+    * persisted commit bracket. A single block's working set is bounded by
+    * BLOCK CONTENT (≤ a few thousand touched addresses × block tokens —
+    * the reference batches the same set to geth per block), so the
+    * resolver runs as direct chunked client calls and the delta/total
+    * arithmetic is exact driver-side BigDecimal; the outputs land as
+    * LocalRelations, which makes every staged write in the commit bracket
+    * a single-stage job (the tiny sides broadcast job-free from
+    * LocalTableScan) instead of the span DAG's serialized shuffle chains.
+    *
+    * Semantics are EXACTLY [[processQuietSpan]] at lo == hi — same touched
+    * set, same resolver request set, same coalesce/`< n` base contracts,
+    * same commit bracket and crash protocol (deleteRange probe, staged
+    * promote order, watermark rides the last promote). The span/per-block
+    * equivalence property spec and the full-lifecycle specs gate the two
+    * paths against each other.
+    */
+  private def processSingleQuietBlock(
+      spark: SparkSession,
+      store: TableStore,
+      n: Long,
+      client: BalanceClient,
+      state0: BalanceLedger.State,
+      metrics: Option[IngestMetrics] = None): Unit = {
+    import scala.collection.immutable.ArraySeq
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    type A = ArraySeq[Byte]
+    def k(b: Array[Byte]): A = ArraySeq.unsafeWrapArray(b)
+    val minerK = k(Sentinels.MinerReward)
+    val uncleK = k(Sentinels.UncleReward)
+    val ethK   = k(Sentinels.EthToken)
+    val zero   = java.math.BigDecimal.ZERO
+    def add(a: java.math.BigDecimal, b: java.math.BigDecimal) = a.add(b)
+
+    val subs = store.readOr(SubsTable, null)
+    val nulB = lit(null).cast(BinaryType)
+    val nulD = lit(null).cast(wei)
+    val nulL = lit(null).cast(LongType)
+
+    // ONE union job collects the whole block slice (transfers, txs,
+    // receipts, header) — the per-table reads are single-bucket-pruned
+    val slice = store.readRange(ChainIngest.TransfersTable, "block_number", n, n, null)
+        .select(lit("t").as("kind"), col("token").as("b1"), col("from").as("b2"),
+          col("to").as("b3"), col("value").cast(wei).as("d"), nulL.as("l"))
+      .unionByName(store.readRange(ChainIngest.TxTable, "block_number", n, n, null)
+        .select(lit("x").as("kind"), col("hash").as("b1"), col("from").as("b2"),
+          nulB.as("b3"), nulD.as("d"), col("gas_price").as("l")))
+      .unionByName(store.readRange(ChainIngest.ReceiptsTable, "block_number", n, n, null)
+        .select(lit("r").as("kind"), col("tx_hash").as("b1"), nulB.as("b2"),
+          nulB.as("b3"), nulD.as("d"), col("gas_used").as("l")))
+      .unionByName(store.readRange(ChainIngest.HeadersTable, "number", n, n, null)
+        .select(lit("h").as("kind"), col("hash").as("b1"), nulB.as("b2"),
+          nulB.as("b3"), nulD.as("d"), nulL.as("l")))
+      .collect()
+    def bin(r: Row, i: Int): Option[A] =
+      if (r.isNullAt(i)) None else Some(k(r.getAs[Array[Byte]](i)))
+    final case class Tr(token: A, from: Option[A], to: Option[A],
+                        value: java.math.BigDecimal)
+    val transfers = slice.filter(_.getString(0) == "t").map { r =>
+      Tr(bin(r, 1).get, bin(r, 2), bin(r, 3),
+        Option(r.getAs[java.math.BigDecimal](4)).getOrElse(zero))
+    }.toSeq
+    val txRows = slice.filter(_.getString(0) == "x")
+      .map(r => (bin(r, 1).get, bin(r, 2), r.getLong(5))) // (hash, from, gasPrice)
+    val gasUsed: Map[A, Long] = slice.filter(_.getString(0) == "r")
+      .map(r => bin(r, 1).get -> r.getLong(5)).toMap
+    val headerHash: Option[Array[Byte]] =
+      slice.find(_.getString(0) == "h").map(_.getAs[Array[Byte]](1))
+
+    // changed-candidate set (the span's `changed` before the subs semi):
+    // transfer from/to + tx from, minus sentinels and nulls
+    def real(a: Option[A]): Option[A] =
+      a.filter(x => x != minerK && x != uncleK)
+    val candidates: Seq[A] =
+      (transfers.flatMap(t => real(t.from) ++ real(t.to)) ++
+        txRows.flatMap(t => real(t._2))).distinct
+
+    // ONE job probes the subscription table for the candidates (group
+    // attach + membership); first-seen per address, the span's
+    // dropDuplicates contract
+    val subsMap: scala.collection.Map[A, Long] =
+      if (candidates.isEmpty) Map.empty
+      else {
+        val m = scala.collection.mutable.LinkedHashMap.empty[A, Long]
+        subs.filter(col("block_number") > 0L &&
+            col("address").isin(candidates.map(_.toArray): _*))
+          .select("address", "group").collect()
+          .foreach(r => m.getOrElseUpdate(k(r.getAs[Array[Byte]](0)), r.getLong(1)))
+        m
+      }
+    val addrs: Seq[A] = candidates.filter(subsMap.contains)
+    val tokens: Seq[A] =
+      if (headerHash.isEmpty) Nil
+      else (transfers.map(_.token) :+ ethK).distinct
+
+    // ONE job probes both compact-state tables, `< n` exactly like the
+    // span's base/totBase contracts (groups are known from the subs probe)
+    val groups = subsMap.values.toSeq.distinct
+    val (baseMap, totBaseMap) = {
+      if (addrs.isEmpty && groups.isEmpty)
+        (Map.empty[(A, A), java.math.BigDecimal], Map.empty[(Long, A), java.math.BigDecimal])
+      else {
+        val below = col("block_number") < n
+        val acc =
+          if (addrs.isEmpty) null
+          else state0.latestAccounts.filter(below &&
+              col("address").isin(addrs.map(_.toArray): _*))
+            .select(lit("a").as("kind"), col("token"), col("address"),
+              nulL.as("group"), col("balance").cast(wei).as("balance"))
+        val tot =
+          if (groups.isEmpty) null
+          else state0.latestTotals.filter(below && col("group").isin(groups: _*))
+            .select(lit("g").as("kind"), col("token"), nulB.as("address"),
+              col("group"), col("balance").cast(wei).as("balance"))
+        val both = (Option(acc) ++ Option(tot)).reduce(_ unionByName _).collect()
+        (both.filter(_.getString(0) == "a")
+           .map(r => (k(r.getAs[Array[Byte]](1)), k(r.getAs[Array[Byte]](2))) ->
+             r.getAs[java.math.BigDecimal](4)).toMap,
+         both.filter(_.getString(0) == "g")
+           .map(r => (r.getLong(3), k(r.getAs[Array[Byte]](1))) ->
+             r.getAs[java.math.BigDecimal](4)).toMap)
+      }
+    }
+
+    // direct chunked resolver calls — the span's resolveAt request set
+    // (tokens × changed-subscribed) at this block's hash, ≤1000 pairs per
+    // client call (client/balancer.go:31-33)
+    val pairs: Seq[(A, A)] = for (t <- tokens; a <- addrs) yield (t, a)
+    val snaps: Seq[(A, A, java.math.BigDecimal, Long, java.math.BigDecimal)] =
+      headerHash.toSeq.flatMap { h =>
+        pairs.grouped(BalanceResolver.DefaultChunkSize).flatMap { chunk =>
+          val got = client.balances(h, chunk.map(p => (p._1.toArray, p._2.toArray)))
+          require(got.length == chunk.length,
+            s"client returned ${got.length} balances for ${chunk.length} requests")
+          chunk.zip(got).map { case ((t, a), s) =>
+            val bal = new java.math.BigDecimal(s)
+            val delta = bal.subtract(baseMap.getOrElse((t, a), zero))
+            (t, a, bal, subsMap(a), delta)
+          }
+        }.toSeq
+      }
+
+    // matched transfers (the span's semiJoinAny over active subs — every
+    // non-sentinel endpoint is a candidate, so the probe map decides)
+    val matched = if (headerHash.isEmpty) Nil else transfers.filter(t =>
+      t.from.exists(subsMap.contains) || t.to.exists(subsMap.contains))
+
+    // fees per group: Σ gas_price × gas_used over subscribed senders' txs
+    // (inner receipt join on hash, block-scoped by the single-bucket read)
+    val feeByGroup: Map[Long, java.math.BigDecimal] = txRows
+      .flatMap { case (hash, from, gasPrice) =>
+        for (f <- from; g <- subsMap.get(f); gu <- gasUsed.get(hash))
+          yield g -> java.math.BigDecimal.valueOf(gasPrice)
+            .multiply(java.math.BigDecimal.valueOf(gu))
+      }
+      .groupMapReduce(_._1)(_._2)(add)
+    // rewards per group: sentinel-from transfer rows to subscribed addrs
+    def rewardByGroup(sentinel: A): Map[Long, java.math.BigDecimal] = transfers
+      .filter(t => t.from.contains(sentinel))
+      .flatMap(t => t.to.flatMap(subsMap.get).map(_ -> t.value))
+      .groupMapReduce(_._1)(_._2)(add)
+    val minerByGroup  = rewardByGroup(minerK)
+    val unclesByGroup = rewardByGroup(uncleK)
+
+    // totals rows: keys = delta keys ∪ fee/reward keys (the span's
+    // full_outer union); balance = tbase + delta, fees/rewards ride as
+    // their own columns exactly as in the span projection
+    val deltaByKey: Map[(Long, A), java.math.BigDecimal] =
+      snaps.groupMapReduce(s => (s._4, s._1))(_._5)(add)
+    val totalKeys: Seq[(Long, A)] =
+      (deltaByKey.keys ++ (feeByGroup.keys ++ minerByGroup.keys ++ unclesByGroup.keys)
+        .map(g => (g, ethK))).toSeq.distinct
+    val totals = totalKeys.map { case (g, t) =>
+      val bal = totBaseMap.getOrElse((g, t), zero)
+        .add(deltaByKey.getOrElse((g, t), zero))
+      val eth = t == ethK
+      (g, t, bal,
+        if (eth) feeByGroup.getOrElse(g, zero) else zero,
+        if (eth) minerByGroup.getOrElse(g, zero) else zero,
+        if (eth) unclesByGroup.getOrElse(g, zero) else zero)
+    }
+
+    // LocalRelation outputs in the exact append/state schemas
+    val weiT = wei.asInstanceOf[DataType]
+    def df(schema: StructType, rows: Seq[Row]): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    val accountsDf = df(
+      StructType(Seq(StructField("token", BinaryType), StructField("address", BinaryType),
+        StructField("block_number", LongType), StructField("balance", weiT),
+        StructField("group", LongType))),
+      snaps.map(s => Row(s._1.toArray, s._2.toArray, n, s._3, s._4)))
+    val totalsDf = df(
+      StructType(Seq(StructField("block_number", LongType), StructField("token", BinaryType),
+        StructField("group", LongType), StructField("balance", weiT),
+        StructField("tx_fee", weiT), StructField("miner_reward", weiT),
+        StructField("uncles_reward", weiT))),
+      totals.map(t => Row(n, t._2.toArray, t._1, t._3, t._4, t._5, t._6)))
+    val matchedDf = df(
+      StructType(Seq(StructField("token", BinaryType), StructField("from", BinaryType),
+        StructField("to", BinaryType), StructField("value", weiT),
+        StructField("block_number", LongType))),
+      matched.map(t => Row(t.token.toArray, t.from.map(_.toArray).orNull,
+        t.to.map(_.toArray).orNull, t.value, n)))
+
+    // state folds: the upsert anti-join's tiny side is a LocalRelation —
+    // broadcast-hinted, it materializes job-free from LocalTableScan and
+    // each staged state write becomes one stage
+    val accKeysDf = df(
+      StructType(Seq(StructField("token", BinaryType), StructField("address", BinaryType))),
+      snaps.map(s => Row(s._1.toArray, s._2.toArray)))
+    val totKeysDf = df(
+      StructType(Seq(StructField("group", LongType), StructField("token", BinaryType))),
+      totals.map(t => Row(t._1, t._2.toArray)))
+    val next = BalanceLedger.State(
+      latestAccounts = state0.latestAccounts
+        .join(broadcast(accKeysDf), Seq("token", "address"), "left_anti")
+        .unionByName(accountsDf.drop("group")
+          .select("token", "address", "block_number", "balance")),
+      latestTotals = state0.latestTotals
+        .join(broadcast(totKeysDf), Seq("group", "token"), "left_anti")
+        .unionByName(totalsDf.select("block_number", "token", "group", "balance",
+          "tx_fee", "miner_reward", "uncles_reward")))
+
+    // commit bracket — identical protocol to the span path
+    store.deleteRangeAll(
+      Seq(AccountsTable, TotalsTable, MatchedTable).map(_ -> "block_number"), n, n)
+    val (commitStage, promoteCommit) =
+      commitStateStaged(spark, store, next, n, advanceHead = true)
+    metrics.foreach(_.changedAccountPerBlock.set(
+      snaps.map(_._2).distinct.size.toLong)) // driver-known, zero jobs
+    Par.run(Seq(
+      () => store.appendBucketed(AccountsTable, accountsDf, "block_number"),
+      () => store.appendBucketed(TotalsTable, totalsDf, "block_number"),
+      () => store.appendBucketed(MatchedTable, matchedDf, "block_number"))
+      ++ commitStage)
+    promoteCommit()
   }
 
   /** Vectorized catch-up over a quiet span [lo, hi]: no subscriptions to

@@ -62,6 +62,56 @@ class BalanceIngestSpec extends SparkSpec {
     assert(totals.contains(1L))
   }
 
+  test("subscribed miner: rewards flow identically through per-block and span paths") {
+    // the quiet single-block DRIVER fold and the vectorized span must
+    // carry miner rewards (and fees) to a subscribed coinbase identically
+    def mk(): TableStore = {
+      val store = TableStore(spark,
+        Files.createTempDirectory("graft-bi-miner").toString, bucketSize = 4L)
+      var parent = hash32(0)
+      val bundles = (1L to 3L).map { n =>
+        val t = tx(n.toInt, alice, carol, 500, gasPrice = 100L)
+        val b = block(n, parent, txs = Seq(t)); parent = b.hash
+        Bundle(b, Seq(receipt(t, n)), Seq(TransferLog(t.hash, alice, carol, "500", n)))
+      }
+      ChainIngest.ingestBatch(spark, store, bundles.toDS().toDF(), noTokens)
+      store.replace(BalanceIngest.SubsTable, // miner AND fee-payer subscribed
+        Seq((1L, 1L, 1L, alice), (2L, 1L, 2L, miner))
+          .toDF("id", "block_number", "group", "address"))
+      store
+    }
+    val a = mk(); val b = mk()
+    val ca = BlockAwareBalanceClient(spark.sparkContext.longAccumulator("bi-miner-a"))
+    val cb = BlockAwareBalanceClient(spark.sparkContext.longAccumulator("bi-miner-b"))
+    (1L to 3L).foreach(i => BalanceIngest.processRange(spark, a, i, i, ca)) // fast path
+    BalanceIngest.processRange(spark, b, 1L, 3L, cb)                       // span path
+    def rows(s: TableStore, t: String): Set[String] =
+      s.readOr(t, null).collect().map(_.toSeq.map {
+        case b: Array[Byte] => b.map("%02x".format(_)).mkString
+        case x => String.valueOf(x)
+      }.mkString("|")).toSet
+    Seq(BalanceIngest.TotalsTable, BalanceIngest.AccountsTable,
+        BalanceIngest.MatchedTable, BalanceIngest.LatestTotals,
+        BalanceIngest.LatestAccounts).foreach { t =>
+      assert(rows(a, t) == rows(b, t), s"table $t diverged between paths")
+    }
+    // and the reward actually landed: group 2 (the miner's) carries a
+    // positive miner_reward at every block, group 1 carries the tx fees
+    val tot = a.readOr(BalanceIngest.TotalsTable, null).collect()
+    (1L to 3L).foreach { n =>
+      val g2 = tot.filter(r => r.getAs[Long]("block_number") == n &&
+        r.getAs[Long]("group") == 2L)
+      assert(g2.exists(r =>
+        BigInt(r.getAs[java.math.BigDecimal]("miner_reward").toBigInteger) > 0),
+        s"block $n: subscribed miner must accrue miner_reward")
+      val g1 = tot.filter(r => r.getAs[Long]("block_number") == n &&
+        r.getAs[Long]("group") == 1L)
+      assert(g1.exists(r =>
+        BigInt(r.getAs[java.math.BigDecimal]("tx_fee").toBigInteger) == BigInt(100L * 21000L)),
+        s"block $n: subscribed sender must accrue the tx fee")
+    }
+  }
+
   test("new-token admission: pending registry rows seed active subs and flip to n+1") {
     val store = TableStore(spark, Files.createTempDirectory("graft-bi2").toString, bucketSize = 4L)
     var parent = hash32(0)
