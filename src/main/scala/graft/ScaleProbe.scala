@@ -17,6 +17,9 @@ import graft.sources.Tables
   * fixture's k, not on the operator's scaling.
   *
   * Usage: runMain graft.ScaleProbe [sfDir]
+  *    or: runMain graft.ScaleProbe sfDir q1 q2 …   (fresh-JVM timings of
+  *        named SparkEntry inventory queries — the per-operator cost-curve
+  *        probe without the 130-query-JVM heap history)
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -25,6 +28,15 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.length > 1) {
+      args.drop(1).foreach { name =>
+        val t0 = System.nanoTime()
+        val n  = SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
+        println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      }
+      spark.stop()
+      return
+    }
     val e = Tables(spark, dir).embeddings
     println(s"corpus rows: ${e.count()}")
     def time(name: String)(f: => Long): Unit = {

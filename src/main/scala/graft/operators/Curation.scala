@@ -865,4 +865,103 @@ object Curation {
     df.select(col(idCol),
       concat(col(textCol), lit(" "), mark(1), mark(2), mark(3), mark(4)).as(textCol))
   }
+
+  /** BM25 relevance scores (t28) for a fixed probe-term set — the lexical
+    * retrieval scorer a curation pipeline uses to pull topical slices out
+    * of a crawl (and the baseline every embedding retriever is graded
+    * against). Okapi BM25 with the Lucene +1 idf (always positive):
+    * idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1), and the classic tf
+    * saturation tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)).
+    *
+    * Shape: one tokenize+explode pass filtered to the probe terms BEFORE
+    * the (doc, term) aggregation, so the corpus-wide shuffle carries only
+    * matching instances; doc lengths ride a second combine-friendly rollup
+    * of the same scan; the per-term df/idf relation is probe-sized and
+    * broadcast, N and avgdl are one-row broadcasts. Per-(doc,term) score
+    * terms round to 9 decimals and sum as DECIMAL — exact and
+    * partition-order-independent (the t11 discipline). Only docs matching
+    * ≥ 1 probe term are emitted.
+    */
+  def bm25Scores(df: DataFrame, idCol: String, textCol: String,
+                 queryTerms: Seq[String], k1: Double = 1.2,
+                 b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val toks = df.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+    val lens = toks.select(col(idCol), size(col("__toks")).cast("long").as("__dl"))
+    // avgdl as ONE double division of two exact integer aggregates — a
+    // float avg() would sum in partition order and could differ from the
+    // oracle engine by an ulp that survives the 9-decimal term rounding
+    val stats = broadcast(lens.agg(count(lit(1)).as("__n"), sum("__dl").as("__sumdl"))
+      .select(col("__n"),
+        (col("__sumdl").cast("double") / col("__n").cast("double")).as("__avgdl")))
+    val tf = toks
+      .select(col(idCol), explode(col("__toks")).as("__term"))
+      .filter(col("__term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("__term")).agg(count(lit(1)).as("__tf"))
+    val idf = broadcast(tf.groupBy("__term").agg(count(lit(1)).as("__df"))
+      .crossJoin(stats)
+      .select(col("__term"),
+        round(log((col("__n").cast("double") - col("__df") + 0.5) /
+          (col("__df").cast("double") + 0.5) + 1.0), 9).as("__idf")))
+    val term = round(col("__idf") *
+      (col("__tf").cast("double") * (k1 + 1.0)) /
+      (col("__tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl").cast("double") / col("__avgdl"))), 9)
+      .cast("decimal(28,9)")
+    tf.join(idf, "__term")
+      .join(lens, idCol)
+      .crossJoin(stats)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms_matched"),
+        sum("__tf").as("n_term_hits"),
+        sum(term).cast("double").as("bm25"))
+  }
+
+  /** DSIR importance weights (r9, Xie et al. 2023, arXiv:2302.03169): per-
+    * document log importance weight ln(p_target(doc)/p_raw(doc)) under
+    * hashed-unigram bag models of a TARGET slice (the in-domain sample
+    * selection is steering toward) vs the RAW corpus — the data-selection
+    * score behind importance resampling. Token features hash into
+    * `buckets` bins with the portable md5 family; both distributions are
+    * add-one smoothed, so target-absent buckets penalize instead of
+    * −∞-ing.
+    *
+    * Shape: the bucket histograms are bounded by `buckets` (1024 default)
+    * regardless of corpus size — both build with combine-friendly counts
+    * and broadcast; the corpus pays ONE tokenize+explode and one doc-keyed
+    * aggregation of 9-decimal-rounded DECIMAL ln-ratio terms (exact,
+    * order-independent). Totals ride one-row broadcasts.
+    */
+  def dsirWeights(corpus: DataFrame, target: DataFrame, idCol: String,
+                  textCol: String, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    def bucketed(df: DataFrame) = df
+      .select(explode(TextOps.tokens(col(textCol))).as("__term"))
+      .select(pmod(Dedup.portableHashLo(col("__term")), lit(buckets)).as("__b"))
+    def hist(df: DataFrame) = df.groupBy("__b").agg(count(lit(1)).as("__cnt"))
+    val tHist = hist(bucketed(target))
+    val rHist = hist(bucketed(corpus))
+    val tTot  = broadcast(tHist.agg(sum("__cnt").as("__ttot")))
+    val rTot  = broadcast(rHist.agg(sum("__cnt").as("__rtot")))
+    // ln ratio per OCCURRING bucket (raw count ≥ 1 by construction; the
+    // target side smooths through the coalesce-0): ln((ct+1)/(tt+B)) −
+    // ln((cr+1)/(rt+B)), rounded once as a single 9-decimal term
+    val ratios = broadcast(rHist
+      .join(tHist.withColumnRenamed("__cnt", "__tcnt"), Seq("__b"), "left_outer")
+      .crossJoin(tTot).crossJoin(rTot)
+      .select(col("__b"), round(
+        log((coalesce(col("__tcnt"), lit(0L)).cast("double") + 1.0) /
+          (col("__ttot").cast("double") + buckets)) -
+        log((col("__cnt").cast("double") + 1.0) /
+          (col("__rtot").cast("double") + buckets)), 9)
+        .cast("decimal(18,9)").as("__lnr")))
+    corpus.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("__term"))
+      .select(col(idCol), pmod(Dedup.portableHashLo(col("__term")), lit(buckets)).as("__b"))
+      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__tf"))
+      .join(ratios, "__b")
+      .groupBy(col(idCol))
+      .agg(sum("__tf").as("n_tokens"),
+        sum(col("__tf").cast("decimal(10,0)") * col("__lnr"))
+          .cast("double").as("log_weight"))
+  }
 }

@@ -999,4 +999,57 @@ object Dedup {
         round(coalesce(col("covered_chars"), lit(0L)).cast("double") /
           greatest(col("__len"), lit(1L)).cast("double"), 6).as("dup_span_fraction"))
   }
+
+  /** Blocked record linkage (d18): pairs of documents whose normalized key
+    * (lowercased, non-ASCII-stripped first `keyLen` chars) is
+    * Jaro-Winkler-similar ≥ `threshold` — the entity-resolution primitive
+    * (Fellegi-Sunter blocking + edit-similarity verify) over the same
+    * count-gated candidate machinery as the LSH stages.
+    *
+    * Blocking: each key emits ⌈keyLen/sliceLen⌉ ALIGNED slices
+    * (slot i → chars [i·sliceLen, (i+1)·sliceLen)); two records become a
+    * candidate pair when any slot's slice matches exactly. An edit
+    * anywhere perturbs at most its own slot, so records within one
+    * slice-local edit of each other always share the other slots — the
+    * multi-pass blocking-key discipline, with recall bounded the way every
+    * production linkage run bounds it (a pair differing in EVERY slot is
+    * not found; the oracle mirrors the same blocking, so the contract is
+    * exact).
+    *
+    * Scale shape: slices shuffle as (slot, xxhash64) 12-byte keys — the
+    * key STRINGS never leave the scan (the d15 discipline, same
+    * deterministic-collision tradeoff documented there); buckets are
+    * count-gated through [[candidatePairs]] so a degenerate key (every
+    * record opening with the same boilerplate) drops at `maxBucket`
+    * instead of expanding quadratically; the verify joins the corpus-sized
+    * key relation twice by id (never broadcast) and runs the native
+    * codegen'd [[graft.functions.JaroWinklerExpr]] once per candidate.
+    */
+  def recordLinkage(df: DataFrame, idCol: String, textCol: String,
+                    keyLen: Int = 32, sliceLen: Int = 8,
+                    threshold: Double = 0.9,
+                    maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame = {
+    require(keyLen > 0 && sliceLen > 0, "keyLen and sliceLen must be positive")
+    val nSlices = (keyLen + sliceLen - 1) / sliceLen
+    val keys = df.select(col(idCol),
+      regexp_replace(lower(substring(col(textCol), 1, keyLen)),
+        "[^\\x20-\\x7e]", "").as("__key"))
+    val slices = keys
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, ${nSlices - 1}), i -> substring(__key, 1 + i * $sliceLen, $sliceLen))"))
+        .as(Seq("band", "__sl")))
+      .filter(length(col("__sl")) > 0)
+      .select(col(idCol), col("band"), xxhash64(col("__sl")).as("band_hash"))
+    val pairs = candidatePairs(slices, idCol, maxBucket)
+    val keyed = keys.select(col(idCol).as("__vid"), col("__key"))
+    pairs
+      .join(keyed, pairs("id_a") === keyed("__vid"))
+      .withColumnRenamed("__key", "__key_a").drop("__vid")
+      .join(keyed, col("id_b") === keyed("__vid"))
+      .withColumnRenamed("__key", "__key_b").drop("__vid")
+      .withColumn("jw",
+        round(graft.functions.JaroWinkler.jaroWinkler(col("__key_a"), col("__key_b")), 6))
+      .filter(col("jw") >= threshold)
+      .select("id_a", "id_b", "jw")
+  }
 }

@@ -696,6 +696,65 @@ object PipelineQueries {
          | FROM h ORDER BY doc_id""".stripMargin
     ),
 
+    // T28 — BM25 relevance against a fixed probe-term set (the lexical
+    // retrieval scorer; Lucene +1 idf so scores stay positive even for
+    // terms in most docs). Per-term score rounds at 9 decimals and sums
+    // as DECIMAL (the t11 discipline); avgdl is one double division of
+    // two exact integer aggregates on both engines.
+    "t28_bm25" -> QueryDef.sql(
+      (s, d) => Curation.bm25Scores(Tables(s, d).documents, "doc_id", "text",
+          Seq("spark", "query", "stream", "window"))
+        .orderBy("doc_id"),
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         | lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+         | stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM lens),
+         | tf AS (SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+         |   FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+         |   WHERE tok IN ('spark', 'query', 'stream', 'window') GROUP BY 1, 2),
+         | idf AS (SELECT term, round(ln(
+         |      (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+         |        / (CAST(df AS DOUBLE) + 0.5) + 1.0), 9) AS idf
+         |   FROM (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1), stats),
+         | terms AS (SELECT doc_id, tf, round(idf
+         |     * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+         |     / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl)),
+         |   9) AS sterm
+         |   FROM tf JOIN idf USING (term) JOIN lens USING (doc_id), stats)
+         | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
+         |   CAST(sum(tf) AS BIGINT) AS n_term_hits,
+         |   CAST(sum(CAST(sterm AS DECIMAL(28,9))) AS DOUBLE) AS bm25
+         | FROM terms GROUP BY 1 ORDER BY doc_id""".stripMargin
+    ),
+
+    // R9 — DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    // ln(p_target/p_raw) under 1024-bucket hashed-unigram bag models,
+    // target = the English slice. Bucket histograms are bounded and
+    // broadcast; ln-ratio terms round at 9 decimals and sum as DECIMAL.
+    "r9_dsir_weights" -> QueryDef.sql(
+      (s, d) => {
+        val docs = Tables(s, d).documents
+        Curation.dsirWeights(docs, docs.filter(col("lang") === "en"),
+            "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      s"""WITH tok AS (SELECT doc_id, lang, unnest($toksSql) AS tok FROM documents),
+         | bk AS (SELECT doc_id, lang, ${hex8("md5(tok)", 0)} % 1024 AS b FROM tok),
+         | th AS (SELECT b, CAST(count(*) AS BIGINT) AS tcnt FROM bk WHERE lang = 'en' GROUP BY 1),
+         | rh AS (SELECT b, CAST(count(*) AS BIGINT) AS rcnt FROM bk GROUP BY 1),
+         | tt AS (SELECT CAST(sum(tcnt) AS BIGINT) AS ttot FROM th),
+         | rt AS (SELECT CAST(sum(rcnt) AS BIGINT) AS rtot FROM rh),
+         | ratios AS (SELECT b, round(
+         |     ln((CAST(coalesce(tcnt, 0) AS DOUBLE) + 1.0) / (CAST(ttot AS DOUBLE) + 1024))
+         |   - ln((CAST(rcnt AS DOUBLE) + 1.0) / (CAST(rtot AS DOUBLE) + 1024)), 9) AS lnr
+         |   FROM rh LEFT JOIN th USING (b), tt, rt),
+         | dtf AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS tf FROM bk GROUP BY 1, 2)
+         | SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |   CAST(sum(tf * CAST(lnr AS DECIMAL(18,9))) AS DOUBLE) AS log_weight
+         | FROM dtf JOIN ratios USING (b)
+         | GROUP BY 1 ORDER BY doc_id""".stripMargin
+    ),
+
     "r1_stratified_sample" -> QueryDef.sql(
       (s, d) => Curation.stratifiedSample(Tables(s, d).documents, "doc_id", "lang",
           Map("en" -> 100, "de" -> 300, "fr" -> 300), defaultPermille = 500)
@@ -1532,6 +1591,32 @@ object PipelineQueries {
          | FROM pairs JOIN sizes sa ON sa.source = source_a
          |   JOIN sizes sb ON sb.source = source_b
          | ORDER BY source_a, source_b""".stripMargin
+    ),
+
+    // D18 — blocked record linkage: entity-resolution pairs whose
+    // normalized 32-char key prefix is Jaro-Winkler ≥ 0.9, candidates from
+    // aligned 8-char slice blocking (count-gated), verified by the native
+    // codegen'd JaroWinklerExpr whose semantics are pinned byte-for-byte
+    // to DuckDB's jaro_winkler_similarity (the oracle engine).
+    "d18_record_linkage" -> QueryDef.sql(
+      (s, d) => Dedup.recordLinkage(Tables(s, d).documents, "doc_id", "text")
+        .orderBy("id_a", "id_b"),
+      """WITH k AS (SELECT doc_id,
+        |    regexp_replace(lower(substr(text, 1, 32)), '[^\x20-\x7e]', '', 'g') AS key
+        |  FROM documents),
+        | slices AS (SELECT doc_id, i, substr(key, 1 + 8 * i, 8) AS sl
+        |   FROM k, unnest(range(0, 4)) AS u(i)
+        |   WHERE len(substr(key, 1 + 8 * i, 8)) > 0),
+        | gated AS (SELECT i, sl FROM slices
+        |   GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 10000),
+        | cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |   FROM slices a JOIN gated g ON a.i = g.i AND a.sl = g.sl
+        |   JOIN slices b ON b.i = a.i AND b.sl = a.sl AND a.doc_id < b.doc_id)
+        | SELECT id_a, id_b,
+        |   round(jaro_winkler_similarity(ka.key, kb.key), 6) AS jw
+        | FROM cand JOIN k ka ON ka.doc_id = id_a JOIN k kb ON kb.doc_id = id_b
+        | WHERE round(jaro_winkler_similarity(ka.key, kb.key), 6) >= 0.9
+        | ORDER BY id_a, id_b""".stripMargin
     ),
 
     // D15 — exact duplicated-SPAN coverage (Lee et al., arXiv:2107.06499):

@@ -112,4 +112,19 @@ class CodegenFenceSpec extends SparkSpec {
       row(UTF8String.fromString("already nfc")),
       row(null)))
   }
+
+  test("JaroWinklerExpr compiles and generated eval matches interpreted") {
+    val strIn2 = BoundReference(1, StringType, nullable = true)
+    def srow(a: String, b: String): InternalRow = InternalRow(
+      if (a == null) null else UTF8String.fromString(a),
+      if (b == null) null else UTF8String.fromString(b))
+    assertCodegenMatchesInterpreted("jaro_winkler", JaroWinklerExpr(strIn, strIn2), Seq(
+      srow("MARTHA", "MARHTA"),
+      srow("DIXON", "DICKSONX"),
+      srow("", ""),
+      srow("abc", ""),
+      srow("same", "same"),
+      srow(null, "x"),
+      srow("x", null)))
+  }
 }

@@ -66,8 +66,12 @@ class PlanContractSpec extends SparkSpec {
           "s12_ivf_pq", "s13_sign_hamming", "s14_matryoshka",
           "d12_semdedup", "a11_decayed_sum", "s15_label_mrr",
           // s16 = s3/s4's broadcast-centroid assignment; r6 = r4's
-          // broadcast one-row weight-total scalar
-          "s16_ivf_health", "r6_epoch_capped_mix").contains(q))
+          // broadcast one-row weight-total scalar; t28 joins the one-row
+          // (N, avgdl) stats scalar keylessly twice (idf build + term
+          // scoring) and r9 its two one-row distribution totals — the
+          // r4/t11 shape, onto ≤1024-row bounded relations
+          "s16_ivf_health", "r6_epoch_capped_mix", "t28_bm25",
+          "r9_dsir_weights").contains(q))
         assert(count(plan, "BroadcastNestedLoopJoin") == 0, s"$q plans a nested-loop join")
     }
   }
@@ -362,6 +366,45 @@ class PlanContractSpec extends SparkSpec {
         s"$name: no count-gate semi join below the collect_set aggregate — " +
           s"hot buckets would materialize before the valve:\n$plan")
     }
+  }
+
+  test("d18 record linkage: count-gated buckets, string-free slice shuffle, no cartesian") {
+    val plan = planOf("d18_record_linkage")
+    // same gate discipline as the LSH stages
+    val setIdx = plan.indexOf("collect_set")
+    assert(setIdx >= 0, s"d18 must build slice buckets via collect_set:\n$plan")
+    assert(plan.indexOf("LeftSemi", setIdx) > setIdx,
+      s"d18: no count-gate semi join below the collect_set aggregate:\n$plan")
+    assert(count(plan, "CartesianProduct") == 0, s"d18 must never go all-pairs:\n$plan")
+    // the candidate shuffle keys on (band, xxhash64), never the slice string
+    assert(plan.contains("xxhash64"),
+      s"d18 slices must shuffle as hash keys, not strings:\n$plan")
+    // the verify projection runs the native expression (whole-stage eligible)
+    assert(plan.contains("jaro_winkler"),
+      s"d18 verify must use the native JaroWinklerExpr:\n$plan")
+  }
+
+  test("t28 bm25: probe-term filter sits below the (doc,term) aggregation, stats broadcast") {
+    val plan = planOf("t28_bm25")
+    // the corpus-wide shuffle must carry only probe-term instances: the
+    // isin filter appears below the first HashAggregate over (doc, term)
+    val aggIdx = plan.indexOf("HashAggregate")
+    assert(aggIdx >= 0)
+    assert(plan.indexOf("__term#", aggIdx) > 0, s"t28 aggregates (doc, term):\n$plan")
+    assert(plan.contains("INSET") || plan.contains("IN ("),
+      s"t28 must filter to the probe set before aggregating:\n$plan")
+    assert(count(plan, "BroadcastExchange") >= 2,
+      s"t28 stats and idf relations must broadcast:\n$plan")
+    assert(count(plan, "SortMergeJoin") == 0, s"t28 needs no sort-merge join:\n$plan")
+  }
+
+  test("r9 dsir: bounded histograms broadcast, corpus aggregates once per key") {
+    val plan = planOf("r9_dsir_weights")
+    assert(count(plan, "BroadcastExchange") >= 1,
+      s"r9 ln-ratio relation (≤1024 rows) must broadcast:\n$plan")
+    assert(count(plan, "SortMergeJoin") == 0,
+      s"r9 must never shuffle-join the corpus against the bucket relation:\n$plan")
+    assert(count(plan, "CartesianProduct") == 0)
   }
 
   test("a13 cohort retention counts distinct activity via dedup+count, never Expand") {
