@@ -866,6 +866,77 @@ object Curation {
       concat(col(textCol), lit(" "), mark(1), mark(2), mark(3), mark(4)).as(textCol))
   }
 
+  /** Deterministic multi-line fixture for the t29 oracle: the synthetic
+    * corpus is single-line, so the Gopher line-structure rules (bullet
+    * fraction, ellipsis line-ends) would be degenerate on it. Appends
+    * 2·d1 bullet lines (d1 = first md5 hex digit, 0-15 — docs with
+    * d1 ≥ 10 cross the >90%-bullets removal threshold) and one trailing
+    * line that ends in an ellipsis for half the corpus — all derived from
+    * md5(text), so the oracle rebuilds the identical string.
+    */
+  def plantStructuredLines(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h  = md5(col(textCol))
+    val d1 = conv(substring(h, 1, 1), 16, 10).cast("int")
+    val bullets = call_function("repeat",
+      concat(lit("\n- "), substring(h, 2, 4)), d1 * lit(2))
+    val ell = when(substring(h, 6, 1).isin("0", "2", "4", "6", "8", "a", "c", "e"),
+      lit("...")).otherwise(lit(""))
+    df.select(col(idCol),
+      concat(col(textCol), bullets, lit("\n"), substring(h, 7, 6), ell).as(textCol))
+  }
+
+  /** Gopher rule battery (t29, Rae et al. 2021, arXiv:2112.11446 — the
+    * canonical pretraining HARD-filter set, where [[linearQualityScore]]
+    * and the t2 features are soft signals): per-document rule flags plus
+    * the combined keep verdict. Rules: word count in [50, 100k], mean
+    * word length in [3, 10], symbol-to-word ratio (# or …) < 0.1, ≤ 90%
+    * of lines bullet-started, ≤ 30% of lines ellipsis-ended, ≥ 80% of
+    * words containing an alphabetic char, ≥ 2 stopword hits.
+    *
+    * Shape: one per-row projection — tokenize once, every rule is
+    * higher-order array math inside whole-stage codegen; NO join, NO
+    * shuffle (the t21 discipline). Ratios are single double divisions of
+    * exact integer counts rounded at 6 decimals, and the keep verdict
+    * compares the ROUNDED values — both engine-deterministic.
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  stopwords: Seq[String] =
+                    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it"))
+      : DataFrame = {
+    val toks   = TextOps.tokens(col(textCol))
+    val nWords = size(toks).cast("long")
+    val nW     = greatest(nWords, lit(1L)).cast("double")
+    val sumLen = aggregate(transform(toks, t => length(t).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val meanLen   = round(sumLen.cast("double") / nW, 6)
+    val nAlpha    = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+    val fracAlpha = round(nAlpha.cast("double") / nW, 6)
+    val nSymbols = (regexp_count(col(textCol), lit("#")) +
+      regexp_count(col(textCol), lit("\\.\\.\\."))).cast("long")
+    val symbolRatio = round(nSymbols.cast("double") / nW, 6)
+    val lines  = split(col(textCol), "\n")
+    val nLines = size(lines).cast("long")
+    val nL     = greatest(nLines, lit(1L)).cast("double")
+    val fracBullet = round(
+      size(filter(lines, l => l.startsWith("- "))).cast("double") / nL, 6)
+    val fracEllipsis = round(
+      size(filter(lines, l => l.endsWith("..."))).cast("double") / nL, 6)
+    val nStop = size(filter(toks, t => t.isin(stopwords.map(lit): _*))).cast("long")
+    df.select(col(idCol),
+        nWords.as("n_words"), meanLen.as("mean_word_len"),
+        fracAlpha.as("frac_alpha_words"), symbolRatio.as("symbol_ratio"),
+        nLines.as("n_lines"), fracBullet.as("frac_bullet_lines"),
+        fracEllipsis.as("frac_ellipsis_lines"), nStop.as("n_stopwords"))
+      .withColumn("keep",
+        (col("n_words") >= 50L && col("n_words") <= 100000L &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("symbol_ratio") < 0.1 &&
+          col("frac_bullet_lines") <= 0.9 &&
+          col("frac_ellipsis_lines") <= 0.3 &&
+          col("frac_alpha_words") >= 0.8 &&
+          col("n_stopwords") >= 2L).cast("int"))
+  }
+
   /** BM25 relevance scores (t28) for a fixed probe-term set — the lexical
     * retrieval scorer a curation pipeline uses to pull topical slices out
     * of a crawl (and the baseline every embedding retriever is graded

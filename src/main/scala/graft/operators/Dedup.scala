@@ -1052,4 +1052,31 @@ object Dedup {
       .filter(col("jw") >= threshold)
       .select("id_a", "id_b", "jw")
   }
+
+  /** Entity resolution (d19): the [[recordLinkage]] pair graph closed into
+    * entities — transitive closure via [[connectedComponents]] (min-id
+    * label), every document labeled (non-linked docs are their own
+    * entity, the [[clusterLabels]] singleton-coalesce), entity size
+    * attached, and the min-id member flagged canonical. The d10 cluster
+    * construction applied to the linkage graph: the output is the
+    * master-record table a downstream pipeline joins on.
+    */
+  def resolveEntities(df: DataFrame, idCol: String, textCol: String,
+                      keyLen: Int = 32, sliceLen: Int = 8,
+                      threshold: Double = 0.9,
+                      maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame = {
+    val comp = connectedComponents(
+      recordLinkage(df, idCol, textCol, keyLen, sliceLen, threshold, maxBucket)
+        .select("id_a", "id_b"),
+      "id_a", "id_b")
+    val labeled = df.select(col(idCol))
+      .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("entity_id", coalesce(col("label"), col(idCol)))
+      .drop("label")
+    val sizes = labeled.groupBy("entity_id").agg(count(lit(1)).as("entity_size"))
+    labeled.join(sizes, "entity_id")
+      .select(col(idCol), col("entity_id"), col("entity_size"),
+        when(col(idCol) === col("entity_id"), 1).otherwise(0)
+          .cast("int").as("is_canonical"))
+  }
 }

@@ -66,6 +66,28 @@ object PipelineQueries {
        |   UNION
        |   SELECT e.dst, c.label FROM cc c JOIN edges e ON e.src = c.id)""".stripMargin
 
+  /** The d18 linkage-pair CTE chain (also the d19 entity-graph input,
+    * single-sourced like [[winnowCcCtes]]): normalized 32-char keys,
+    * aligned 8-char slice blocking with the [2, 10000] count gate,
+    * Jaro-Winkler ≥ 0.9 verified pairs as `lp(id_a, id_b, jw)`.
+    */
+  private def linkagePairCtes: String =
+    """k AS (SELECT doc_id,
+      |    regexp_replace(lower(substr(text, 1, 32)), '[^\x20-\x7e]', '', 'g') AS key
+      |  FROM documents),
+      | slices AS (SELECT doc_id, i, substr(key, 1 + 8 * i, 8) AS sl
+      |   FROM k, unnest(range(0, 4)) AS u(i)
+      |   WHERE len(substr(key, 1 + 8 * i, 8)) > 0),
+      | gated AS (SELECT i, sl FROM slices
+      |   GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 10000),
+      | cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |   FROM slices a JOIN gated g ON a.i = g.i AND a.sl = g.sl
+      |   JOIN slices b ON b.i = a.i AND b.sl = a.sl AND a.doc_id < b.doc_id),
+      | lp AS (SELECT id_a, id_b,
+      |     round(jaro_winkler_similarity(ka.key, kb.key), 6) AS jw
+      |   FROM cand JOIN k ka ON ka.doc_id = id_a JOIN k kb ON kb.doc_id = id_b
+      |   WHERE round(jaro_winkler_similarity(ka.key, kb.key), 6) >= 0.9)""".stripMargin
+
   /** [[winnowCcCtes]] extended with the shared labeling stage (d10/d11):
     * min-label components + the full corpus left-joined so singletons
     * carry their own id — the SQL twin of Dedup.componentLabels, single-
@@ -725,6 +747,54 @@ object PipelineQueries {
          |   CAST(sum(tf) AS BIGINT) AS n_term_hits,
          |   CAST(sum(CAST(sterm AS DECIMAL(28,9))) AS DOUBLE) AS bm25
          | FROM terms GROUP BY 1 ORDER BY doc_id""".stripMargin
+    ),
+
+    // T29 — the Gopher hard-filter rule battery (Rae et al. 2021) over
+    // the multi-line fixture (the synthetic corpus is single-line, so the
+    // line-structure rules need planted bullet/ellipsis lines — derived
+    // from md5(text) like every fixture here, so the oracle rebuilds the
+    // identical string). One per-row projection, no join, no shuffle.
+    "t29_gopher_rules" -> QueryDef.sql(
+      (s, d) => Curation.gopherRules(
+          Curation.plantStructuredLines(Tables(s, d).documents, "doc_id", "text"),
+          "doc_id", "text")
+        .orderBy("doc_id"),
+      s"""WITH aug AS (SELECT doc_id,
+         |    text || repeat(chr(10) || '- ' || substr(h, 2, 4),
+         |        (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 2)
+         |      || chr(10) || substr(h, 7, 6)
+         |      || CASE WHEN substr(h, 6, 1) IN ('0','2','4','6','8','a','c','e')
+         |         THEN '...' ELSE '' END AS t
+         |  FROM (SELECT doc_id, text, md5(text) AS h FROM documents)),
+         | f AS (SELECT doc_id, regexp_split_to_array(trim(t), '\\s+') AS toks,
+         |    string_split(t, chr(10)) AS lines, t FROM aug),
+         | g AS (SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_words,
+         |    round(CAST(list_reduce(list_transform(toks, x -> CAST(len(x) AS BIGINT)),
+         |        (a, b) -> a + b) AS DOUBLE)
+         |      / greatest(CAST(len(toks) AS DOUBLE), 1.0), 6) AS mean_word_len,
+         |    round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+         |      / greatest(CAST(len(toks) AS DOUBLE), 1.0), 6) AS frac_alpha_words,
+         |    round(CAST(len(regexp_extract_all(t, '#'))
+         |        + len(regexp_extract_all(t, '\\.\\.\\.')) AS DOUBLE)
+         |      / greatest(CAST(len(toks) AS DOUBLE), 1.0), 6) AS symbol_ratio,
+         |    CAST(len(lines) AS BIGINT) AS n_lines,
+         |    round(CAST(len(list_filter(lines, x -> starts_with(x, '- '))) AS DOUBLE)
+         |      / greatest(CAST(len(lines) AS DOUBLE), 1.0), 6) AS frac_bullet_lines,
+         |    round(CAST(len(list_filter(lines, x -> ends_with(x, '...'))) AS DOUBLE)
+         |      / greatest(CAST(len(lines) AS DOUBLE), 1.0), 6) AS frac_ellipsis_lines,
+         |    CAST(len(list_filter(toks, x -> list_contains(
+         |      ['the','a','an','and','or','of','to','in','is','it'], x))) AS BIGINT)
+         |      AS n_stopwords
+         |  FROM f)
+         | SELECT doc_id, n_words, mean_word_len, frac_alpha_words, symbol_ratio,
+         |   n_lines, frac_bullet_lines, frac_ellipsis_lines, n_stopwords,
+         |   CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+         |     AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |     AND symbol_ratio < 0.1 AND frac_bullet_lines <= 0.9
+         |     AND frac_ellipsis_lines <= 0.3 AND frac_alpha_words >= 0.8
+         |     AND n_stopwords >= 2 THEN 1 ELSE 0 END AS INTEGER) AS keep
+         | FROM g ORDER BY doc_id""".stripMargin
     ),
 
     // R9 — DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
@@ -1601,22 +1671,34 @@ object PipelineQueries {
     "d18_record_linkage" -> QueryDef.sql(
       (s, d) => Dedup.recordLinkage(Tables(s, d).documents, "doc_id", "text")
         .orderBy("id_a", "id_b"),
-      """WITH k AS (SELECT doc_id,
-        |    regexp_replace(lower(substr(text, 1, 32)), '[^\x20-\x7e]', '', 'g') AS key
-        |  FROM documents),
-        | slices AS (SELECT doc_id, i, substr(key, 1 + 8 * i, 8) AS sl
-        |   FROM k, unnest(range(0, 4)) AS u(i)
-        |   WHERE len(substr(key, 1 + 8 * i, 8)) > 0),
-        | gated AS (SELECT i, sl FROM slices
-        |   GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 10000),
-        | cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |   FROM slices a JOIN gated g ON a.i = g.i AND a.sl = g.sl
-        |   JOIN slices b ON b.i = a.i AND b.sl = a.sl AND a.doc_id < b.doc_id)
-        | SELECT id_a, id_b,
-        |   round(jaro_winkler_similarity(ka.key, kb.key), 6) AS jw
-        | FROM cand JOIN k ka ON ka.doc_id = id_a JOIN k kb ON kb.doc_id = id_b
-        | WHERE round(jaro_winkler_similarity(ka.key, kb.key), 6) >= 0.9
-        | ORDER BY id_a, id_b""".stripMargin
+      s"""WITH $linkagePairCtes
+         | SELECT id_a, id_b, jw FROM lp ORDER BY id_a, id_b""".stripMargin
+    ),
+
+    // D19 — entity resolution: the d18 linkage graph closed into entities
+    // (recursive-CTE transitive closure, min-id entity label), every doc
+    // labeled (singletons are their own entity), entity sizes, min-id
+    // member canonical — the master-record table (the d10 construction
+    // over the linkage graph instead of the winnow graph).
+    "d19_entity_resolution" -> QueryDef.sql(
+      (s, d) => Dedup.resolveEntities(Tables(s, d).documents, "doc_id", "text")
+        .orderBy("doc_id"),
+      s"""WITH RECURSIVE $linkagePairCtes,
+         | edges AS (SELECT id_a AS src, id_b AS dst FROM lp
+         |   UNION SELECT id_b, id_a FROM lp),
+         | cc(id, label) AS (
+         |   SELECT src, src FROM edges
+         |   UNION
+         |   SELECT e.dst, c.label FROM cc c JOIN edges e ON e.src = c.id),
+         | comp AS (SELECT id AS doc_id, min(label) AS entity_id FROM cc GROUP BY id),
+         | labeled AS (SELECT d.doc_id, coalesce(c.entity_id, d.doc_id) AS entity_id
+         |   FROM documents d LEFT JOIN comp c USING (doc_id)),
+         | sizes AS (SELECT entity_id, CAST(count(*) AS BIGINT) AS entity_size
+         |   FROM labeled GROUP BY 1)
+         | SELECT l.doc_id, l.entity_id, s.entity_size,
+         |   CAST(CASE WHEN l.doc_id = l.entity_id THEN 1 ELSE 0 END AS INTEGER)
+         |     AS is_canonical
+         | FROM labeled l JOIN sizes s USING (entity_id) ORDER BY l.doc_id""".stripMargin
     ),
 
     // D15 — exact duplicated-SPAN coverage (Lee et al., arXiv:2107.06499):

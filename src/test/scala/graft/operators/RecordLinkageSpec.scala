@@ -59,6 +59,26 @@ class RecordLinkageSpec extends SparkSpec {
     assert(exact.count() == 30L * 29 / 2) // exact contract recovers every pair
   }
 
+  test("resolveEntities closes the pair graph transitively, labels singletons, flags min-id canonical") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs away"),
+      (2L, "the quick brown fox jumps over the hazy dog and runs away"), // links to 1
+      (3L, "the quick brawn fox jumps over the lazy dog"),               // links to 1 (and 2)
+      (4L, "completely different text with no shared prefix at all"),    // singleton
+      (9L, "xz qq ww ee rr tt yy uu ii oo pp")                           // singleton
+    ).toDF("doc_id", "text")
+    val got = Dedup.resolveEntities(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("entity_id"), r.getAs[Long]("entity_size"),
+          r.getAs[Int]("is_canonical"))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 9L)) // every doc labeled
+    assert(got(1L) == ((1L, 3L, 1)))              // min id is canonical
+    assert(got(2L) == ((1L, 3L, 0)))
+    assert(got(3L) == ((1L, 3L, 0)))              // transitive even if only pairwise-linked via 1
+    assert(got(4L) == ((4L, 1L, 1)))              // singleton = own entity, canonical
+    assert(got(9L) == ((9L, 1L, 1)))
+  }
+
   test("recordLinkage strips non-ASCII from keys so byte and char views agree") {
     // both docs carry é at the SAME position, so the strip shifts both keys
     // identically and the slice blocking still aligns; the resulting

@@ -398,6 +398,15 @@ class PlanContractSpec extends SparkSpec {
     assert(count(plan, "SortMergeJoin") == 0, s"t28 needs no sort-merge join:\n$plan")
   }
 
+  test("t29 gopher rules is one per-row projection: no join, no aggregation shuffle") {
+    val plan = planOf("t29_gopher_rules")
+    assert(count(plan, "Join") == 0, s"t29 needs no join:\n$plan")
+    assert(count(plan, "HashAggregate") == 0, s"t29 needs no aggregation:\n$plan")
+    // the only exchange is the presentation orderBy's range partitioning
+    assert(count(plan, "Exchange hashpartitioning") == 0,
+      s"t29 must not shuffle on any key:\n$plan")
+  }
+
   test("r9 dsir: bounded histograms broadcast, corpus aggregates once per key") {
     val plan = planOf("r9_dsir_weights")
     assert(count(plan, "BroadcastExchange") >= 1,
