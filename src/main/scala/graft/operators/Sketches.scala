@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed cardinality / frequency sketches — the statistics layer a
+  * 100 TB curation pipeline plans with before it runs anything expensive
+  * (how many distinct shingles per slice → dedup bucket sizing; which
+  * tokens are heavy → boilerplate/stopword candidates). Both sketches are
+  * mergeable by construction, so Spark's partial aggregation IS the sketch
+  * merge: mapper-side state is bounded by the register/cell count, never
+  * by the data, and the shuffle carries at most `groups × m` rows no
+  * matter how many trillions of values stream through.
+  *
+  * Hashing is md5-derived (like every fixture/oracle construction in this
+  * repo) so the register contents are engine-independent integers: the
+  * DuckDB oracle rebuilds the identical sketch in SQL and the comparison
+  * is exact — no tolerance, no seed smuggling.
+  */
+object Sketches {
+
+  /** Rank of the first set bit (ρ) over a 48-bit window taken from hex
+    * chars [from, from+12) of an md5 digest column: 1 + the number of
+    * leading zero BITS, 49 when the whole window is zero. Pure string +
+    * CASE math (leading-zero hex run via regexp, a 4-way lookup inside the
+    * first non-zero digit), identical in the SQL oracle.
+    */
+  private def rho48(h: Column, from: Int): Column = {
+    val w    = substring(h, from, 12)
+    val zHex = length(regexp_extract(w, "^(0*)", 1))
+    val d1   = w.substr(zHex + 1, lit(1))
+    val inDigit = when(d1 === "1", 3)
+      .when(d1.isin("2", "3"), 2)
+      .when(d1.isin("4", "5", "6", "7"), 1)
+      .otherwise(0)
+    when(zHex === 12, lit(49)).otherwise(zHex * 4 + inDigit + 1)
+  }
+
+  /** HyperLogLog distinct-count estimate per group (Flajolet et al. 2007)
+    * over `value`, with m registers (m a power of two ≤ 4096).
+    *
+    * Shape — the canonical two-level mergeable aggregation:
+    *   1. per (group, register) max-ρ: map-side combine bounds every
+    *      mapper at groups×m rows, duplicates collapse BEFORE the shuffle
+    *      (max is idempotent, so no pre-distinct pass is ever needed);
+    *   2. per group: fold the ≤ m register rows into the harmonic sum.
+    * The harmonic sum is kept EXACT as the integer Σ 2^(49−ρ_j) (absent
+    * registers contribute 2^49; max m·2^49 = 2^61 fits a long), so the
+    * floating steps are the final αm²·2^49 / S division and — in the
+    * sparse range only — the standard linear-counting correction
+    * m·ln(m/V) when the raw estimate is ≤ 2.5m and V registers are
+    * untouched (raw HLL saturates near α·m for small n; Flajolet §4).
+    * Both expressions are repeated verbatim in the oracle, and the
+    * branch condition compares identically-computed doubles.
+    *
+    * Columns: group…, `m`, `n_zero` (untouched registers), `harmonic`
+    * (the exact integer sum), `hll_est` (rounded at 4 decimals).
+    */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], value: Column,
+                  m: Int = 1024): DataFrame = {
+    require(m > 0 && m <= 4096 && (m & (m - 1)) == 0, s"m must be a power of two <= 4096: $m")
+    require(groupCols.nonEmpty, "hllDistinct needs >= 1 group column (group by a literal for a global count)")
+    val h      = md5(value.cast("string"))
+    val bucket = conv(substring(h, 1, 3), 16, 10).cast("long") % m
+    val g      = groupCols.map(col)
+    val regs = df
+      .select(g :+ bucket.as("__b") :+ rho48(h, 4).as("__rho"): _*)
+      .groupBy(groupCols.head, groupCols.tail :+ "__b": _*)
+      .agg(max(col("__rho")).as("__r"))
+    regs
+      .groupBy(groupCols.head, groupCols.tail: _*)
+      .agg(count(lit(1)).as("__present"),
+        sum(expr("shiftleft(1L, 49 - __r)")).as("__s"))
+      .select(g ++ Seq(
+        lit(m.toLong).as("m"),
+        (lit(m.toLong) - col("__present")).as("n_zero"),
+        (col("__s") + (lit(m.toLong) - col("__present")) * lit(1L << 49)).as("harmonic")): _*)
+      .withColumn("__raw",
+        lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+          * lit(m.toDouble) * lit(m.toDouble) * lit((1L << 49).toDouble)
+          / col("harmonic").cast("double"))
+      .withColumn("hll_est",
+        when(col("n_zero") > 0L && col("__raw") <= lit(2.5 * m),
+          round(lit(m.toDouble) * log(lit(m.toDouble) / col("n_zero").cast("double")), 4))
+          .otherwise(round(col("__raw"), 4)))
+      .drop("__raw")
+  }
+
+  /** Count-Min sketch frequency estimates (Cormode & Muthukrishnan 2005)
+    * for a fixed probe set, plus the φ-heavy-hitter verdict.
+    *
+    * Shape: the corpus pays ONE value-keyed count rollup (map-side
+    * combine; the shuffle carries the distinct-value relation, not the
+    * stream). The d×w cell build then runs on that bounded relation —
+    * each distinct value expands to exactly d (row, cell) increments —
+    * and the sketch itself is ≤ d·w rows, so the probe lookup joins
+    * against a relation the planner always broadcasts. `est = min_j
+    * CMS[j][h_j(x)]` is never below the true count (one-sided error);
+    * the true count and overcount ride along to show it.
+    *
+    * The heavy verdict is integer-exact: est·denom ≥ N·num for
+    * φ = num/denom (default 1/100), no floating threshold.
+    *
+    * Columns: `token`, `cms_est`, `true_count`, `overcount`, `total_n`,
+    * `heavy`.
+    */
+  def cmsHeavyHitters(df: DataFrame, value: Column, probes: Seq[String],
+                      d: Int = 4, w: Int = 1024,
+                      phiNum: Long = 1L, phiDenom: Long = 100L): DataFrame = {
+    require(d >= 1 && d <= 8 && w >= 8, s"bad CMS geometry d=$d w=$w")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def cell(row: Column, v: Column): Column =
+      conv(substring(md5(concat(row.cast("string"), lit(":"), v)), 1, 5), 16, 10)
+        .cast("long") % w
+
+    val counts = df.select(value.cast("string").as("__v"))
+      .groupBy("__v").agg(count(lit(1)).as("__c"))
+    val totals = counts.agg(sum(col("__c")).as("__n"))
+    val sketch = counts
+      .select(explode(array((0 until d).map(j => lit(j.toLong)): _*)).as("__j"),
+        col("__v"), col("__c"))
+      .select(col("__j"), cell(col("__j"), col("__v")).as("__cell"), col("__c"))
+      .groupBy("__j", "__cell").agg(sum(col("__c")).as("__cnt"))
+
+    val probeDf = probes.toDF("token")
+    val probeCells = probeDf
+      .select(col("token"),
+        explode(array((0 until d).map(j => lit(j.toLong)): _*)).as("__j"))
+      .select(col("token"), col("__j"), cell(col("__j"), col("token")).as("__cell"))
+    // true counts for the probes only: the probe set broadcasts into the
+    // distributed vocab relation (never the reverse — the vocab is
+    // corpus-sized at scale, the probe list is a constant)
+    val trueCounts = counts
+      .join(broadcast(probeDf), col("__v") === col("token")).select("token", "__c")
+    probeCells
+      .join(broadcast(sketch), Seq("__j", "__cell"), "left")
+      .groupBy("token")
+      .agg(min(coalesce(col("__cnt"), lit(0L))).as("cms_est"))
+      .join(broadcast(trueCounts), Seq("token"), "left")
+      .withColumn("true_count", coalesce(col("__c"), lit(0L)))
+      .crossJoin(broadcast(totals))
+      .select(col("token"), col("cms_est"), col("true_count"),
+        (col("cms_est") - col("true_count")).as("overcount"),
+        col("__n").as("total_n"),
+        (col("cms_est") * phiDenom >= col("__n") * phiNum).cast("int").as("heavy"))
+  }
+}

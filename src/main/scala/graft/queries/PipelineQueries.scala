@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Curation, Dedup, Jpeg, Multimodal, Similarity, TextOps}
+import graft.operators.{Curation, Dedup, Jpeg, Multimodal, Similarity, Sketches, TextOps}
 import graft.sources.Tables
 
 /** Training-data pipeline operators over documents/embeddings: dedup,
@@ -37,6 +37,12 @@ object PipelineQueries {
     */
   private def hex8(md5Expr: String, offset: Int): String =
     s"list_reduce(list_transform(range(1,9), i -> CAST(instr('0123456789abcdef', substr($md5Expr, i + $offset, 1)) - 1 AS BIGINT)), (a,b) -> a*16 + b)"
+
+  /** First `n` hex digits of an expr → BIGINT (the SQL mirror of Spark's
+    * `conv(substring(x, 1, n), 16, 10)` used by the sketch operators).
+    */
+  private def hexN(expr: String, n: Int): String =
+    s"list_reduce(list_transform(range(1,${n + 1}), i -> CAST(instr('0123456789abcdef', substr($expr, i, 1)) - 1 AS BIGINT)), (a,b) -> a*16 + b)"
 
   /** Shared CTE chain for the winnowing near-dup graph closed under a
     * recursive CTE (the d6/d10 cluster construction): tokens → 3-gram
@@ -795,6 +801,86 @@ object PipelineQueries {
          |     AND frac_ellipsis_lines <= 0.3 AND frac_alpha_words >= 0.8
          |     AND n_stopwords >= 2 THEN 1 ELSE 0 END AS INTEGER) AS keep
          | FROM g ORDER BY doc_id""".stripMargin
+    ),
+
+    // A14 — HyperLogLog distinct 5-shingles per lang (Flajolet et al.
+    // 2007): the cardinality statistic a dedup pass is SIZED with before
+    // it runs. md5-derived registers so the oracle rebuilds the identical
+    // sketch; the harmonic sum stays an exact integer (Σ 2^(49−ρ)); the
+    // double steps (raw division, sparse-range linear counting) are
+    // repeated verbatim in both engines.
+    "a14_hll_distinct" -> QueryDef.sql(
+      (s, d) => {
+        val t = Tables(s, d).documents
+          .select(col("lang"), TextOps.tokens(col("text")).as("__toks"))
+        val sh = t.select(col("lang"),
+          explode(TextOps.shinglesOfTokens(col("__toks"), 5)).as("__s"))
+        Sketches.hllDistinct(sh, Seq("lang"), col("__s"), m = 1024)
+          .orderBy("lang")
+      },
+      s"""WITH t AS (SELECT lang, $toksSql AS tk FROM documents),
+         | sh AS (SELECT lang, unnest([array_to_string(tk[i:i+4], ' ')
+         |     for i in range(1, len(tk) - 3)]) AS s FROM t),
+         | hx AS (SELECT lang, md5(s) AS h FROM sh),
+         | zd AS (SELECT lang, h,
+         |    length(regexp_extract(substr(h, 4, 12), '^(0*)', 1)) AS z FROM hx),
+         | br AS (SELECT lang, ${hexN("h", 3)} % 1024 AS b,
+         |    CASE WHEN z = 12 THEN 49 ELSE 4 * z
+         |      + CASE substr(substr(h, 4, 12), z + 1, 1)
+         |          WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+         |          WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+         |          ELSE 0 END + 1 END AS rho
+         |   FROM zd),
+         | regs AS (SELECT lang, b, max(rho) AS r FROM br GROUP BY 1, 2),
+         | agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS present,
+         |    CAST(sum(CAST(1 AS BIGINT) << (49 - r)) AS BIGINT) AS sp
+         |   FROM regs GROUP BY 1),
+         | fin AS (SELECT lang, CAST(1024 AS BIGINT) AS m,
+         |    CAST(1024 - present AS BIGINT) AS n_zero,
+         |    CAST(sp + (1024 - present) * (CAST(1 AS BIGINT) << 49) AS BIGINT) AS harmonic
+         |   FROM agg),
+         | raw AS (SELECT lang, m, n_zero, harmonic,
+         |    0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0
+         |      * 562949953421312.0 / CAST(harmonic AS DOUBLE) AS r
+         |   FROM fin)
+         | SELECT lang, m, n_zero, harmonic,
+         |   CASE WHEN n_zero > 0 AND r <= 2560.0
+         |     THEN round(1024.0 * ln(1024.0 / CAST(n_zero AS DOUBLE)), 4)
+         |     ELSE round(r, 4) END AS hll_est
+         | FROM raw ORDER BY lang""".stripMargin
+    ),
+
+    // A15 — Count-Min heavy hitters (Cormode & Muthukrishnan 2005) for a
+    // fixed probe set at φ = 1%: the frequency sketch a boilerplate /
+    // stopword pass consults. The corpus pays one token-keyed rollup; the
+    // d×w cell build runs on the bounded vocab relation; est = min over
+    // rows is one-sided (overcount ≥ 0 always, shown alongside truth).
+    "a15_cms_heavy" -> QueryDef.sql(
+      (s, d) => {
+        val tok = Tables(s, d).documents
+          .select(explode(TextOps.tokens(col("text"))).as("__t"))
+        Sketches.cmsHeavyHitters(tok, col("__t"),
+            Seq("join", "hash", "dup", "the", "zzzabsent"))
+          .orderBy("token")
+      },
+      s"""WITH tok AS (SELECT unnest($toksSql) AS v FROM documents),
+         | counts AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+         | n AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM counts),
+         | cells AS (SELECT j, ${hexN("md5(j || ':' || v)", 5)} % 1024 AS cell, c
+         |   FROM counts, unnest(range(0, 4)) u(j)),
+         | sk AS (SELECT j, cell, CAST(sum(c) AS BIGINT) AS cnt
+         |   FROM cells GROUP BY 1, 2),
+         | probes AS (SELECT unnest(['join','hash','dup','the','zzzabsent']) AS token),
+         | pc AS (SELECT token, j, ${hexN("md5(j || ':' || token)", 5)} % 1024 AS cell
+         |   FROM probes, unnest(range(0, 4)) u(j)),
+         | est AS (SELECT token, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS cms_est
+         |   FROM pc LEFT JOIN sk USING (j, cell) GROUP BY 1),
+         | tc AS (SELECT token, CAST(coalesce(c, 0) AS BIGINT) AS true_count
+         |   FROM probes LEFT JOIN counts ON v = token)
+         | SELECT e.token, e.cms_est, t.true_count,
+         |   e.cms_est - t.true_count AS overcount, n.total AS total_n,
+         |   CAST(CASE WHEN e.cms_est * 100 >= n.total THEN 1 ELSE 0 END AS INTEGER) AS heavy
+         | FROM est e JOIN tc t USING (token), n ORDER BY token""".stripMargin
     ),
 
     // R9 — DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):

@@ -71,7 +71,9 @@ class PlanContractSpec extends SparkSpec {
           // scoring) and r9 its two one-row distribution totals — the
           // r4/t11 shape, onto ≤1024-row bounded relations
           "s16_ivf_health", "r6_epoch_capped_mix", "t28_bm25",
-          "r9_dsir_weights").contains(q))
+          // a15 joins the broadcast ONE-ROW token grand total keylessly
+          // onto the probe-sized estimate relation — the r4/t11 shape
+          "r9_dsir_weights", "a15_cms_heavy").contains(q))
         assert(count(plan, "BroadcastNestedLoopJoin") == 0, s"$q plans a nested-loop join")
     }
   }
@@ -405,6 +407,23 @@ class PlanContractSpec extends SparkSpec {
     // the only exchange is the presentation orderBy's range partitioning
     assert(count(plan, "Exchange hashpartitioning") == 0,
       s"t29 must not shuffle on any key:\n$plan")
+  }
+
+  test("a14 hll: two combine-friendly aggregations, no join, no Expand") {
+    val plan = planOf("a14_hll_distinct")
+    assert(count(plan, "Join") == 0, s"a14 needs no join:\n$plan")
+    assert(count(plan, "Expand") == 0, s"a14 must not plan countDistinct's Expand:\n$plan")
+    // register build + per-group fold, each with a partial side: the
+    // shuffle carries at most groups × m register rows
+    assert(count(plan, "HashAggregate") >= 4, s"a14 needs partial aggregation:\n$plan")
+  }
+
+  test("a15 cms: probe lookups broadcast, never sort-merge; vocab rollup is partial-agg") {
+    val plan = planOf("a15_cms_heavy")
+    assert(count(plan, "SortMergeJoin") == 0, s"a15 must not sort-merge:\n$plan")
+    assert(count(plan, "BroadcastHashJoin") >= 2,
+      s"a15's sketch/true-count lookups must broadcast:\n$plan")
+    assert(count(plan, "Expand") == 0, s"a15 must not plan an Expand:\n$plan")
   }
 
   test("r9 dsir: bounded histograms broadcast, corpus aggregates once per key") {
