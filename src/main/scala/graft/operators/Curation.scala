@@ -937,6 +937,82 @@ object Curation {
           col("n_stopwords") >= 2L).cast("int"))
   }
 
+  /** Deterministic multi-line fixture for the t30 oracle (C4 is a
+    * LINE-level filter and the synthetic corpus is single-line). All
+    * planting decisions derive from md5(text) nibbles so the oracle
+    * rebuilds the identical page:
+    *   - the base line gets a terminal '.' for even nibble 1 (so the
+    *     retained-sentence rule sees both outcomes);
+    *   - one always-kept sentence line, one too-short line, one
+    *     unterminated line;
+    *   - a "please enable javascript" line for nibble 2 < 8;
+    *   - a "lorem ipsum" page poison for nibble 3 = 0, a '{' code line
+    *     for nibble 4 = 0 (page-level removals);
+    *   - a 3-sentence line for nibble 5 < 12 (without it most pages fall
+    *     below the ≥ 3 retained-sentences floor).
+    */
+  def plantC4Lines(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h = md5(col(textCol))
+    def nib(i: Int): Column = conv(substring(h, i, 1), 16, 10).cast("int")
+    val base = when(nib(1) % 2 === 0, concat(col(textCol), lit(".")))
+      .otherwise(col(textCol))
+    val l1 = concat(lit("\nc4 keeps this sentence about "),
+      substring(h, 1, 6), lit(" tokens."))
+    val l2 = concat(lit("\n"), substring(h, 7, 4), lit(" short."))
+    val l3 = lit("\nthis line has five words minimum but no terminal punctuation")
+    val l4 = when(nib(2) < 8,
+      lit("\nplease enable javascript to view the content here.")).otherwise(lit(""))
+    val l5 = when(nib(3) === 0,
+      lit("\nlorem ipsum dolor sit amet consectetur.")).otherwise(lit(""))
+    val l6 = when(nib(4) === 0,
+      concat(lit("\nfunction f() { return "), substring(h, 11, 2), lit(" }")))
+      .otherwise(lit(""))
+    val l7 = when(nib(5) < 12,
+      lit("\nfirst sentence here is fine. second sentence also fine. third sentence ends properly."))
+      .otherwise(lit(""))
+    df.select(col(idCol), concat(base, l1, l2, l3, l4, l5, l6, l7).as(textCol))
+  }
+
+  /** C4 heuristic cleaning (t30, Raffel et al. 2020, arXiv:1910.10683
+    * §2.2 — the rule set behind the C4 corpus, where [[gopherRules]] is
+    * the Gopher battery): line-level retention (a line survives only if
+    * it ends in terminal punctuation [.!?"], has ≥ 5 words, and does not
+    * mention javascript) plus page-level removal (any page containing
+    * "lorem ipsum" or a '{', or retaining fewer than 3 sentences after
+    * line filtering). The lexicon ("bad words") pass is the t19/t21
+    * family and stays separate.
+    *
+    * Shape: one per-row projection — split lines once, every rule is
+    * higher-order array math inside whole-stage codegen; NO join, NO
+    * shuffle (the t21/t29 discipline). All outputs are integers or the
+    * cleaned string itself; nothing floating.
+    *
+    * Columns: `n_lines`, `n_kept`, `n_sentences` (terminal marks in the
+    * retained text), `has_lorem`, `has_brace`, `clean_len`, `clean_text`
+    * (retained lines re-joined), `keep`.
+    */
+  def c4Filters(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, l => {
+      val t = trim(l)
+      t.rlike("[.!?\"]$") &&
+        size(split(t, "\\s+")) >= 5 &&
+        !contains(lower(t), lit("javascript"))
+    })
+    val cleanText = array_join(kept, "\n")
+    df.select(col(idCol),
+        size(lines).cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_kept"),
+        regexp_count(cleanText, lit("[.!?]")).cast("long").as("n_sentences"),
+        contains(lower(col(textCol)), lit("lorem ipsum")).cast("int").as("has_lorem"),
+        contains(col(textCol), lit("{")).cast("int").as("has_brace"),
+        length(cleanText).cast("long").as("clean_len"),
+        cleanText.as("clean_text"))
+      .withColumn("keep",
+        (col("n_sentences") >= 3L && col("has_lorem") === 0 && col("has_brace") === 0)
+          .cast("int"))
+  }
+
   /** BM25 relevance scores (t28) for a fixed probe-term set — the lexical
     * retrieval scorer a curation pipeline uses to pull topical slices out
     * of a crawl (and the baseline every embedding retriever is graded

@@ -803,6 +803,54 @@ object PipelineQueries {
          | FROM g ORDER BY doc_id""".stripMargin
     ),
 
+    // T30 — the C4 cleaning rules (Raffel et al. 2020 §2.2) over the
+    // planted multi-line fixture: line-level retention (terminal punct,
+    // ≥ 5 words, no javascript) + page-level removal (lorem ipsum, '{',
+    // < 3 retained sentences). One per-row projection, no join/shuffle.
+    "t30_c4_filters" -> QueryDef.sql(
+      (s, d) => Curation.c4Filters(
+          Curation.plantC4Lines(Tables(s, d).documents, "doc_id", "text"),
+          "doc_id", "text")
+        .orderBy("doc_id"),
+      s"""WITH aug AS (SELECT doc_id,
+         |    (CASE WHEN (instr('0123456789abcdef', substr(h, 1, 1)) - 1) % 2 = 0
+         |       THEN text || '.' ELSE text END)
+         |    || chr(10) || 'c4 keeps this sentence about ' || substr(h, 1, 6) || ' tokens.'
+         |    || chr(10) || substr(h, 7, 4) || ' short.'
+         |    || chr(10) || 'this line has five words minimum but no terminal punctuation'
+         |    || CASE WHEN (instr('0123456789abcdef', substr(h, 2, 1)) - 1) < 8
+         |       THEN chr(10) || 'please enable javascript to view the content here.' ELSE '' END
+         |    || CASE WHEN (instr('0123456789abcdef', substr(h, 3, 1)) - 1) = 0
+         |       THEN chr(10) || 'lorem ipsum dolor sit amet consectetur.' ELSE '' END
+         |    || CASE WHEN (instr('0123456789abcdef', substr(h, 4, 1)) - 1) = 0
+         |       THEN chr(10) || 'function f() { return ' || substr(h, 11, 2) || ' }' ELSE '' END
+         |    || CASE WHEN (instr('0123456789abcdef', substr(h, 5, 1)) - 1) < 12
+         |       THEN chr(10) || 'first sentence here is fine. second sentence also fine. third sentence ends properly.' ELSE '' END
+         |      AS t
+         |  FROM (SELECT doc_id, text, md5(text) AS h FROM documents)),
+         | f AS (SELECT doc_id, t, string_split(t, chr(10)) AS lines FROM aug),
+         | k AS (SELECT doc_id, t, CAST(len(lines) AS BIGINT) AS n_lines,
+         |    list_filter(lines, l -> regexp_matches(trim(l), '[.!?"]$$')
+         |      AND len(regexp_split_to_array(trim(l), '\\s+')) >= 5
+         |      AND NOT contains(lower(trim(l)), 'javascript')) AS kept
+         |   FROM f),
+         | g AS (SELECT doc_id, n_lines, CAST(len(kept) AS BIGINT) AS n_kept,
+         |    array_to_string(kept, chr(10)) AS clean_text,
+         |    CAST(contains(lower(t), 'lorem ipsum') AS INTEGER) AS has_lorem,
+         |    CAST(contains(t, '{') AS INTEGER) AS has_brace
+         |   FROM k),
+         | z AS (SELECT doc_id, n_lines, n_kept,
+         |    CAST(len(regexp_extract_all(clean_text, '[.!?]')) AS BIGINT) AS n_sentences,
+         |    has_lorem, has_brace,
+         |    CAST(length(clean_text) AS BIGINT) AS clean_len, clean_text
+         |   FROM g)
+         | SELECT doc_id, n_lines, n_kept, n_sentences, has_lorem, has_brace,
+         |   clean_len, clean_text,
+         |   CAST(CASE WHEN n_sentences >= 3 AND has_lorem = 0 AND has_brace = 0
+         |     THEN 1 ELSE 0 END AS INTEGER) AS keep
+         | FROM z ORDER BY doc_id""".stripMargin
+    ),
+
     // A14 — HyperLogLog distinct 5-shingles per lang (Flajolet et al.
     // 2007): the cardinality statistic a dedup pass is SIZED with before
     // it runs. md5-derived registers so the oracle rebuilds the identical

@@ -409,6 +409,14 @@ class PlanContractSpec extends SparkSpec {
       s"t29 must not shuffle on any key:\n$plan")
   }
 
+  test("t30 c4 filters is one per-row projection: no join, no aggregation shuffle") {
+    val plan = planOf("t30_c4_filters")
+    assert(count(plan, "Join") == 0, s"t30 needs no join:\n$plan")
+    assert(count(plan, "HashAggregate") == 0, s"t30 needs no aggregation:\n$plan")
+    assert(count(plan, "Exchange hashpartitioning") == 0,
+      s"t30 must not shuffle on any key:\n$plan")
+  }
+
   test("a14 hll: two combine-friendly aggregations, no join, no Expand") {
     val plan = planOf("a14_hll_distinct")
     assert(count(plan, "Join") == 0, s"a14 needs no join:\n$plan")
