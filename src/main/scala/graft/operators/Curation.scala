@@ -268,6 +268,45 @@ object Curation {
       .select(col(strataCol), col("n_tokens"), col("weight"), col("alloc_tokens"))
   }
 
+  /** Data-constrained scaling planner (r10, Muennighoff et al. 2023,
+    * arXiv:2305.16264): [[temperatureMixture]]'s allocation extended with
+    * the paper's repeated-epoch value model — tokens re-read beyond the
+    * first epoch decay in value with R* ≈ 15.4, D' = U·(1 + R*·(1 −
+    * e^(−R/R*))) for R = epochs − 1 repeated passes over U unique
+    * tokens. The planner answers the recipe question directly: per
+    * stratum, how many epochs does its allocation imply and how many
+    * EFFECTIVE tokens does the budget actually buy (utilization < 1 on
+    * over-epoched strata means the α/budget combination is wasting
+    * compute on repeats — raise α or find more data).
+    *
+    * Determinism: allocation is r4's decimal-carried largest-remainder
+    * math (exact longs); epochs is one double division of two exact
+    * longs rounded at 6; the single transcendental (exp) re-enters
+    * through a 9-decimal gate (the r9 ln discipline) so every digit the
+    * oracle compares is reproducible. Shape: one tokenize+count rollup
+    * per stratum, then tiny-relation math under one-row broadcasts —
+    * the corpus is scanned once.
+    */
+  def dataBudgetPlan(df: DataFrame, strataCol: String, nTokens: Column,
+                     alpha: Double, tokenBudget: Long,
+                     rStar: Double = 15.39): DataFrame = {
+    val alloc = temperatureMixture(df, strataCol, nTokens, alpha, tokenBudget)
+    val ep6 = round(col("alloc_tokens").cast("double") / col("n_tokens").cast("double"), 6)
+    alloc
+      .withColumn("epochs", ep6)
+      .withColumn("__r", greatest(lit(0.0), col("epochs") - lit(1.0)))
+      .withColumn("__e9", round(exp(-col("__r") / lit(rStar)), 9))
+      .withColumn("__u",
+        least(col("alloc_tokens"), col("n_tokens")).cast("double"))
+      .withColumn("effective_tokens",
+        round(col("__u") * (lit(1.0) + lit(rStar) * (lit(1.0) - col("__e9"))), 4))
+      .withColumn("utilization",
+        when(col("alloc_tokens") > 0L,
+          round(col("effective_tokens") / col("alloc_tokens").cast("double"), 6)))
+      .select(col(strataCol), col("n_tokens"), col("weight"), col("alloc_tokens"),
+        col("epochs"), col("effective_tokens"), col("utilization"))
+  }
+
   /** Epoch-capped mixture allocation — the data-recipe planner on top of
     * [[temperatureMixture]]: α-scaled weights propose per-stratum token
     * draws, but no stratum may repeat beyond `maxEpochs` passes over its

@@ -1071,12 +1071,178 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** One row of an MP4 track's sample index: byte geometry + timing. */
+  final case class Mp4Sample(idx: Int, size: Long, offset: Long,
+                             dts: Long, dtsMs: Long)
+
+  /** REAL ISO-BMFF sample-table walk (m15): the frame index a video
+    * sampler reads BEFORE it ever touches a codec — which bytes are
+    * frame i and when does it play. Walks top-level boxes to `moov`,
+    * then each `trak`'s `mdia/mdhd` (media timescale, v0 and v1) and
+    * `mdia/minf/stbl`, and decodes the first track carrying a complete
+    * table: `stts` (run-length decoding times), `stsz` (per-sample sizes,
+    * both the constant sample_size form and the explicit entry list) and
+    * `stco` (chunk base; single-chunk layout — the synth's shape).
+    * Absolute byte offsets are chunk base + running size sum; dts is the
+    * running stts delta sum; dts_ms = dts·1000/timescale integer-exact.
+    * Frame-sample SELECTION itself (every k-th, time-windowed) is then
+    * plain relational algebra over these rows — m2's operator, fed by
+    * real container geometry instead of synthetic frame ids.
+    *
+    * None on structural failure (no moov, no table track, entry counts
+    * that overrun their box, zero timescale). All geometry is Long math
+    * bounds-checked against the enclosing box before any read.
+    */
+  def decodeMp4SampleIndex(payload: Array[Byte]): Option[(Long, Seq[Mp4Sample])] = {
+    if (payload == null || payload.length < 16) return None
+    def be32(pos: Int): Long =
+      ((payload(pos) & 0xFFL) << 24) | ((payload(pos + 1) & 0xFFL) << 16) |
+        ((payload(pos + 2) & 0xFFL) << 8) | (payload(pos + 3) & 0xFFL)
+    def typ(pos: Int): String = new String(payload, pos, 4, "US-ASCII")
+    def box(pos: Int, limit: Int): Option[(Int, Int, String)] = {
+      if (pos + 8 > limit) return None
+      val size0 = be32(pos)
+      val t = typ(pos + 4)
+      if (size0 == 1L) {
+        if (pos + 16 > limit) return None
+        val sz = (be32(pos + 8) << 32) | be32(pos + 12)
+        if (sz < 16 || pos + sz > limit) None else Some((pos + 16, pos + sz.toInt, t))
+      } else if (size0 == 0L) Some((pos + 8, limit, t))
+      else if (size0 < 8 || pos + size0 > limit) None
+      else Some((pos + 8, pos + size0.toInt, t))
+    }
+    // find a child box of the given type; None if the walk breaks
+    def child(from: Int, limit: Int, want: String): Option[(Int, Int)] = {
+      var p = from
+      while (p + 8 <= limit) {
+        box(p, limit) match {
+          case Some((s, e, t)) => if (t == want) return Some((s, e)) else p = e
+          case None => return None
+        }
+      }
+      None
+    }
+    // stts + stsz + stco → sample rows; None when any entry count
+    // overruns its box or the tables disagree on the sample count
+    def decodeTable(ttS: Int, ttE: Int, szS: Int, szE: Int,
+                    coS: Int, coE: Int, ts: Long): Option[Seq[Mp4Sample]] = {
+      // stts: fullbox(4), entry_count(4), (count, delta)*
+      if (ttE - ttS < 8 || szE - szS < 12 || coE - coS < 8) return None
+      val nRuns = be32(ttS + 4)
+      if (nRuns < 0 || ttS + 8 + nRuns * 8 > ttE) return None
+      val deltas = Seq.newBuilder[Long]
+      var run = 0
+      while (run < nRuns) {
+        val cnt = be32(ttS + 8 + run * 8)
+        val dl  = be32(ttS + 12 + run * 8)
+        if (cnt < 0 || cnt > (1 << 20)) return None // hostile-count valve
+        var i = 0L
+        while (i < cnt) { deltas += dl; i += 1 }
+        run += 1
+      }
+      // stsz: fullbox(4), sample_size(4), sample_count(4), entries if 0
+      val constSize = be32(szS + 4)
+      val nSamples0 = be32(szS + 8)
+      if (nSamples0 < 0 || nSamples0 > (1 << 20)) return None
+      val nSamples = nSamples0.toInt
+      val sizes: Seq[Long] =
+        if (constSize != 0L) Seq.fill(nSamples)(constSize)
+        else {
+          if (szS + 12 + nSamples * 4 > szE) return None
+          (0 until nSamples).map(i => be32(szS + 12 + i * 4))
+        }
+      val allDeltas = deltas.result()
+      if (allDeltas.length != nSamples) return None
+      // stco: fullbox(4), entry_count(4), chunk_offset(4)* — single-chunk
+      if (be32(coS + 4) < 1 || coS + 12 > coE) return None
+      val base = be32(coS + 8)
+      var off = base; var dts = 0L
+      Some((0 until nSamples).map { i =>
+        val s = Mp4Sample(i, sizes(i), off, dts, dts * 1000L / ts)
+        off += sizes(i); dts += allDeltas(i)
+        s
+      })
+    }
+    child(0, payload.length, "moov").flatMap { case (ms, me) =>
+      // walk every trak; decode the first with mdhd + a complete stbl
+      var p = ms
+      var result: Option[(Long, Seq[Mp4Sample])] = None
+      while (result.isEmpty && p + 8 <= me) {
+        box(p, me) match {
+          case Some((s, e, "trak")) =>
+            result = for {
+              (mdS, mdE)   <- child(s, e, "mdia")
+              (mhS, mhE)   <- child(mdS, mdE, "mdhd")
+              ts <- {
+                val v = payload(mhS) & 0xFF
+                if (v == 1 && mhE - mhS >= 24 + 4) Some(be32(mhS + 20))
+                else if (v == 0 && mhE - mhS >= 16) Some(be32(mhS + 12))
+                else None
+              }
+              if ts > 0
+              (mnS, mnE)   <- child(mdS, mdE, "minf")
+              (sbS, sbE)   <- child(mnS, mnE, "stbl")
+              (ttS, ttE)   <- child(sbS, sbE, "stts")
+              (szS, szE)   <- child(sbS, sbE, "stsz")
+              (coS, coE)   <- child(sbS, sbE, "stco")
+              samples <- decodeTable(ttS, ttE, szS, szE, coS, coE, ts)
+            } yield (ts, samples)
+            p = e
+          case Some((_, e, _)) => p = e
+          case None => return None
+        }
+      }
+      result
+    }
+  }
+
+  /** [[decodeMp4SampleIndex]] over asset batches: one output row per
+    * sample of each decodable asset (undecodable assets emit nothing —
+    * count them with [[mp4Meta]]'s valid flag, the two walks share the
+    * box layer). Columns: `sample_idx`, `size`, `offset` (absolute file
+    * byte), `dts` (media units), `dts_ms`, `timescale`.
+    */
+  def mp4SampleIndex(assets: DataFrame, idCol: String = "asset_id",
+                     payloadCol: String = "payload"): DataFrame = {
+    val idIdx = assets.schema.fieldIndex(idCol)
+    val pIdx  = assets.schema.fieldIndex(payloadCol)
+    val outSchema = StructType(Seq(
+      StructField(idCol, assets.schema(idIdx).dataType, nullable = false),
+      StructField("sample_idx", LongType, nullable = false),
+      StructField("size", LongType, nullable = false),
+      StructField("offset", LongType, nullable = false),
+      StructField("dts", LongType, nullable = false),
+      StructField("dts_ms", LongType, nullable = false),
+      StructField("timescale", LongType, nullable = false)))
+    assets.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeMp4SampleIndex(r.getAs[Array[Byte]](pIdx)) match {
+          case Some((ts, samples)) => samples.map(sm =>
+            Row(r.get(idIdx), sm.idx.toLong, sm.size, sm.offset, sm.dts, sm.dtsMs, ts))
+          case None => Seq.empty[Row]
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Deterministic, structurally VALID ISO-BMFF container from md5
     * nibbles: brand, timescale, duration, and track count all md5-chosen;
     * an md5-sized `free` box sits between `ftyp` and `moov`, and inside
     * `moov` one `trak` PRECEDES `mvhd` — so fixed-offset "parsing" fails
     * and only a real order-independent, size-driven box walk recovers the
     * fields. mvhd is the full 108-byte version-0 layout.
+    *
+    * The FIRST trak carries a complete sample table (the m15 input):
+    * `mdia/mdhd` (its own media timescale), `minf/stbl` with `stts`
+    * (two duration runs), `stsc` (one chunk), `stsz` (per-sample sizes,
+    * sample_size = 0 form), and `stco` whose single chunk offset is the
+    * REAL byte position of the mdat payload — so sample offsets resolve
+    * against actual file geometry, and the mdat body really contains
+    * Σ size_i bytes. Sample geometry (run lengths n1/n2, deltas,
+    * per-sample sizes) is all md5-nibble-derived; the oracle rebuilds it
+    * arithmetically, including the stco base (408 + nib8 + 4n +
+    * 100·(nTracks−1) — the closed form of the box layout below; the m15
+    * oracle hash-fails if any constant drifts).
     */
   def synthMp4Bytes(text: String): Array[Byte] = {
     val h = java.security.MessageDigest.getInstance("MD5")
@@ -1086,6 +1252,14 @@ object Multimodal {
     val duration  = 1000L + Integer.parseInt(h.substring(1, 5), 16).toLong
     val nTracks   = 1 + nib(6) % 3
     val brand     = if (nib(7) % 2 == 0) "isom" else "mp42"
+    // sample-table geometry (m15)
+    val mediaTs = Seq(600L, 1000L, 90000L)(nib(9) % 3)
+    val n1 = 2 + nib(10) % 4
+    val n2 = 1 + nib(11) % 4
+    val delta1 = 100L + 10L * nib(12)
+    val delta2 = 100L + 10L * nib(13)
+    val n = n1 + n2
+    val sizes = (1 to n).map(i => 64L + 4L * nib(((13 + i) % 32) + 1))
     val out = new java.io.ByteArrayOutputStream()
     def be32(v: Long): Array[Byte] =
       Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
@@ -1096,21 +1270,45 @@ object Multimodal {
       brand.getBytes("US-ASCII") ++ be32(0x200L) ++ "isom".getBytes("US-ASCII")))
     // free box of md5-dependent size: the walk must skip by size
     out.write(boxBytes("free", new Array[Byte](nib(8))))
-    // moov: one trak BEFORE mvhd, the rest after
+    // mdat payload offset, closed form (ftyp 20, free 8+nib8, moov header
+    // 8, trak1 256+4n, mvhd 108, plain traks 100 each, mdat header 8)
+    val mdatOff = 408L + nib(8) + 4L * n + 100L * (nTracks - 1)
+    // stbl: stts (2 runs) + stsc (1 chunk) + stsz (explicit sizes) + stco
+    val stts = boxBytes("stts", be32(0) ++ be32(2) ++
+      be32(n1) ++ be32(delta1) ++ be32(n2) ++ be32(delta2))
+    val stsc = boxBytes("stsc", be32(0) ++ be32(1) ++ be32(1) ++ be32(n) ++ be32(1))
+    val stsz = boxBytes("stsz", be32(0) ++ be32(0) ++ be32(n) ++
+      sizes.flatMap(be32).toArray)
+    val stco = boxBytes("stco", be32(0) ++ be32(1) ++ be32(mdatOff))
+    val stbl = boxBytes("stbl", stts ++ stsc ++ stsz ++ stco)
+    val mdhd = {
+      val b = new Array[Byte](24) // fullbox + v0 times/timescale/duration + lang
+      System.arraycopy(be32(mediaTs), 0, b, 12, 4)
+      System.arraycopy(be32(n1 * delta1 + n2 * delta2), 0, b, 16, 4)
+      b
+    }
+    val mdia = boxBytes("mdia", boxBytes("mdhd", mdhd) ++ boxBytes("minf", stbl))
+    // moov: the sample-table trak BEFORE mvhd, plain traks after
     val mvhd = {
       val b = new Array[Byte](100) // fullbox(4) + v0 fields + matrix + next_track
       System.arraycopy(be32(timescale), 0, b, 12, 4)
       System.arraycopy(be32(duration), 0, b, 16, 4)
       b
     }
+    val trak1 = boxBytes("trak", boxBytes("tkhd", new Array[Byte](84)) ++ mdia)
     val trak = boxBytes("trak", boxBytes("tkhd", new Array[Byte](84)))
     val moovPayload = new java.io.ByteArrayOutputStream()
-    moovPayload.write(trak)
+    moovPayload.write(trak1)
     moovPayload.write(boxBytes("mvhd", mvhd))
     (1 until nTracks).foreach(_ => moovPayload.write(trak))
     out.write(boxBytes("moov", moovPayload.toByteArray))
-    // trailing mdat the walk must tolerate (media bytes are md5 filler)
-    out.write(boxBytes("mdat", h.getBytes("US-ASCII")))
+    // mdat really holds Σ size_i media bytes (md5-derived filler), so the
+    // stco + stsz geometry resolves against true file contents
+    val mediaLen = sizes.sum.toInt
+    val filler = Iterator.continually(h.getBytes("US-ASCII"))
+      .flatten.take(mediaLen).toArray
+    require(out.size() + 8 == mdatOff, s"mdat offset drifted: ${out.size() + 8} != $mdatOff")
+    out.write(boxBytes("mdat", filler))
     out.toByteArray
   }
 

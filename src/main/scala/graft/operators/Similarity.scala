@@ -656,4 +656,97 @@ object Similarity {
         min(when(col(labelCol) === col("probe_label"), col("__rank"))).as("first_rank"))
       .withColumn("rr", round(lit(1.0) / col("first_rank").cast("double"), 6))
   }
+
+  /** Dominant direction of the (uncentered) embedding Gram matrix via two
+    * deterministic power-iteration steps (s18) — the anisotropy
+    * diagnostic an embedding-quality gate runs: when one direction
+    * carries most of the mass ("all embeddings share a common
+    * component", Ethayarajh 2019), cosine similarity degrades and a
+    * whitening step is warranted. λ = ‖A·v₁‖ against the trace (=Σ‖x‖²)
+    * gives the dominant-direction mass fraction.
+    *
+    * Deterministic by construction: the seed is e₀ (no RNG), so step 1's
+    * w = A·e₀ is just the Σ x·x₀ column — ONE posexplode +
+    * (dim)-keyed exact-DECIMAL aggregation with map-side combine
+    * (components round at 4, the s11 ingestion discipline). v₁ =
+    * w/‖w‖ rounds to 9 decimals and re-enters as DECIMAL(18,9), so step
+    * 2's per-row dot t_r = x̂·v₁ and the final u = Σ t_r·x̂ are again
+    * exact integer-scaled sums — partition order cannot move any digit,
+    * and the oracle repeats the identical arithmetic.
+    *
+    * Shape at scale: two corpus passes (w and u), each shuffling only
+    * 〈#dims〉 rows; v₁ pivots into a ONE-ROW broadcast map so step 2's
+    * per-row dot is array math on the scan — no row-keyed shuffle ever
+    * touches the corpus; trace rides pass 1. Nothing is collected to the
+    * driver.
+    *
+    * Output, one row per dim: `v1` (the normalized first iterate), `v2`
+    * (the normalized second — their agreement measures convergence),
+    * `lambda` (= ‖A·v₁‖) and `mass_frac` (= λ/trace), both repeated on
+    * every row for relational convenience.
+    */
+  def powerIterationTop(df: DataFrame, vecCol: String): DataFrame = {
+    val e4 = round(col("__c").cast("double"), 4).cast("decimal(18,4)")
+    val x0 = round(element_at(col(vecCol), 1).cast("double"), 4).cast("decimal(18,4)")
+    val ex = df.select(x0.as("__x0"), posexplode(col(vecCol)).as(Seq("dim", "__c")))
+      .select(col("dim"), e4.as("__e"), col("__x0"))
+    // pass 1: w = A·e0 (exact) + the trace on the same scan
+    val w = ex.groupBy("dim").agg(
+      sum((col("__e") * col("__x0")).cast("decimal(28,8)")).as("__w"),
+      sum((col("__e") * col("__e")).cast("decimal(28,8)")).as("__tr_d"))
+    // narrow the summed (38,8) back to (19,8) before squaring: a
+    // (38,8)×(38,8) product exceeds DECIMAL precision and Spark would
+    // silently drop scale; |w_d| ≤ n·max|x̂|² keeps (19,8) exact
+    val w19 = col("__w").cast("decimal(19,8)")
+    val scal = w.agg(
+      sum((w19 * w19).cast("decimal(38,16)")).as("__wn2"),
+      sum(col("__tr_d")).as("__trace"))
+    // zero-norm guard: a corpus orthogonal to the seed (every x₀ = 0)
+    // yields w = 0; emit a zero iterate instead of 0/0 NaN
+    val v1 = w.crossJoin(broadcast(scal))
+      .select(col("dim"),
+        when(col("__wn2") > 0,
+            round(col("__w").cast("double") / sqrt(col("__wn2").cast("double")), 9))
+          .otherwise(lit(0.0))
+          .cast("decimal(18,9)").as("__v1"),
+        col("__trace"))
+    // v1 pivots into a one-row (dim → v1) map: step 2 needs no row join
+    val v1map = v1.agg(
+      map_from_entries(collect_list(struct(col("dim"), col("__v1")))).as("__v1m"))
+    // pass 2: t_r = x̂·v1 per row as an exact decimal array fold on the
+    // scan, then u = Σ t_r·x̂ per dim (exact, map-side combined)
+    // fold in DECIMAL(24,13): at full (38,13) Spark's add rule would cap
+    // precision and silently drop to scale 12; the explicit merge cast
+    // keeps every step exact at scale 13 (|t| is small, 11 integer
+    // digits are ample)
+    val withT = df.crossJoin(broadcast(v1map))
+      .select(col(vecCol),
+        aggregate(
+          transform(col(vecCol), (c, i) =>
+            (round(c.cast("double"), 4).cast("decimal(18,4)")
+              * element_at(col("__v1m"), i)).cast("decimal(24,13)")),
+          lit(0).cast("decimal(24,13)"),
+          (acc, t) => (acc + t).cast("decimal(24,13)")).as("__traw"))
+      // t re-enters the next exact stage through the same 9-decimal gate
+      // as v1 (a (18,4)×(38,13) product would overflow DECIMAL precision
+      // and silently lose scale)
+      .select(col(vecCol),
+        round(col("__traw").cast("double"), 9).cast("decimal(18,9)").as("__t"))
+    val u = withT
+      .select(col("__t"), posexplode(col(vecCol)).as(Seq("dim", "__c")))
+      .groupBy("dim")
+      .agg(sum((e4 * col("__t")).cast("decimal(38,13)")).as("__u_raw"))
+      .select(col("dim"),
+        round(col("__u_raw").cast("double"), 9).cast("decimal(18,9)").as("__u"))
+    val un = u.agg(sum((col("__u") * col("__u")).cast("decimal(38,18)")).as("__un2"))
+    u.crossJoin(broadcast(un)).join(v1, "dim")
+      .select(col("dim"),
+        col("__v1").cast("double").as("v1"),
+        when(col("__un2") > 0,
+          round(col("__u").cast("double") / sqrt(col("__un2").cast("double")), 6)).as("v2"),
+        round(sqrt(col("__un2").cast("double")), 6).as("lambda"),
+        when(col("__trace") > 0,
+          round(sqrt(col("__un2").cast("double")) / col("__trace").cast("double"), 6))
+          .as("mass_frac"))
+  }
 }

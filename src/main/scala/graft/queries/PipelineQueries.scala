@@ -1142,6 +1142,51 @@ object PipelineQueries {
          | FROM r ORDER BY source""".stripMargin
     ),
 
+    // R10 — data-constrained scaling planner (Muennighoff et al. 2023,
+    // arXiv:2305.16264): r4's allocation extended with the repeated-epoch
+    // value model D' = U·(1 + R*·(1 − e^(−R/R*))), R* = 15.39 — per
+    // stratum: implied epochs and the EFFECTIVE tokens the budget buys.
+    // The one transcendental (exp) re-enters through a 9-decimal gate.
+    "r10_data_budget" -> QueryDef.sql(
+      (s, d) => Curation.dataBudgetPlan(Tables(s, d).documents, "source",
+          TextOps.tokenCount(col("text")), alpha = 0.5, tokenBudget = 1000000L)
+        .orderBy("source"),
+      s"""WITH per AS (SELECT source, CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         | p AS (SELECT source, n_tokens,
+         |    CAST(round(pow(CAST(n_tokens AS DOUBLE), 0.5), 6) AS DECIMAL(28,6)) AS pp
+         |  FROM per),
+         | tot AS (SELECT sum(pp) AS tt FROM p),
+         | w AS (SELECT source, n_tokens,
+         |    round(CAST(pp AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS weight
+         |  FROM p, tot),
+         | a AS (SELECT source, n_tokens, weight,
+         |    CAST(weight AS DECIMAL(12,6)) * 1000000 AS rawd
+         |  FROM w),
+         | b AS (SELECT source, n_tokens, weight,
+         |    CAST(floor(rawd) AS BIGINT) AS raw,
+         |    rawd - CAST(floor(rawd) AS BIGINT) AS frac
+         |  FROM a),
+         | e AS (SELECT greatest(0, CAST(sum(raw) AS BIGINT) - 1000000) AS x,
+         |    count(*) AS n FROM b),
+         | r AS (SELECT b.*, e.x, e.n,
+         |    row_number() OVER (ORDER BY frac ASC, source ASC) AS rk
+         |  FROM b, e),
+         | al AS (SELECT source, n_tokens, weight,
+         |    greatest(0, raw - x // n - (CASE WHEN rk <= x % n THEN 1 ELSE 0 END)) AS alloc_tokens
+         |  FROM r),
+         | ep AS (SELECT *, round(CAST(alloc_tokens AS DOUBLE)
+         |      / CAST(n_tokens AS DOUBLE), 6) AS epochs FROM al),
+         | g AS (SELECT *, round(exp(-greatest(0.0, epochs - 1.0) / 15.39), 9) AS e9,
+         |    CAST(least(alloc_tokens, n_tokens) AS DOUBLE) AS u FROM ep),
+         | f AS (SELECT *, round(u * (1.0 + 15.39 * (1.0 - e9)), 4) AS effective_tokens
+         |  FROM g)
+         | SELECT source, n_tokens, weight, alloc_tokens, epochs, effective_tokens,
+         |   CASE WHEN alloc_tokens > 0 THEN round(effective_tokens
+         |     / CAST(alloc_tokens AS DOUBLE), 6) END AS utilization
+         | FROM f ORDER BY source""".stripMargin
+    ),
+
     // R5 — leakage-safe train/val/test split: exact-dup groups (md5 of the
     // full text) follow their min-id representative into one split, so a
     // duplicated doc can never train while its twin evaluates
@@ -1365,6 +1410,44 @@ object PipelineQueries {
          | FROM terms GROUP BY 1, 2, 3 ORDER BY dim""".stripMargin
     ),
 
+    // S18 — dominant Gram direction via two deterministic power-iteration
+    // steps (seed e0, no RNG): the anisotropy diagnostic (Ethayarajh
+    // 2019) — when mass_frac is large, cosine degrades and whitening is
+    // warranted. Every aggregation is exact DECIMAL (components at 4
+    // decimals, v1/t/u re-enter through the 9-decimal gate), so partition
+    // order moves nothing and the oracle repeats the arithmetic verbatim.
+    "s18_power_iteration" -> QueryDef.sql(
+      (s, d) => Similarity.powerIterationTop(Tables(s, d).embeddings, "embedding")
+        .orderBy("dim"),
+      s"""WITH ex AS (SELECT vec_id, d.i - 1 AS dim,
+         |    CAST(round(CAST(embedding[d.i] AS DOUBLE), 4) AS DECIMAL(18,4)) AS e4,
+         |    CAST(round(CAST(embedding[1] AS DOUBLE), 4) AS DECIMAL(18,4)) AS x0
+         |   FROM embeddings CROSS JOIN range(1, 65) AS d(i)),
+         | w AS (SELECT dim,
+         |    CAST(sum(CAST(e4 * x0 AS DECIMAL(28,8))) AS DECIMAL(19,8)) AS wd,
+         |    sum(CAST(e4 * e4 AS DECIMAL(28,8))) AS trd
+         |   FROM ex GROUP BY 1),
+         | scal AS (SELECT sum(CAST(wd * wd AS DECIMAL(38,16))) AS wn2,
+         |    CAST(sum(trd) AS DECIMAL(38,8)) AS trace FROM w),
+         | v1 AS (SELECT dim, CAST(CASE WHEN wn2 > 0 THEN round(CAST(wd AS DOUBLE)
+         |      / sqrt(CAST(wn2 AS DOUBLE)), 9) ELSE 0.0 END AS DECIMAL(18,9)) AS v1d
+         |   FROM w, scal),
+         | t AS (SELECT vec_id, CAST(round(CAST(
+         |      sum(CAST(e4 * v1d AS DECIMAL(38,13))) AS DOUBLE), 9) AS DECIMAL(18,9)) AS td
+         |   FROM ex JOIN v1 USING (dim) GROUP BY 1),
+         | u AS (SELECT dim, CAST(round(CAST(
+         |      sum(CAST(e4 * td AS DECIMAL(38,13))) AS DOUBLE), 9) AS DECIMAL(18,9)) AS ud
+         |   FROM ex JOIN t USING (vec_id) GROUP BY 1),
+         | un AS (SELECT sum(CAST(ud * ud AS DECIMAL(38,18))) AS un2 FROM u)
+         | SELECT v1.dim, CAST(v1d AS DOUBLE) AS v1,
+         |   CASE WHEN un2 > 0 THEN round(CAST(ud AS DOUBLE)
+         |     / sqrt(CAST(un2 AS DOUBLE)), 6) END AS v2,
+         |   round(sqrt(CAST(un2 AS DOUBLE)), 6) AS lambda,
+         |   CASE WHEN trace > 0 THEN round(sqrt(CAST(un2 AS DOUBLE))
+         |     / CAST(trace AS DOUBLE), 6) END AS mass_frac
+         | FROM v1 JOIN u USING (dim), un, scal ORDER BY dim""".stripMargin
+    ),
+
     "s11_dim_moments" -> QueryDef.sql(
       (s, d) => Similarity.dimensionMoments(Tables(s, d).embeddings, "embedding")
         .orderBy("dim"),
@@ -1574,6 +1657,46 @@ object PipelineQueries {
           idCol = "doc_id", payloadCol = "payload")
         .orderBy("doc_id"),
       m13Sql
+    ),
+
+    // M15 — MP4 sample-table frame index: the stts/stsz/stco walk a video
+    // sampler performs BEFORE any codec — which bytes are frame i and
+    // when it plays. One row per sample with absolute file offset
+    // (stco chunk base + running size sum, against REAL synth geometry),
+    // dts (running stts deltas over two runs) and integer-exact dts_ms.
+    // The oracle rebuilds the whole index arithmetically from md5(text),
+    // including the stco base closed form — any box-layout drift in the
+    // synth or any walk bug hash-fails here.
+    "m15_mp4_samples" -> QueryDef.sql(
+      (s, d) => Multimodal.mp4SampleIndex(
+          Multimodal.synthMp4(Tables(s, d).documents, "doc_id", "text"),
+          idCol = "doc_id", payloadCol = "payload")
+        .orderBy("doc_id", "sample_idx"),
+      {
+        def nib(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
+        s"""WITH p AS (SELECT doc_id, md5(text) AS h FROM documents),
+           | geo AS (SELECT doc_id, h,
+           |    CASE ${nib(9)} % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END AS ts,
+           |    2 + ${nib(10)} % 4 AS n1, 1 + ${nib(11)} % 4 AS n2,
+           |    100 + 10 * ${nib(12)} AS d1, 100 + 10 * ${nib(13)} AS d2,
+           |    408 + ${nib(8)} + 4 * (3 + ${nib(10)} % 4 + ${nib(11)} % 4)
+           |      + 100 * (${nib(6)} % 3) AS base
+           |   FROM p),
+           | sm AS (SELECT doc_id, ts, n1, d1, d2, base, h, i
+           |   FROM geo, unnest(range(0, n1 + n2)) u(i)),
+           | sz AS (SELECT doc_id, ts, n1, d1, d2, base, i,
+           |    64 + 4 * (instr('0123456789abcdef',
+           |        substr(h, ((14 + i) % 32) + 1, 1)) - 1) AS size
+           |   FROM sm),
+           | os AS (SELECT *, base + coalesce(sum(size) OVER (PARTITION BY doc_id
+           |      ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off,
+           |    CASE WHEN i < n1 THEN i * d1 ELSE n1 * d1 + (i - n1) * d2 END AS dts
+           |   FROM sz)
+           | SELECT doc_id, CAST(i AS BIGINT) AS sample_idx, CAST(size AS BIGINT) AS size,
+           |   CAST(off AS BIGINT) AS offset, CAST(dts AS BIGINT) AS dts,
+           |   CAST(dts * 1000 // ts AS BIGINT) AS dts_ms, CAST(ts AS BIGINT) AS timescale
+           | FROM os ORDER BY doc_id, sample_idx""".stripMargin
+      }
     ),
 
     // D11 — duplicate-cluster size histogram: the release-report telemetry

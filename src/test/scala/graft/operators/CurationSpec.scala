@@ -120,6 +120,36 @@ class CurationSpec extends SparkSpec {
     assert(got("big") == ((400L, 0.666667, 600L)))  // floor(0.666667*900) = 600
   }
 
+  test("dataBudgetPlan: under-epoched strata keep full value, repeats decay") {
+    // masses 100/400, α=0.5 → allocs 299/600 (the temperatureMixture
+    // fixture). rare: 299/100 = 2.99 epochs → R=1.99, repeated value
+    // decays; big: 600/400 = 1.5 epochs → mild decay
+    val df = Seq(("rare", 100L), ("big", 400L)).toDF("s", "n")
+    val got = Curation.dataBudgetPlan(df, "s", col("n"), alpha = 0.5,
+        tokenBudget = 900L)
+      .collect().map(r => r.getAs[String]("s") -> r).toMap
+    assert(got("rare").getAs[Double]("epochs") == 2.99)
+    assert(got("big").getAs[Double]("epochs") == 1.5)
+    def expected(u: Long, ep: Double): Double = {
+      val e9 = math.rint(math.exp(-math.max(0.0, ep - 1.0) / 15.39) * 1e9) / 1e9
+      math.rint(u * (1.0 + 15.39 * (1.0 - e9)) * 1e4) / 1e4
+    }
+    assert(got("rare").getAs[Double]("effective_tokens") == expected(100L, 2.99))
+    assert(got("big").getAs[Double]("effective_tokens") == expected(400L, 1.5))
+    // decay is real: 299 allocated to rare buy < 299 effective
+    assert(got("rare").getAs[Double]("effective_tokens") <
+      got("rare").getAs[Long]("alloc_tokens").toDouble)
+    assert(got("rare").getAs[Double]("utilization") < 1.0)
+
+    // a stratum allocated under one epoch keeps utilization exactly 1
+    val single = Seq(("only", 1000L), ("huge", 1000000L)).toDF("s", "n")
+    val g2 = Curation.dataBudgetPlan(single, "s", col("n"), alpha = 0.5,
+        tokenBudget = 10000L)
+      .collect().map(r => r.getAs[String]("s") -> r).toMap
+    assert(g2("huge").getAs[Double]("epochs") < 1.0)
+    assert(g2("huge").getAs[Double]("utilization") == 1.0)
+  }
+
   test("temperatureMixture apportions rounding excess by largest remainder") {
     // α=1, masses 1/1/4 → weights 0.166667/0.166667/0.666667 (each rounds
     // UP, Σ=1.000001). B=1e6: raw floors are 166667/166667/666667,

@@ -458,6 +458,74 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeMp4Meta(payload.drop(16)).isEmpty)
   }
 
+  test("mp4SampleIndex reads the synth's sample table back to md5 ground truth") {
+    val docs = Seq((1L, "video one"), (2L, "another clip")).toDF("doc_id", "text")
+    val got = Multimodal.mp4SampleIndex(
+        Multimodal.synthMp4(docs, "doc_id", "text"), idCol = "doc_id")
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+    for ((id, text) <- Seq(1L -> "video one", 2L -> "another clip")) {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      def nib(i: Int) = Integer.parseInt(h.substring(i - 1, i), 16)
+      val ts = Seq(600L, 1000L, 90000L)(nib(9) % 3)
+      val (n1, n2) = (2 + nib(10) % 4, 1 + nib(11) % 4)
+      val (d1, d2) = (100L + 10L * nib(12), 100L + 10L * nib(13))
+      val n = n1 + n2
+      val sizes = (1 to n).map(i => 64L + 4L * nib(((13 + i) % 32) + 1))
+      val base = 408L + nib(8) + 4L * n + 100L * (nib(6) % 3)
+      val rows = got(id).sortBy(_.getAs[Long]("sample_idx"))
+      assert(rows.length == n)
+      rows.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Long]("size") == sizes(i))
+        assert(r.getAs[Long]("offset") == base + sizes.take(i).sum)
+        val dts = if (i < n1) i * d1 else n1 * d1 + (i - n1) * d2
+        assert(r.getAs[Long]("dts") == dts)
+        assert(r.getAs[Long]("dts_ms") == dts * 1000L / ts)
+        assert(r.getAs[Long]("timescale") == ts)
+      }
+      // the stco base really points at file bytes: the payload is long
+      // enough to contain every sample and the last sample ends at EOF
+      val payload = Multimodal.synthMp4Bytes(text)
+      assert(base + sizes.sum == payload.length)
+    }
+  }
+
+  test("decodeMp4SampleIndex: constant-size stsz form, hostile counts rejected") {
+    def be32(v: Long) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def box(t: String, p: Array[Byte]) = be32(8L + p.length) ++ t.getBytes("US-ASCII") ++ p
+    def stbl(stts: Array[Byte], stsz: Array[Byte]) = {
+      val stco = box("stco", be32(0) ++ be32(1) ++ be32(4096L))
+      val mdhd = Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++ be32(1000L) ++
+        be32(600L) ++ be32(0)
+      box("moov", box("trak", box("mdia",
+        box("mdhd", mdhd) ++
+        box("minf", box("stbl", stts ++ stsz ++ stco)))))
+    }
+    // constant sample_size = 512, 3 samples, one stts run of delta 200
+    val ok = box("ftyp", "isom".getBytes ++ be32(0L)) ++ stbl(
+      box("stts", be32(0) ++ be32(1) ++ be32(3) ++ be32(200L)),
+      box("stsz", be32(0) ++ be32(512L) ++ be32(3)))
+    val (ts, samples) = Multimodal.decodeMp4SampleIndex(ok).get
+    assert(ts == 1000L)
+    assert(samples.map(s => (s.size, s.offset, s.dts, s.dtsMs)) == Seq(
+      (512L, 4096L, 0L, 0L), (512L, 4608L, 200L, 200L), (512L, 5120L, 400L, 400L)))
+    // stts claiming more entries than its box holds must reject
+    val overrun = box("ftyp", "isom".getBytes ++ be32(0L)) ++ stbl(
+      box("stts", be32(0) ++ be32(99) ++ be32(3) ++ be32(200L)),
+      box("stsz", be32(0) ++ be32(512L) ++ be32(3)))
+    assert(Multimodal.decodeMp4SampleIndex(overrun).isEmpty)
+    // stts/stsz sample-count disagreement must reject
+    val disagree = box("ftyp", "isom".getBytes ++ be32(0L)) ++ stbl(
+      box("stts", be32(0) ++ be32(1) ++ be32(2) ++ be32(200L)),
+      box("stsz", be32(0) ++ be32(512L) ++ be32(3)))
+    assert(Multimodal.decodeMp4SampleIndex(disagree).isEmpty)
+    // a million-sample hostile count must hit the valve, not allocate
+    val hostile = box("ftyp", "isom".getBytes ++ be32(0L)) ++ stbl(
+      box("stts", be32(0) ++ be32(1) ++ be32(1L << 30) ++ be32(200L)),
+      box("stsz", be32(0) ++ be32(512L) ++ be32(1L << 30)))
+    assert(Multimodal.decodeMp4SampleIndex(hostile).isEmpty)
+  }
+
   test("whtBandEnergies reads stereo geometry identically to decodeWavPcm") {
     // channels live at offset 23 (NumChannels), not 21 (the PCM format
     // field): a stereo file has half as many frames as int16 words, and

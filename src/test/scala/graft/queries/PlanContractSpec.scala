@@ -72,8 +72,10 @@ class PlanContractSpec extends SparkSpec {
           // r4/t11 shape, onto ≤1024-row bounded relations
           "s16_ivf_health", "r6_epoch_capped_mix", "t28_bm25",
           // a15 joins the broadcast ONE-ROW token grand total keylessly
-          // onto the probe-sized estimate relation — the r4/t11 shape
-          "r9_dsir_weights", "a15_cms_heavy").contains(q))
+          // onto the probe-sized estimate relation — the r4/t11 shape;
+          // s18's norm scalars and pivoted v1 map are the same one-row
+          // broadcasts (onto the 64-row register relation and the scan)
+          "r9_dsir_weights", "a15_cms_heavy", "s18_power_iteration").contains(q))
         assert(count(plan, "BroadcastNestedLoopJoin") == 0, s"$q plans a nested-loop join")
     }
   }
@@ -432,6 +434,19 @@ class PlanContractSpec extends SparkSpec {
     assert(count(plan, "BroadcastHashJoin") >= 2,
       s"a15's sketch/true-count lookups must broadcast:\n$plan")
     assert(count(plan, "Expand") == 0, s"a15 must not plan an Expand:\n$plan")
+  }
+
+  test("s18 power iteration: dim-keyed partial aggs only, no row-keyed corpus shuffle") {
+    val plan = planOf("s18_power_iteration")
+    assert(count(plan, "SortMergeJoin") == 0, s"s18 must not sort-merge:\n$plan")
+    assert(count(plan, "Expand") == 0, s"s18 must not Expand:\n$plan")
+    // both corpus passes aggregate on dim (≤64 rows shuffle); the v1 map
+    // and scalars come back as broadcasts — the corpus never shuffles on
+    // a row key
+    assert(!plan.contains("hashpartitioning(__r"),
+      s"s18 must not shuffle the corpus by row key:\n$plan")
+    assert(count(plan, "BroadcastExchange") >= 2,
+      s"s18's v1 map and norm scalars must broadcast:\n$plan")
   }
 
   test("r9 dsir: bounded histograms broadcast, corpus aggregates once per key") {
