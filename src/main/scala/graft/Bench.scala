@@ -65,7 +65,12 @@ object Bench {
       }
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // local-iteration filter (the Verify convention): SPARK_GRAFT_BENCH_ONLY
+    // benches a subset; the driver never sets it, so round artifacts
+    // always carry the full inventory
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val names = SparkEntry.queries.keys.toSeq
+      .filter(n => only.forall(_.contains(n))).sorted
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     // one throwaway query to absorb session/VM startup
     names.headOption.foreach(materialize(_, warmDir))

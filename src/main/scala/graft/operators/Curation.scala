@@ -268,6 +268,56 @@ object Curation {
       .select(col(strataCol), col("n_tokens"), col("weight"), col("alloc_tokens"))
   }
 
+  /** Homoglyph fold table for [[robustCanonicalize]]: the Cyrillic/Greek
+    * letters visually identical to Latin in most fonts — the characters
+    * adversarial SEO/spam text swaps in to defeat exact dedup. Char-for-
+    * char (all BMP), applied via translate().
+    */
+  val HomoglyphFrom =
+    "аеорсхуіјѕ" + // а е о р с х у і ј ѕ
+      "АЕОРСХ" +                       // А Е О Р С Х
+      "οα"                                                 // ο α
+  val HomoglyphTo = "aeopcxyijs" + "AEOPCX" + "oa"
+
+  /** Obfuscation-resistant canonicalization (t31) — the dedup-prep pass
+    * that defeats the three cheap evasions exact/fuzzy dedup meets in
+    * adversarial web text (where [[nfcNormalizeStats]] handles Unicode
+    * COMPOSITION): zero-width/bidi controls stripped (ZWSP..RLM, word
+    * joiner, BOM), Cyrillic/Greek homoglyphs folded to Latin
+    * ([[HomoglyphFrom]]), and runs of ≥3 repeated punctuation squeezed
+    * to one. Two spam variants of one page canonicalize to the same
+    * bytes — `canon_md5` is the key an exact-dedup stage then groups on.
+    *
+    * One per-row projection (translate + a fixed regexp chain, all
+    * codegen); no join, no shuffle.
+    */
+  def robustCanonicalize(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val zw = regexp_replace(col(textCol), "[\\u200B-\\u200F\\u2060\\uFEFF]", "")
+    val folded = translate(zw, HomoglyphFrom, HomoglyphTo)
+    val squeezed = Seq("!", "\\?", "\\.", ",", "-").foldLeft(folded) {
+      (c, p) => regexp_replace(c, s"$p{3,}", p.replace("\\", ""))
+    }
+    df.select(col(idCol), squeezed.as("canon"),
+        (squeezed =!= col(textCol)).cast("int").as("changed"))
+      .withColumn("canon_md5", md5(col("canon")))
+      .withColumn("canon_len", length(col("canon")).cast("long"))
+  }
+
+  /** Deterministic obfuscation fixture for the t31 oracle: every doc
+    * gains the SAME canonical suffix " copy!" but spelled differently per
+    * md5 nibble — an optional zero-width space (nibble 1 < 8), Cyrillic
+    * "сору" instead of Latin "copy" (nibble 2 < 8), "!!!!" instead of
+    * "!" (nibble 3 < 4). Canonicalization must erase all three choices.
+    */
+  def plantObfuscation(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h = md5(col(textCol))
+    def nib(i: Int): Column = conv(substring(h, i, 1), 16, 10).cast("int")
+    val zw   = when(nib(1) < 8, lit("\u200B")).otherwise(lit(""))
+    val word = when(nib(2) < 8, lit("сору")).otherwise(lit("copy"))
+    val bang = when(nib(3) < 4, lit("!!!!")).otherwise(lit("!"))
+    df.select(col(idCol), concat(col(textCol), lit(" "), zw, word, bang).as(textCol))
+  }
+
   /** Data-constrained scaling planner (r10, Muennighoff et al. 2023,
     * arXiv:2305.16264): [[temperatureMixture]]'s allocation extended with
     * the paper's repeated-epoch value model — tokens re-read beyond the

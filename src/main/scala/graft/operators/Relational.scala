@@ -187,4 +187,52 @@ object Relational {
       .filter(leftKeys.indices.map(i => col(s"__hit_$i")).reduce(_ || _))
       .drop(leftKeys.indices.map(i => s"__hit_$i"): _*)
   }
+
+  /** Bucketized interval self-join (j9): all pairs of rows sharing the
+    * key whose [start, end] intervals overlap — the range-join Spark has
+    * no native operator for, built so it NEVER plans a cartesian or a
+    * theta-join: each interval explodes to the fixed-width buckets it
+    * covers, candidates meet in an EQUI-join on (keys, bucket), and the
+    * exact overlap predicate filters after the hash join. A pair
+    * overlapping several shared buckets is emitted exactly once — at the
+    * bucket containing max(start_a, start_b) — so no distinct/Expand
+    * dedup stage exists (the r8 "write-shape, not a global sort" move
+    * applied to pair dedup).
+    *
+    * Scale: shuffle is (keys, bucket)-hashed; cost is Σ_bucket n_b² per
+    * key — inherent to overlap semantics (local density is the real
+    * driver), never |corpus|². `maxBucketsPerRow` valves hostile spans:
+    * a row covering more buckets than the valve is dropped (counted by
+    * the caller via the returned filter), so one year-long interval
+    * cannot explode the build side. Bucket width tunes the
+    * replication-vs-selectivity trade: ~the typical interval length.
+    *
+    * Output: keys…, `id_a`, `id_b` (id_a < id_b), `overlap_us` ≥ 0.
+    */
+  def intervalJoin(df: DataFrame, keyCols: Seq[String], idCol: String,
+                   startCol: Column, endCol: Column, bucketMicros: Long,
+                   maxBucketsPerRow: Int = 1024): DataFrame = {
+    require(bucketMicros > 0, "bucketMicros must be positive")
+    // integer DIV throughout: double division of epoch-micros quotients
+    // floors correctly only within an ulp margin — not a bet to make
+    val bs = bucketMicros.toString
+    val base = df.select(keyCols.map(col) :+ col(idCol).as("__id") :+
+        startCol.cast("long").as("__s") :+ endCol.cast("long").as("__e"): _*)
+      .filter(col("__s") >= 0L && col("__e") >= col("__s"))
+      .filter(expr(s"__e DIV $bs - __s DIV $bs") < lit(maxBucketsPerRow.toLong))
+    val bucketed = base.withColumn("__b",
+      explode(sequence(expr(s"__s DIV $bs"), expr(s"__e DIV $bs"))))
+    val left = bucketed.select(keyCols.map(col) :+ col("__b") :+
+      col("__id").as("id_a") :+ col("__s").as("__sa") :+ col("__e").as("__ea"): _*)
+    val right = bucketed.select(keyCols.map(col) :+ col("__b") :+
+      col("__id").as("id_b") :+ col("__s").as("__sb") :+ col("__e").as("__eb"): _*)
+    left.join(right, keyCols :+ "__b")
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("__sa") <= col("__eb") && col("__sb") <= col("__ea"))
+      // exactly-once: report at the bucket holding the later start
+      .filter(col("__b") === expr(s"greatest(__sa, __sb) DIV $bs"))
+      .select(keyCols.map(col) :+ col("id_a") :+ col("id_b") :+
+        (least(col("__ea"), col("__eb")) - greatest(col("__sa"), col("__sb")))
+          .as("overlap_us"): _*)
+  }
 }

@@ -170,6 +170,38 @@ object JoinQueries {
         |   UNION ALL
         |   SELECT c_custkey AS addr FROM customer WHERE c_custkey < 20)
         | ORDER BY addr""".stripMargin
+    ),
+
+    // J9 — interval self-join: event pairs of the same type whose
+    // [ts, ts + 1–11 min] windows overlap (duration derived from
+    // event_id, integer-exact). The range join Spark lacks natively:
+    // intervals explode into 15-min buckets, candidates meet in an
+    // EQUI-join on (type, bucket), the exact predicate filters after the
+    // hash join, and each pair reports exactly once at the bucket of the
+    // later start — no cartesian, no theta-join, no distinct (contract-
+    // checked). The oracle states the SEMANTICS directly (DuckDB's
+    // inequality join); cost there is the oracle's problem.
+    "j9_interval_join" -> QueryDef.sql(
+      (s, d) => {
+        val iv = Tables(s, d).events.select(
+          col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("__s"),
+          (unix_micros(col("ts"))
+            + (pmod(col("event_id"), lit(600L)) + 60L) * 1000000L).as("__e"))
+        Relational.intervalJoin(iv, Seq("event_type"), "event_id",
+            col("__s"), col("__e"), bucketMicros = 900000000L)
+          .orderBy("event_type", "id_a", "id_b")
+      },
+      """WITH iv AS (SELECT event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) + (event_id % 600 + 60) * 1000000 AS e
+        |  FROM events)
+        | SELECT a.event_type, a.event_id AS id_a, b.event_id AS id_b,
+        |   CAST(least(a.e, b.e) - greatest(a.s, b.s) AS BIGINT) AS overlap_us
+        | FROM iv a JOIN iv b
+        |   ON a.event_type = b.event_type AND a.event_id < b.event_id
+        |   AND a.s <= b.e AND b.s <= a.e
+        | ORDER BY 1, 2, 3""".stripMargin
     )
   )
 }

@@ -851,6 +851,42 @@ object PipelineQueries {
          | FROM z ORDER BY doc_id""".stripMargin
     ),
 
+    // T31 — obfuscation-resistant canonicalization: zero-width strip,
+    // homoglyph fold, punctuation squeeze — the dedup-prep pass that
+    // defeats the cheap evasions (t23 handles Unicode COMPOSITION). The
+    // fixture spells the SAME suffix differently per md5 nibble; the
+    // canon (and its md5) must come out identical regardless.
+    "t31_robust_canon" -> QueryDef.sql(
+      (s, d) => Curation.robustCanonicalize(
+          Curation.plantObfuscation(Tables(s, d).documents, "doc_id", "text"),
+          "doc_id", "text")
+        .orderBy("doc_id"),
+      s"""WITH aug AS (SELECT doc_id,
+         |    text || ' '
+         |    || CASE WHEN (instr('0123456789abcdef', substr(h, 1, 1)) - 1) < 8
+         |       THEN chr(8203) ELSE '' END
+         |    || CASE WHEN (instr('0123456789abcdef', substr(h, 2, 1)) - 1) < 8
+         |       THEN chr(1089) || chr(1086) || chr(1088) || chr(1091) ELSE 'copy' END
+         |    || CASE WHEN (instr('0123456789abcdef', substr(h, 3, 1)) - 1) < 4
+         |       THEN '!!!!' ELSE '!' END AS t
+         |  FROM (SELECT doc_id, text, md5(text) AS h FROM documents)),
+         | z AS (SELECT doc_id, t, regexp_replace(t,
+         |    '[' || chr(8203) || '-' || chr(8207) || chr(8288) || chr(65279) || ']',
+         |    '', 'g') AS c0 FROM aug),
+         | f AS (SELECT doc_id, t,
+         |    translate(c0, '${Curation.HomoglyphFrom}', '${Curation.HomoglyphTo}') AS c1
+         |   FROM z),
+         | q AS (SELECT doc_id, t,
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |      c1, '!{3,}', '!', 'g'), '\\?{3,}', '?', 'g'), '\\.{3,}', '.', 'g'),
+         |      ',{3,}', ',', 'g'), '-{3,}', '-', 'g') AS canon
+         |   FROM f)
+         | SELECT doc_id, canon,
+         |   CAST(CASE WHEN canon <> t THEN 1 ELSE 0 END AS INTEGER) AS changed,
+         |   md5(canon) AS canon_md5, CAST(length(canon) AS BIGINT) AS canon_len
+         | FROM q ORDER BY doc_id""".stripMargin
+    ),
+
     // A14 — HyperLogLog distinct 5-shingles per lang (Flajolet et al.
     // 2007): the cardinality statistic a dedup pass is SIZED with before
     // it runs. md5-derived registers so the oracle rebuilds the identical

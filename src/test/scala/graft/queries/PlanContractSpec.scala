@@ -74,8 +74,10 @@ class PlanContractSpec extends SparkSpec {
           // a15 joins the broadcast ONE-ROW token grand total keylessly
           // onto the probe-sized estimate relation — the r4/t11 shape;
           // s18's norm scalars and pivoted v1 map are the same one-row
-          // broadcasts (onto the 64-row register relation and the scan)
-          "r9_dsir_weights", "a15_cms_heavy", "s18_power_iteration").contains(q))
+          // broadcasts (onto the 64-row register relation and the scan);
+          // r10 inherits r4's one-row excess/total broadcasts
+          "r9_dsir_weights", "a15_cms_heavy", "s18_power_iteration",
+          "r10_data_budget").contains(q))
         assert(count(plan, "BroadcastNestedLoopJoin") == 0, s"$q plans a nested-loop join")
     }
   }
@@ -197,7 +199,10 @@ class PlanContractSpec extends SparkSpec {
     // t14 joins the set on the same terms: its only single-partition window
     // runs over the ≤64-row log2-bucket totals of the frequency spectrum
     // (its own contract below pins that)
-    val allowed = Set("t8_sequence_packing", "r4_temperature_mix", "t14_zipf_stats")
+    // r10 is r4's allocation with planner math appended — same ≤#strata
+    // largest-remainder window
+    val allowed = Set("t8_sequence_packing", "r4_temperature_mix", "t14_zipf_stats",
+      "r10_data_budget")
     // AQE wraps the tree in an adaptive leaf; disable it so collect() sees
     // the real operators
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
@@ -419,6 +424,14 @@ class PlanContractSpec extends SparkSpec {
       s"t30 must not shuffle on any key:\n$plan")
   }
 
+  test("t31 robust canon is one per-row projection: no join, no aggregation shuffle") {
+    val plan = planOf("t31_robust_canon")
+    assert(count(plan, "Join") == 0, s"t31 needs no join:\n$plan")
+    assert(count(plan, "HashAggregate") == 0, s"t31 needs no aggregation:\n$plan")
+    assert(count(plan, "Exchange hashpartitioning") == 0,
+      s"t31 must not shuffle on any key:\n$plan")
+  }
+
   test("a14 hll: two combine-friendly aggregations, no join, no Expand") {
     val plan = planOf("a14_hll_distinct")
     assert(count(plan, "Join") == 0, s"a14 needs no join:\n$plan")
@@ -434,6 +447,18 @@ class PlanContractSpec extends SparkSpec {
     assert(count(plan, "BroadcastHashJoin") >= 2,
       s"a15's sketch/true-count lookups must broadcast:\n$plan")
     assert(count(plan, "Expand") == 0, s"a15 must not plan an Expand:\n$plan")
+  }
+
+  test("j9 interval join: hash equi-join on (key, bucket) — no theta join, no distinct") {
+    val plan = planOf("j9_interval_join")
+    assert(count(plan, "CartesianProduct") == 0, s"j9 must not plan a cartesian:\n$plan")
+    assert(count(plan, "BroadcastNestedLoopJoin") == 0,
+      s"j9's overlap predicate must filter AFTER a hash join, not drive a theta join:\n$plan")
+    assert(count(plan, "SortMergeJoin") + count(plan, "ShuffledHashJoin") +
+      count(plan, "BroadcastHashJoin") >= 1, s"j9 needs an equi-join:\n$plan")
+    // exactly-once comes from the report-bucket predicate, never a dedup
+    assert(count(plan, "HashAggregate") == 0, s"j9 must not dedup via aggregation:\n$plan")
+    assert(count(plan, "Expand") == 0, s"j9 must not Expand:\n$plan")
   }
 
   test("s18 power iteration: dim-keyed partial aggs only, no row-keyed corpus shuffle") {
