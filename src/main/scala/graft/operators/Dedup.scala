@@ -1053,6 +1053,35 @@ object Dedup {
       .select("id_a", "id_b", "jw")
   }
 
+  /** Cluster-quality audit (d20): per multi-member winnow cluster, the
+    * VERIFIED shingle-Jaccard between each member and the cluster's
+    * min-id representative — the release-report telemetry that catches a
+    * drifting near-dup pipeline (a falling min/mean says the candidate
+    * machinery is admitting unrelated docs; d11 counts clusters, this
+    * grades them). Star pairs against the representative, never
+    * all-pairs: a cluster of n costs n−1 verifications, so the audit is
+    * linear in corpus dup mass at any scale. Jaccards round at 6 and the
+    * mean sums as DECIMAL (the t11 discipline).
+    *
+    * Columns: `component`, `n_members`, `min_jaccard`, `mean_jaccard`.
+    */
+  def clusterQuality(df: DataFrame, idCol: String, textCol: String,
+                     shingleSize: Int = 3, window: Int = 4,
+                     minShared: Int = 2): DataFrame = {
+    val labeled = clusterLabels(df, idCol, textCol, shingleSize, window, minShared)
+    val pairs = membersFromLabels(labeled, idCol)
+      .filter(col(idCol) =!= col("component"))
+      .select(col("component").as("id_a"), col(idCol).as("id_b"))
+    val j6 = round(col("jaccard"), 6)
+    verifyJaccard(df, pairs, idCol, textCol, shingleSize)
+      .select(col("id_a").as("component"), j6.as("__j"))
+      .groupBy("component")
+      .agg((count(lit(1)) + 1L).as("n_members"),
+        min(col("__j")).as("min_jaccard"),
+        round(sum(col("__j").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("mean_jaccard"))
+  }
+
   /** Entity resolution (d19): the [[recordLinkage]] pair graph closed into
     * entities — transitive closure via [[connectedComponents]] (min-id
     * label), every document labeled (non-linked docs are their own

@@ -36,8 +36,11 @@ object Sketches {
     when(zHex === 12, lit(49)).otherwise(zHex * 4 + inDigit + 1)
   }
 
-  /** HyperLogLog distinct-count estimate per group (Flajolet et al. 2007)
-    * over `value`, with m registers (m a power of two ≤ 4096).
+  /* HyperLogLog distinct-count estimate per group (Flajolet et al. 2007)
+    * over `value`, with m registers (m a power of two ≤ 4096) — see
+    * [[hllDistinct]] below; split into [[hllRegisters]] (mergeable
+    * state) + [[hllEstimate]] (the read) so the streaming face can
+    * persist and max-merge the state between them.
     *
     * Shape — the canonical two-level mergeable aggregation:
     *   1. per (group, register) max-ρ: map-side combine bounds every
@@ -56,17 +59,28 @@ object Sketches {
     * Columns: group…, `m`, `n_zero` (untouched registers), `harmonic`
     * (the exact integer sum), `hll_est` (rounded at 4 decimals).
     */
-  def hllDistinct(df: DataFrame, groupCols: Seq[String], value: Column,
-                  m: Int = 1024): DataFrame = {
+  /** The HLL register relation alone: (group…, __b, __r) with __r =
+    * max ρ per register — the MERGEABLE state ([[hllDistinct]]'s stage
+    * 1). Two corpora's register relations max-merge into the union's
+    * sketch, and merging is idempotent, which is what the streaming face
+    * builds on. At most groups×m rows regardless of input size.
+    */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], value: Column,
+                   m: Int): DataFrame = {
     require(m > 0 && m <= 4096 && (m & (m - 1)) == 0, s"m must be a power of two <= 4096: $m")
-    require(groupCols.nonEmpty, "hllDistinct needs >= 1 group column (group by a literal for a global count)")
+    require(groupCols.nonEmpty, "hll needs >= 1 group column (group by a literal for a global count)")
     val h      = md5(value.cast("string"))
     val bucket = conv(substring(h, 1, 3), 16, 10).cast("long") % m
-    val g      = groupCols.map(col)
-    val regs = df
-      .select(g :+ bucket.as("__b") :+ rho48(h, 4).as("__rho"): _*)
+    df.select(groupCols.map(col) :+ bucket.as("__b") :+ rho48(h, 4).as("__rho"): _*)
       .groupBy(groupCols.head, groupCols.tail :+ "__b": _*)
       .agg(max(col("__rho")).as("__r"))
+  }
+
+  /** [[hllDistinct]]'s estimate tail over a register relation (from
+    * [[hllRegisters]], possibly merged across batches/corpora).
+    */
+  def hllEstimate(regs: DataFrame, groupCols: Seq[String], m: Int): DataFrame = {
+    val g = groupCols.map(col)
     regs
       .groupBy(groupCols.head, groupCols.tail: _*)
       .agg(count(lit(1)).as("__present"),
@@ -85,6 +99,11 @@ object Sketches {
           .otherwise(round(col("__raw"), 4)))
       .drop("__raw")
   }
+
+  /** [[hllRegisters]] ∘ [[hllEstimate]]: the one-shot batch form. */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], value: Column,
+                  m: Int = 1024): DataFrame =
+    hllEstimate(hllRegisters(df, groupCols, value, m), groupCols, m)
 
   /** Count-Min sketch frequency estimates (Cormode & Muthukrishnan 2005)
     * for a fixed probe set, plus the φ-heavy-hitter verdict.

@@ -219,11 +219,15 @@ object PipelineQueries {
   /** IVF oracle: same centroid sample, same nearest-centroid assignment,
     * same nProbe=2 probing and exact in-list cosine as Similarity.ivfTopK.
     */
-  private def s3Sql: String = {
+  /** The s3 IVF CTE chain up to the ranked in-list members (also the s19
+    * approx side): centroids, nearest-centroid assignment, nProbe=2
+    * posting lists, ranked neighbors as `ivf_ranked`.
+    */
+  private def s3Ctes: String = {
     val cosEC = sqlCosine("e.embedding", "c.cvec")
     val cosPC = sqlCosine("p.embedding", "c.cvec")
     val cosPA = sqlCosine("pl.pvec", "a.embedding")
-    s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 97 = 0),
+    s"""cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 97 = 0),
        | assign AS (SELECT vec_id, embedding, cid FROM (
        |   SELECT e.vec_id, e.embedding, c.cid,
        |     row_number() OVER (PARTITION BY e.vec_id
@@ -233,16 +237,20 @@ object PipelineQueries {
        |   SELECT p.vec_id AS probe_id, p.embedding AS pvec, c.cid,
        |     row_number() OVER (PARTITION BY p.vec_id
        |       ORDER BY round($cosPC, 6) DESC, c.cid) AS rn
-       |   FROM embeddings p CROSS JOIN cents c WHERE p.vec_id < 5) WHERE rn <= 2)
-       | SELECT probe_id, nn_rank, neighbor_id, sim FROM (
+       |   FROM embeddings p CROSS JOIN cents c WHERE p.vec_id < 5) WHERE rn <= 2),
+       | ivf_ranked AS (
        |   SELECT pl.probe_id, a.vec_id AS neighbor_id,
        |     round($cosPA, 6) AS sim,
        |     row_number() OVER (PARTITION BY pl.probe_id
        |       ORDER BY round($cosPA, 6) DESC, a.vec_id) AS nn_rank
        |   FROM plists pl JOIN assign a ON a.cid = pl.cid
-       |   WHERE a.vec_id <> pl.probe_id)
-       | WHERE nn_rank <= 10 ORDER BY probe_id, nn_rank""".stripMargin
+       |   WHERE a.vec_id <> pl.probe_id)""".stripMargin
   }
+
+  private def s3Sql: String =
+    s"""WITH $s3Ctes
+       | SELECT probe_id, nn_rank, neighbor_id, sim FROM ivf_ranked
+       | WHERE nn_rank <= 10 ORDER BY probe_id, nn_rank""".stripMargin
 
   /** The s12 oracle: s3's cents/assign/plists CTEs composed with s6's
     * packed-code + ADC arithmetic — posting lists join codes by vec_id,
@@ -422,6 +430,47 @@ object PipelineQueries {
           .orderBy("probe_id", "nn_rank")
       },
       s3Sql
+    ),
+
+    // S19 — recall@10 of the IVF path against the exact brute-force
+    // oracle: the acceptance telemetry every ANN deployment reports
+    // before swapping exact search out. Composes s1 (truth) and s3
+    // (approx) through Similarity.annRecall — per probe, how many of the
+    // true top-10 the pruned search kept.
+    "s19_ann_recall" -> QueryDef.sql(
+      (s, d) => {
+        val e = Tables(s, d).embeddings
+        val exact = Similarity.bruteForceTopK(
+            e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"))
+        val approx = Similarity.ivfTopK(e, e.filter(col("vec_id") < 5),
+            e.filter(col("vec_id") % 97 === 0), "vec_id", "embedding",
+            k = 10, nProbe = 2)
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"))
+        Similarity.annRecall(exact, approx, "neighbor_id")
+          .orderBy("probe_id")
+      },
+      s"""WITH $s3Ctes,
+         | approx AS (SELECT probe_id, neighbor_id FROM ivf_ranked WHERE nn_rank <= 10),
+         | ex AS (SELECT probe_id, neighbor_id FROM (
+         |   SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |     row_number() OVER (PARTITION BY p.vec_id
+         |       ORDER BY round(${sqlCosine("p.embedding", "c.embedding")}, 6) DESC, c.vec_id) AS nn_rank
+         |   FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+         |   WHERE p.vec_id < 5) WHERE nn_rank <= 10),
+         | hits AS (SELECT e.probe_id, CAST(count(*) AS BIGINT) AS n_hit
+         |   FROM ex e JOIN approx a USING (probe_id, neighbor_id) GROUP BY 1),
+         | ne AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_exact
+         |   FROM ex GROUP BY 1),
+         | probes AS (SELECT DISTINCT probe_id FROM ex
+         |   UNION SELECT DISTINCT probe_id FROM approx)
+         | SELECT p.probe_id, coalesce(ne.n_exact, 0) AS n_exact,
+         |   coalesce(h.n_hit, 0) AS n_hit,
+         |   CASE WHEN coalesce(ne.n_exact, 0) > 0 THEN
+         |     round(CAST(coalesce(h.n_hit, 0) AS DOUBLE)
+         |       / CAST(ne.n_exact AS DOUBLE), 6) END AS recall
+         | FROM probes p LEFT JOIN ne USING (probe_id) LEFT JOIN hits h USING (probe_id)
+         | ORDER BY probe_id""".stripMargin
     ),
 
     // S12 — IVF-PQ composed search: s3's coarse pruning over s6's packed
@@ -1992,6 +2041,43 @@ object PipelineQueries {
          |   CAST(CASE WHEN l.doc_id = l.entity_id THEN 1 ELSE 0 END AS INTEGER)
          |     AS is_canonical
          | FROM labeled l JOIN sizes s USING (entity_id) ORDER BY l.doc_id""".stripMargin
+    ),
+
+    // D20 — cluster-quality audit: per multi-member winnow cluster, the
+    // verified shingle-Jaccard of each member against the min-id
+    // representative (star pairs, n−1 verifications per cluster — never
+    // all-pairs). The release telemetry that catches a drifting near-dup
+    // pipeline; d11 counts clusters, this grades them.
+    "d20_cluster_quality" -> QueryDef.sql(
+      (s, d) => Dedup.clusterQuality(Tables(s, d).documents, "doc_id", "text")
+        .orderBy("component"),
+      s"""WITH RECURSIVE
+         | ${winnowLabeledCtes()},
+         | sz AS (SELECT component, count(*) AS c FROM labeled GROUP BY 1),
+         | pr AS (SELECT l.component, l.doc_id FROM labeled l JOIN sz USING (component)
+         |   WHERE c >= 2 AND l.doc_id <> l.component),
+         | dg AS (SELECT DISTINCT doc_id,
+         |    ${hex8("md5(gram)", 0)} % ${Dedup.MersennePrime} AS h
+         |  FROM (SELECT doc_id, unnest([array_to_string(t[i:i+2], ' ')
+         |      for i in range(1, len(t) - 1)]) AS gram
+         |    FROM (SELECT doc_id, $toksSql AS t FROM documents))),
+         | gsz AS (SELECT doc_id, count(*) AS s FROM dg GROUP BY doc_id),
+         | iv AS (SELECT p.component, p.doc_id, count(*) AS inter
+         |   FROM pr p JOIN dg a ON a.doc_id = p.component
+         |   JOIN dg b ON b.doc_id = p.doc_id AND b.h = a.h
+         |   GROUP BY 1, 2),
+         | j AS (SELECT p.component,
+         |    round(CAST(coalesce(i.inter, 0) AS DOUBLE)
+         |      / CAST(sa.s + sb.s - coalesce(i.inter, 0) AS DOUBLE), 6) AS j6
+         |   FROM pr p
+         |   LEFT JOIN iv i ON i.component = p.component AND i.doc_id = p.doc_id
+         |   JOIN gsz sa ON sa.doc_id = p.component
+         |   JOIN gsz sb ON sb.doc_id = p.doc_id)
+         | SELECT component, CAST(count(*) + 1 AS BIGINT) AS n_members,
+         |   min(j6) AS min_jaccard,
+         |   round(CAST(sum(CAST(j6 AS DECIMAL(18,6))) AS DOUBLE)
+         |     / CAST(count(*) AS DOUBLE), 6) AS mean_jaccard
+         | FROM j GROUP BY 1 ORDER BY component""".stripMargin
     ),
 
     // D15 — exact duplicated-SPAN coverage (Lee et al., arXiv:2107.06499):

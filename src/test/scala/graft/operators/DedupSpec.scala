@@ -218,6 +218,28 @@ class DedupSpec extends SparkSpec {
     assert(clean(5L) == ((1L, 0L, "")), "all-duplicate doc stays as an empty row")
   }
 
+  test("clusterQuality grades star pairs against the min-id rep; singletons never appear") {
+    val dup  = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, dup), (2L, dup),                // exact dups: jaccard 1.0 vs rep 1
+      (3L, "XX " + dup),                   // near-dup of the family
+      (9L, "one two three four five six seven eight nine ten") // singleton
+    ).toDF("doc_id", "text")
+    val got = Dedup.clusterQuality(docs, "doc_id", "text", minShared = 2)
+      .collect().map(r => r.getAs[Long]("component") ->
+        ((r.getAs[Long]("n_members"), r.getAs[Double]("min_jaccard"),
+          r.getAs[Double]("mean_jaccard")))).toMap
+    assert(got.keySet == Set(1L)) // one multi-member cluster, no singleton rows
+    val (n, mn, mean) = got(1L)
+    assert(n == 3L)
+    assert(mn > 0.0 && mn < 1.0)     // the near-dup member drags the min below 1
+    assert(mean > mn && mean <= 1.0) // exact dup holds the mean above the min
+    // star semantics: mean over exactly n-1 = 2 pairs, one of them 1.0
+    // (HALF_UP at 6 decimals — Spark's round, not rint's half-even)
+    assert(mean == BigDecimal((1.0 + mn) / 2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("canonicalPerCluster keeps the best-quality doc per cluster, singletons themselves") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", 10L),
