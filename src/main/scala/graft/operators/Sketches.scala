@@ -105,6 +105,48 @@ object Sketches {
                   m: Int = 1024): DataFrame =
     hllEstimate(hllRegisters(df, groupCols, value, m), groupCols, m)
 
+  /** Sketch-algebra corpus overlap (a16): |A|, |B|, |A∪B| from HLL
+    * registers and |A∩B| by inclusion–exclusion — "how much content do
+    * two crawls share" WITHOUT ever joining them (t20 computes the exact
+    * overlap with a join; this is its sketch twin, the form that still
+    * works when A and B are 100 TB each). The union sketch is just the
+    * max-merge of the two register relations — the same algebra the
+    * streaming face relies on — so all three cardinalities come from
+    * two corpus scans and three ≤ groups×m-row estimate folds.
+    *
+    * Inclusion–exclusion inherits both sketches' error, so the
+    * intersection estimate is clamped at 0 and `jaccard_est` is the
+    * derived similarity — standard sketch-overlap telemetry, not an
+    * exact count (the exact path is t20).
+    *
+    * Columns: group…, `est_a`, `est_b`, `est_union`, `est_intersect`,
+    * `jaccard_est`. Groups present in only one side report the other at
+    * 0.
+    */
+  def hllOverlap(a: DataFrame, b: DataFrame, groupCols: Seq[String],
+                 value: Column, m: Int = 1024): DataFrame = {
+    val ra = hllRegisters(a, groupCols, value, m)
+    val rb = hllRegisters(b, groupCols, value, m)
+    val merged = ra.unionByName(rb)
+      .groupBy(groupCols.head, groupCols.tail :+ "__b": _*)
+      .agg(max(col("__r")).as("__r"))
+    def est(regs: DataFrame, name: String) =
+      hllEstimate(regs, groupCols, m)
+        .select(groupCols.map(col) :+ col("hll_est").as(name): _*)
+    est(merged, "est_union")
+      .join(est(ra, "est_a"), groupCols, "left")
+      .join(est(rb, "est_b"), groupCols, "left")
+      .select(groupCols.map(col) ++ Seq(
+        coalesce(col("est_a"), lit(0.0)).as("est_a"),
+        coalesce(col("est_b"), lit(0.0)).as("est_b"),
+        col("est_union")): _*)
+      .withColumn("est_intersect",
+        round(greatest(lit(0.0), col("est_a") + col("est_b") - col("est_union")), 4))
+      .withColumn("jaccard_est",
+        when(col("est_union") > 0.0,
+          round(col("est_intersect") / col("est_union"), 6)))
+  }
+
   /** Count-Min sketch frequency estimates (Cormode & Muthukrishnan 2005)
     * for a fixed probe set, plus the φ-heavy-hitter verdict.
     *

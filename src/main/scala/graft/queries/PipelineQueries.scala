@@ -44,6 +44,45 @@ object PipelineQueries {
   private def hexN(expr: String, n: Int): String =
     s"list_reduce(list_transform(range(1,${n + 1}), i -> CAST(instr('0123456789abcdef', substr($expr, i, 1)) - 1 AS BIGINT)), (a,b) -> a*16 + b)"
 
+  /** The a14/a16 HLL register CTE chain over 5-shingles per lang for a
+    * filtered slice of `documents`: yields `<pfx>regs(lang, b, r)`.
+    */
+  private def hllRegCtes(pred: String, pfx: String): String =
+    s"""${pfx}t AS (SELECT lang, $toksSql AS tk FROM documents WHERE $pred),
+       | ${pfx}sh AS (SELECT lang, unnest([array_to_string(tk[i:i+4], ' ')
+       |     for i in range(1, len(tk) - 3)]) AS s FROM ${pfx}t),
+       | ${pfx}hx AS (SELECT lang, md5(s) AS h FROM ${pfx}sh),
+       | ${pfx}zd AS (SELECT lang, h,
+       |    length(regexp_extract(substr(h, 4, 12), '^(0*)', 1)) AS z FROM ${pfx}hx),
+       | ${pfx}br AS (SELECT lang, ${hexN("h", 3)} % 1024 AS b,
+       |    CASE WHEN z = 12 THEN 49 ELSE 4 * z
+       |      + CASE substr(substr(h, 4, 12), z + 1, 1)
+       |          WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+       |          WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+       |          ELSE 0 END + 1 END AS rho
+       |   FROM ${pfx}zd),
+       | ${pfx}regs AS (SELECT lang, b, max(rho) AS r FROM ${pfx}br GROUP BY 1, 2)""".stripMargin
+
+  /** The HLL estimate tail over a register CTE: yields `<pfx>est(lang, e)`
+    * — the identical raw-division + linear-counting branch as a14.
+    */
+  private def hllEstCtes(regs: String, pfx: String): String =
+    s"""${pfx}agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS present,
+       |    CAST(sum(CAST(1 AS BIGINT) << (49 - r)) AS BIGINT) AS sp
+       |   FROM $regs GROUP BY 1),
+       | ${pfx}fin AS (SELECT lang, CAST(1024 - present AS BIGINT) AS n_zero,
+       |    CAST(sp + (1024 - present) * (CAST(1 AS BIGINT) << 49) AS BIGINT) AS harmonic
+       |   FROM ${pfx}agg),
+       | ${pfx}raw AS (SELECT lang, n_zero,
+       |    0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0
+       |      * 562949953421312.0 / CAST(harmonic AS DOUBLE) AS rr
+       |   FROM ${pfx}fin),
+       | ${pfx}est AS (SELECT lang,
+       |    CASE WHEN n_zero > 0 AND rr <= 2560.0
+       |      THEN round(1024.0 * ln(1024.0 / CAST(n_zero AS DOUBLE)), 4)
+       |      ELSE round(rr, 4) END AS e
+       |   FROM ${pfx}raw)""".stripMargin
+
   /** Shared CTE chain for the winnowing near-dup graph closed under a
     * recursive CTE (the d6/d10 cluster construction): tokens → 3-gram
     * hashes → window-4 winnowed fingerprints → ≥2-shared edges →
@@ -981,6 +1020,45 @@ object PipelineQueries {
          |     THEN round(1024.0 * ln(1024.0 / CAST(n_zero AS DOUBLE)), 4)
          |     ELSE round(r, 4) END AS hll_est
          | FROM raw ORDER BY lang""".stripMargin
+    ),
+
+    // A16 — sketch-algebra corpus overlap: |A|, |B|, |A∪B| from HLL
+    // registers (union = max-merge — no join of the corpora ever
+    // happens) and |A∩B| by inclusion–exclusion. The sketch twin of
+    // t20's exact overlap; A/B = the one-digit vs two-digit source
+    // slices, per-lang 5-shingle vocabularies.
+    "a16_sketch_overlap" -> QueryDef.sql(
+      (s, d) => {
+        val docs = Tables(s, d).documents
+        def sh(side: org.apache.spark.sql.DataFrame) = {
+          val t = side.select(col("lang"), TextOps.tokens(col("text")).as("__toks"))
+          t.select(col("lang"),
+            explode(TextOps.shinglesOfTokens(col("__toks"), 5)).as("__s"))
+        }
+        Sketches.hllOverlap(
+            sh(docs.filter(length(col("source")) === 4)),
+            sh(docs.filter(length(col("source")) === 5)),
+            Seq("lang"), col("__s"), m = 1024)
+          .orderBy("lang")
+      },
+      s"""WITH ${hllRegCtes("length(source) = 4", "a")},
+         | ${hllRegCtes("length(source) = 5", "b")},
+         | mregs AS (SELECT lang, b, max(r) AS r FROM (
+         |    SELECT * FROM aregs UNION ALL SELECT * FROM bregs) GROUP BY 1, 2),
+         | ${hllEstCtes("aregs", "ea")},
+         | ${hllEstCtes("bregs", "eb")},
+         | ${hllEstCtes("mregs", "eu")},
+         | ov AS (SELECT u.lang,
+         |    coalesce(ea.e, 0.0) AS est_a, coalesce(eb.e, 0.0) AS est_b,
+         |    u.e AS est_union,
+         |    round(greatest(0.0, coalesce(ea.e, 0.0) + coalesce(eb.e, 0.0) - u.e), 4)
+         |      AS est_intersect
+         |   FROM euest u LEFT JOIN eaest ea USING (lang)
+         |   LEFT JOIN ebest eb USING (lang))
+         | SELECT lang, est_a, est_b, est_union, est_intersect,
+         |   CASE WHEN est_union > 0.0
+         |     THEN round(est_intersect / est_union, 6) END AS jaccard_est
+         | FROM ov ORDER BY lang""".stripMargin
     ),
 
     // A15 — Count-Min heavy hitters (Cormode & Muthukrishnan 2005) for a

@@ -38,6 +38,30 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(got("b") - 10.0) < 3.0, s"group b: ${got("b")}")
   }
 
+  test("hllOverlap: union is the exact max-merge sketch, intersection tracks truth") {
+    val a = (1 to 1000).map(i => ("g", s"v$i")).toDF("g", "v")
+    val b = (500 to 1500).map(i => ("g", s"v$i")).toDF("g", "v")
+    val row = Sketches.hllOverlap(a, b, Seq("g"), col("v"), m = 1024).collect().head
+    // the union estimate must equal the one-shot sketch of A ∪ B exactly
+    // (max-merge IS the union sketch, not an approximation of it)
+    val direct = Sketches.hllDistinct(a.union(b), Seq("g"), col("v"), m = 1024)
+      .collect().head.getAs[Double]("hll_est")
+    assert(row.getAs[Double]("est_union") == direct)
+    // inclusion-exclusion: truth |A∩B| = 501, |A∪B| = 1500 — wide bars,
+    // the intersection inherits both sketches' error
+    assert(math.abs(row.getAs[Double]("est_union") - 1500.0) / 1500.0 < 0.1)
+    assert(math.abs(row.getAs[Double]("est_intersect") - 501.0) / 501.0 < 0.35,
+      s"intersect ${row.getAs[Double]("est_intersect")}")
+    val j = row.getAs[Double]("jaccard_est")
+    assert(j > 0.2 && j < 0.5, s"jaccard $j vs true 0.334")
+
+    // disjoint sets: the clamp keeps the estimate at >= 0
+    val c = (5000 to 5800).map(i => ("g", s"w$i")).toDF("g", "v")
+    val dj = Sketches.hllOverlap(a, c, Seq("g"), col("v"), m = 1024).collect().head
+    assert(dj.getAs[Double]("est_intersect") >= 0.0)
+    assert(dj.getAs[Double]("est_intersect") / 1800.0 < 0.1, "disjoint should read near zero")
+  }
+
   test("cmsHeavyHitters is one-sided: estimate >= true count, exact at large w") {
     val tokens = Seq.fill(400)("hot") ++ (1 to 200).map(i => s"cold$i")
     val df = tokens.toDF("t")
