@@ -1093,11 +1093,23 @@ object Dedup {
   def resolveEntities(df: DataFrame, idCol: String, textCol: String,
                       keyLen: Int = 32, sliceLen: Int = 8,
                       threshold: Double = 0.9,
-                      maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame = {
-    val comp = connectedComponents(
-      recordLinkage(df, idCol, textCol, keyLen, sliceLen, threshold, maxBucket)
-        .select("id_a", "id_b"),
-      "id_a", "id_b")
+                      maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame =
+    resolveEntitiesFromPairs(df,
+      recordLinkage(df, idCol, textCol, keyLen, sliceLen, threshold, maxBucket),
+      idCol)
+
+  /** [[resolveEntities]]'s closure stage over an ALREADY-COMPUTED pair
+    * relation (from [[recordLinkage]] live, or [[materializeLinkage]]'s
+    * persisted artifact): CC, min-id entity label, singleton coalesce,
+    * sizes, canonical flag. The expensive stage is the blocking+verify
+    * pass that produced the pairs — at 100 TB it runs once and every
+    * downstream consumer (this closure, audits, merges) reads the
+    * artifact, the [[materializeClusters]] discipline applied to
+    * linkage.
+    */
+  def resolveEntitiesFromPairs(df: DataFrame, pairs: DataFrame,
+                               idCol: String): DataFrame = {
+    val comp = connectedComponents(pairs.select("id_a", "id_b"), "id_a", "id_b")
     val labeled = df.select(col(idCol))
       .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumn("entity_id", coalesce(col("label"), col(idCol)))
@@ -1107,5 +1119,20 @@ object Dedup {
       .select(col(idCol), col("entity_id"), col("entity_size"),
         when(col(idCol) === col("entity_id"), 1).otherwise(0)
           .cast("int").as("is_canonical"))
+  }
+
+  /** Compute [[recordLinkage]] ONCE and persist the verified pair graph
+    * as a table every linkage consumer reads — the persist-once face
+    * (see [[materializeClusters]] for the rationale at scale).
+    */
+  def materializeLinkage(store: graft.chain.TableStore, df: DataFrame,
+                         idCol: String, textCol: String,
+                         table: String = "linkage_pairs",
+                         keyLen: Int = 32, sliceLen: Int = 8,
+                         threshold: Double = 0.9,
+                         maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame = {
+    store.replace(table,
+      recordLinkage(df, idCol, textCol, keyLen, sliceLen, threshold, maxBucket))
+    store.readOr(table, null)
   }
 }

@@ -79,6 +79,25 @@ class RecordLinkageSpec extends SparkSpec {
     assert(got(9L) == ((9L, 1L, 1)))
   }
 
+  test("materializeLinkage persists the pair graph; closure from the artifact matches live") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs away"),
+      (2L, "the quick brown fox jumps over the hazy dog and runs away"),
+      (4L, "completely different text with no shared prefix at all")
+    ).toDF("doc_id", "text")
+    val store = graft.chain.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-linkage").toString)
+    val artifact = Dedup.materializeLinkage(store, docs, "doc_id", "text")
+    // the artifact plan is a parquet scan, not a re-blocking pass
+    assert(artifact.queryExecution.executedPlan.toString.contains("FileScan parquet"))
+    val fromArtifact = Dedup.resolveEntitiesFromPairs(docs, artifact, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).sorted.toSeq
+    val live = Dedup.resolveEntities(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).sorted.toSeq
+    assert(fromArtifact == live)
+    assert(fromArtifact.map(_._2).toSet == Set(1L, 4L)) // {1,2} entity + singleton
+  }
+
   test("recordLinkage strips non-ASCII from keys so byte and char views agree") {
     // both docs carry é at the SAME position, so the strip shifts both keys
     // identically and the slice blocking still aligns; the resulting
