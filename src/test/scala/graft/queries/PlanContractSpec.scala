@@ -77,7 +77,9 @@ class PlanContractSpec extends SparkSpec {
           // broadcasts (onto the 64-row register relation and the scan);
           // r10 inherits r4's one-row excess/total broadcasts
           "r9_dsir_weights", "a15_cms_heavy", "s18_power_iteration",
-          "r10_data_budget").contains(q))
+          // s19 recomputes s1 (broadcast-probe exact side) and s3
+          // (broadcast-centroid assignment) — both sanctioned shapes
+          "r10_data_budget", "s19_ann_recall").contains(q))
         assert(count(plan, "BroadcastNestedLoopJoin") == 0, s"$q plans a nested-loop join")
     }
   }
