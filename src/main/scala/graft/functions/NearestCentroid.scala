@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Nearest-centroid argmax as a NATIVE Catalyst expression: given a row's
+  * vector and the full centroid table as ONE broadcast array of
+  * (cid, cvec, cnorm) structs, return the id of the highest-cosine
+  * centroid, ties to the lowest id.
+  *
+  * This is the assignment stage of the whole IVF/k-means family
+  * (s3/s4/s12/s16/d12/s19) collapsed to per-row math: no n·k candidate
+  * relation ever materializes, so there is NOTHING to shuffle, sort, or
+  * aggregate — the former row_number-window form moved the full n·k
+  * crossed relation through an exchange, and the max_by-aggregation form
+  * (struct-with-array buffer) fell out of hash aggregation into a
+  * SortAggregate that sorted n·k rows per task. Here the k-way loop runs
+  * inside whole-stage codegen and the only data movement is the one-row
+  * centroid broadcast (k·dim floats — the same bytes the join-based forms
+  * broadcast anyway).
+  *
+  * Semantics are bit-identical to the declarative original:
+  * cosine = seqdot/(‖a‖·‖b‖) with left-to-right double accumulation
+  * (matching `zip_with`/`aggregate` fold order), 0 when either norm is 0,
+  * rounded HALF_UP to 6 decimals exactly as Spark's `round(_, 6)` does
+  * for doubles; a length-mismatched centroid scores null-like (sorts
+  * last, ties still to lowest id) exactly as the windowed form ordered
+  * null similarities.
+  */
+case class NearestCentroidExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean  = left.nullable || right.nullable
+  override def prettyName: String = "nearest_centroid"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _),
+          ArrayType(StructType(Array(
+            StructField(_, LongType, _, _),
+            StructField(_, ArrayType(FloatType, _), _, _),
+            StructField(_, DoubleType, _, _))), _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (ARRAY<FLOAT>, ARRAY<STRUCT<BIGINT, ARRAY<FLOAT>, DOUBLE>>), " +
+        s"got (${l.catalogString}, ${r.catalogString})")
+  }
+
+  override protected def nullSafeEval(vec: Any, cents: Any): Any =
+    NearestCentroid.assign(vec.asInstanceOf[ArrayData], cents.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, c) =>
+      s"${ev.value} = graft.functions.NearestCentroid.assign($v, $c);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): NearestCentroidExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object NearestCentroid {
+
+  /** Static argmax target for both interpreted and generated code.
+    * `cents` rows are (cid: long, cvec: float[], cnorm: double) with
+    * cnorm = ‖cvec‖ precomputed once at broadcast build (saves k·dim
+    * FLOPs per row vs re-deriving it here).
+    */
+  def assign(vec: ArrayData, cents: ArrayData): Long = {
+    val dim = vec.numElements()
+    var n2a = 0.0
+    var i = 0
+    while (i < dim) { val x = vec.getFloat(i).toDouble; n2a += x * x; i += 1 }
+    val na = math.sqrt(n2a)
+    var bestSim = Double.NegativeInfinity
+    var bestCid = Long.MaxValue
+    val k = cents.numElements()
+    var j = 0
+    while (j < k) {
+      val c    = cents.getStruct(j, 3)
+      val cid  = c.getLong(0)
+      val cvec = c.getArray(1)
+      // a ragged centroid scores -inf: the windowed original's null
+      // similarity, which sorted last with ties still on the id
+      var sim = Double.NegativeInfinity
+      if (cvec.numElements() == dim) {
+        var d = 0.0
+        var t = 0
+        while (t < dim) { d += vec.getFloat(t).toDouble * cvec.getFloat(t).toDouble; t += 1 }
+        val nn  = na * c.getDouble(2)
+        val raw = if (nn == 0.0) 0.0 else d / nn
+        // exactly Spark's round(double, 6): HALF_UP via BigDecimal,
+        // NaN/Inf pass through untouched
+        sim = if (java.lang.Double.isNaN(raw) || java.lang.Double.isInfinite(raw)) raw
+              else java.math.BigDecimal.valueOf(raw)
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      }
+      if (sim > bestSim || (sim == bestSim && cid < bestCid)) {
+        bestSim = sim; bestCid = cid
+      }
+      j += 1
+    }
+    bestCid
+  }
+
+  def apply(vec: Column, cents: Column): Column =
+    GraftSqlBridge.column(NearestCentroidExpr(
+      GraftSqlBridge.expression(vec), GraftSqlBridge.expression(cents)))
+}

@@ -168,18 +168,36 @@ object Similarity {
   }
 
   /** Nearest-centroid assignment: each vector gets the id of its
-    * highest-cosine centroid (ties → lowest centroid id). Centroids
-    * broadcast (they are the small dimension); one window per vector id.
+    * highest-cosine centroid (ties → lowest centroid id).
+    *
+    * Shape: the centroid table folds into ONE row — a sorted array of
+    * (cid, cvec, ‖cvec‖) structs — broadcast keylessly onto the corpus
+    * (the r4/t11 one-row-scalar topology), and the argmax runs per row in
+    * the native codegen'd [[graft.functions.NearestCentroid]] loop. No
+    * n·k candidate relation ever exists, so the assignment adds ZERO
+    * shuffle to the corpus: earlier forms either moved n·k rows through
+    * a window exchange or (max_by with a struct-of-array buffer) fell
+    * into a per-task SortAggregate over n·k rows — this is a map-only
+    * pass, and the broadcast is the same k·dim floats those forms
+    * shipped anyway (k ≈ √n in a production IVF, ~25 MB at k=100k,
+    * dim=64). Empty centroid input yields an empty result, matching the
+    * join-based original.
     */
   def assignToCentroids(df: DataFrame, centroids: DataFrame,
                         idCol: String, vecCol: String): DataFrame = {
-    val c = broadcast(centroids.select(col(idCol).as("__cid"), col(vecCol).as("__cvec")))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(round(cosine(col(vecCol), col("__cvec")), 6).desc, col("__cid"))
-    df.crossJoin(c)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(df.columns.map(col) :+ col("__cid").as("centroid_id"): _*)
+    val idType = centroids.schema(idCol).dataType
+    val cRow = broadcast(
+      centroids
+        .groupBy()
+        .agg(array_sort(collect_list(struct(
+          col(idCol).cast("long").as("cid"),
+          col(vecCol).as("cvec"),
+          sqrt(norm2(col(vecCol))).as("cnorm")))).as("__cents"))
+        .where(size(col("__cents")) > 0))
+    df.crossJoin(cRow)
+      .withColumn("centroid_id",
+        graft.functions.NearestCentroid(col(vecCol), col("__cents")).cast(idType))
+      .drop("__cents")
   }
 
   /** One Lloyd iteration's M-step for training the IVF coarse quantizer,

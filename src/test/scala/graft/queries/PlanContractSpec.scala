@@ -231,6 +231,20 @@ class PlanContractSpec extends SparkSpec {
     assert(count(plan, "CartesianProduct") == 0)
   }
 
+  test("s4 centroid assignment is per-row native math: no window, no n·k sort or shuffle") {
+    // the assignment stage (shared by s3/s4/s12/s16/d12/s19) must be the
+    // one-row-broadcast + native argmax loop: a row_number window moves
+    // the full n·k crossed relation through an exchange (n^1.5 shuffle
+    // volume at k ≈ √n), and a max_by aggregation's struct-of-array
+    // buffer falls out of hash aggregation into a per-task n·k sort
+    val plan = planOf("s4_kmeans_step")
+    assert(count(plan, "Window") == 0, s"assignment must not window:\n$plan")
+    assert(count(plan, "SortAggregate") == 0,
+      s"assignment must not sort-aggregate n·k candidates:\n$plan")
+    assert(plan.contains("nearest_centroid"),
+      s"native NearestCentroidExpr must appear in the plan:\n$plan")
+  }
+
   test("d12 semdedup: pairwise stage is an equi-join on the cell key") {
     val plan = planOf("d12_semdedup")
     // within-cell pairs must meet on centroid_id (bounded by the largest
