@@ -1,11 +1,25 @@
 package graft.chain
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 /** Transactional-enough table store over parquet directories.
+  *
+  * All path operations go through the Hadoop `FileSystem` API resolved
+  * from `root`'s scheme — `root` may be a local path, `file://`,
+  * `hdfs://`, or any other filesystem Spark's Hadoop configuration knows
+  * (`s3a://`, `abfs://`, …). A store "designed for 100 TB" whose listings
+  * and swaps ran through `java.nio.file` could never point at a cluster
+  * filesystem; this one can. Directory renames — the commit primitive
+  * under every swap — are atomic on local and HDFS filesystems. On object
+  * stores rename is copy+delete, so this seam should be backed by a
+  * manifest-committing table format (Delta/Iceberg, as below) rather than
+  * raw parquet directories; the staged-write-then-promote ORDER here is
+  * exactly the discipline such a commit log formalizes, so only this
+  * class changes.
   *
   * Range-keyed tables (everything keyed by block number) are laid out in
   * fixed-width block BUCKETS — `table/bucket=N/` directories via Spark's
@@ -27,6 +41,14 @@ import org.apache.spark.sql.types.StructType
   * (common/errors.go:48-57).
   */
 final case class TableStore(spark: SparkSession, root: String, bucketSize: Long = 100000L) {
+
+  private val rootPath = new Path(root)
+  // one FileSystem per store, resolved from the root's scheme against the
+  // session's Hadoop conf (core-site/spark.hadoop.* — where s3a keys etc.
+  // live). FileSystem.get caches per (scheme, authority, ugi), so this is
+  // also what every other Spark component talks to.
+  private val fs: FileSystem =
+    rootPath.getFileSystem(spark.sessionState.newHadoopConf())
 
   /** Driver-side row cache for TINY single-row state tables (head_state,
     * balance_head, ledger_block): the ingest loop consults them several
@@ -69,8 +91,9 @@ final case class TableStore(spark: SparkSession, root: String, bucketSize: Long 
   def collectSmall(table: String): Option[Array[org.apache.spark.sql.Row]] =
     rowCache.computeIfAbsent(table, t => Option(readOr(t, null)).map(_.collect()))
 
-  private def dir(table: String): Path = Paths.get(root, table)
-  private def bucketDir(table: String, b: Long): Path = Paths.get(root, table, s"bucket=$b")
+  private def dir(table: String): Path = new Path(rootPath, table)
+  private def bucketDir(table: String, b: Long): Path =
+    new Path(dir(table), s"bucket=$b")
 
   def bucketOf(v: Long): Long = Math.floorDiv(v, bucketSize)
 
@@ -82,35 +105,34 @@ final case class TableStore(spark: SparkSession, root: String, bucketSize: Long 
     */
   private val CompactFiles = 64
 
-  private def dataFileCount(d: Path): Long = {
-    val s = Files.list(d)
-    try s.filter(p => Files.isRegularFile(p) && {
-      val n = p.getFileName.toString
-      !(n.startsWith(".") || n.startsWith("_"))
-    }).count()
-    finally s.close()
-  }
+  private def hidden(name: String): Boolean =
+    name.startsWith(".") || name.startsWith("_")
+
+  private def dataFileCount(d: Path): Long =
+    fs.listStatus(d).count(st => st.isFile && !hidden(st.getPath.getName)).toLong
 
   /** A table exists only if it holds at least one DATA file: an append of
     * an empty DataFrame leaves a `_SUCCESS`-only directory, and swap
     * machinery can leave hidden `.bucket=N_tmp`/`_old` siblings — counting
     * those would send `spark.read.parquet` into "Unable to infer schema".
     * Hidden subtrees (any path component starting with `.` or `_`) are
-    * skipped entirely, matching what Spark's file index would list.
+    * skipped entirely, matching what Spark's file index would list. One
+    * recursive LIST (`listFiles`), not one round per directory level.
     */
   def exists(table: String): Boolean = {
     val d = dir(table)
-    Files.exists(d) && {
-      val s = Files.walk(d) // must close: each open stream holds a descriptor
-      try s.anyMatch { p =>
-        Files.isRegularFile(p) && {
-          val rel = d.relativize(p)
-          (0 until rel.getNameCount).forall { i =>
-            val n = rel.getName(i).toString
-            !(n.startsWith(".") || n.startsWith("_"))
-          }
+    fs.exists(d) && {
+      val base = d.toUri.getPath.stripSuffix("/")
+      val it   = fs.listFiles(d, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val st = it.next()
+        if (st.isFile) {
+          val rel = st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
+          found = rel.split('/').forall(n => !hidden(n))
         }
-      } finally s.close()
+      }
+      found
     }
   }
 
@@ -122,18 +144,25 @@ final case class TableStore(spark: SparkSession, root: String, bucketSize: Long 
   // as a TYPED empty DataFrame instead of crashing schema inference or
   // forcing every caller to carry a fallback StructType.
 
-  private def schemaPath(table: String): Path = dir(table).resolve(".schema.json")
+  private def schemaPath(table: String): Path = new Path(dir(table), ".schema.json")
 
   private def rememberSchema(table: String, schema: StructType): Unit = {
-    Files.createDirectories(dir(table))
-    Files.writeString(schemaPath(table), schema.json)
+    fs.mkdirs(dir(table))
+    val out = fs.create(schemaPath(table), true)
+    try out.write(schema.json.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
   }
 
-  private def rememberedSchema(table: String): Option[StructType] =
-    if (Files.exists(schemaPath(table)))
-      Some(org.apache.spark.sql.types.DataType.fromJson(Files.readString(schemaPath(table)))
-        .asInstanceOf[StructType])
-    else None
+  private def rememberedSchema(table: String): Option[StructType] = {
+    val p = schemaPath(table)
+    if (fs.exists(p)) {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in  = fs.open(p)
+      try in.readFully(buf) finally in.close()
+      Some(org.apache.spark.sql.types.DataType.fromJson(
+        new String(buf, StandardCharsets.UTF_8)).asInstanceOf[StructType])
+    } else None
+  }
 
   private def emptyOf(schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -220,7 +249,7 @@ final case class TableStore(spark: SparkSession, root: String, bucketSize: Long 
     if (!exists(table)) return
     (bucketOf(from) to bucketOf(to)).foreach { b =>
       val bd = bucketDir(table, b)
-      if (Files.exists(bd)) {
+      if (fs.exists(bd)) {
         val bucketLo = b * bucketSize
         val bucketHi = bucketLo + bucketSize - 1
         if (from <= bucketLo && bucketHi <= to) {
@@ -273,7 +302,7 @@ final case class TableStore(spark: SparkSession, root: String, bucketSize: Long 
     touched.foreach { case (table, rangeCol) =>
       (bucketOf(from) to bucketOf(to)).foreach { b =>
         val bd = bucketDir(table, b)
-        if (Files.exists(bd)) {
+        if (fs.exists(bd)) {
           val bucketLo = b * bucketSize
           val bucketHi = bucketLo + bucketSize - 1
           if (from <= bucketLo && bucketHi <= to) deleteRecursive(bd)
@@ -336,7 +365,7 @@ final case class TableStore(spark: SparkSession, root: String, bucketSize: Long 
       : (Seq[() => Unit], () => Unit) = {
     val staged = tables.map { case (t, df) =>
       val target = dir(t)
-      val tmp    = target.resolveSibling("." + target.getFileName.toString + "_tmp")
+      val tmp    = sibling(target, "_tmp")
       (t, df, target, tmp)
     }
     val stage = staged.map { case (_, df, _, tmp) => () => {
@@ -397,22 +426,17 @@ final case class TableStore(spark: SparkSession, root: String, bucketSize: Long 
                         maxFiles: Int = CompactFiles): Int = {
     if (!exists(table)) return 0
     val dirs: Seq[Path] = parts match {
-      case Some(vs) => vs.map(v => dir(table).resolve(s"$partCol=$v"))
+      case Some(vs) => vs.map(v => new Path(dir(table), s"$partCol=$v"))
       case None =>
-        val s = Files.list(dir(table))
-        try {
-          import scala.jdk.CollectionConverters._
-          s.iterator().asScala
-            .filter(p => Files.isDirectory(p) &&
-              p.getFileName.toString.startsWith(partCol + "="))
-            .toSeq
-        } finally s.close()
+        fs.listStatus(dir(table)).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith(partCol + "="))
+          .map(_.getPath)
     }
     val fileSchema = rememberedSchema(table)
       .map(s => StructType(s.filterNot(_.name == partCol)))
     var n = 0
     dirs.foreach { pd =>
-      if (Files.exists(pd) && dataFileCount(pd) > maxFiles) {
+      if (fs.exists(pd) && dataFileCount(pd) > maxFiles) {
         val rows = fileSchema.fold(spark.read)(spark.read.schema(_)).parquet(pd.toString)
         swapInto(pd, rows.coalesce(1))
         n += 1
@@ -440,29 +464,39 @@ final case class TableStore(spark: SparkSession, root: String, bucketSize: Long 
   private def refresh(table: String): Unit =
     spark.catalog.refreshByPath(dir(table).toString)
 
+  private def sibling(target: Path, suffix: String): Path =
+    new Path(target.getParent, "." + target.getName + suffix)
+
   /** Write df to a sibling tmp dir, then atomically swap it into `target` —
     * a concurrent reader never sees a half-written directory.
     */
   private def swapInto(target: Path, df: DataFrame): Unit = {
-    val tmp = target.resolveSibling("." + target.getFileName.toString + "_tmp")
+    val tmp = sibling(target, "_tmp")
     deleteRecursive(tmp)
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     promote(target, tmp)
   }
 
+  /** Promote a fully-staged tmp dir over `target`: park the live dir as a
+    * hidden `_old` sibling, rename tmp into place, drop the parked dir.
+    * Both renames are single metadata operations (atomic on local/HDFS;
+    * an object-store deployment replaces this seam with a manifest commit
+    * — see the class doc). The destination of each rename never exists —
+    * Hadoop rename into an existing directory would NEST the source — and
+    * a crash between the two renames converges: the table reads as absent
+    * (tmp and `_old` are hidden), and the next replace/swap of the table
+    * re-stages from scratch, exactly the recovery contract the ingest
+    * ledger protocol is built on.
+    */
   private def promote(target: Path, tmp: Path): Unit = {
-    val old = target.resolveSibling("." + target.getFileName.toString + "_old")
+    val old = sibling(target, "_old")
     deleteRecursive(old)
-    if (Files.exists(target)) Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    if (fs.exists(target)) require(fs.rename(target, old),
+      s"rename $target -> $old failed")
+    require(fs.rename(tmp, target), s"rename $tmp -> $target failed")
     deleteRecursive(old)
   }
 
   private def deleteRecursive(p: Path): Unit =
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
-      finally s.close()
-    }
+    if (fs.exists(p)) { fs.delete(p, true): Unit }
 }

@@ -87,4 +87,29 @@ class TableStoreSpec extends SparkSpec {
     store.appendBucketed("t", (10L until 20L).map(n => n + 1000).toDF("n"), "n")
     assert(rows(store, "t") == ((0L to 9L) ++ (1010L to 1019L)))
   }
+
+  test("the store runs against a URI-scheme root (file://) through the Hadoop FS API") {
+    // every path op goes through org.apache.hadoop.fs.FileSystem resolved
+    // from the root's scheme, so a cluster deployment points dataDir at
+    // hdfs://… — this exercises the same dispatch with the local scheme
+    val store = TableStore(spark,
+      "file://" + Files.createTempDirectory("graft-ts-uri").toString, bucketSize = 10L)
+    store.appendBucketed("t", (0L until 40L).toDF("n"), "n")
+    store.deleteRange("t", "n", 5L, 24L) // bucket 0/2 partial, bucket 1 covered
+    assert(rows(store, "t") == ((0L to 4L) ++ (25L to 39L)))
+    // swap-based whole-table replace (tmp + _old rename promote)
+    store.replace("s", Seq((1L, "a"), (2L, "b")).toDF("n", "v"))
+    store.replace("s", store.readOr("s", null).filter(col("n") === 2L))
+    assert(store.readOr("s", null).collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // schema sidecar round-trips through the scheme too
+    store.deleteRange("t", "n", 0L, 100L)
+    assert(!store.exists("t"))
+    assert(store.read("t", null).schema.fieldNames.sameElements(Array("n")))
+    // category partitions + threshold compaction under file://
+    (1 to 5).foreach { i =>
+      store.appendPartitioned("p", Seq((i.toLong, i % 2)).toDF("n", "shard"), "shard")
+    }
+    assert(store.compactPartitions("p", "shard", maxFiles = 1) > 0)
+    assert(store.readOr("p", null).count() == 5L)
+  }
 }
