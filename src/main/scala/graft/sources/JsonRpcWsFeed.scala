@@ -24,15 +24,18 @@ import java.net.URI
 final class JsonRpcWsFeed(endpoints: Seq[String], wsUrls: Seq[String],
                           startBlock: Long,
                           httpTimeoutMs: Int,
-                          reconnectMs: Long)
+                          reconnectMs: Long,
+                          // None = the JVM default trust store (real `wss://`
+                          // endpoints); Some = a pinned private CA
+                          sslContext: Option[javax.net.ssl.SSLContext] = None)
     extends JsonRpcPushFeed(endpoints, wsUrls, startBlock, httpTimeoutMs, reconnectMs) {
 
-  def this(endpoint: String, wsUrl: String, startBlock: Long = 1L,
-           httpTimeoutMs: Int = 30000, reconnectMs: Long = 200L) =
-    this(Seq(endpoint), Seq(wsUrl), startBlock, httpTimeoutMs, reconnectMs)
+  def this(endpoint: String, wsUrl: String, startBlock: Long,
+           httpTimeoutMs: Int, reconnectMs: Long) =
+    this(Seq(endpoint), Seq(wsUrl), startBlock, httpTimeoutMs, reconnectMs, None)
 
   override private[sources] def subscribeOnce(node: Int): Unit = {
-    val ws = new WebSocketClient(URI.create(subscribeUrls(node)), httpTimeoutMs)
+    val ws = new WebSocketClient(URI.create(subscribeUrls(node)), httpTimeoutMs, sslContext)
     try {
       ws.handshake()
       ws.sendText(

@@ -16,15 +16,40 @@ import java.util.Base64
   * server frames with 7/16/64-bit lengths, text-fragment reassembly, and
   * the ping→pong / close control behavior.
   *
-  * Scope: `ws://` only (TLS termination is a gateway concern in every
-  * deployment this models), no extensions, no outbound fragmentation.
+  * `wss://` layers JSSE TLS over the same socket (every real public
+  * endpoint — and geth behind any ingress — terminates TLS at the node,
+  * which is also what the reference dials: its multiclient passes the URL
+  * scheme straight to go-ethereum's dialer). The default `SSLContext`
+  * verifies the chain against the JVM trust store AND the hostname
+  * (endpoint identification is explicitly enabled — JSSE's raw
+  * SSLSocket default checks the chain but not that the cert names this
+  * host); pass `sslContext` to pin a private CA. No extensions, no
+  * outbound fragmentation.
   */
-final class WebSocketClient(uri: URI, connectTimeoutMs: Int) extends Closeable {
-  require(uri.getScheme == "ws", s"only ws:// URIs (got $uri)")
+final class WebSocketClient(uri: URI, connectTimeoutMs: Int,
+                            sslContext: Option[javax.net.ssl.SSLContext] = None)
+    extends Closeable {
+  private val tls = uri.getScheme == "wss"
+  require(uri.getScheme == "ws" || tls, s"only ws:// or wss:// URIs (got $uri)")
+  private val port = if (uri.getPort != -1) uri.getPort else if (tls) 443 else 80
 
-  private val socket = new Socket()
-  socket.connect(new InetSocketAddress(uri.getHost,
-    if (uri.getPort == -1) 80 else uri.getPort), connectTimeoutMs)
+  private val socket: Socket = {
+    val plain = new Socket()
+    plain.connect(new InetSocketAddress(uri.getHost, port), connectTimeoutMs)
+    if (!tls) plain
+    else {
+      val factory = sslContext.map(_.getSocketFactory).getOrElse(
+        javax.net.ssl.SSLSocketFactory.getDefault
+          .asInstanceOf[javax.net.ssl.SSLSocketFactory])
+      val ssl = factory.createSocket(plain, uri.getHost, port, true)
+        .asInstanceOf[javax.net.ssl.SSLSocket]
+      val params = ssl.getSSLParameters
+      params.setEndpointIdentificationAlgorithm("HTTPS")
+      ssl.setSSLParameters(params)
+      ssl.startHandshake() // fail fast: a bad cert must poison connect, not first read
+      ssl
+    }
+  }
   socket.setSoTimeout(0) // a subscription stream is idle between heads
   socket.setTcpNoDelay(true)
   private val in  = new BufferedInputStream(socket.getInputStream)
@@ -43,7 +68,7 @@ final class WebSocketClient(uri: URI, connectTimeoutMs: Int) extends Closeable {
     val path = if (uri.getRawPath == null || uri.getRawPath.isEmpty) "/" else uri.getRawPath
     val req =
       s"GET $path HTTP/1.1\r\n" +
-        s"Host: ${uri.getHost}:${if (uri.getPort == -1) 80 else uri.getPort}\r\n" +
+        s"Host: ${uri.getHost}:$port\r\n" +
         "Upgrade: websocket\r\n" +
         "Connection: Upgrade\r\n" +
         s"Sec-WebSocket-Key: $key\r\n" +

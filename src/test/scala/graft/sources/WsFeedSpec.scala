@@ -22,8 +22,9 @@ final class WsStub {
   val pongs = new AtomicInteger
   def subscriberCount: Int = conns.count(!_._1.isClosed)
 
-  def start(): Int = {
-    server = new ServerSocket(0, 16, InetAddress.getByName("127.0.0.1"))
+  def start(tls: Option[javax.net.ssl.SSLServerSocketFactory] = None): Int = {
+    server = tls.fold(new ServerSocket(0, 16, InetAddress.getByName("127.0.0.1")))(
+      _.createServerSocket(0, 16, InetAddress.getByName("127.0.0.1")))
     val t = new Thread(() => {
       try while (true) {
         val s = server.accept()
@@ -178,6 +179,63 @@ class WsFeedSpec extends AnyFunSuite {
     }
   }
 
+  test("wss push over TLS: self-signed pinned CA, heads flow, one node dies") {
+    val (serverSsl, clientCtx) = WsFeedSpec.tlsFixture
+    val main = bundleChain(1, 5, hash32(0), withTransferLogs = true)
+    val a = new RpcStub; val b = new RpcStub
+    a.setCanonical(main.take(3)); b.setCanonical(main.take(3))
+    val (rpcA, rpcB) = (a.start(), b.start())
+    val wsA = new WsStub; val wsB = new WsStub
+    val (wpA, wpB) = (wsA.start(Some(serverSsl)), wsB.start(Some(serverSsl)))
+    // the deployment config face accepts the same URLs verbatim
+    val cfg = graft.Indexer.parseConfig(
+      s"""endpoints:
+         |  - http://127.0.0.1:$rpcA/
+         |ws:
+         |  - wss://127.0.0.1:$wpA/
+         |dataDir: /tmp/x
+         |checkpointDir: /tmp/y
+         |""".stripMargin)
+    assert(cfg.wsUrls == Seq(s"wss://127.0.0.1:$wpA/"))
+    val feed = new JsonRpcWsFeed(
+      Seq(s"http://127.0.0.1:$rpcA/", s"http://127.0.0.1:$rpcB/"),
+      Seq(s"wss://127.0.0.1:$wpA/", s"wss://127.0.0.1:$wpB/"),
+      startBlock = 1L, httpTimeoutMs = 2000, reconnectMs = 100L,
+      sslContext = Some(clientCtx))
+    try {
+      feed.startSubscription()
+      eventually("both TLS subscribers connect")(
+        wsA.subscriberCount >= 1 && wsB.subscriberCount >= 1)
+      eventually("subscribe frame arrives over TLS")(
+        wsA.lastText.contains("eth_subscribe"))
+      wsA.pushHead(main(2))
+      eventually("backlog pull via A")(feed.latestSeq == 3L)
+      // kill node A (WS + RPC); B advances and announces over its TLS stream
+      wsA.stop(); a.stop()
+      b.setCanonical(main)
+      wsB.pushHead(main(4))
+      eventually("heads keep flowing through B")(feed.latestSeq == 5L)
+      assert(feed.activeEndpoint == s"http://127.0.0.1:$rpcB/")
+      assert(feed.range(3, 5).map(_.block.number) == Seq(4L, 5L))
+    } finally {
+      feed.stopSubscription()
+      wsB.stop(); b.stop()
+    }
+  }
+
+  test("wss against an UNTRUSTED cert is rejected at connect, not half-adopted") {
+    val (serverSsl, _) = WsFeedSpec.tlsFixture
+    val ws = new WsStub
+    val port = ws.start(Some(serverSsl))
+    try {
+      // default JVM trust store does not contain the self-signed test CA
+      intercept[java.io.IOException] {
+        val c = new WebSocketClient(java.net.URI.create(s"wss://127.0.0.1:$port/"), 2000)
+        try c.handshake() finally c.close()
+      }
+    } finally ws.stop()
+  }
+
   test("handshake validation: a non-WS peer is rejected, not half-adopted") {
     // an HTTP server that answers 200 (no Upgrade): handshake must throw
     val srv = com.sun.net.httpserver.HttpServer.create(
@@ -226,5 +284,44 @@ class WsFeedSpec extends AnyFunSuite {
       ws.handshake()
       assert(ws.readText().contains(payload))
     } finally { ws.close(); server.close() }
+  }
+}
+
+object WsFeedSpec {
+  /** Self-signed TLS fixture, generated OFFLINE by the JDK's own keytool:
+    * a PKCS12 keypair for CN/SAN 127.0.0.1 → (server socket factory,
+    * client SSLContext trusting exactly that cert). The client context
+    * still runs full JSSE verification INCLUDING endpoint identification —
+    * the SAN must name 127.0.0.1 or the handshake fails — so the test
+    * exercises the same code path as a public `wss://` endpoint.
+    */
+  lazy val tlsFixture: (javax.net.ssl.SSLServerSocketFactory, javax.net.ssl.SSLContext) = {
+    import java.security.KeyStore
+    import javax.net.ssl._
+    val dir    = java.nio.file.Files.createTempDirectory("graft-wss-ks")
+    val ksPath = dir.resolve("server.p12").toString
+    val keytool = new ProcessBuilder(
+      System.getProperty("java.home") + "/bin/keytool",
+      "-genkeypair", "-alias", "ws", "-keyalg", "RSA", "-keysize", "2048",
+      "-dname", "CN=127.0.0.1", "-validity", "2",
+      "-keystore", ksPath, "-storetype", "PKCS12", "-storepass", "changeit",
+      "-ext", "san=ip:127.0.0.1").redirectErrorStream(true).start()
+    val log = new String(keytool.getInputStream.readAllBytes(), UTF_8)
+    require(keytool.waitFor() == 0, s"keytool failed:\n$log")
+    val ks = KeyStore.getInstance("PKCS12")
+    val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(ksPath))
+    try ks.load(in, "changeit".toCharArray) finally in.close()
+    val kmf = KeyManagerFactory.getInstance(KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, "changeit".toCharArray)
+    val serverCtx = SSLContext.getInstance("TLS")
+    serverCtx.init(kmf.getKeyManagers, null, null)
+    val trust = KeyStore.getInstance(KeyStore.getDefaultType)
+    trust.load(null, null)
+    trust.setCertificateEntry("ws", ks.getCertificate("ws"))
+    val tmf = TrustManagerFactory.getInstance(TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(trust)
+    val clientCtx = SSLContext.getInstance("TLS")
+    clientCtx.init(null, tmf.getTrustManagers, null)
+    (serverCtx.getServerSocketFactory, clientCtx)
   }
 }
