@@ -35,9 +35,12 @@ import graft.streaming._
   *   usdt: "0xdAC17F958D2ee523a2206206994597C13D831ec7"
   * }}}
   *
-  * The parser is deliberately minimal (flat keys, one two-space-indented
-  * block, `- ` list items, `#` comments) — the deployment seam where a
-  * real YAML loader would slot in; the config SHAPE is the contract.
+  * Parsed with snakeyaml's SafeConstructor (plain maps/lists/scalars —
+  * no object instantiation from untrusted config), so quoting, `#`
+  * inside quoted values, and block/flow styles all behave like any YAML
+  * tool the operator already uses. Unknown top-level keys are REJECTED:
+  * a typo'd `reorgwindow:` must fail loudly at startup, not silently
+  * run with the default.
   */
 object Indexer {
 
@@ -55,49 +58,51 @@ object Indexer {
       master: String = "local[*]")
 
   def parseConfig(text: String): Config = {
-    val lines = text.linesIterator
-      .map(_.takeWhile(_ != '#'))
-      .filter(_.trim.nonEmpty).toSeq
-    var scalars = Map.empty[String, String]
-    var blocks  = Map.empty[String, Seq[(String, String)]].withDefaultValue(Nil)
-    var current: Option[String] = None
-    def unquote(v: String) = v.trim.stripPrefix("\"").stripSuffix("\"")
-    lines.foreach { line =>
-      val indented = line.startsWith(" ") || line.startsWith("\t")
-      val t = line.trim
-      if (!indented) {
-        val i = t.indexOf(':')
-        require(i > 0, s"bad config line: $t")
-        val (k, v) = (t.take(i).trim, t.drop(i + 1).trim)
-        if (v.isEmpty) { current = Some(k) }
-        else { scalars += k -> unquote(v); current = None }
-      } else current match {
-        case Some(k) if t.startsWith("- ") =>
-          blocks += k -> (blocks(k) :+ ("" -> unquote(t.drop(2))))
-        case Some(k) =>
-          val i = t.indexOf(':')
-          require(i > 0, s"bad config entry under '$k': $t")
-          blocks += k -> (blocks(k) :+ (t.take(i).trim -> unquote(t.drop(i + 1))))
-        case None => throw new IllegalArgumentException(s"indented line outside a block: $t")
-      }
+    import scala.jdk.CollectionConverters._
+    val yaml = new org.yaml.snakeyaml.Yaml(
+      new org.yaml.snakeyaml.constructor.SafeConstructor(
+        new org.yaml.snakeyaml.LoaderOptions()))
+    val root = yaml.load[java.util.Map[String, Object]](text)
+    require(root != null, "empty config")
+    val m = root.asScala.toMap
+    val known = Set("endpoints", "ws", "dataDir", "checkpointDir", "erc20",
+      "fromBlock", "metricsPort", "maxBlocksPerChunk", "reorgWindow",
+      "newSubLimit", "master")
+    val unknown = m.keySet -- known
+    require(unknown.isEmpty,
+      s"unknown config keys: ${unknown.toSeq.sorted.mkString(", ")}")
+    def list(k: String): Seq[String] = m.get(k) match {
+      case Some(l: java.util.List[_]) => l.asScala.map(String.valueOf).toSeq
+      case Some(other) =>
+        throw new IllegalArgumentException(s"config key '$k' must be a list, got: $other")
+      case None => Nil
     }
-    def list(k: String): Seq[String] = blocks(k).map(_._2)
-    def str(k: String, d: => String = null): String =
-      scalars.getOrElse(k, Option(d).getOrElse(
-        throw new IllegalArgumentException(s"config key '$k' is required")))
+    def str(k: String): String = m.get(k) match {
+      case Some(v) if v != null => String.valueOf(v)
+      case _ => throw new IllegalArgumentException(s"config key '$k' is required")
+    }
+    def opt[T](k: String, parse: String => T, d: T): T =
+      m.get(k).map(v => parse(String.valueOf(v))).getOrElse(d)
+    val erc20 = m.get("erc20") match {
+      case Some(mm: java.util.Map[_, _]) => // snakeyaml yields LinkedHashMap: order kept
+        mm.asScala.toSeq.map { case (n, a) => String.valueOf(n) -> hexBytes(String.valueOf(a)) }
+      case Some(other) =>
+        throw new IllegalArgumentException(s"config key 'erc20' must be a map, got: $other")
+      case None => Nil
+    }
     val base = Config(
       endpoints     = list("endpoints"),
       wsUrls        = list("ws"),
       dataDir       = str("dataDir"),
       checkpointDir = str("checkpointDir"),
-      erc20         = blocks("erc20").map { case (n, a) => n -> hexBytes(a) })
+      erc20         = erc20)
     base.copy(
-      fromBlock         = scalars.get("fromBlock").map(_.toLong).getOrElse(base.fromBlock),
-      metricsPort       = scalars.get("metricsPort").map(_.toInt).getOrElse(base.metricsPort),
-      maxBlocksPerChunk = scalars.get("maxBlocksPerChunk").map(_.toInt).getOrElse(base.maxBlocksPerChunk),
-      reorgWindow       = scalars.get("reorgWindow").map(_.toLong).getOrElse(base.reorgWindow),
-      newSubLimit       = scalars.get("newSubLimit").map(_.toInt).getOrElse(base.newSubLimit),
-      master            = scalars.getOrElse("master", base.master))
+      fromBlock         = opt("fromBlock", _.toLong, base.fromBlock),
+      metricsPort       = opt("metricsPort", _.toInt, base.metricsPort),
+      maxBlocksPerChunk = opt("maxBlocksPerChunk", _.toInt, base.maxBlocksPerChunk),
+      reorgWindow       = opt("reorgWindow", _.toLong, base.reorgWindow),
+      newSubLimit       = opt("newSubLimit", _.toInt, base.newSubLimit),
+      master            = opt("master", identity, base.master))
   }
 
   private def hexBytes(s: String): Array[Byte] = {
