@@ -5,7 +5,8 @@ import org.apache.spark.sql.SparkSession
 import graft.chain._
 import graft.chain.Fixtures._
 import graft.chain.Schemas._
-import graft.streaming.{BalanceIngest, FullIngest, IngestMetrics}
+import graft.streaming.{BalanceIngest, BundleStream, BundleStreamProvider,
+  ChainIngest, FullIngest, HeadSubscriptions, IngestMetrics, QueueHeadSubscription}
 
 /** Ingest-path benchmark: blocks/sec through the composed [[FullIngest]]
   * lifecycle — the analogue of the reference's single published perf
@@ -151,6 +152,53 @@ object IngestBench {
     c.jobs.get
   }
 
+  /** Backfill→head-follow HANDOFF — the deployment-shaped scenario the two
+    * isolated modes above don't cover: a real indexer starts months behind
+    * tip (the reference's `syncTo` 50-block stepping,
+    * service/indexer/indexer.go:218-246). Fresh store, a feed already
+    * announcing `behind` blocks, and the REAL streaming query (DSv2 source
+    * under its `maxblockspertrigger` ReadLimit): time-to-tip measures the
+    * chunked catch-up, the chunk count proves the throttle actually stepped
+    * (≈ behind/chunk non-empty micro-batches, never one giant batch), and
+    * `heads` single-head pushes through the SAME running query — no
+    * restart, no new checkpoint — measure the steady cadence the throttle
+    * hands off to. Returns (catchupSec, chunkBatches, medianHeadSec).
+    */
+  private def catchUpToTip(spark: SparkSession, behind: Long, heads: Int,
+                           chunk: Int, client: BalanceClient): (Double, Long, Double) = {
+    import spark.implicits._
+    val store = mkStore(spark)
+    seedWorld(spark, store, behind)
+    val sub   = new QueueHeadSubscription
+    val subId = s"ingest-bench-${java.util.UUID.randomUUID()}"
+    HeadSubscriptions.register(subId, sub)
+    val chain = mkChain(behind + heads)
+    sub.push(chain.take(behind.toInt): _*) // the announced tip sits `behind` ahead
+    val bundles = spark.readStream
+      .format(classOf[BundleStreamProvider].getName)
+      .option(BundleStream.SubscriptionOption, subId)
+      .option(BundleStream.MaxBlocksOption, chunk.toString)
+      .load()
+    val ckpt = Files.createTempDirectory("graft-ingest-tip-ckpt").toString
+    val q = FullIngest.start(bundles, store, client, ckpt,
+      maxBlocksPerChunk = chunk, fetchBack = sub.byHash)
+    try {
+      val tCatch = timed(q.processAllAvailable())
+      require(ChainIngest.loadHead(store).exists(_.number == behind),
+        s"catch-up did not reach the announced tip $behind")
+      val chunks = q.recentProgress.count(_.numInputRows > 0).toLong
+      val perHead = (0 until heads).map { i =>
+        sub.push(chain(behind.toInt + i))
+        timed(q.processAllAvailable())
+      }
+      require(ChainIngest.loadHead(store).exists(_.number == behind + heads),
+        "head-follow did not advance past the handoff")
+      (tCatch, chunks, median(perHead))
+    } finally q.stop()
+  }
+
+  private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+
   def run(spark: SparkSession,
           spanBlocks: Long = sys.env.get("SPARK_GRAFT_INGEST_SPAN").map(_.toLong).getOrElse(240L),
           perBlockBlocks: Long = sys.env.get("SPARK_GRAFT_INGEST_PERBLOCK").map(_.toLong).getOrElse(6L),
@@ -172,7 +220,6 @@ object IngestBench {
         blockTimes += headFollow(spark, perBlockBlocks, client, histogram))
     }
 
-    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
     val spanRate  = spanBlocks / median(spanTimes.toSeq)
     val blockRate = perBlockBlocks / median(blockTimes.toSeq)
     val jobsPerBlock = blockJobs.toDouble / (trials * perBlockBlocks)
@@ -180,6 +227,10 @@ object IngestBench {
     def f(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val buckets = h.bounds.zip(h.bucketCounts.scanLeft(0L)(_ + _).tail)
       .map { case (b, c) => "\"le_" + b + "\":" + c }.mkString(",")
+    val behind = sys.env.get("SPARK_GRAFT_INGEST_BEHIND").map(_.toLong).getOrElse(200L)
+    val (tipSec, tipChunks, headSec) =
+      catchUpToTip(spark, behind, heads = 5, chunk = 50, client = client)
+
     s""""ingest_blocks_per_sec":${f(spanRate)},""" +
       s""""ingest_blocks_per_sec_perblock":${f(blockRate)},""" +
       s""""ingest_span_blocks":$spanBlocks,"ingest_perblock_blocks":$perBlockBlocks,""" +
@@ -187,6 +238,10 @@ object IngestBench {
       s""""ingest_perblock_sec":[${blockTimes.sorted.map(f).mkString(",")}],""" +
       s""""ingest_span_jobs":$spanJobs,""" +
       s""""ingest_perblock_jobs_per_block":${f(jobsPerBlock)},""" +
+      s""""ingest_catchup_to_tip_sec":${f(tipSec)},""" +
+      s""""ingest_catchup_behind_blocks":$behind,""" +
+      s""""ingest_catchup_chunks":$tipChunks,""" +
+      s""""ingest_handoff_head_sec":${f(headSec)},""" +
       s""""insert_block_hist":{"count":${h.count},"avg_sec":${f(
         if (h.count == 0) 0.0 else h.sumSeconds / h.count)},""" +
       s""""min_sec":${f(h.minSeconds)},"max_sec":${f(h.maxSeconds)},$buckets}"""
