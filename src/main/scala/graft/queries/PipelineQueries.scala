@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Curation, Dedup, Jpeg, Multimodal, Similarity, Sketches, TextOps}
+import graft.operators.{Curation, Dedup, Flac, Jpeg, Multimodal, Similarity, Sketches, TextOps}
 import graft.sources.Tables
 
 /** Training-data pipeline operators over documents/embeddings: dedup,
@@ -1859,6 +1859,42 @@ object PipelineQueries {
            |   CAST(off AS BIGINT) AS offset, CAST(dts AS BIGINT) AS dts,
            |   CAST(dts * 1000 // ts AS BIGINT) AS dts_ms, CAST(ts AS BIGINT) AS timescale
            | FROM os ORDER BY doc_id, sample_idx""".stripMargin
+      }
+    ),
+
+    // M16 — REAL compressed-audio → PCM decode: single-frame FLAC streams
+    // (fixed-prediction subset — every constant spec-formulaic, unlike the
+    // table-bound MP3 synthesis path; see operators/Flac.scala scaladoc)
+    // synthesized from md5 nibbles, decoded through the full bitstream
+    // machinery (CRC-8/CRC-16 verification, Rice entropy decode,
+    // polynomial predictor reconstruction). The oracle re-derives the PCM
+    // stats from the SAME md5 arithmetic (ground truth, not a byte
+    // re-parse): the weighted checksum pins every sample's position, so a
+    // single Rice/prediction/CRC bug anywhere fails the hash.
+    "m16_flac_decode" -> QueryDef.sql(
+      (s, d) => Flac.flacPcmStats(
+          Flac.synthFlac(Tables(s, d).documents, "doc_id", "text"),
+          idCol = "doc_id", payloadCol = "payload")
+        .orderBy("doc_id"),
+      {
+        def nib(expr: String) = s"(instr('0123456789abcdef', $expr) - 1)"
+        s"""WITH p AS (SELECT doc_id, md5(text) AS h FROM documents),
+           | s AS (SELECT doc_id, i,
+           |    ${nib("substr(h, CAST(i AS INT) + 1, 1)")} * 4096 - 30000 AS v
+           |   FROM p, unnest(range(0, 32)) u(i)),
+           | agg AS (SELECT doc_id,
+           |    CAST(sum(v) AS BIGINT) AS sum_pcm,
+           |    CAST(min(v) AS BIGINT) AS min_pcm,
+           |    CAST(max(v) AS BIGINT) AS max_pcm,
+           |    CAST(sum((i + 1) * v) AS BIGINT) AS checksum
+           |   FROM s GROUP BY doc_id)
+           | SELECT p.doc_id, 1 AS valid,
+           |   CAST(CASE ${nib("substr(h, 2, 1)")} % 4
+           |     WHEN 0 THEN 8000 WHEN 1 THEN 16000
+           |     WHEN 2 THEN 32000 ELSE 48000 END AS BIGINT) AS sample_rate,
+           |   1 AS channels, 16 AS bps, CAST(32 AS BIGINT) AS n_samples,
+           |   sum_pcm, min_pcm, max_pcm, checksum
+           | FROM p JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
       }
     ),
 
