@@ -30,13 +30,19 @@ import org.apache.spark.sql.types._
   * II implementation would (bit reader, entropy decode, predictor state,
   * integrity checks).
   *
-  * Scope (explicit, like [[Jpeg]]'s baseline-only scope): subframe types
-  * constant/verbatim/fixed (LPC subframes and side-coded stereo return
-  * None — decode-only support without fixture coverage would be padding);
-  * sample-rate codes 0000 (STREAMINFO) and the three end-of-header forms
-  * (the tabulated 0001–1011 shortcuts are rejected rather than guessed).
-  * Like the other decoders: None on any structural failure, and
-  * header-claimed sizes are bounds-checked before allocation.
+  * LPC subframes ARE supported — FLAC ships the quantized predictor
+  * coefficients in the stream itself (4-bit precision, 5-bit shift,
+  * order×precision signed coeffs; s[i] = res[i] + (Σ coefⱼ·s[i−1−j]) >>
+  * shift in 64-bit), so unlike the MPEG tables nothing external is
+  * needed.
+  *
+  * Scope (explicit, like [[Jpeg]]'s baseline-only scope): side-coded
+  * stereo returns None (the synth fixtures are mono; decode-only support
+  * without fixture coverage would be padding); sample-rate codes 0000
+  * (STREAMINFO) and the three end-of-header forms (the tabulated
+  * 0001–1011 shortcuts are rejected rather than guessed). Like the other
+  * decoders: None on any structural failure, and header-claimed sizes
+  * are bounds-checked before allocation.
   */
 object Flac {
 
@@ -146,19 +152,45 @@ object Flac {
     r
   }
 
+  /** LPC residuals for in-stream quantized coefficients: res[i] = s[i] −
+    * ((Σ coefⱼ·s[i−1−j]) >> shift) — the exact inverse of the decoder's
+    * reconstruction, so any integer coefficient set is lossless.
+    */
+  private[operators] def lpcResiduals(s: Array[Int], coefs: Array[Int], shift: Int): Array[Int] = {
+    val order = coefs.length
+    val r = new Array[Int](s.length - order)
+    var i = order
+    while (i < s.length) {
+      var acc = 0L
+      var j = 0
+      while (j < order) { acc += coefs(j).toLong * s(i - 1 - j); j += 1 }
+      r(i - order) = s(i) - (acc >> shift).toInt
+      i += 1
+    }
+    r
+  }
+
   /** One-frame mono 16-bps FLAC stream: fLaC magic, STREAMINFO, a single
     * fixed-blocksize frame with one fixed-prediction subframe. Lossless by
     * construction, so the decoder must return `samples` bit-exactly.
-    * `partOrder`/`wastedBits`/`escapeBits` exist so the spec can drive the
-    * decoder's partitioned-Rice, wasted-bits, and escape paths with real
-    * streams; the corpus fixtures use the defaults.
+    * `partOrder`/`wastedBits`/`escapeBits`/`lpc` exist so the spec can
+    * drive the decoder's partitioned-Rice, wasted-bits, escape, and
+    * LPC-subframe paths with real streams (lpc = (coeffs, precision,
+    * shift) replaces the fixed predictor; any integer coefficients are
+    * lossless since the residual carries the error); the corpus fixtures
+    * use the defaults.
     */
   def synthFlacBytes(samples: Array[Int], sampleRate: Int, order: Int,
                      partOrder: Int = 0, wastedBits: Int = 0,
-                     escapeBits: Option[Int] = None): Array[Byte] = {
+                     escapeBits: Option[Int] = None,
+                     lpc: Option[(Array[Int], Int, Int)] = None): Array[Byte] = {
     require(order >= 0 && order <= 4 && samples.length > order)
     val n = samples.length
     require(n % (1 << partOrder) == 0 && (n >> partOrder) >= order)
+    lpc.foreach { case (coefs, prec, shift) =>
+      require(coefs.nonEmpty && coefs.length <= 32 && prec >= 1 && prec <= 15 &&
+        shift >= 0 && shift <= 15 && samples.length > coefs.length)
+    }
     require(wastedBits >= 0 &&
       samples.forall(s => wastedBits == 0 || (s % (1 << wastedBits)) == 0))
     val bps = 16
@@ -193,9 +225,14 @@ object Flac {
     val headerNoCrc = fw.toBytes
     val h8 = crc8(headerNoCrc, 0, headerNoCrc.length)
 
+    val predOrder = lpc.map(_._1.length).getOrElse(order)
     val body = new BitWriter
-    // subframe header: pad 0, type 001000+order, wasted-bits field
-    body.bit(0); body.bits((0x08 + order).toLong, 6)
+    // subframe header: pad 0, type (fixed 001000+order | lpc 1xxxxx), wasted-bits
+    body.bit(0)
+    lpc match {
+      case Some((coefs, _, _)) => body.bits((0x20 + (coefs.length - 1)).toLong, 6)
+      case None                => body.bits((0x08 + order).toLong, 6)
+    }
     if (wastedBits == 0) body.bit(0)
     else { // flag 1, then (k-1) in unary: k-1 zeros terminated by a one
       body.bit(1)
@@ -204,8 +241,16 @@ object Flac {
       body.bit(1)
     }
     var i = 0
-    while (i < order) { body.bits(shifted(i).toLong & ((1L << effBps) - 1), effBps); i += 1 }
-    val res = fixedResiduals(shifted, order)
+    while (i < predOrder) { body.bits(shifted(i).toLong & ((1L << effBps) - 1), effBps); i += 1 }
+    lpc.foreach { case (coefs, prec, shift) =>
+      body.bits((prec - 1).toLong, 4)
+      body.bits(shift.toLong, 5)
+      coefs.foreach(c => body.bits(c.toLong & ((1L << prec) - 1), prec))
+    }
+    val res = lpc match {
+      case Some((coefs, _, shift)) => lpcResiduals(shifted, coefs, shift)
+      case None                    => fixedResiduals(shifted, order)
+    }
     // Rice parameter: smallest p with every quotient < 48 (keeps unary
     // runs short; any p is decodable, this is just fixture economy)
     val maxU = res.foldLeft(0L)((m, r) => math.max(m, (r.toLong << 1) ^ (r.toLong >> 63)))
@@ -217,7 +262,7 @@ object Flac {
     var part = 0
     var idx = 0
     while (part < nParts) {
-      val count = (n >> partOrder) - (if (part == 0) order else 0)
+      val count = (n >> partOrder) - (if (part == 0) predOrder else 0)
       escapeBits match {
         case Some(raw) =>
           body.bits(0xFL, 4)       // escape: raw `raw`-bit residuals follow
@@ -379,7 +424,32 @@ object Flac {
               })
               i += 1
             }
-          case _ => return None // LPC out of scope (see scaladoc)
+          case t if t >= 0x20 => // LPC, order 1-32 — coefficients in-stream
+            val order = (t & 0x1F) + 1
+            if (order > blockSize) return None
+            var i = 0
+            while (i < order) { s(i) = br.signedBits(effBps); i += 1 }
+            val precM1 = br.bits(4).toInt
+            if (precM1 == 0xF) return None // invalid per spec
+            val prec  = precM1 + 1
+            val shift = { // 5-bit two's complement; negative is invalid
+              val v = br.bits(5).toInt
+              if (v >= 16) return None
+              v
+            }
+            val coefs = new Array[Long](order)
+            i = 0
+            while (i < order) { coefs(i) = br.signedBits(prec).toLong; i += 1 }
+            if (!readResiduals(br, s, blockSize, order)) return None
+            i = order
+            while (i < blockSize) {
+              var acc = 0L
+              var j = 0
+              while (j < order) { acc += coefs(j) * s(i - 1 - j); j += 1 }
+              s(i) += (acc >> shift).toInt
+              i += 1
+            }
+          case _ => return None // reserved subframe types
         }
         if (wasted > 0) { var i = 0; while (i < blockSize) { s(i) <<= wasted; i += 1 } }
         ch += 1

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Curation, Dedup, Flac, Jpeg, Multimodal, Similarity, Sketches, TextOps}
+import graft.operators.{Curation, Dedup, Flac, Jpeg, Mjpeg, Multimodal, Similarity, Sketches, TextOps}
 import graft.sources.Tables
 
 /** Training-data pipeline operators over documents/embeddings: dedup,
@@ -1895,6 +1895,48 @@ object PipelineQueries {
            |   1 AS channels, 16 AS bps, CAST(32 AS BIGINT) AS n_samples,
            |   sum_pcm, min_pcm, max_pcm, checksum
            | FROM p JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
+      }
+    ),
+
+    // M17 — REAL video decode: MJPEG-in-AVI. The RIFF/AVI container walk
+    // (chunk sizes, LIST nesting, avih timing/geometry, movi frame chunks
+    // with even padding, idx1 cross-check) feeds every frame through the
+    // REAL baseline JPEG decoder (m9's machinery — Huffman, dequant,
+    // IDCT); per-frame rows carry integer-exact presentation times and
+    // gray stats. Frames sit in m9's lossless subspace so the oracle
+    // re-derives everything from md5 arithmetic while the engine decodes
+    // actual bytes. Closes the video tier of the decode family with zero
+    // invented tables (see Mjpeg.scala scaladoc for why H.26x/VPx stay
+    // out of honest reach).
+    "m17_mjpeg_video" -> QueryDef.sql(
+      (s, d) => Mjpeg.mjpegFrameStats(
+          Mjpeg.synthMjpegAvi(Tables(s, d).documents, "doc_id", "text"),
+          idCol = "doc_id", payloadCol = "payload")
+        .orderBy("doc_id", "frame_idx"),
+      {
+        def nib(expr: String) = s"(instr('0123456789abcdef', $expr) - 1)"
+        s"""WITH p AS (SELECT doc_id, text, md5(text || 'v0') AS h FROM documents),
+           | geo AS (SELECT doc_id, text,
+           |    2 + ${nib("substr(h, 3, 1)")} % 3 AS n_frames,
+           |    CASE ${nib("substr(h, 1, 1)")} % 4
+           |      WHEN 0 THEN 100000 WHEN 1 THEN 40000
+           |      WHEN 2 THEN 33333 ELSE 16666 END AS us
+           |   FROM p),
+           | fr AS (SELECT doc_id, us, CAST(f AS BIGINT) AS f,
+           |    md5(text || 'v' || CAST(f AS VARCHAR)) AS h
+           |   FROM geo, unnest(range(0, n_frames)) u(f)),
+           | lv AS (SELECT doc_id, us, f,
+           |    list_transform(range(0, 4), i ->
+           |      ${hex2("substr(h, 2*(i + 1) - 1, 2)")}) AS ls FROM fr)
+           | SELECT doc_id, CAST(1 AS INTEGER) AS valid, f AS frame_idx,
+           |   CAST(f * us // 1000 AS BIGINT) AS pts_ms,
+           |   CAST(1 AS INTEGER) AS frame_valid,
+           |   CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+           |   round(CAST(list_reduce(ls, (a, b) -> a + b) AS DOUBLE) / 4.0, 6)
+           |     AS mean_gray,
+           |   CAST(list_min(ls) AS INTEGER) AS min_gray,
+           |   CAST(list_max(ls) AS INTEGER) AS max_gray
+           | FROM lv ORDER BY doc_id, frame_idx""".stripMargin
       }
     ),
 

@@ -32,6 +32,21 @@ class FlacSpec extends AnyFunSuite {
     assert(Flac.decode(bytes).get.samples(0).toSeq == small.toSeq)
   }
 
+  test("LPC subframes: in-stream quantized coefficients round trip bit-exactly") {
+    // coefficients ship in the stream (precision + shift + signed coeffs),
+    // so ANY integer set is lossless — the residual carries the error
+    Seq(
+      (Array(3, -1), 4, 1),          // (3·s₁ − s₂) >> 1
+      (Array(2), 3, 0),              // pure 2× previous
+      (Array(5, -4, 1, 2, -1), 5, 2) // order 5, negative coeffs, shift 2
+    ).foreach { case (coefs, prec, shift) =>
+      val bytes = Flac.synthFlacBytes(voice, 48000, order = 0,
+        lpc = Some((coefs, prec, shift)))
+      val d = Flac.decode(bytes).getOrElse(fail(s"lpc ${coefs.toSeq} did not decode"))
+      assert(d.samples(0).toSeq == voice.toSeq, s"lpc ${coefs.toSeq} diverged")
+    }
+  }
+
   test("wasted-bits subframes shift back up") {
     val s = Array.tabulate(32)(i => ((i * 37) % 100 - 50) * 4) // all ×4
     val bytes = Flac.synthFlacBytes(s, 32000, order = 1, wastedBits = 2)
