@@ -205,11 +205,21 @@ object Bench {
     val requiesced: Seq[(String, Double)] = {
       val sprThreshold = // env knob: validation runs force-flag with a low bar
         sys.env.get("SPARK_GRAFT_REQUIESCE_SPR").map(_.toDouble).getOrElse(2.0)
-      val flagged = results
+      val wideSpread = results
         .filter { case (_, v) =>
           val med = v(v.length / 2); med > 0.0 && (v.last - v.head) / med > sprThreshold }
         .sortBy { case (_, v) => -(v.last - v.head) / v(v.length / 2) }
         .take(12).map(_._1)
+      // ALSO the top-5 by median: the headline total is dominated by its
+      // most expensive queries, and a consistently-slow-warm reading (a
+      // tight spread around an inflated floor — the round-13 s16-at-sf1
+      // syndrome: 45 s warm vs ~9 s fresh) never trips the spread trigger.
+      // Re-measuring the dominators fresh confirms or corrects the numbers
+      // that matter most for the total.
+      val topCost = results
+        .sortBy { case (_, v) => -v(v.length / 2) }
+        .take(5).map(_._1)
+      val flagged = (wideSpread ++ topCost).distinct
       if (only.isDefined || flagged.isEmpty ||
           sys.env.get("SPARK_GRAFT_REQUIESCE").contains("0")) Nil
       else try {
