@@ -61,6 +61,35 @@ case class NearestCentroidExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** The companion of [[NearestCentroidExpr]] returning the winning
+  * (rounded) cosine instead of the id — consumers that need BOTH (the
+  * IVF health telemetry's per-cell similarity distribution) run the two
+  * expressions side by side in the same projection: twice the k·dim
+  * FLOPs inside codegen, still ZERO shuffle, where the windowed
+  * formulation moved the whole n·k candidate relation through an
+  * exchange.
+  */
+case class NearestCentroidSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean  = left.nullable || right.nullable
+  override def prettyName: String = "nearest_centroid_sim"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    NearestCentroidExpr(left, right).checkInputDataTypes()
+
+  override protected def nullSafeEval(vec: Any, cents: Any): Any =
+    NearestCentroid.assignSim(vec.asInstanceOf[ArrayData], cents.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, c) =>
+      s"${ev.value} = graft.functions.NearestCentroid.assignSim($v, $c);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): NearestCentroidSimExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object NearestCentroid {
 
   /** Static argmax target for both interpreted and generated code.
@@ -68,7 +97,16 @@ object NearestCentroid {
     * cnorm = ‖cvec‖ precomputed once at broadcast build (saves k·dim
     * FLOPs per row vs re-deriving it here).
     */
-  def assign(vec: ArrayData, cents: ArrayData): Long = {
+  def assign(vec: ArrayData, cents: ArrayData): Long = best(vec, cents, wantSim = false)
+    .asInstanceOf[Long]
+
+  def assignSim(vec: ArrayData, cents: ArrayData): Double = best(vec, cents, wantSim = true)
+    .asInstanceOf[Double]
+
+  /** Shared argmax loop; boxes exactly one value at the end (Long cid or
+    * Double sim), keeping the per-centroid hot loop allocation-free.
+    */
+  private def best(vec: ArrayData, cents: ArrayData, wantSim: Boolean): Any = {
     val dim = vec.numElements()
     var n2a = 0.0
     var i = 0
@@ -102,10 +140,14 @@ object NearestCentroid {
       }
       j += 1
     }
-    bestCid
+    if (wantSim) bestSim else bestCid
   }
 
   def apply(vec: Column, cents: Column): Column =
     GraftSqlBridge.column(NearestCentroidExpr(
+      GraftSqlBridge.expression(vec), GraftSqlBridge.expression(cents)))
+
+  def sim(vec: Column, cents: Column): Column =
+    GraftSqlBridge.column(NearestCentroidSimExpr(
       GraftSqlBridge.expression(vec), GraftSqlBridge.expression(cents)))
 }

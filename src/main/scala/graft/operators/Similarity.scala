@@ -183,10 +183,14 @@ object Similarity {
     * dim=64). Empty centroid input yields an empty result, matching the
     * join-based original.
     */
-  def assignToCentroids(df: DataFrame, centroids: DataFrame,
-                        idCol: String, vecCol: String): DataFrame = {
-    val idType = centroids.schema(idCol).dataType
-    val cRow = broadcast(
+  /** The centroid table folded into ONE broadcast row — a sorted array of
+    * (cid, cvec, ‖cvec‖) structs — the input shape of the native argmax
+    * expressions. Empty centroid input yields an empty relation, so the
+    * keyless join with it produces no rows (matching the join-based
+    * original's behavior on empty centroids).
+    */
+  private def centroidRow(centroids: DataFrame, idCol: String, vecCol: String): DataFrame =
+    broadcast(
       centroids
         .groupBy()
         .agg(array_sort(collect_list(struct(
@@ -194,7 +198,11 @@ object Similarity {
           col(vecCol).as("cvec"),
           sqrt(norm2(col(vecCol))).as("cnorm")))).as("__cents"))
         .where(size(col("__cents")) > 0))
-    df.crossJoin(cRow)
+
+  def assignToCentroids(df: DataFrame, centroids: DataFrame,
+                        idCol: String, vecCol: String): DataFrame = {
+    val idType = centroids.schema(idCol).dataType
+    df.crossJoin(centroidRow(centroids, idCol, vecCol))
       .withColumn("centroid_id",
         graft.functions.NearestCentroid(col(vecCol), col("__cents")).cast(idType))
       .drop("__cents")
@@ -618,22 +626,27 @@ object Similarity {
     * SemDeDup) and TIGHT (low within-cell similarity means the centroids
     * no longer fit the data and need re-training via [[kmeansStep]]).
     *
-    * Scale shape: one broadcast-centroid assignment pass over the corpus,
-    * then a combine-friendly aggregation on centroid_id — the avg carries
-    * as an exact DECIMAL sum of 6-decimal-rounded cosines, so it is
-    * engine-reproducible (a raw double sum would drift with partition
-    * order).
+    * Scale shape: the [[assignToCentroids]] topology — one-row broadcast
+    * centroid array, per-row native argmax — run TWICE in one projection
+    * (id + winning sim: twice the k·dim FLOPs inside codegen), then a
+    * combine-friendly aggregation on centroid_id. This stage kept a
+    * private copy of the old row_number-window assignment long after
+    * assignToCentroids lost it (it needs the sim, not just the id), which
+    * is why s16 stayed the sf1 headline dominator after the round-13
+    * argmax fix collapsed s3/s4/s12: the window moved the full n·k
+    * candidate relation through its exchange. Now nothing but ~n
+    * pre-combined stat rows move. The avg carries as an exact DECIMAL sum
+    * of 6-decimal-rounded cosines, so it is engine-reproducible (a raw
+    * double sum would drift with partition order).
     */
   def postingListStats(df: DataFrame, centroids: DataFrame,
                        idCol: String, vecCol: String): DataFrame = {
-    val c = broadcast(centroids.select(col(idCol).as("__cid"), col(vecCol).as("__cvec")))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(round(cosine(col(vecCol), col("__cvec")), 6).desc, col("__cid"))
-    df.crossJoin(c)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("__cid").as("centroid_id"),
-        round(cosine(col(vecCol), col("__cvec")), 6).as("__sim"))
+    val idType = centroids.schema(idCol).dataType
+    df.crossJoin(centroidRow(centroids, idCol, vecCol))
+      .select(
+        graft.functions.NearestCentroid(col(vecCol), col("__cents"))
+          .cast(idType).as("centroid_id"),
+        graft.functions.NearestCentroid.sim(col(vecCol), col("__cents")).as("__sim"))
       .groupBy("centroid_id")
       .agg(count(lit(1)).as("n_vectors"),
         min(col("__sim")).as("min_sim"),

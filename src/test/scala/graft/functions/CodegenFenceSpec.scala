@@ -113,6 +113,31 @@ class CodegenFenceSpec extends SparkSpec {
       row(null)))
   }
 
+  test("NearestCentroid(/Sim)Expr compile and generated eval matches interpreted") {
+    val centType = ArrayType(StructType(Seq(
+      StructField("cid", LongType, nullable = false),
+      StructField("cvec", ArrayType(FloatType, containsNull = false), nullable = false),
+      StructField("cnorm", DoubleType, nullable = false))), containsNull = false)
+    val centIn = BoundReference(1, centType, nullable = true)
+    def cent(cid: Long, vs: Array[Float]): InternalRow = InternalRow(cid,
+      new GenericArrayData(vs), math.sqrt(vs.foldLeft(0.0)((a, v) => a + v.toDouble * v)))
+    val cents = new GenericArrayData(Array[Any](
+      cent(3L, Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      cent(7L, Array(0.5f, -1.25f, 2.0f, 0.0f, -0.75f, 1.5f, -2.0f, 0.25f)), // ∥ vec8
+      cent(9L, Array(0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)))) // zero norm → sim 0
+    val rows = Seq(
+      InternalRow(vec8, cents),
+      InternalRow(null, cents),
+      InternalRow(vec8, null))
+    assertCodegenMatchesInterpreted("nearest_centroid",
+      NearestCentroidExpr(vecIn, centIn), rows)
+    assertCodegenMatchesInterpreted("nearest_centroid_sim",
+      NearestCentroidSimExpr(vecIn, centIn), rows)
+    // and the argmax semantics themselves: vec8's own direction wins (sim 1)
+    assert(NearestCentroidExpr(vecIn, centIn).eval(InternalRow(vec8, cents)) == 7L)
+    assert(NearestCentroidSimExpr(vecIn, centIn).eval(InternalRow(vec8, cents)) == 1.0)
+  }
+
   test("JaroWinklerExpr compiles and generated eval matches interpreted") {
     val strIn2 = BoundReference(1, StringType, nullable = true)
     def srow(a: String, b: String): InternalRow = InternalRow(

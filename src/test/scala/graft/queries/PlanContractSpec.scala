@@ -245,6 +245,20 @@ class PlanContractSpec extends SparkSpec {
       s"native NearestCentroidExpr must appear in the plan:\n$plan")
   }
 
+  test("s16 posting health: per-row native (id, sim) projection, no corpus window") {
+    // postingListStats kept a private copy of the old window assignment
+    // long after assignToCentroids lost it (it needs the winning sim, not
+    // just the id) — the round-13 sf1 run caught it as the new headline
+    // dominator. Both values must come from the native expressions in one
+    // projection; the only shuffle is the ~k-row stats aggregation.
+    val plan = planOf("s16_ivf_health")
+    assert(count(plan, "Window") == 0, s"s16 must not window the corpus:\n$plan")
+    assert(count(plan, "SortAggregate") == 0, s"s16 must not sort-aggregate:\n$plan")
+    assert(plan.contains("nearest_centroid_sim"),
+      s"native NearestCentroidSimExpr must appear:\n$plan")
+    assert(count(plan, "HashAggregate") >= 2, "stats rollup needs partial+final")
+  }
+
   test("d12 semdedup: pairwise stage is an equi-join on the cell key") {
     val plan = planOf("d12_semdedup")
     // within-cell pairs must meet on centroid_id (bounded by the largest
