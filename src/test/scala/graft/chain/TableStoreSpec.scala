@@ -88,6 +88,28 @@ class TableStoreSpec extends SparkSpec {
     assert(rows(store, "t") == ((0L to 9L) ++ (1010L to 1019L)))
   }
 
+  test("a crash between the promote renames converges on the next replace") {
+    // promote order: park target as .t_old, rename .t_tmp into place,
+    // drop .t_old. A crash between the renames leaves: no target dir,
+    // a fully-staged .t_tmp, a parked .t_old. The table must read as
+    // ABSENT (both siblings are hidden), and the next replace must
+    // converge from scratch - staging starts with a tmp delete, and the
+    // old-parking starts with an old delete, so neither leftover wedges.
+    import spark.implicits._
+    val store = fresh()
+    store.replace("t", Seq(1L).toDF("n"))
+    val root = Paths.get(store.root)
+    // simulate the crash state by hand: park target, leave tmp staged
+    Files.move(root.resolve("t"), root.resolve(".t_old"))
+    Files.createDirectories(root.resolve(".t_tmp"))
+    Files.writeString(root.resolve(".t_tmp").resolve("part-junk.parquet"), "stale")
+    assert(!store.exists("t"), "mid-promote state must read as absent")
+    store.replace("t", Seq(2L).toDF("n"))
+    assert(rows(store, "t") == Seq(2L))
+    assert(!Files.exists(root.resolve(".t_old")), "parked dir must be cleared")
+    assert(!Files.exists(root.resolve(".t_tmp")), "stale staging must be cleared")
+  }
+
   test("the store runs against a URI-scheme root (file://) through the Hadoop FS API") {
     // every path op goes through org.apache.hadoop.fs.FileSystem resolved
     // from the root's scheme, so a cluster deployment points dataDir at
