@@ -506,10 +506,15 @@ object Flac {
 
   /** Column generator over (id, text): a single-frame mono 16-bit FLAC
     * whose 32 samples are the md5(text) nibble stream mapped to
-    * `nib·4096 − 30000`, fixed-predictor order `nib₀ mod 5`, sample rate
-    * from nib₁ — every field re-derivable by the SQL oracle from the
-    * same md5 arithmetic, while the decoder must run the full bitstream
-    * path (CRCs, Rice, prediction) to recover them.
+    * `nib·4096 − 30000`, sample rate from nib₁ — every field re-derivable
+    * by the SQL oracle from the same md5 arithmetic, while the decoder
+    * must run the full bitstream path (CRCs, Rice, prediction) to recover
+    * them. nib₂ picks the SUBFRAME CODING per doc — fixed order nib₀ mod 5
+    * for three quarters of the corpus, an in-stream-coefficient LPC frame
+    * ((2,−1) linear extrapolation, shift 0) for the rest — so both
+    * predictor families run under the oracle gate, not just in the unit
+    * spec; the coding choice is invisible to the oracle because FLAC is
+    * lossless: the stats depend only on the samples.
     */
   def synthFlac(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val idIdx = df.schema.fieldIndex(idCol)
@@ -524,9 +529,10 @@ object Flac {
           .map("%02x".format(_)).mkString
         def nib(i: Int): Int = Character.digit(hex.charAt(i), 16)
         val samples = Array.tabulate(32)(i => nib(i) * 4096 - 30000)
-        val order = nib(0) % 5
-        val rate  = Array(8000, 16000, 32000, 48000)(nib(1) % 4)
-        Row(r.get(idIdx), synthFlacBytes(samples, rate, order))
+        val rate = Array(8000, 16000, 32000, 48000)(nib(1) % 4)
+        val lpc  = if (nib(2) % 4 == 0) Some((Array(2, -1), 3, 0)) else None
+        val order = if (lpc.isDefined) 0 else nib(0) % 5
+        Row(r.get(idIdx), synthFlacBytes(samples, rate, order, lpc = lpc))
       }
     }(Encoders.row(outSchema))
   }
