@@ -206,4 +206,42 @@ object Sketches {
         col("__n").as("total_n"),
         (col("cms_est") * phiDenom >= col("__n") * phiNum).cast("int").as("heavy"))
   }
+
+  /** Mergeable bottom-k quantile sketch — per-group value quantiles from
+    * a DETERMINISTIC uniform row sample: each row keys by md5 of its
+    * unique id (a fixed uniform permutation, reproducible in any engine),
+    * and the group keeps its k hash-smallest rows via Spark's bounded
+    * top-k aggregate. Per-mapper state is ≤ k rows PER GROUP no matter
+    * the corpus size, partials merge associatively (min-k is a
+    * semilattice — the same algebra as the HLL registers), and the
+    * shuffle carries at most groups×k sample rows: quantile telemetry
+    * (length/quality distribution drift, the release-report numbers) at
+    * 100 TB for the cost of one narrow combine-friendly aggregation. An
+    * exact formulation (t10's sort/percentile path) shuffles the corpus.
+    *
+    * Estimates are the LOWER order statistics of the value-sorted sample
+    * at index ⌊(n−1)·p/100⌋ — integer-exact, no interpolation — so the
+    * SQL oracle (same md5 sample, same index arithmetic) hash-matches
+    * bit-for-bit. Groups smaller than k sample everything: exact.
+    */
+  def bottomKQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                       idCol: String, k: Int,
+                       percents: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(k > 0 && percents.forall(p => p >= 0 && p <= 100))
+    val item = struct(
+      md5(col(idCol).cast("string")).as("h"),
+      col(valueCol).cast("long").as("v"))
+    val vals = array_sort(transform(col("__samp"), s => s.getField("v")))
+    val n    = size(col("__vals"))
+    def q(p: Int) =
+      element_at(col("__vals"),
+        (floor(((n - 1) * lit(p)).cast("double") / 100.0) + 1).cast("int")).as(s"p$p")
+    df.groupBy(col(groupCol))
+      .agg(
+        org.apache.spark.sql.GraftSqlBridge.collectTopK(item, k, reverse = true)
+          .as("__samp"),
+        count(lit(1)).as("n_rows"))
+      .withColumn("__vals", vals)
+      .select(Seq(col(groupCol), col("n_rows"), n.as("n_sample")) ++ percents.map(q): _*)
+  }
 }

@@ -1061,6 +1061,36 @@ object PipelineQueries {
          | FROM ov ORDER BY lang""".stripMargin
     ),
 
+    // A17 — mergeable bottom-k quantile sketch: per-source n_chars
+    // quantiles from the k rows with the smallest md5(doc_id) — a
+    // deterministic uniform sample kept by Spark's bounded top-k
+    // aggregate (per-mapper state ≤ k per group, min-k semilattice
+    // merge), so distribution telemetry costs one combine-friendly
+    // aggregation instead of t10's corpus sort. Lower order statistics
+    // at ⌊(n−1)p/100⌋, integer-exact — the oracle rebuilds the identical
+    // sample and indexes.
+    "a17_bottomk_quantiles" -> QueryDef.sql(
+      (s, d) => Sketches.bottomKQuantiles(Tables(s, d).documents,
+          groupCol = "source", valueCol = "n_chars", idCol = "doc_id", k = 64)
+        .orderBy("source"),
+      s"""WITH s AS (SELECT source, n_chars,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), n_chars) AS rn,
+         |    count(*) OVER (PARTITION BY source) AS n_rows
+         |   FROM documents),
+         | samp AS (SELECT source, n_rows, n_chars FROM s WHERE rn <= 64),
+         | ordered AS (SELECT source, n_rows, n_chars,
+         |    row_number() OVER (PARTITION BY source ORDER BY n_chars) AS vr,
+         |    count(*) OVER (PARTITION BY source) AS n_sample
+         |   FROM samp)
+         | SELECT source, CAST(max(n_rows) AS BIGINT) AS n_rows,
+         |   CAST(max(n_sample) AS INTEGER) AS n_sample,
+         |   CAST(max(CASE WHEN vr = (n_sample - 1) * 50 // 100 + 1 THEN n_chars END) AS BIGINT) AS p50,
+         |   CAST(max(CASE WHEN vr = (n_sample - 1) * 90 // 100 + 1 THEN n_chars END) AS BIGINT) AS p90,
+         |   CAST(max(CASE WHEN vr = (n_sample - 1) * 99 // 100 + 1 THEN n_chars END) AS BIGINT) AS p99
+         | FROM ordered GROUP BY source ORDER BY source""".stripMargin
+    ),
+
     // A15 — Count-Min heavy hitters (Cormode & Muthukrishnan 2005) for a
     // fixed probe set at φ = 1%: the frequency sketch a boilerplate /
     // stopword pass consults. The corpus pays one token-keyed rollup; the

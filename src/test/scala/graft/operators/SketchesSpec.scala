@@ -96,4 +96,33 @@ class SketchesSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("overcount")).sum > 0L,
       "w=8 with 50 tokens must produce at least one collision overcount")
   }
+
+  test("bottomKQuantiles: exact below k, matches the brute-force md5 sample above") {
+    val df = (1L to 500L).map(i => (if (i <= 100) "small" else "big", i, i * 3))
+      .toDF("g", "id", "v")
+    // k larger than the group: the sample IS the group, quantiles exact
+    val exact = Sketches.bottomKQuantiles(df.filter(col("g") === "small"),
+      "g", "v", "id", k = 1000).head()
+    assert(exact.getAs[Int]("n_sample") == 100 && exact.getAs[Long]("n_rows") == 100L)
+    // values 3..300 step 3: p50 = lower stat at idx (99*50)/100 = 49 → 150
+    assert(exact.getAs[Long]("p50") == 150L)
+    assert(exact.getAs[Long]("p99") == (((99 * 99) / 100) + 1) * 3L)
+    // k smaller: the sample must be EXACTLY the k md5-smallest ids
+    val got = Sketches.bottomKQuantiles(df.filter(col("g") === "big"),
+      "g", "v", "id", k = 32).head()
+    val sampleVals = (101L to 500L)
+      .sortBy(i => java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      .take(32).map(_ * 3).sorted
+    assert(got.getAs[Int]("n_sample") == 32 && got.getAs[Long]("n_rows") == 400L)
+    assert(got.getAs[Long]("p50") == sampleVals((31 * 50) / 100))
+    assert(got.getAs[Long]("p90") == sampleVals((31 * 90) / 100))
+    // partition-order invariance: min-k is a semilattice, so the merged
+    // partials give the identical sample regardless of layout
+    val re = Sketches.bottomKQuantiles(df.filter(col("g") === "big").repartition(17),
+      "g", "v", "id", k = 32).head()
+    assert(re.getAs[Long]("p50") == got.getAs[Long]("p50") &&
+      re.getAs[Long]("p90") == got.getAs[Long]("p90") &&
+      re.getAs[Long]("p99") == got.getAs[Long]("p99"))
+  }
 }

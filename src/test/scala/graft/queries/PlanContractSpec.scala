@@ -479,6 +479,18 @@ class PlanContractSpec extends SparkSpec {
     assert(count(plan, "Expand") == 0, s"a15 must not plan an Expand:\n$plan")
   }
 
+  test("a17 bottom-k quantiles: bounded top-k aggregate with a partial, no corpus window/sort") {
+    val plan = planOf("a17_bottomk_quantiles")
+    // the whole point vs t10's exact path: the corpus must flow through a
+    // combine-friendly bounded aggregate (≤ k rows/group/mapper state),
+    // never a per-group window or corpus-wide sort
+    assert(plan.contains("collect_top_k"), s"bounded top-k aggregate missing:\n$plan")
+    assert(count(plan, "partial_collect_top_k") >= 1,
+      s"a17 lost its map-side partial:\n$plan")
+    assert(count(plan, "Window") == 0, s"a17 must not window the corpus:\n$plan")
+    assert(count(plan, "Join") == 0, s"a17 needs no join:\n$plan")
+  }
+
   test("j9 interval join: hash equi-join on (key, bucket) — no theta join, no distinct") {
     val plan = planOf("j9_interval_join")
     assert(count(plan, "CartesianProduct") == 0, s"j9 must not plan a cartesian:\n$plan")
