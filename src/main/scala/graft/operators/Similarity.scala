@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -33,12 +33,53 @@ object Similarity {
     when(nn === 0.0, 0.0).otherwise(d / nn)
   }
 
+  /** Bounded per-probe top-k — `groupBy(probe_id).agg(CollectTopK)` in
+    * place of a `row_number` window. The window form moved the FULL
+    * candidate relation (|probes|·|corpus| rows at the exact tier)
+    * through its ranking exchange; here every mapper keeps at most k
+    * rows per probe in a bounded priority queue and partials merge
+    * associatively (the min-k semilattice — the a17/argmax algebra), so
+    * the shuffle carries ≤ |probes|·k rows no matter the corpus size.
+    * Ranks are recovered by sorting the ≤k survivors IN-ROW.
+    *
+    * `ordKey` must be ascending-is-better and UNIQUE per probe (every
+    * caller composes (±score, id), ties to the lowest id — identical to
+    * the windows this replaces). NaN scores: the old desc window put NaN
+    * first, the bottom-k ordering sorts NaN last; the tiers only rank
+    * round()ed finite sims, so no caller sees the divergence.
+    */
+  private def topKPerProbe(scored: DataFrame, ordKey: Column, k: Int,
+                           rankName: String): DataFrame = {
+    val payloadCols = scored.columns.filter(_ != "probe_id").toSeq
+    val item = struct(ordKey.as("__k"),
+      struct(payloadCols.map(col): _*).as("__p"))
+    scored.groupBy("probe_id")
+      .agg(GraftSqlBridge.collectTopK(item, k, reverse = true).as("__topk"))
+      .select(col("probe_id"),
+        posexplode(array_sort(col("__topk"))).as(Seq("__pos", "__e")))
+      .select(col("probe_id") +: (col("__pos") + 1).as(rankName) +:
+        payloadCols.map(c => col(s"__e.__p.$c").as(c)): _*)
+  }
+
+  /** (−sim, id): the bottom-k ordering key for "highest similarity, ties
+    * to the lowest id" — negating the round()ed sim flips desc into the
+    * bounded aggregate's ascending world with no precision loss.
+    */
+  private def descKey(sim: Column, id: Column): Column =
+    struct((-sim).as("s"), id.as("i"))
+
+  /** (score, id): ascending-is-better key (distances, Hamming). */
+  private def ascKey(score: Column, id: Column): Column =
+    struct(score.as("s"), id.as("i"))
+
   /** Exact top-k cosine neighbors for each probe vector.
     *
     * The probe set is broadcast (it is small by construction — a query
-    * batch), so the corpus is scanned once with no shuffle; the only
-    * shuffle is the final per-probe top-k window over |probes|·|corpus|
-    * candidate rows, which AQE coalesces. Self-matches are excluded.
+    * batch), so the corpus is scanned once with no shuffle; ranking is
+    * the bounded [[topKPerProbe]] aggregate, so only |probes|·k
+    * pre-combined rows ever cross an exchange — a row_number window here
+    * would move the full |probes|·|corpus| candidate relation through
+    * the ranking shuffle. Self-matches are excluded.
     *
     * @param corpus (id, vec) as (Long, Array[Float]) columns named idCol/vecCol
     * @param probes same schema; ids disjoint or equal to corpus ids
@@ -51,8 +92,7 @@ object Similarity {
       .join(p, col(idCol) =!= col("probe_id"))
       .withColumn("sim", round(cosine(col("__pvec"), col(vecCol)), 6))
       .drop("__pvec")
-    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col(idCol))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKPerProbe(scored, descKey(col("sim"), col(idCol)), k, "rank")
   }
 
   /** Radius (range) search: every corpus vector within cosine ≥ `minSim`
@@ -79,7 +119,7 @@ object Similarity {
     * the highest-value negatives for a triplet/InfoNCE batch (random
     * negatives are mostly easy and teach the model little). Same
     * broadcast-probe / stream-corpus shape as [[bruteForceTopK]]: one
-    * corpus pass, the only shuffle is the per-probe top-k window.
+    * corpus pass, ranking via the bounded per-probe top-k aggregate.
     */
   def hardNegatives(
       corpus: DataFrame, probes: DataFrame,
@@ -90,8 +130,7 @@ object Similarity {
       .join(p, col(idCol) =!= col("probe_id") && col(labelCol) =!= col("__plabel"))
       .withColumn("sim", round(cosine(col("__pvec"), col(vecCol)), 6))
       .drop("__pvec", "__plabel")
-    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col(idCol))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKPerProbe(scored, descKey(col("sim"), col(idCol)), k, "rank")
   }
 
   /** Per-label centroid cohesion scoring — the embedding-space quality
@@ -146,16 +185,62 @@ object Similarity {
   def lshBucket(vec: Column, dim: Int, nPlanes: Int): Column =
     graft.functions.SignProjection(vec, dim, nPlanes)
 
+  /** Default hot-bucket valve for [[lshTopK]]: the same skew discipline
+    * as [[Dedup.DefaultMaxBucket]] — a bucket shared by >10k corpus
+    * vectors (e.g. near-zero vectors all signing to the same code) makes
+    * one probe's candidate list a meaningful fraction of the corpus, and
+    * production LSH drops such buckets as uninformative rather than
+    * letting the candidate join go quadratic-hot. Far above anything the
+    * test scale factors produce, so small-scale results stay exact.
+    */
+  val DefaultMaxLshBucket: Int = Dedup.DefaultMaxBucket
+
+  /** The corpus-bucket size gate behind [[lshTopK]]: buckets holding more
+    * than `maxBucket` corpus vectors are excluded BEFORE the candidate
+    * join. Sizes come first as a combine-friendly count (never a row
+    * list), and the ≤2^nPlanes surviving bucket ids broadcast into a
+    * semi-join — the corpus itself neither shuffles nor sorts for the
+    * gate.
+    */
+  private def gatedCorpusBuckets(corpus: DataFrame, vecCol: String,
+                                 dim: Int, nPlanes: Int,
+                                 maxBucket: Option[Int]): DataFrame = {
+    val c = corpus.withColumn("__bucket", lshBucket(col(vecCol), dim, nPlanes))
+    maxBucket.fold(c) { m =>
+      val ok = c.groupBy("__bucket").agg(count(lit(1)).as("__cnt"))
+        .filter(col("__cnt") <= m).select("__bucket")
+      c.join(broadcast(ok), Seq("__bucket"), "left_semi")
+    }
+  }
+
+  /** The report half of the [[lshTopK]] valve: the buckets the gate
+    * drops, with their sizes — a run that caps coverage must say what it
+    * dropped, not read as "covered everything".
+    */
+  def lshDroppedBuckets(corpus: DataFrame, vecCol: String,
+                        dim: Int, nPlanes: Int,
+                        maxBucket: Int = DefaultMaxLshBucket): DataFrame =
+    corpus.withColumn("__bucket", lshBucket(col(vecCol), dim, nPlanes))
+      .groupBy(col("__bucket").as("bucket")).agg(count(lit(1)).as("n_dropped"))
+      .filter(col("n_dropped") > maxBucket)
+
   /** Approximate NN: probes and corpus hash into sign-projection buckets;
     * candidates meet only within a bucket (keyed equi-join — shuffle on
-    * bucket id instead of a cross product), then exact cosine + top-k.
-    * Recall is tuned by nPlanes (fewer planes = bigger buckets = higher
-    * recall, more compute).
+    * bucket id instead of a cross product), then exact cosine + bounded
+    * per-probe top-k. Recall is tuned by nPlanes (fewer planes = bigger
+    * buckets = higher recall, more compute).
+    *
+    * `maxBucket` is the hot-bucket valve ([[gatedCorpusBuckets]]): a
+    * degenerate bucket — all-zero vectors sign identically — would
+    * otherwise make one probe's candidate list the corpus. Dropped
+    * buckets are enumerable via [[lshDroppedBuckets]]; pass `None` for
+    * the exact ungated contract.
     */
   def lshTopK(
       corpus: DataFrame, probes: DataFrame,
-      idCol: String, vecCol: String, dim: Int, nPlanes: Int, k: Int): DataFrame = {
-    val c = corpus.withColumn("__bucket", lshBucket(col(vecCol), dim, nPlanes))
+      idCol: String, vecCol: String, dim: Int, nPlanes: Int, k: Int,
+      maxBucket: Option[Int] = Some(DefaultMaxLshBucket)): DataFrame = {
+    val c = gatedCorpusBuckets(corpus, vecCol, dim, nPlanes, maxBucket)
     val p = probes
       .select(col(idCol).as("probe_id"), col(vecCol).as("__pvec"))
       .withColumn("__bucket", lshBucket(col("__pvec"), dim, nPlanes))
@@ -163,8 +248,7 @@ object Similarity {
       .filter(col(idCol) =!= col("probe_id"))
       .withColumn("sim", round(cosine(col("__pvec"), col(vecCol)), 6))
       .drop("__pvec", "__bucket")
-    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col(idCol))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKPerProbe(scored, descKey(col("sim"), col(idCol)), k, "rank")
   }
 
   /** Nearest-centroid assignment: each vector gets the id of its
@@ -284,9 +368,8 @@ object Similarity {
       .join(p, col(idCol) =!= col("probe_id"))
       .withColumn("adist",
         graft.functions.PqEncode.adcColumn(col("__pvec"), col("pq_code"), dim, m, kCent))
-      .drop("__pvec")
-    val w = Window.partitionBy("probe_id").orderBy(col("adist"), col(idCol))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("probe_id"), col(idCol), col("adist"))
+    topKPerProbe(scored, ascKey(col("adist"), col(idCol)), k, "rank")
       .select(col("probe_id"), col("rank"), col(idCol), col("adist"))
   }
 
@@ -306,21 +389,32 @@ object Similarity {
       corpus: DataFrame, probes: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
     val posted = assignToCentroids(corpus, centroids, idCol, vecCol)
-    val c = broadcast(centroids.select(col(idCol).as("__cid"), col(vecCol).as("__cvec")))
-    val pw = Window.partitionBy(col("probe_id"))
-      .orderBy(round(cosine(col("__pvec"), col("__cvec")), 6).desc, col("__cid"))
-    val probeLists = probes
-      .select(col(idCol).as("probe_id"), col(vecCol).as("__pvec"))
-      .crossJoin(c)
-      .withColumn("__rn", row_number().over(pw))
-      .filter(col("__rn") <= nProbe)
-      .select(col("probe_id"), col("__pvec"), col("__cid").as("centroid_id"))
+    val probeLists = probeNearestLists(probes, centroids, idCol, vecCol, nProbe)
     val scored = posted.join(probeLists, Seq("centroid_id"))
       .filter(col(idCol) =!= col("probe_id"))
       .withColumn("sim", round(cosine(col("__pvec"), col(vecCol)), 6))
-    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col(idCol))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("probe_id"), col(idCol), col("sim"))
+    topKPerProbe(scored, descKey(col("sim"), col(idCol)), k, "rank")
       .select(col("probe_id"), col("rank"), col(idCol), col("sim"))
+  }
+
+  /** The coarse-probing stage shared by [[ivfTopK]]/[[ivfPqTopK]]: each
+    * probe's `nProbe` highest-cosine centroids (ties → lowest id), as
+    * (probe_id, __pvec, centroid_id). Centroids broadcast; the ranking is
+    * the bounded per-probe aggregate, so even a large probe batch never
+    * moves its |probes|·|centroids| scored relation through an exchange —
+    * only |probes|·nProbe rows survive the combine.
+    */
+  private def probeNearestLists(probes: DataFrame, centroids: DataFrame,
+                                idCol: String, vecCol: String, nProbe: Int): DataFrame = {
+    val c = broadcast(centroids.select(col(idCol).as("__cid"), col(vecCol).as("__cvec")))
+    val scored = probes
+      .select(col(idCol).as("probe_id"), col(vecCol).as("__pvec"))
+      .crossJoin(c)
+      .select(col("probe_id"), col("__pvec"), col("__cid"),
+        round(cosine(col("__pvec"), col("__cvec")), 6).as("__csim"))
+    topKPerProbe(scored, descKey(col("__csim"), col("__cid")), nProbe, "__rn")
+      .select(col("probe_id"), col("__pvec"), col("__cid").as("centroid_id"))
   }
 
   /** IVF-PQ composed search — the index family actually deployed at
@@ -349,21 +443,13 @@ object Similarity {
     val posted = assignToCentroids(corpus, centroids, idCol, vecCol)
       .select(col("centroid_id"), col(idCol),
         graft.functions.PqEncode(col(vecCol), dim, m, kCent).as("pq_code"))
-    val c = broadcast(centroids.select(col(idCol).as("__cid"), col(vecCol).as("__cvec")))
-    val pw = Window.partitionBy(col("probe_id"))
-      .orderBy(round(cosine(col("__pvec"), col("__cvec")), 6).desc, col("__cid"))
-    val probeLists = probes
-      .select(col(idCol).as("probe_id"), col(vecCol).as("__pvec"))
-      .crossJoin(c)
-      .withColumn("__rn", row_number().over(pw))
-      .filter(col("__rn") <= nProbe)
-      .select(col("probe_id"), col("__pvec"), col("__cid").as("centroid_id"))
+    val probeLists = probeNearestLists(probes, centroids, idCol, vecCol, nProbe)
     val scored = posted.join(broadcast(probeLists), Seq("centroid_id"))
       .filter(col(idCol) =!= col("probe_id"))
       .withColumn("adist",
         graft.functions.PqEncode.adcColumn(col("__pvec"), col("pq_code"), dim, m, kCent))
-    val w = Window.partitionBy("probe_id").orderBy(col("adist"), col(idCol))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("probe_id"), col(idCol), col("adist"))
+    topKPerProbe(scored, ascKey(col("adist"), col(idCol)), k, "rank")
       .select(col("probe_id"), col("rank"), col(idCol), col("adist"))
   }
 
@@ -448,15 +534,15 @@ object Similarity {
         (bit_count(col("__slo").bitwiseXOR(col("__plo"))) +
           bit_count(col("__shi").bitwiseXOR(col("__phi")))).cast("int"))
       .select(col("probe_id"), col(idCol), col("hamming"))
-    val wh = Window.partitionBy("probe_id").orderBy(col("hamming"), col(idCol))
-    val shortlist = cand.withColumn("__hr", row_number().over(wh))
-      .filter(col("__hr") <= rerank).drop("__hr")
+    val shortlist =
+      topKPerProbe(cand, ascKey(col("hamming"), col(idCol)), rerank, "__hr")
+        .drop("__hr")
     val pv = broadcast(probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pvec")))
     val reranked = corpus.join(broadcast(shortlist), Seq(idCol))
       .join(pv, Seq("probe_id"))
       .withColumn("sim", round(cosine(col("__pvec"), col(vecCol)), 6))
-    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col(idCol))
-    reranked.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("probe_id"), col(idCol), col("hamming"), col("sim"))
+    topKPerProbe(reranked, descKey(col("sim"), col(idCol)), k, "rank")
       .select(col("probe_id"), col("rank"), col(idCol), col("hamming"), col("sim"))
   }
 
@@ -471,8 +557,13 @@ object Similarity {
     * Determinism: similarities land in round-6 doubles before ranking
     * (ties → lowest id, both rankings); squared errors carry as
     * round-12 DECIMAL so the MSE sum is partition-order independent.
-    * Scale: probes broadcast, the corpus streams once, and the two
-    * rankings share one narrow (probe, id, sim, sim) shuffle.
+    * Scale: probes broadcast, the corpus streams once, and EVERYTHING —
+    * both bounded top-k sets, the pair count, the error sum — folds in
+    * ONE combine-friendly per-probe aggregation: each mapper holds two
+    * ≤k priority queues per probe, so only |probes| pre-combined rows
+    * cross the exchange (the windowed original moved the full
+    * |probes|·|corpus| candidate relation through TWO ranking sorts).
+    * The overlap is then set arithmetic on the two in-row id arrays.
     */
   def matryoshkaAgreement(
       corpus: DataFrame, probes: DataFrame,
@@ -483,16 +574,17 @@ object Similarity {
       .withColumn("sim_trunc", round(cosine(
         slice(col("__pvec"), 1, prefixDim), slice(col(vecCol), 1, prefixDim)), 6))
       .select(col("probe_id"), col(idCol), col("sim_full"), col("sim_trunc"))
-    val wf = Window.partitionBy("probe_id").orderBy(col("sim_full").desc, col(idCol))
-    val wt = Window.partitionBy("probe_id").orderBy(col("sim_trunc").desc, col(idCol))
-    val ranked = cand
-      .withColumn("__rf", row_number().over(wf))
-      .withColumn("__rt", row_number().over(wt))
     val sq = round(pow(col("sim_full") - col("sim_trunc"), 2), 12).cast("decimal(28,12)")
-    ranked.groupBy("probe_id")
+    def topIds(sim: Column) = GraftSqlBridge.collectTopK(
+      struct((-sim).as("s"), col(idCol).as("i")), k, reverse = true)
+    def ids(c: Column) = transform(c, e => e.getField("i"))
+    cand.groupBy("probe_id")
       .agg(count(lit(1)).as("n_pairs"),
-        sum(when(col("__rf") <= k && col("__rt") <= k, 1L).otherwise(0L)).as("n_overlap"),
+        topIds(col("sim_full")).as("__tf"),
+        topIds(col("sim_trunc")).as("__tt"),
         sum(sq).as("__se"))
+      .withColumn("n_overlap",
+        size(array_intersect(ids(col("__tf")), ids(col("__tt")))).cast("long"))
       .select(col("probe_id"), col("n_pairs"), col("n_overlap"),
         round(col("n_overlap").cast("double") / lit(k.toDouble), 6).as("overlap_at_k"),
         round(col("__se").cast("double") / col("n_pairs").cast("double"), 6).as("mse"))
@@ -662,10 +754,16 @@ object Similarity {
     * against exact top-k; this grades the SPACE against ground truth, so
     * together they separate "bad index" from "bad embeddings".
     *
-    * Scale shape: [[bruteForceTopK]]'s broadcast-probe / one-corpus-pass
-    * topology; per-probe the window ranks |corpus| rows once, and the
-    * first-relevant selection is a min aggregation — nothing quadratic in
-    * the corpus, probes are the valve.
+    * Scale shape: [[bruteForceTopK]]'s broadcast-probe topology, with NO
+    * ranking window — the windowed original moved the full
+    * |probes|·|corpus| candidate relation through its exchange to rank
+    * rows it would immediately aggregate away. Instead: the first
+    * same-label neighbor is the same-label candidate with the MINIMUM
+    * (−sim, id) key (a fixed-width min(struct) with map-side combine),
+    * and its rank is 1 + |candidates strictly ahead of it| — a count
+    * against the ≤|probes|-row broadcast of those best keys on a second
+    * corpus pass. Two corpus SCANS, but the only rows that ever cross an
+    * exchange are |probes| pre-combined aggregates.
     *
     * Output: (probe_id, probe_label, n_relevant, first_rank, rr) — probes
     * whose label has no other member report n_relevant = 0 with null
@@ -675,16 +773,24 @@ object Similarity {
                idCol: String, vecCol: String, labelCol: String): DataFrame = {
     val p = broadcast(probes.select(col(idCol).as("probe_id"),
       col(vecCol).as("__pvec"), col(labelCol).as("probe_label")))
-    val scored = corpus
+    def scored = corpus
       .join(p, col(idCol) =!= col("probe_id"))
-      .withColumn("__sim", round(cosine(col("__pvec"), col(vecCol)), 6))
-    val w = Window.partitionBy("probe_id").orderBy(col("__sim").desc, col(idCol))
-    scored
-      .withColumn("__rank", row_number().over(w))
+      .select(col("probe_id"), col("probe_label"), col(labelCol).as("__nlabel"),
+        struct((-round(cosine(col("__pvec"), col(vecCol)), 6)).as("s"),
+          col(idCol).as("i")).as("__key"))
+    val best = scored
       .groupBy(col("probe_id"), col("probe_label"))
       .agg(
-        sum(when(col(labelCol) === col("probe_label"), 1L).otherwise(0L)).as("n_relevant"),
-        min(when(col(labelCol) === col("probe_label"), col("__rank"))).as("first_rank"))
+        sum(when(col("__nlabel") === col("probe_label"), 1L).otherwise(0L))
+          .as("n_relevant"),
+        min(when(col("__nlabel") === col("probe_label"), col("__key"))).as("__best"))
+    val firstRank = scored
+      .join(broadcast(best.select(col("probe_id"), col("__best"))), Seq("probe_id"))
+      .filter(col("__key") <= col("__best"))
+      .groupBy("probe_id")
+      .agg(count(lit(1)).cast("int").as("first_rank"))
+    best.join(firstRank, Seq("probe_id"), "left")
+      .select(col("probe_id"), col("probe_label"), col("n_relevant"), col("first_rank"))
       .withColumn("rr", round(lit(1.0) / col("first_rank").cast("double"), 6))
   }
 

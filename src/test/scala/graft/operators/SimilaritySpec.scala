@@ -82,6 +82,31 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq(2L, 3L, 4L)) // ties broken by id; -1-direction last
   }
 
+  test("lshTopK hot-bucket valve: a planted degenerate bucket is gated and reported") {
+    // all-zero vectors sign identically into one bucket — ungated, a probe
+    // landing there would see every one of them as a candidate
+    val degenerate = (100L to 140L).map(i => (i, Array(0.0f, 0.0f, 0.0f)))
+    val planted = (vecs.as[(Long, Array[Float])].collect().toSeq ++ degenerate)
+      .toDF("vec_id", "embedding")
+    val probes = planted.filter($"vec_id" === 100L) // probes INTO the hot bucket
+    val gated = Similarity.lshTopK(planted, probes, "vec_id", "embedding",
+      dim = 3, nPlanes = 4, k = 5, maxBucket = Some(20)).collect()
+    // every degenerate candidate lived in the dropped bucket: the probe
+    // keeps only whatever non-degenerate vectors share its bucket
+    assert(!gated.exists(r => r.getAs[Long]("vec_id") >= 100L),
+      "gated bucket members must not surface as candidates")
+    val dropped = Similarity.lshDroppedBuckets(planted, "embedding",
+      dim = 3, nPlanes = 4, maxBucket = 20).collect()
+    // ≥ the 41 planted zeros (base vectors whose signs all come out
+    // non-positive share the same code)
+    assert(dropped.length == 1 && dropped.head.getAs[Long]("n_dropped") >= 41L,
+      "the dropped-mass report must name the hot bucket and its size")
+    // ungated (maxBucket = None) recovers the exact contract
+    val exact = Similarity.lshTopK(planted, probes, "vec_id", "embedding",
+      dim = 3, nPlanes = 4, k = 5, maxBucket = None).collect()
+    assert(exact.nonEmpty && exact.exists(r => r.getAs[Long]("vec_id") >= 100L))
+  }
+
   test("labelCentroidScores: singleton label scores 1.0 against itself") {
     val labeled = Seq(
       (0L, Array(1.0f, 0.0f), 1), // label 1: centroid = (0.5, 0.5)

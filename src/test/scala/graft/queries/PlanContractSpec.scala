@@ -221,6 +221,38 @@ class PlanContractSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("similarity ranking stages use the bounded top-k aggregate, never a window") {
+    // the round-13 argmax lesson applied to the remaining ranking stages:
+    // a row_number window moves the FULL scored candidate relation
+    // (|probes|·|corpus| at the exact tier) through its exchange; the
+    // CollectTopK aggregate map-side combines to ≤ |probes|·k rows before
+    // any shuffle. s15 (label MRR) goes further — no bounded set either,
+    // just min(struct) + a rank count, so it must plan zero windows too.
+    Seq("s1_cosine_topk", "s2_ann_lsh", "s3_ann_ivf", "s6_pq_adc_topk",
+        "s7_hard_negatives", "s12_ivf_pq", "s13_sign_hamming",
+        "s14_matryoshka").foreach { q =>
+      val plan = planOf(q)
+      assert(count(plan, "Window") == 0, s"$q must not window its ranking stage:\n$plan")
+      assert(count(plan, "partial_collect_top_k") >= 1,
+        s"$q lost the map-side bounded top-k partial:\n$plan")
+    }
+    val mrr = planOf("s15_label_mrr")
+    assert(count(mrr, "Window") == 0, s"s15 must not window the corpus:\n$mrr")
+  }
+
+  test("s2 lsh: corpus buckets are count-gated before the candidate join") {
+    // the hot-bucket valve: bucket sizes come first as a combine-friendly
+    // count and the surviving ≤2^nPlanes bucket ids broadcast into a
+    // semi-join — a degenerate bucket (all-zero vectors sign identically)
+    // must never reach the probe join, and the gate itself must neither
+    // shuffle nor sort the corpus
+    val plan = planOf("s2_ann_lsh")
+    assert(count(plan, "BroadcastHashJoin") >= 2,
+      s"gate semi-join + probe join must both broadcast:\n$plan")
+    assert(plan.contains("LeftSemi"), s"bucket gate semi-join missing:\n$plan")
+    assert(count(plan, "SortMergeJoin") == 0, s"s2 must not sort-merge:\n$plan")
+  }
+
   test("s13 sign-hamming: shortlist broadcasts back for the vector fetch; no sort-merge") {
     val plan = planOf("s13_sign_hamming")
     // the Hamming tier joins (id, 2×BIGINT) sigs against broadcast probe
