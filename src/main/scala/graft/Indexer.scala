@@ -85,7 +85,21 @@ object Indexer {
       m.get(k).map(v => parse(String.valueOf(v))).getOrElse(d)
     val erc20 = m.get("erc20") match {
       case Some(mm: java.util.Map[_, _]) => // snakeyaml yields LinkedHashMap: order kept
-        mm.asScala.toSeq.map { case (n, a) => String.valueOf(n) -> hexBytes(String.valueOf(a)) }
+        mm.asScala.toSeq.map { case (n, a) =>
+          // YAML 1.1 resolves an UNQUOTED 0x… scalar as a hex integer,
+          // which String.valueOf would render in decimal — and decimal
+          // digits parse as "valid hex", silently yielding a wrong
+          // address. The stated contract is to fail loudly on operator
+          // mistakes: only quoted strings are accepted.
+          val addr = a match {
+            case s: String => s
+            case other => throw new IllegalArgumentException(
+              s"erc20 address for '$n' must be a QUOTED string, got " +
+                s"${if (other == null) "null" else other.getClass.getSimpleName} — " +
+                "unquoted 0x… is resolved as a YAML integer")
+          }
+          String.valueOf(n) -> hexBytes(addr)
+        }
       case Some(other) =>
         throw new IllegalArgumentException(s"config key 'erc20' must be a map, got: $other")
       case None => Nil
@@ -108,7 +122,9 @@ object Indexer {
   private def hexBytes(s: String): Array[Byte] = {
     val h = s.stripPrefix("0x")
     require(h.length % 2 == 0, s"odd-length hex address: $s")
-    h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val out = h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    require(out.length == 20, s"an address is 20 bytes, got ${out.length}: $s")
+    out
   }
 
   /** Everything `start` wires, so an embedding caller (or the smoke spec)

@@ -1,0 +1,256 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.chain.TableStore
+import graft.streaming._
+
+/** The deployable entry point for the LLM-data-pipeline side — the
+  * corpus-telemetry analogue of [[Indexer]] (which mirrors the
+  * reference's `cmd/indexer`, cmd/indexer/root.go:88-177): read a small
+  * YAML config, watch a directory for document parquet drops, and run
+  * the selected streaming faces — chunk-level dedup, MinHash/LSH
+  * near-dup indexing, HLL distinct sketching, bottom-k quantile
+  * telemetry — continuously against a [[TableStore]], with a Prometheus
+  * metrics endpoint on the side. Without this main, the streaming faces
+  * were library code a user had to wire by hand.
+  *
+  * Config file (flat `key: value` lines, snakeyaml SafeConstructor,
+  * unknown keys rejected — the [[Indexer.parseConfig]] discipline):
+  *
+  * {{{
+  * inputDir: /var/lib/graft/incoming     # document parquet drop dir
+  * dataDir: /var/lib/graft/pipeline      # TableStore root
+  * checkpointDir: /var/lib/graft/pipeline-ckpt
+  * faces:                                # any subset, run in this order
+  *   - chunkDedup
+  *   - lshDedup
+  *   - hllSketch
+  *   - quantiles
+  * metricsPort: 9093                     # <0 disables
+  * master: local[*]
+  * triggerSeconds: 10                    # micro-batch cadence
+  * chunkTokens: 64                       # chunkDedup granularity
+  * shingleSize: 3                        # lshDedup ...
+  * numHashes: 64
+  * bands: 16
+  * simThreshold: 0.7
+  * hllM: 1024                            # hllSketch registers/group
+  * hllGroupCol: source
+  * hllValueCol: doc_id
+  * quantileK: 64                         # quantiles sample size/group
+  * quantileGroupCol: lang
+  * quantileValueCol: n_chars
+  * quantileIdCol: doc_id
+  * manifestCommit: false                 # true on object stores
+  * }}}
+  *
+  * One streaming query drives ALL selected faces inside one
+  * `foreachBatch` — a single checkpoint, a single batch-id sequence, and
+  * each face's own replay-idempotency discipline (batch tags, algebraic
+  * state) then makes a crash-replay of the whole composition converge,
+  * exactly as each face's spec proves in isolation.
+  *
+  * Scale shape: the input is whatever lands in `inputDir` per trigger;
+  * each face's per-batch work is bounded by the batch (bounded state
+  * probes by hash-prefix partition pruning, count-gated candidate
+  * stages, ≤groups×k / groups×m state relations — see each face's
+  * scaladoc). Nothing here adds a corpus-sized stage on top.
+  */
+object PipelineRunner {
+
+  val FaceNames: Seq[String] = Seq("chunkDedup", "lshDedup", "hllSketch", "quantiles")
+
+  final case class Config(
+      inputDir: String,
+      dataDir: String,
+      checkpointDir: String,
+      faces: Seq[String] = FaceNames,
+      metricsPort: Int = 9093,
+      master: String = "local[*]",
+      triggerSeconds: Int = 10,
+      chunkTokens: Int = 64,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      simThreshold: Double = 0.7,
+      hllM: Int = 1024,
+      hllGroupCol: String = "source",
+      hllValueCol: String = "doc_id",
+      quantileK: Int = 64,
+      quantileGroupCol: String = "lang",
+      quantileValueCol: String = "n_chars",
+      quantileIdCol: String = "doc_id",
+      manifestCommit: Boolean = false)
+
+  def parseConfig(text: String): Config = {
+    import scala.jdk.CollectionConverters._
+    val yaml = new org.yaml.snakeyaml.Yaml(
+      new org.yaml.snakeyaml.constructor.SafeConstructor(
+        new org.yaml.snakeyaml.LoaderOptions()))
+    val root = yaml.load[java.util.Map[String, Object]](text)
+    require(root != null, "empty config")
+    val m = root.asScala.toMap
+    val known = Set("inputDir", "dataDir", "checkpointDir", "faces",
+      "metricsPort", "master", "triggerSeconds", "chunkTokens", "shingleSize",
+      "numHashes", "bands", "simThreshold", "hllM", "hllGroupCol",
+      "hllValueCol", "quantileK", "quantileGroupCol", "quantileValueCol",
+      "quantileIdCol", "manifestCommit")
+    val unknown = m.keySet -- known
+    require(unknown.isEmpty,
+      s"unknown config keys: ${unknown.toSeq.sorted.mkString(", ")}")
+    def str(k: String): String = m.get(k) match {
+      case Some(v) if v != null => String.valueOf(v)
+      case _ => throw new IllegalArgumentException(s"config key '$k' is required")
+    }
+    def opt[T](k: String, parse: String => T, d: T): T =
+      m.get(k).map(v => parse(String.valueOf(v))).getOrElse(d)
+    val faces = m.get("faces") match {
+      case Some(l: java.util.List[_]) =>
+        val fs = l.asScala.map(String.valueOf).toSeq
+        val bad = fs.filterNot(FaceNames.contains)
+        require(bad.isEmpty,
+          s"unknown faces: ${bad.mkString(", ")} (known: ${FaceNames.mkString(", ")})")
+        fs
+      case Some(other) =>
+        throw new IllegalArgumentException(s"config key 'faces' must be a list, got: $other")
+      case None => FaceNames
+    }
+    val base = Config(inputDir = str("inputDir"), dataDir = str("dataDir"),
+      checkpointDir = str("checkpointDir"), faces = faces)
+    base.copy(
+      metricsPort      = opt("metricsPort", _.toInt, base.metricsPort),
+      master           = opt("master", identity, base.master),
+      triggerSeconds   = opt("triggerSeconds", _.toInt, base.triggerSeconds),
+      chunkTokens      = opt("chunkTokens", _.toInt, base.chunkTokens),
+      shingleSize      = opt("shingleSize", _.toInt, base.shingleSize),
+      numHashes        = opt("numHashes", _.toInt, base.numHashes),
+      bands            = opt("bands", _.toInt, base.bands),
+      simThreshold     = opt("simThreshold", _.toDouble, base.simThreshold),
+      hllM             = opt("hllM", _.toInt, base.hllM),
+      hllGroupCol      = opt("hllGroupCol", identity, base.hllGroupCol),
+      hllValueCol      = opt("hllValueCol", identity, base.hllValueCol),
+      quantileK        = opt("quantileK", _.toInt, base.quantileK),
+      quantileGroupCol = opt("quantileGroupCol", identity, base.quantileGroupCol),
+      quantileValueCol = opt("quantileValueCol", identity, base.quantileValueCol),
+      quantileIdCol    = opt("quantileIdCol", identity, base.quantileIdCol),
+      manifestCommit   = opt("manifestCommit", _.toBoolean, base.manifestCommit))
+  }
+
+  /** Driver-side operational counters, served as Prometheus text. */
+  final class PipelineMetrics extends Serializable {
+    val batches = new AtomicLong
+    val docs    = new AtomicLong
+    val batchSeconds = new LatencyHistogram
+    def render(): String = {
+      val sb = new StringBuilder
+      def metric(name: String, kind: String, v: Long): Unit = {
+        sb.append("# TYPE ").append(name).append(' ').append(kind).append('\n')
+        sb.append(name).append(' ').append(v).append('\n')
+      }
+      metric("graft_pipeline_batches", "counter", batches.get())
+      metric("graft_pipeline_docs", "counter", docs.get())
+      sb.append("# TYPE graft_pipeline_batch_seconds histogram\n")
+      val h = batchSeconds
+      val cumulative = h.bucketCounts.scanLeft(0L)(_ + _).tail
+      h.bounds.zip(cumulative).foreach { case (b, c) =>
+        sb.append("graft_pipeline_batch_seconds_bucket{le=\"").append(b)
+          .append("\"} ").append(c).append('\n')
+      }
+      sb.append("graft_pipeline_batch_seconds_bucket{le=\"+Inf\"} ")
+        .append(h.count).append('\n')
+      sb.append("graft_pipeline_batch_seconds_count ").append(h.count).append('\n')
+      sb.append("graft_pipeline_batch_seconds_sum ")
+        .append("%.6f".formatLocal(java.util.Locale.ROOT, h.sumSeconds)).append('\n')
+      sb.toString
+    }
+  }
+
+  /** The composed foreachBatch body — public so the spec can drive a
+    * single batch directly and so an embedding caller can re-wire it
+    * under its own query.
+    */
+  def processBatch(store: TableStore, cfg: Config,
+                   metrics: Option[PipelineMetrics] = None)
+                  (batch: DataFrame, bid: Long): Unit = {
+    val t0 = System.nanoTime()
+    // one materialization shared by every face (and the metrics count):
+    // foreachBatch re-plans the source per action otherwise
+    val b = batch.localCheckpoint(true)
+    cfg.faces.foreach {
+      case "chunkDedup" =>
+        StreamingText.processChunkBatch(store, cfg.chunkTokens)(b, bid)
+      case "lshDedup" =>
+        StreamingDedup.processLshBatch(store, cfg.shingleSize, cfg.numHashes,
+          cfg.bands, cfg.simThreshold)(b, bid)
+      case "hllSketch" =>
+        StreamingSketch.processSketchBatch(store, cfg.hllGroupCol,
+          cfg.hllValueCol, cfg.hllM)(b, bid)
+      case "quantiles" =>
+        StreamingQuantiles.processQuantileBatch(store, cfg.quantileGroupCol,
+          cfg.quantileValueCol, cfg.quantileIdCol, cfg.quantileK)(b, bid)
+      case other => throw new IllegalArgumentException(s"unknown face: $other")
+    }
+    metrics.foreach { pm =>
+      pm.batches.incrementAndGet()
+      pm.docs.addAndGet(b.count())
+      pm.batchSeconds.observe((System.nanoTime() - t0) / 1e9)
+    }
+  }
+
+  final case class Wiring(
+      query: StreamingQuery,
+      metrics: PipelineMetrics,
+      metricsServer: Option[MetricsServer],
+      store: TableStore) {
+    def close(): Unit = {
+      try query.stop() finally metricsServer.foreach(_.close())
+    }
+  }
+
+  /** Wire the deployment: store, file-source document stream, metrics
+    * endpoint, one composed streaming query. Does not block — `main`
+    * awaits the query; the spec drives `processAllAvailable` + `close()`.
+    *
+    * The document schema comes from a batch read of `inputDir`, so at
+    * least one (possibly empty-rowed) parquet file must exist there at
+    * startup — the deployment seeds the drop dir with its schema file,
+    * the same contract as any file-source pipeline.
+    */
+  def start(spark: SparkSession, cfg: Config): Wiring = {
+    val store = TableStore(spark, cfg.dataDir, manifestCommit = cfg.manifestCommit)
+    val metrics = new PipelineMetrics
+    val server =
+      if (cfg.metricsPort < 0) None
+      else Some(MetricsServer.start(() => metrics.render(), cfg.metricsPort))
+    val schema = spark.read.parquet(cfg.inputDir).schema
+    val docs = spark.readStream.schema(schema).parquet(cfg.inputDir)
+    val query = docs.writeStream
+      .option("checkpointLocation", cfg.checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(
+        cfg.triggerSeconds.toLong * 1000))
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        processBatch(store, cfg, Some(metrics))(batch, bid)
+      }
+      .start()
+    Wiring(query, metrics, server, store)
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: graft.PipelineRunner <config.yaml>")
+    val cfg = parseConfig(Files.readString(Paths.get(args(0))))
+    val spark = SparkSession.builder()
+      .master(cfg.master)
+      .appName("graft-pipeline")
+      .config("spark.sql.shuffle.partitions",
+        Runtime.getRuntime.availableProcessors.toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val wiring = start(spark, cfg)
+    sys.addShutdownHook(wiring.close())
+    wiring.query.awaitTermination()
+  }
+}

@@ -30,6 +30,18 @@ import org.apache.spark.sql.types._
   * for doubles; a length-mismatched centroid scores null-like (sorts
   * last, ties still to lowest id) exactly as the windowed form ordered
   * null similarities.
+  *
+  * KNOWN NaN DIVERGENCE from the windowed original: Spark's desc
+  * ordering ranks NaN ABOVE every real number, so a window would pick a
+  * NaN-similarity centroid first; this loop's `sim > bestSim` never
+  * selects NaN (every comparison with NaN is false), so NaN-scoring
+  * centroids are skipped, and an input whose EVERY centroid scores
+  * NaN/ragged returns the Long.MaxValue sentinel (a nonexistent id,
+  * which narrows under an idType cast). NaN can only arise from
+  * NaN/Infinite vector components — the embedding ingestion paths
+  * round() all components to finite decimals, so no in-repo caller can
+  * reach the divergence; a caller feeding raw unvalidated floats should
+  * screen them first.
   */
 case class NearestCentroidExpr(left: Expression, right: Expression)
     extends BinaryExpression {

