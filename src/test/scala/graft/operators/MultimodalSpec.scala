@@ -412,6 +412,27 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.mp3FrameWalk(Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("PCM decode seams REJECT real MP3 frames — the codec stub never fabricates samples") {
+    // the honesty audit behind the documented Layer III stub: a REAL MP3
+    // frame stream (synthMp3, the m12 fixture family) must parse at the
+    // metadata tier and be REFUSED by every PCM-producing decoder — a
+    // caller can therefore never mistake the codec seam for a decoder
+    // that silently emits fake audio
+    val docs = Seq((1L, "layer three honesty audit")).toDF("doc_id", "text")
+    val mp3 = Multimodal.synthMp3(docs, "doc_id", "text")
+      .head().getAs[Array[Byte]]("payload")
+    assert(Multimodal.mp3FrameWalk(mp3).nonEmpty, "fixture must be a real MP3 stream")
+    // every PCM decoder refuses the payload outright
+    assert(Multimodal.decodeWavPcm(mp3).isEmpty)
+    assert(Flac.decode(mp3).isEmpty)
+    assert(Multimodal.decodeRgb(mp3).isEmpty)
+    // and the DataFrame PCM faces FLAG it instead of emitting stats
+    val assets = Multimodal.synthMp3(docs, "doc_id", "text")
+    val flagged = Flac.flacPcmStats(assets, idCol = "doc_id").head()
+    assert(flagged.getAs[Int]("valid") == 0 && flagged.isNullAt(flagged.fieldIndex("sum_pcm")),
+      "an undecodable payload must surface as valid=0/null stats, never fake PCM")
+  }
+
   test("mp4Meta walks the synthesized container back to its md5 ground truth") {
     val docs = Seq((1L, "video one"), (2L, "another clip")).toDF("doc_id", "text")
     val got = Multimodal.mp4Meta(
