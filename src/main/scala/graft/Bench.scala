@@ -73,16 +73,19 @@ object Bench {
       .filter(n => only.forall(_.contains(n))).sorted
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
 
-    // CHILD-JVM NO-OP FLOOR (subset mode only — that IS the requiesce
-    // child): the cold cost a fresh JVM pays on its FIRST real Spark
-    // materialization (Janino codegen, interpreter-mode Spark internals,
-    // cold page cache), measured as one UN-WARMED probe job before
-    // anything else runs. Round-13's requiesced entries for sub-3-s
-    // queries read WORSE than their warm medians because this floor
-    // dominated them; the parent now keeps a child reading only for
-    // queries whose warm median exceeds 5× this floor, and the floor
-    // itself is reported in both artifacts.
-    val noopFloor: Option[Double] = if (only.isDefined) Some {
+    // CHILD-JVM NO-OP FLOOR (requiesce children only — the parent sets
+    // SPARK_GRAFT_REQUIESCE_CHILD=1; a developer's manual BENCH_ONLY
+    // subset run must not pay a ~3 s probe it doesn't need): the cold
+    // cost a fresh JVM pays on its FIRST real Spark materialization
+    // (Janino codegen, interpreter-mode Spark internals, cold page
+    // cache), measured as one UN-WARMED probe job before anything else
+    // runs. Round-13's requiesced entries for sub-3-s queries read WORSE
+    // than their warm medians because this floor dominated them; the
+    // parent now keeps a child reading only for queries whose warm
+    // median exceeds 5× this floor, and the floor itself is reported in
+    // both artifacts.
+    val noopFloor: Option[Double] = if (sys.env.get("SPARK_GRAFT_REQUIESCE_CHILD")
+        .contains("1")) Some {
       val t0 = System.nanoTime()
       spark.range(200000000L).selectExpr("sum(id * 3 + 1)")
         .queryExecution.toRdd.count()
@@ -238,7 +241,18 @@ object Bench {
         .sortBy { case (_, v) => -v(v.length / 2) }
         .take(5).map(_._1)
       val flagged = (wideSpread ++ topCost).distinct
-      if (only.isDefined || flagged.isEmpty ||
+      // don't spawn a multi-minute child JVM when nothing it measures
+      // could survive the 5×floor keep-filter anyway: at sf0.1 every
+      // median sits under the bar and the child would run only to be
+      // discarded. The prior is the committed floor measurement (~2.7 s,
+      // env-overridable); at sf1 the dominators clear 5× it easily, so
+      // the s16-class catches still happen.
+      val floorPrior = sys.env.get("SPARK_GRAFT_REQUIESCE_FLOOR_PRIOR")
+        .map(_.toDouble).getOrElse(2.5)
+      val medians0 = results.toMap
+      val anyKeepable = flagged.exists(n =>
+        medians0.get(n).exists(v => v(v.length / 2) > 5.0 * floorPrior))
+      if (only.isDefined || flagged.isEmpty || !anyKeepable ||
           sys.env.get("SPARK_GRAFT_REQUIESCE").contains("0")) (Nil, None)
       else try {
         import scala.jdk.CollectionConverters._
@@ -257,6 +271,7 @@ object Bench {
         pb.environment().put("SPARK_GRAFT_BENCH_ONLY", flagged.mkString(","))
         pb.environment().put("SPARK_GRAFT_INGEST_BENCH", "0")
         pb.environment().put("SPARK_GRAFT_REQUIESCE", "0")
+        pb.environment().put("SPARK_GRAFT_REQUIESCE_CHILD", "1") // floor probe on
         pb.environment().put("SPARK_GRAFT_BENCH_OUT", "/dev/null")
         Console.err.println(s"[bench] requiescing ${flagged.size} wide-spread " +
           s"queries in a fresh JVM: ${flagged.mkString(", ")}")
@@ -336,8 +351,14 @@ object Bench {
       else try {
         val txt = Files.readString(Paths.get("SOAK_BASELINE.json")).trim
         if (txt.startsWith("{") && txt.endsWith("}"))
-          "," + txt.stripPrefix("{").stripSuffix("}") else ""
-      } catch { case _: Throwable => "" }
+          "," + txt.stripPrefix("{").stripSuffix("}")
+        else ""","soak_source":"SOAK_BASELINE.json unparseable""""
+      } catch { case _: Throwable =>
+        // absence must be VISIBLE, not silent — a reader of bench_out
+        // should see that the duration evidence is missing, not assume
+        // it was never promised
+        ""","soak_source":"missing SOAK_BASELINE.json""""
+      }
     val fileLine = mkLine(2, all).dropRight(1) +
       s""","spread":$spread$requiescedJson$ccJson$ingest$soak}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

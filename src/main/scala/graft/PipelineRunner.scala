@@ -84,6 +84,7 @@ object PipelineRunner {
       quantileGroupCol: String = "lang",
       quantileValueCol: String = "n_chars",
       quantileIdCol: String = "doc_id",
+      compactFiles: Int = 64,
       manifestCommit: Boolean = false)
 
   def parseConfig(text: String): Config = {
@@ -98,7 +99,7 @@ object PipelineRunner {
       "metricsPort", "master", "triggerSeconds", "chunkTokens", "shingleSize",
       "numHashes", "bands", "simThreshold", "hllM", "hllGroupCol",
       "hllValueCol", "quantileK", "quantileGroupCol", "quantileValueCol",
-      "quantileIdCol", "manifestCommit")
+      "quantileIdCol", "compactFiles", "manifestCommit")
     val unknown = m.keySet -- known
     require(unknown.isEmpty,
       s"unknown config keys: ${unknown.toSeq.sorted.mkString(", ")}")
@@ -137,6 +138,7 @@ object PipelineRunner {
       quantileGroupCol = opt("quantileGroupCol", identity, base.quantileGroupCol),
       quantileValueCol = opt("quantileValueCol", identity, base.quantileValueCol),
       quantileIdCol    = opt("quantileIdCol", identity, base.quantileIdCol),
+      compactFiles     = opt("compactFiles", _.toInt, base.compactFiles),
       manifestCommit   = opt("manifestCommit", _.toBoolean, base.manifestCommit))
   }
 
@@ -153,18 +155,7 @@ object PipelineRunner {
       }
       metric("graft_pipeline_batches", "counter", batches.get())
       metric("graft_pipeline_docs", "counter", docs.get())
-      sb.append("# TYPE graft_pipeline_batch_seconds histogram\n")
-      val h = batchSeconds
-      val cumulative = h.bucketCounts.scanLeft(0L)(_ + _).tail
-      h.bounds.zip(cumulative).foreach { case (b, c) =>
-        sb.append("graft_pipeline_batch_seconds_bucket{le=\"").append(b)
-          .append("\"} ").append(c).append('\n')
-      }
-      sb.append("graft_pipeline_batch_seconds_bucket{le=\"+Inf\"} ")
-        .append(h.count).append('\n')
-      sb.append("graft_pipeline_batch_seconds_count ").append(h.count).append('\n')
-      sb.append("graft_pipeline_batch_seconds_sum ")
-        .append("%.6f".formatLocal(java.util.Locale.ROOT, h.sumSeconds)).append('\n')
+      MetricsServer.renderHistogram(sb, "graft_pipeline_batch_seconds", batchSeconds)
       sb.toString
     }
   }
@@ -182,10 +173,10 @@ object PipelineRunner {
     val b = batch.localCheckpoint(true)
     cfg.faces.foreach {
       case "chunkDedup" =>
-        StreamingText.processChunkBatch(store, cfg.chunkTokens)(b, bid)
+        StreamingText.processChunkBatch(store, cfg.chunkTokens, cfg.compactFiles)(b, bid)
       case "lshDedup" =>
         StreamingDedup.processLshBatch(store, cfg.shingleSize, cfg.numHashes,
-          cfg.bands, cfg.simThreshold)(b, bid)
+          cfg.bands, cfg.simThreshold, compactFiles = cfg.compactFiles)(b, bid)
       case "hllSketch" =>
         StreamingSketch.processSketchBatch(store, cfg.hllGroupCol,
           cfg.hllValueCol, cfg.hllM)(b, bid)

@@ -79,11 +79,23 @@ object SoakBench {
   def run(spark: SparkSession): String = {
     val batches = sys.env.get("SPARK_GRAFT_SOAK_BATCHES").map(_.toInt).getOrElse(500)
     val docsPer = sys.env.get("SPARK_GRAFT_SOAK_DOCS").map(_.toInt).getOrElse(24)
+    // manifestCommit pinned OFF: the soak's file-count evidence walks the
+    // rename-mode layout; inheriting GRAFT_STORE_MANIFEST from a shell
+    // still exporting it for the spec suites would hide everything under
+    // hidden .d-* dirs and "measure" perfectly flat zeros
     val store = TableStore(spark,
-      Files.createTempDirectory("graft-soak").toString, bucketSize = 64L)
+      Files.createTempDirectory("graft-soak").toString, bucketSize = 64L,
+      manifestCommit = false)
+    // compactFiles is LOW here on purpose: the soak's job is to show the
+    // file-count curves SATURATING inside the run — at the production
+    // default (64) the chunk face's per-partition touch rate (~1/15
+    // batches at this doc mix) would not cross the threshold within 500
+    // batches and the curve would read as unbounded growth when it is
+    // actually just a far-off ceiling (256 partitions × threshold)
+    val compact = sys.env.get("SPARK_GRAFT_SOAK_COMPACT").map(_.toInt).getOrElse(16)
     val cfg = PipelineRunner.Config(
       inputDir = "", dataDir = store.root, checkpointDir = "",
-      quantileK = 32, hllM = 256)
+      quantileK = 32, hllM = 256, compactFiles = compact)
     val tables = Seq("chunk_hashes", "lsh_postings", "lsh_sigs",
       "hll_regs", "bk_sample")
     val samplePoints = math.max(1, batches / 10)

@@ -140,17 +140,50 @@ final case class TableStore(spark: SparkSession, root: String,
     try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
-  /** Current committed version: the marker, rolled FORWARD while the next
-    * manifest file exists — a crash between the manifest write and the
-    * marker overwrite must not resurrect the previous generation (its
-    * successor's data is fully staged by construction, and the
-    * stageReplaceAll promote order stays monotone under roll-forward:
-    * a later table's manifest exists only if every earlier table's
-    * marker landed first).
+  /** A manifest file is valid iff FULLY written: its last line is the
+    * `#end` terminator [[commitManifest]] appends and every entry line
+    * carries the key/dir tab. Validation is what makes the resolution
+    * below safe on filesystems where small writes are NOT atomic (local,
+    * HDFS): a torn `.manifest.(v+1)` from a crash mid-write — truncated
+    * entries, or truncated to empty — must never be rolled forward onto
+    * (commit order writes it BEFORE touching the marker, so the previous
+    * generation is still fully intact), and a torn marker must never
+    * wedge the table.
+    */
+  private val ManifestEnd = "#end"
+
+  private def validManifest(p: Path): Boolean =
+    readSmallFile(p).exists { s =>
+      val lines = s.linesIterator.filter(_.nonEmpty).toSeq
+      lines.lastOption.contains(ManifestEnd) &&
+        lines.init.forall(_.contains('\t'))
+    }
+
+  /** Current committed version. Resolution, torn-write-safe:
+    *   - marker parses → start there; else (absent OR torn mid-overwrite)
+    *     fall back to the highest VALID manifest on disk — at a torn
+    *     marker the new manifest is fully written and its predecessors
+    *     are not yet GC'd (GC runs after the marker), so the listing
+    *     recovers the true commit;
+    *   - then roll FORWARD while the next manifest exists AND validates:
+    *     a crash between the manifest write and the marker overwrite must
+    *     not resurrect the previous generation (the successor's data is
+    *     fully staged by construction, and the stageReplaceAll promote
+    *     order stays monotone under roll-forward — a later table's
+    *     manifest exists only if every earlier table's marker landed).
     */
   private def currentVersion(table: String): Long = {
-    var v = readSmallFile(genPath(table)).flatMap(_.trim.toLongOption).getOrElse(0L)
-    while (fs.exists(manPath(table, v + 1))) v += 1
+    var v = readSmallFile(genPath(table)).flatMap(_.trim.toLongOption).getOrElse {
+      val d = dir(table)
+      if (!fs.exists(d)) 0L
+      else fs.listStatus(d).flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(".manifest."))
+          n.stripPrefix(".manifest.").toLongOption.filter(_ => validManifest(st.getPath))
+        else None
+      }.foldLeft(0L)(math.max)
+    }
+    while (validManifest(manPath(table, v + 1))) v += 1
     v
   }
 
@@ -160,7 +193,7 @@ final case class TableStore(spark: SparkSession, root: String,
       val v = currentVersion(t)
       if (v == 0L) Map.empty
       else readSmallFile(manPath(t, v)).fold(Map.empty[String, Seq[String]]) { s =>
-        s.linesIterator.filter(_.nonEmpty).toSeq
+        s.linesIterator.filter(l => l.nonEmpty && l != ManifestEnd).toSeq
           .map { line =>
             val i = line.indexOf('\t')
             (line.substring(0, i), line.substring(i + 1))
@@ -175,8 +208,8 @@ final case class TableStore(spark: SparkSession, root: String,
   private def commitManifest(table: String, next: Map[String, Seq[String]]): Unit = {
     val v = currentVersion(table)
     fs.mkdirs(dir(table))
-    val body = next.toSeq.sortBy(_._1)
-      .flatMap { case (k, ds) => ds.map(d => s"$k\t$d") }.mkString("\n")
+    val body = (next.toSeq.sortBy(_._1)
+      .flatMap { case (k, ds) => ds.map(d => s"$k\t$d") } :+ ManifestEnd).mkString("\n")
     writeSmallFile(manPath(table, v + 1), body)
     writeSmallFile(genPath(table), (v + 1).toString)
     // GC: superseded manifests, then physical dirs nothing references.
@@ -521,12 +554,16 @@ final case class TableStore(spark: SparkSession, root: String,
           } else {
             // same probe-then-rewrite + threshold-compaction economics as
             // the rename path below; the rewrite lands in a fresh
-            // immutable dir and the old list is swapped in the manifest
+            // immutable dir and the old list is swapped in the manifest —
+            // or the KEY drops when the rewrite filtered to zero rows
+            // (exists()'s "committed entries hold data" invariant)
             val bucket = openPhys(table, ds)
-            if (!bucket.filter(col(rangeCol).between(from, to)).isEmpty)
-              next = next.updated(key,
-                Seq(stagePhys(table, bucket.filter(!col(rangeCol).between(from, to)))))
-            else if (physFileCount(table, ds) > CompactFiles)
+            if (!bucket.filter(col(rangeCol).between(from, to)).isEmpty) {
+              val rel = stagePhys(table, bucket.filter(!col(rangeCol).between(from, to)))
+              next =
+                if (hasDataFiles(new Path(dir(table), rel))) next.updated(key, Seq(rel))
+                else next - key
+            } else if (physFileCount(table, ds) > CompactFiles)
               next = next.updated(key, Seq(stagePhys(table, bucket.coalesce(1))))
           }
         }
@@ -615,10 +652,12 @@ final case class TableStore(spark: SparkSession, root: String,
           .collect().map(r => (r.getString(0), r.getString(1))).toSet
         es.foreach { case (t, rc, key) =>
           val ds = manEntries(t)(key)
-          if (dirty((t, key)))
-            state(t) = state(t).updated(key,
-              Seq(stagePhys(t, openPhys(t, ds).filter(!col(rc).between(from, to)))))
-          else if (physFileCount(t, ds) > CompactFiles)
+          if (dirty((t, key))) {
+            val rel = stagePhys(t, openPhys(t, ds).filter(!col(rc).between(from, to)))
+            state(t) =
+              if (hasDataFiles(new Path(dir(t), rel))) state(t).updated(key, Seq(rel))
+              else state(t) - key // rewrite emptied the bucket — see deleteRange
+          } else if (physFileCount(t, ds) > CompactFiles)
             state(t) = state(t).updated(key, Seq(stagePhys(t, openPhys(t, ds).coalesce(1))))
         }
       }

@@ -76,17 +76,26 @@ object MetricsServer {
     metric("graft_new_subscription", "counter", m.newSubscription.get().toDouble)
     metric("graft_changed_account_per_block", "gauge",
       m.changedAccountPerBlock.get().toDouble)
-    val h = m.insertBlock
-    sb.append("# TYPE graft_insert_block_seconds histogram\n")
+    renderHistogram(sb, "graft_insert_block_seconds", m.insertBlock)
+    sb.toString
+  }
+
+  /** One Prometheus histogram block (TYPE, cumulative `le` buckets incl.
+    * +Inf, _sum, _count) — shared by every metrics face so the exposition
+    * format can't drift between endpoints.
+    */
+  def renderHistogram(sb: StringBuilder, name: String, h: LatencyHistogram): Unit = {
+    def num(v: Double): String =
+      if (v == v.floor && math.abs(v) < 1e15) v.toLong.toString
+      else "%.6f".formatLocal(java.util.Locale.ROOT, v)
+    sb.append("# TYPE ").append(name).append(" histogram\n")
     val cumulative = h.bucketCounts.scanLeft(0L)(_ + _).tail
     h.bounds.zip(cumulative).foreach { case (b, c) =>
-      sb.append("graft_insert_block_seconds_bucket{le=\"").append(b)
+      sb.append(name).append("_bucket{le=\"").append(b)
         .append("\"} ").append(c).append('\n')
     }
-    sb.append("graft_insert_block_seconds_bucket{le=\"+Inf\"} ")
-      .append(cumulative.last).append('\n')
-    sb.append("graft_insert_block_seconds_sum ").append(num(h.sumSeconds)).append('\n')
-    sb.append("graft_insert_block_seconds_count ").append(h.count).append('\n')
-    sb.toString
+    sb.append(name).append("_bucket{le=\"+Inf\"} ").append(cumulative.last).append('\n')
+    sb.append(name).append("_sum ").append(num(h.sumSeconds)).append('\n')
+    sb.append(name).append("_count ").append(h.count).append('\n'): Unit
   }
 }

@@ -114,7 +114,8 @@ object StreamingText {
     * tells the batch which of its hashes a crashed attempt already
     * landed, so a crash LOOP converges instead of growing the table.
     */
-  def processChunkBatch(store: graft.chain.TableStore, chunkTokens: Int)
+  def processChunkBatch(store: graft.chain.TableStore, chunkTokens: Int,
+                        compactFiles: Int = 64)
                        (batch: DataFrame, bid: Long): Unit = {
     import graft.operators.Dedup
     val seenSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -173,7 +174,7 @@ object StreamingText {
     // bounded file counts per hash-prefix partition: threshold-compact
     // exactly the partitions this batch touched (rows and batch_id replay
     // tags unchanged — see TableStore.compactPartitions)
-    store.compactPartitions("chunk_hashes", "hp", Some(prefixes))
+    store.compactPartitions("chunk_hashes", "hp", Some(prefixes), compactFiles)
   }
 
   /** First two hex chars of an md5 hash as the partition category 0..255. */
