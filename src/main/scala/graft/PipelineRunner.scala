@@ -30,6 +30,8 @@ import graft.streaming._
   *   - lshDedup
   *   - hllSketch
   *   - quantiles
+  *   - sessions                          # needs eventsDir (own query)
+  *   - ivfIndex                          # needs embeddingsDir+centroidsPath
   * metricsPort: 9093                     # <0 disables
   * master: local[*]
   * triggerSeconds: 10                    # micro-batch cadence
@@ -46,6 +48,15 @@ import graft.streaming._
   * quantileValueCol: n_chars
   * quantileIdCol: doc_id
   * manifestCommit: false                 # true on object stores
+  * eventsDir: /var/lib/graft/events      # sessions' event drop dir
+  * sessionGap: 30 minutes                # sessions ...
+  * sessionWatermark: 0 seconds
+  * sessionUserCol: user_id
+  * sessionTsCol: ts
+  * embeddingsDir: /var/lib/graft/embeds  # ivfIndex's drop dir
+  * centroidsPath: /var/lib/graft/centroids.parquet
+  * ivfIdCol: vec_id
+  * ivfVecCol: embedding
   * }}}
   *
   * One streaming query drives ALL selected faces inside one
@@ -62,13 +73,24 @@ import graft.streaming._
   */
 object PipelineRunner {
 
-  val FaceNames: Seq[String] = Seq("chunkDedup", "lshDedup", "hllSketch", "quantiles")
+  /** Faces sharing the document foreachBatch, in run order. */
+  val BatchFaceNames: Seq[String] = Seq("chunkDedup", "lshDedup", "hllSketch", "quantiles")
+
+  /** All selectable faces. Two are NOT document-foreachBatch faces and
+    * run as their own queries (own checkpoint, same trigger cadence):
+    * `sessions` is Spark's stateful `session_window` aggregation, which
+    * only exists on a streaming DataFrame, over `eventsDir`; `ivfIndex`
+    * maintains the IVF ANN posting lists over an `embeddingsDir` drop
+    * (embeddings arrive on their own cadence from the embedding service,
+    * not with the raw documents).
+    */
+  val FaceNames: Seq[String] = BatchFaceNames ++ Seq("sessions", "ivfIndex")
 
   final case class Config(
       inputDir: String,
       dataDir: String,
       checkpointDir: String,
-      faces: Seq[String] = FaceNames,
+      faces: Seq[String] = BatchFaceNames,
       metricsPort: Int = 9093,
       master: String = "local[*]",
       triggerSeconds: Int = 10,
@@ -85,7 +107,16 @@ object PipelineRunner {
       quantileValueCol: String = "n_chars",
       quantileIdCol: String = "doc_id",
       compactFiles: Int = 64,
-      manifestCommit: Boolean = false)
+      manifestCommit: Boolean = false,
+      eventsDir: Option[String] = None,
+      sessionGap: String = "30 minutes",
+      sessionWatermark: String = "0 seconds",
+      sessionUserCol: String = "user_id",
+      sessionTsCol: String = "ts",
+      embeddingsDir: Option[String] = None,
+      centroidsPath: Option[String] = None,
+      ivfIdCol: String = "vec_id",
+      ivfVecCol: String = "embedding")
 
   def parseConfig(text: String): Config = {
     import scala.jdk.CollectionConverters._
@@ -99,7 +130,10 @@ object PipelineRunner {
       "metricsPort", "master", "triggerSeconds", "chunkTokens", "shingleSize",
       "numHashes", "bands", "simThreshold", "hllM", "hllGroupCol",
       "hllValueCol", "quantileK", "quantileGroupCol", "quantileValueCol",
-      "quantileIdCol", "compactFiles", "manifestCommit")
+      "quantileIdCol", "compactFiles", "manifestCommit",
+      "eventsDir", "sessionGap", "sessionWatermark", "sessionUserCol",
+      "sessionTsCol", "embeddingsDir", "centroidsPath", "ivfIdCol",
+      "ivfVecCol")
     val unknown = m.keySet -- known
     require(unknown.isEmpty,
       s"unknown config keys: ${unknown.toSeq.sorted.mkString(", ")}")
@@ -118,8 +152,13 @@ object PipelineRunner {
         fs
       case Some(other) =>
         throw new IllegalArgumentException(s"config key 'faces' must be a list, got: $other")
-      case None => FaceNames
+      case None => BatchFaceNames
     }
+    require(!faces.contains("sessions") || m.contains("eventsDir"),
+      "the 'sessions' face requires 'eventsDir' (the event parquet drop dir)")
+    require(!faces.contains("ivfIndex") ||
+        (m.contains("embeddingsDir") && m.contains("centroidsPath")),
+      "the 'ivfIndex' face requires 'embeddingsDir' and 'centroidsPath'")
     val base = Config(inputDir = str("inputDir"), dataDir = str("dataDir"),
       checkpointDir = str("checkpointDir"), faces = faces)
     base.copy(
@@ -139,13 +178,24 @@ object PipelineRunner {
       quantileValueCol = opt("quantileValueCol", identity, base.quantileValueCol),
       quantileIdCol    = opt("quantileIdCol", identity, base.quantileIdCol),
       compactFiles     = opt("compactFiles", _.toInt, base.compactFiles),
-      manifestCommit   = opt("manifestCommit", _.toBoolean, base.manifestCommit))
+      manifestCommit   = opt("manifestCommit", _.toBoolean, base.manifestCommit),
+      eventsDir        = m.get("eventsDir").map(String.valueOf),
+      sessionGap       = opt("sessionGap", identity, base.sessionGap),
+      sessionWatermark = opt("sessionWatermark", identity, base.sessionWatermark),
+      sessionUserCol   = opt("sessionUserCol", identity, base.sessionUserCol),
+      sessionTsCol     = opt("sessionTsCol", identity, base.sessionTsCol),
+      embeddingsDir    = m.get("embeddingsDir").map(String.valueOf),
+      centroidsPath    = m.get("centroidsPath").map(String.valueOf),
+      ivfIdCol         = opt("ivfIdCol", identity, base.ivfIdCol),
+      ivfVecCol        = opt("ivfVecCol", identity, base.ivfVecCol))
   }
 
   /** Driver-side operational counters, served as Prometheus text. */
   final class PipelineMetrics extends Serializable {
-    val batches = new AtomicLong
-    val docs    = new AtomicLong
+    val batches  = new AtomicLong
+    val docs     = new AtomicLong
+    val sessions = new AtomicLong
+    val vectors  = new AtomicLong
     val batchSeconds = new LatencyHistogram
     def render(): String = {
       val sb = new StringBuilder
@@ -155,6 +205,8 @@ object PipelineRunner {
       }
       metric("graft_pipeline_batches", "counter", batches.get())
       metric("graft_pipeline_docs", "counter", docs.get())
+      metric("graft_pipeline_sessions", "counter", sessions.get())
+      metric("graft_pipeline_vectors", "counter", vectors.get())
       MetricsServer.renderHistogram(sb, "graft_pipeline_batch_seconds", batchSeconds)
       sb.toString
     }
@@ -183,6 +235,8 @@ object PipelineRunner {
       case "quantiles" =>
         StreamingQuantiles.processQuantileBatch(store, cfg.quantileGroupCol,
           cfg.quantileValueCol, cfg.quantileIdCol, cfg.quantileK)(b, bid)
+      case "sessions" => () // stateful session_window face: its own query, wired in start()
+      case "ivfIndex" => () // embeddings-drop face: its own query, wired in start()
       case other => throw new IllegalArgumentException(s"unknown face: $other")
     }
     metrics.foreach { pm =>
@@ -196,9 +250,18 @@ object PipelineRunner {
       query: StreamingQuery,
       metrics: PipelineMetrics,
       metricsServer: Option[MetricsServer],
-      store: TableStore) {
+      store: TableStore,
+      sessionQuery: Option[StreamingQuery] = None,
+      ivfQuery: Option[StreamingQuery] = None) {
     def close(): Unit = {
-      try query.stop() finally metricsServer.foreach(_.close())
+      try query.stop()
+      finally {
+        try sessionQuery.foreach(_.stop())
+        finally {
+          try ivfQuery.foreach(_.stop())
+          finally metricsServer.foreach(_.close())
+        }
+      }
     }
   }
 
@@ -227,7 +290,60 @@ object PipelineRunner {
         processBatch(store, cfg, Some(metrics))(batch, bid)
       }
       .start()
-    Wiring(query, metrics, server, store)
+    val sessionQuery =
+      if (!cfg.faces.contains("sessions")) None
+      else {
+        val evDir = cfg.eventsDir.getOrElse(throw new IllegalArgumentException(
+          "the 'sessions' face requires eventsDir"))
+        val evSchema = spark.read.parquet(evDir).schema
+        val events = spark.readStream.schema(evSchema).parquet(evDir)
+          .select(col(cfg.sessionUserCol).cast("long").as("user_id"),
+            col(cfg.sessionTsCol).as("ts"))
+        val sessions = StreamingSessions.sessionStream(
+          events, cfg.sessionGap, cfg.sessionWatermark)
+        Some(sessions.writeStream
+          // its own checkpoint: two queries can never share one
+          .option("checkpointLocation", cfg.checkpointDir + "-sessions")
+          .outputMode("append") // finalized sessions only, once each
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(
+            cfg.triggerSeconds.toLong * 1000))
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
+            val b = batch.localCheckpoint(true) // landed AND counted
+            StreamingSessions.processSessionBatch(store)(b, bid)
+            metrics.sessions.addAndGet(b.count())
+            ()
+          }
+          .start())
+      }
+    val ivfQuery =
+      if (!cfg.faces.contains("ivfIndex")) None
+      else {
+        val embDir = cfg.embeddingsDir.getOrElse(throw new IllegalArgumentException(
+          "the 'ivfIndex' face requires embeddingsDir"))
+        val centPath = cfg.centroidsPath.getOrElse(throw new IllegalArgumentException(
+          "the 'ivfIndex' face requires centroidsPath"))
+        // centroids are the index's fixed coarse quantizer: a small batch
+        // relation, broadcast into every assignment (see assignToCentroids)
+        val centroids = spark.read.parquet(centPath)
+          .select(col(cfg.ivfIdCol).cast("long").as("vec_id"),
+            col(cfg.ivfVecCol).as("embedding"))
+        val embSchema = spark.read.parquet(embDir).schema
+        val emb = spark.readStream.schema(embSchema).parquet(embDir)
+          .select(col(cfg.ivfIdCol).cast("long").as("vec_id"),
+            col(cfg.ivfVecCol).as("embedding"))
+        Some(emb.writeStream
+          .option("checkpointLocation", cfg.checkpointDir + "-ivf")
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(
+            cfg.triggerSeconds.toLong * 1000))
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
+            val b = batch.localCheckpoint(true) // landed AND counted
+            StreamingSimilarity.processEmbeddingBatch(store, centroids)(b, bid)
+            metrics.vectors.addAndGet(b.count())
+            ()
+          }
+          .start())
+      }
+    Wiring(query, metrics, server, store, sessionQuery, ivfQuery)
   }
 
   def main(args: Array[String]): Unit = {
@@ -242,6 +358,7 @@ object PipelineRunner {
     spark.sparkContext.setLogLevel("WARN")
     val wiring = start(spark, cfg)
     sys.addShutdownHook(wiring.close())
-    wiring.query.awaitTermination()
+    // either query dying (doc faces or sessions) should surface, not hang
+    spark.streams.awaitAnyTermination()
   }
 }

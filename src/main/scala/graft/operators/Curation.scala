@@ -100,6 +100,17 @@ object Curation {
     * The document-frequency relation is the tf relation re-aggregated
     * (tf's (doc, term) rows are already distinct), so the token stream is
     * scanned once; df joins back on the term key.
+    *
+    * Ranking deliberately stays a `row_number` window, NOT the bounded
+    * [[TopK.perGroup]] aggregate: the partition key is the DOCUMENT, so a
+    * window partition is bounded by one doc's distinct-term count and the
+    * exchange is linear in the tf relation — this is not the
+    * |probes|·|corpus| pathological class the similarity tier had. The
+    * aggregate form was tried and MEASURED slower at BOTH scales
+    * (sf0.1: 0.72→1.5 s; sf1, same harness back-to-back: 3.85→8.93 s,
+    * 2.3×): per-doc priority-queue state plus TypedImperativeAggregate
+    * buffer serialization costs more CPU than the ~30× exchange-volume
+    * cut saves when groups are small and group count is huge.
     */
   def characteristicTerms(df: DataFrame, idCol: String, textCol: String,
                           k: Int = 3): DataFrame = {

@@ -48,24 +48,15 @@ object Similarity {
     * first, the bottom-k ordering sorts NaN last; the tiers only rank
     * round()ed finite sims, so no caller sees the divergence.
     */
-  private def topKPerProbe(scored: DataFrame, ordKey: Column, k: Int,
-                           rankName: String): DataFrame = {
-    val payloadCols = scored.columns.filter(_ != "probe_id").toSeq
-    val item = struct(ordKey.as("__k"),
-      struct(payloadCols.map(col): _*).as("__p"))
-    scored.groupBy("probe_id")
-      .agg(GraftSqlBridge.collectTopK(item, k, reverse = true).as("__topk"))
-      .select(col("probe_id"),
-        posexplode(array_sort(col("__topk"))).as(Seq("__pos", "__e")))
-      .select(col("probe_id") +: (col("__pos") + 1).as(rankName) +:
-        payloadCols.map(c => col(s"__e.__p.$c").as(c)): _*)
-  }
+  private[graft] def topKPerProbe(scored: DataFrame, ordKey: Column, k: Int,
+                                  rankName: String): DataFrame =
+    TopK.perGroup(scored, Seq("probe_id"), ordKey, k, rankName)
 
   /** (−sim, id): the bottom-k ordering key for "highest similarity, ties
     * to the lowest id" — negating the round()ed sim flips desc into the
     * bounded aggregate's ascending world with no precision loss.
     */
-  private def descKey(sim: Column, id: Column): Column =
+  private[graft] def descKey(sim: Column, id: Column): Column =
     struct((-sim).as("s"), id.as("i"))
 
   /** (score, id): ascending-is-better key (distances, Hamming). */
@@ -405,8 +396,8 @@ object Similarity {
     * moves its |probes|·|centroids| scored relation through an exchange —
     * only |probes|·nProbe rows survive the combine.
     */
-  private def probeNearestLists(probes: DataFrame, centroids: DataFrame,
-                                idCol: String, vecCol: String, nProbe: Int): DataFrame = {
+  private[graft] def probeNearestLists(probes: DataFrame, centroids: DataFrame,
+                                       idCol: String, vecCol: String, nProbe: Int): DataFrame = {
     val c = broadcast(centroids.select(col(idCol).as("__cid"), col(vecCol).as("__cvec")))
     val scored = probes
       .select(col(idCol).as("probe_id"), col(vecCol).as("__pvec"))

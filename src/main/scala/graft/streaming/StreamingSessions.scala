@@ -2,6 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampType}
+import graft.chain.TableStore
 
 /** Streaming face of `operators.Relational.sessionize` (the w4 batch
   * query): the same per-user activity sessions, produced incrementally as
@@ -41,4 +43,32 @@ object StreamingSessions {
         col("__w.start").as("session_start"),
         col("__w.end").as("session_end"),
         col("n_events"), col("last_ts"))
+
+  val SessionsTable = "sessions"
+
+  val sessionsSchema: StructType = StructType(Seq(
+    StructField("batch_id", LongType),
+    StructField("user_id", LongType),
+    StructField("session_start", TimestampType),
+    StructField("session_end", TimestampType),
+    StructField("n_events", LongType),
+    StructField("last_ts", TimestampType)))
+
+  /** foreachBatch sink for [[sessionStream]]'s Append-mode output: land
+    * the batch's FINALIZED sessions in the store, tagged with the batch
+    * id. Append-mode emission is deterministic given the checkpointed
+    * session state, so a crash-replay of batch `bid` re-produces the same
+    * rows — the delete-then-append bracket makes the replay converge
+    * instead of duplicating (the snapshot-table discipline of
+    * [[StreamingSketch.processSketchBatch]]). Each batch's work is
+    * O(batch's finalized sessions); the store never rewrites old batches.
+    */
+  def processSessionBatch(store: TableStore)(batch: DataFrame, bid: Long): Unit = {
+    val tagged = batch
+      .select(lit(bid).as("batch_id"), col("user_id"),
+        col("session_start"), col("session_end"),
+        col("n_events"), col("last_ts"))
+    store.deleteRange(SessionsTable, "batch_id", bid, bid)
+    store.appendBucketed(SessionsTable, tagged, "batch_id")
+  }
 }

@@ -64,22 +64,19 @@ object StreamingSimilarity {
     * prune the postings scan to the probed lists (driver-bounded
     * |probes|·nProbe centroid ids → `isin` partition predicate), exact
     * cosine inside the visited lists — `Similarity.ivfTopK`'s semantics
-    * over the table the stream maintains.
+    * over the table the stream maintains. Both ranking stages are the
+    * batch tier's bounded per-probe top-k aggregate
+    * (`Similarity.topKPerProbe`), NOT `row_number` windows: the coarse
+    * stage never moves its |probes|·|centroids| scored relation through
+    * an exchange, and the in-list stage's shuffle carries ≤ |probes|·k
+    * pre-combined rows no matter how large the posting lists grow.
     */
   def ivfTopKFromPostings(store: TableStore, probes: DataFrame,
                           centroids: DataFrame,
                           idCol: String, vecCol: String,
                           k: Int, nProbe: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val c = broadcast(centroids.select(col(idCol).as("__cid"), col(vecCol).as("__cvec")))
-    val pw = Window.partitionBy(col("probe_id"))
-      .orderBy(round(Similarity.cosine(col("__pvec"), col("__cvec")), 6).desc, col("__cid"))
-    val probeLists = probes
-      .select(col(idCol).as("probe_id"), col(vecCol).as("__pvec"))
-      .crossJoin(c)
-      .withColumn("__rn", row_number().over(pw))
-      .filter(col("__rn") <= nProbe)
-      .select(col("probe_id"), col("__pvec"), col("__cid").as("centroid_id"))
+    val probeLists = Similarity
+      .probeNearestLists(probes, centroids, idCol, vecCol, nProbe)
       .localCheckpoint(true) // consumed by the cid collect AND the join
     val probedCids = probeLists.select("centroid_id").distinct()
       .collect().map(_.getLong(0)).toSeq
@@ -90,8 +87,8 @@ object StreamingSimilarity {
     val scored = posted.join(broadcast(probeLists), Seq("centroid_id"))
       .filter(col(idCol) =!= col("probe_id"))
       .withColumn("sim", round(Similarity.cosine(col("__pvec"), col(vecCol)), 6))
-    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col(idCol))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("probe_id"), col(idCol), col("sim"))
+    Similarity.topKPerProbe(scored, Similarity.descKey(col("sim"), col(idCol)), k, "rank")
       .select(col("probe_id"), col("rank"), col(idCol), col("sim"))
   }
 }

@@ -42,6 +42,20 @@ class PipelineRunnerSpec extends SparkSpec {
     val badFace = intercept[IllegalArgumentException](PipelineRunner.parseConfig(
       "inputDir: /in\ndataDir: /d\ncheckpointDir: /c\nfaces:\n  - nope\n"))
     assert(badFace.getMessage.contains("nope"))
+    // sessions is selectable but demands its event drop dir up front
+    val noEv = intercept[IllegalArgumentException](PipelineRunner.parseConfig(
+      "inputDir: /in\ndataDir: /d\ncheckpointDir: /c\nfaces:\n  - sessions\n"))
+    assert(noEv.getMessage.contains("eventsDir"))
+    val withEv = PipelineRunner.parseConfig(
+      """inputDir: /in
+        |dataDir: /d
+        |checkpointDir: /c
+        |faces:
+        |  - sessions
+        |eventsDir: /ev
+        |sessionGap: 10 minutes
+        |""".stripMargin)
+    assert(withEv.eventsDir.contains("/ev") && withEv.sessionGap == "10 minutes")
   }
 
   test("the wired query drives every face end-to-end, incrementally, with metrics") {
@@ -113,5 +127,84 @@ class PipelineRunnerSpec extends SparkSpec {
         s.readOr("bk_sample", null).count())
     }
     assert(after == before, "replaying the last batch must be a no-op across every face")
+  }
+
+  test("the sessions face runs as its own stateful query; finalized sessions land idempotently") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val (in, data, ckpt) = freshDirs()
+    val ev = Files.createTempDirectory("pr-ev").toString
+    docsDf(0L until 5L).write.mode("append").parquet(in)
+    Seq((1L, ts("2024-01-01 00:00:00"), 1L), (1L, ts("2024-01-01 00:05:00"), 2L),
+        (2L, ts("2024-01-01 00:00:00"), 3L))
+      .toDF("user_id", "ts", "event_id").write.mode("append").parquet(ev)
+    val cfg = Config(inputDir = in, dataDir = data, checkpointDir = ckpt,
+      faces = Seq("chunkDedup", "sessions"), metricsPort = -1, triggerSeconds = 1,
+      eventsDir = Some(ev), sessionGap = "10 minutes")
+    val w = PipelineRunner.start(spark, cfg)
+    try {
+      w.query.processAllAvailable()
+      w.sessionQuery.get.processAllAvailable()
+      // a far-future drop pushes the watermark past every open session's
+      // close, so the two day-1 sessions finalize and land
+      Seq((9L, ts("2024-01-02 00:00:00"), 99L))
+        .toDF("user_id", "ts", "event_id").write.mode("append").parquet(ev)
+      w.sessionQuery.get.processAllAvailable()
+      val sess = w.store.readOr(StreamingSessions.SessionsTable, null)
+        .select("user_id", "n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(sess == Set((1L, 2L), (2L, 1L)),
+        s"day-1 sessions must finalize (user 9's is still open): $sess")
+      assert(w.metrics.sessions.get() == 2L)
+      // the doc faces ran under their own query, untouched by the second one
+      assert(w.store.readOr("chunk_dedup", null).count() == 5L)
+      // a replayed sink batch converges (delete-then-append bracket)
+      val fixture = Seq((7L, ts("2024-03-01 00:00:00"), ts("2024-03-01 00:10:00"),
+          2L, ts("2024-03-01 00:05:00")))
+        .toDF("user_id", "session_start", "session_end", "n_events", "last_ts")
+      val before = w.store.readOr(StreamingSessions.SessionsTable, null).count()
+      StreamingSessions.processSessionBatch(w.store)(fixture, 55L)
+      StreamingSessions.processSessionBatch(w.store)(fixture, 55L)
+      val after = w.store.readOr(StreamingSessions.SessionsTable, null).count()
+      assert(after == before + 1, s"replay must not duplicate ($before -> $after)")
+    } finally w.close()
+  }
+
+  test("the ivfIndex face maintains the ANN posting lists from an embeddings drop") {
+    val (in, data, ckpt) = freshDirs()
+    val emb = Files.createTempDirectory("pr-emb").toString
+    val cent = Files.createTempDirectory("pr-cent").toString + "/centroids.parquet"
+    docsDf(0L until 5L).write.mode("append").parquet(in)
+    // 2-D fan around two orthogonal centroids → unambiguous assignment
+    def v(i: Long) = {
+      val a = (i % 2) * (math.Pi / 2) + (i / 2) * 0.05
+      (i, Array(math.cos(a).toFloat, math.sin(a).toFloat))
+    }
+    Seq((100L, Array(1.0f, 0.0f)), (101L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding").write.parquet(cent)
+    (0L until 6L).map(v).toDF("vec_id", "embedding")
+      .write.mode("append").parquet(emb)
+    val cfg = Config(inputDir = in, dataDir = data, checkpointDir = ckpt,
+      faces = Seq("chunkDedup", "ivfIndex"), metricsPort = -1, triggerSeconds = 1,
+      embeddingsDir = Some(emb), centroidsPath = Some(cent))
+    val w = PipelineRunner.start(spark, cfg)
+    try {
+      w.query.processAllAvailable()
+      w.ivfQuery.get.processAllAvailable()
+      val postings = w.store.read("ivf_postings", StreamingSimilarity.postingsSchema)
+      assert(postings.count() == 6L)
+      assert(postings.select("centroid_id").distinct().count() == 2L)
+      // a second drop accumulates under the same query
+      (6L until 10L).map(v).toDF("vec_id", "embedding")
+        .write.mode("append").parquet(emb)
+      w.ivfQuery.get.processAllAvailable()
+      assert(w.store.read("ivf_postings", StreamingSimilarity.postingsSchema)
+        .count() == 10L)
+      assert(w.metrics.vectors.get() == 10L)
+      // and the maintained index answers queries through the query face
+      val probes = Seq(v(0L)).toDF("vec_id", "embedding")
+      val res = StreamingSimilarity.ivfTopKFromPostings(w.store, probes,
+        spark.read.parquet(cent), "vec_id", "embedding", k = 3, nProbe = 1)
+      assert(res.count() == 3L)
+    } finally w.close()
   }
 }

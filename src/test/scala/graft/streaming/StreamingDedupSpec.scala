@@ -243,6 +243,61 @@ class StreamingDedupSpec extends SparkSpec {
     assert(store.readOr(StreamingDedup.SigsTable, null).count() == 50L)
   }
 
+  test("manifest mode at duration: 40 batches, GC leaves no orphans, manifests stay minimal") {
+    import scala.jdk.CollectionConverters._
+    // the rename-mode 50-batch contract bounds FILE counts; this is the
+    // same drive in MANIFEST commit mode, asserting the properties that
+    // keep an object-store deployment bounded at duration: superseded
+    // manifests are GC'd, every physical .d- dir is still referenced by
+    // the live manifest (orphans would otherwise accumulate one per
+    // append forever), and per-key entry counts stay under the
+    // compaction threshold.
+    val store = TableStore(spark,
+      Files.createTempDirectory("graft-lsh-manifest").toString,
+      manifestCommit = true)
+    val threshold = 6
+    val canonId = 256L
+    (0 until 40).foreach { b =>
+      val fresh = (0 until 60).map(i => s"w${b}_$i").mkString(" ")
+      val editAt = 10 + (b % 40)
+      val nearDup = (0 until 60)
+        .map(i => if (i == editAt) s"edited$b" else s"alpha$i").mkString(" ")
+      val docs =
+        if (b == 0) Seq(canonId -> baseA)
+        else Seq((512L * b + 256) -> fresh, (512L * b + 257) -> nearDup)
+      StreamingDedup.processLshBatch(store, compactFiles = threshold)(
+        docs.toDF("doc_id", "text"), b.toLong)
+    }
+    // cross-batch resolution still correct after 40 manifest generations
+    val v = verdicts(store, 39L)
+    assert(v(512L * 39 + 257) == ((0, Some(canonId))),
+      s"near-dup must still resolve through the manifest-mode index: $v")
+    assert(store.readOr(StreamingDedup.SigsTable, null).count() == 40L)
+    def audit(table: String): Unit = {
+      val root = java.nio.file.Paths.get(store.root, table)
+      val names = Files.list(root).iterator().asScala
+        .map(_.getFileName.toString).toSeq
+      val manifests = names.filter(_.startsWith(".manifest."))
+      assert(manifests.size <= 2,
+        s"$table superseded manifests not GC'd: $manifests")
+      val gen = Files.readString(root.resolve(".gen")).trim.toLong
+      val live = Files.readString(root.resolve(s".manifest.$gen")).linesIterator
+        .filter(l => l.nonEmpty && l != "#end").toSeq
+      // every physical dir is referenced (rel paths look like ".d-x/sp=3")
+      val referenced = live.map(_.split('\t')(1).split('/')(0)).toSet
+      val physical = names.filter(_.startsWith(".d-")).toSet
+      assert(physical == referenced,
+        s"$table orphan dirs survive GC: ${physical -- referenced}")
+      // compaction bound holds at the manifest level too
+      val perKey = live.groupBy(_.split('\t')(0)).view.mapValues(_.size)
+      val worst = perKey.maxBy(_._2)
+      assert(worst._2 <= threshold + 2,
+        s"$table key ${worst._1} holds ${worst._2} manifest entries")
+    }
+    audit(StreamingDedup.SigsTable)
+    audit(StreamingDedup.PostingsTable)
+  }
+
   test("the wired streaming query maintains the index end-to-end") {
     val store = mkStore()
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -71,6 +71,12 @@ class StreamingSimilaritySpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"),
       s"postings scan must carry a centroid partition filter:\n$plan")
+    // both ranking stages are the bounded top-k aggregate, never a
+    // row_number window (the batch tier's round-14 contract)
+    assert(!plan.contains("Window"),
+      s"query face must not window its ranking stages:\n$plan")
+    assert(plan.contains("partial_collect_top_k"),
+      s"bounded top-k must map-side combine:\n$plan")
     assert(df.collect().nonEmpty)
   }
 }
