@@ -25,7 +25,8 @@ import graft.streaming._
   * inputDir: /var/lib/graft/incoming     # document parquet drop dir
   * dataDir: /var/lib/graft/pipeline      # TableStore root
   * checkpointDir: /var/lib/graft/pipeline-ckpt
-  * faces:                                # any subset, run in this order
+  * faces:                                # any subset (independent; the
+  *                                       # document faces run concurrently)
   *   - chunkDedup
   *   - lshDedup
   *   - hllSketch
@@ -215,6 +216,16 @@ object PipelineRunner {
   /** The composed foreachBatch body — public so the spec can drive a
     * single batch directly and so an embedding caller can re-wire it
     * under its own query.
+    *
+    * The faces are INDEPENDENT (disjoint state tables, all reading the
+    * one materialized batch), so they run concurrently through the chain
+    * side's [[graft.chain.Par]] bracket — a micro-batch's wall clock is
+    * dominated by Spark job-launch latency, not data volume, and the
+    * overlap is what keeps a small trigger from serializing four faces'
+    * job chains on the driver. Failure contract: each face is
+    * replay-idempotent on its own (batch tags / algebraic state), so a
+    * partially-completed concurrent bracket converges on the foreachBatch
+    * replay exactly as a sequential prefix would.
     */
   def processBatch(store: TableStore, cfg: Config,
                    metrics: Option[PipelineMetrics] = None)
@@ -223,22 +234,25 @@ object PipelineRunner {
     // one materialization shared by every face (and the metrics count):
     // foreachBatch re-plans the source per action otherwise
     val b = batch.localCheckpoint(true)
-    cfg.faces.foreach {
-      case "chunkDedup" =>
+    val thunks: Seq[() => Unit] = cfg.faces.map {
+      case "chunkDedup" => () =>
         StreamingText.processChunkBatch(store, cfg.chunkTokens, cfg.compactFiles)(b, bid)
-      case "lshDedup" =>
+      case "lshDedup" => () =>
         StreamingDedup.processLshBatch(store, cfg.shingleSize, cfg.numHashes,
           cfg.bands, cfg.simThreshold, compactFiles = cfg.compactFiles)(b, bid)
-      case "hllSketch" =>
+      case "hllSketch" => () =>
         StreamingSketch.processSketchBatch(store, cfg.hllGroupCol,
           cfg.hllValueCol, cfg.hllM)(b, bid)
-      case "quantiles" =>
+      case "quantiles" => () =>
         StreamingQuantiles.processQuantileBatch(store, cfg.quantileGroupCol,
           cfg.quantileValueCol, cfg.quantileIdCol, cfg.quantileK)(b, bid)
-      case "sessions" => () // stateful session_window face: its own query, wired in start()
-      case "ivfIndex" => () // embeddings-drop face: its own query, wired in start()
+      case "sessions" => () =>
+        () // stateful session_window face: its own query, wired in start()
+      case "ivfIndex" => () =>
+        () // embeddings-drop face: its own query, wired in start()
       case other => throw new IllegalArgumentException(s"unknown face: $other")
     }
+    graft.chain.Par.run(thunks)
     metrics.foreach { pm =>
       pm.batches.incrementAndGet()
       pm.docs.addAndGet(b.count())
