@@ -28,7 +28,11 @@ import org.apache.spark.sql.types.StructType
   *     roll forward over a crashed marker write by probing for the next
   *     manifest version). Nothing is ever renamed; every crash window
   *     leaves only unreferenced staging dirs, garbage-collected on the
-  *     next commit. Same staged-write-then-promote ORDER as rename mode,
+  *     next commit. GC retains a `manifestRetain`-generation reader-grace
+  *     window, so EXTERNAL READER PROCESSES off the same root are safe
+  *     (an ingest-writer + query-readers deployment); single-WRITER is
+  *     still the contract — concurrent writers need a Delta/Iceberg log.
+  *     Same staged-write-then-promote ORDER as rename mode,
   *     so the ingest ledger's crash-recovery protocol is unchanged.
   *     Set `GRAFT_STORE_MANIFEST=1` to force the mode on for every store
   *     (how the spec suites run the whole ingest stack against it).
@@ -57,7 +61,8 @@ import org.apache.spark.sql.types.StructType
   */
 final case class TableStore(spark: SparkSession, root: String,
                             bucketSize: Long = 100000L,
-                            manifestCommit: Boolean = TableStore.ManifestDefault) {
+                            manifestCommit: Boolean = TableStore.ManifestDefault,
+                            manifestRetain: Int = TableStore.ManifestRetainDefault) {
 
   private val rootPath = new Path(root)
   // one FileSystem per store, resolved from the root's scheme against the
@@ -204,6 +209,15 @@ final case class TableStore(spark: SparkSession, root: String,
 
   /** Write version N+1 with `next`, flip the marker, GC. One marker
     * overwrite is the entire promote — no rename anywhere.
+    *
+    * GC keeps a READER-GRACE window: the newest `manifestRetain` stale
+    * generations — manifest files AND every physical dir any retained
+    * manifest references — survive this commit, so an external reader
+    * that resolved generation G off the same root keeps reading G's dirs
+    * successfully until `manifestRetain` further commits have landed
+    * (the MVCC the reference gets for free from MySQL transactions,
+    * store/sqldb/db.go:63-91, priced here as ≤retain stale generations
+    * of garbage per table). `manifestRetain = 0` is the old immediate GC.
     */
   private def commitManifest(table: String, next: Map[String, Seq[String]]): Unit = {
     val v = currentVersion(table)
@@ -212,17 +226,28 @@ final case class TableStore(spark: SparkSession, root: String,
       .flatMap { case (k, ds) => ds.map(d => s"$k\t$d") } :+ ManifestEnd).mkString("\n")
     writeSmallFile(manPath(table, v + 1), body)
     writeSmallFile(genPath(table), (v + 1).toString)
-    // GC: superseded manifests, then physical dirs nothing references.
-    // Referenced rel-paths are either a whole .d-* dir or ".d-*/<sub>"
-    // leaf dirs; an unreferenced subtree of a partially-referenced
-    // staging dir (a retracted bucket) is deleted at the leaf level.
+    // GC: manifests older than the grace window, then physical dirs no
+    // REMAINING manifest references. Referenced rel-paths are either a
+    // whole .d-* dir or ".d-*/<sub>" leaf dirs; an unreferenced subtree
+    // of a partially-referenced staging dir (a retracted bucket) is
+    // deleted at the leaf level.
+    val keepFrom = (v + 1) - math.max(0, manifestRetain)
     fs.listStatus(dir(table)).foreach { st =>
       val n = st.getPath.getName
       if (n.startsWith(".manifest.") &&
-          n.stripPrefix(".manifest.").toLongOption.exists(_ <= v))
+          n.stripPrefix(".manifest.").toLongOption.exists(_ < keepFrom))
         deleteRecursive(st.getPath)
     }
-    val referenced = next.values.flatten.toSet
+    // union over every manifest still on disk: retained generations keep
+    // their dirs alive; a torn manifest's parseable lines only ever
+    // over-retain (never delete), which is the safe direction
+    val referenced: Set[String] = fs.listStatus(dir(table)).flatMap { st =>
+      val n = st.getPath.getName
+      if (!n.startsWith(".manifest.")) Nil
+      else readSmallFile(st.getPath).toSeq.flatMap(_.linesIterator
+        .filter(l => l.nonEmpty && l != ManifestEnd && l.contains('\t'))
+        .map(l => l.substring(l.indexOf('\t') + 1)))
+    }.toSet
     fs.listStatus(dir(table)).foreach { st =>
       val top = st.getPath.getName
       if (st.isDirectory && top.startsWith(".d-") && !referenced.contains(top)) {
@@ -741,22 +766,40 @@ final case class TableStore(spark: SparkSession, root: String,
     * dir swaps). Nothing is visible until `_2` runs; every staged plan
     * reads only OLD files.
     */
-  def stageReplaceAll(tables: Seq[(String, DataFrame)])
+  def stageReplaceAll(tables: Seq[(String, DataFrame)],
+                      partitionBy: Map[String, String] = Map.empty)
       : (Seq[() => Unit], () => Unit) = {
     if (manifestCommit) {
       val staged = tables.map { case (t, df) =>
         (t, df, ".d-" + java.util.UUID.randomUUID().toString)
       }
-      val stage = staged.map { case (t, df, rel) => () =>
-        df.write.mode(SaveMode.Overwrite).parquet(new Path(dir(t), rel).toString)
-      }
+      val stage = staged.map { case (t, df, rel) => () => {
+        val w = df.write.mode(SaveMode.Overwrite)
+        partitionBy.get(t).fold(w)(w.partitionBy(_))
+          .parquet(new Path(dir(t), rel).toString)
+      }}
       val promoteAll = () => {
         staged.foreach { case (t, df, rel) =>
           rememberSchema(t, df.schema)
           // promote = ONE marker overwrite per table, strictly in caller
-          // order — the ledger-first crash protocol holds verbatim
-          commitManifest(t,
-            if (hasDataFiles(new Path(dir(t), rel))) Map("" -> Seq(rel)) else Map.empty)
+          // order — the ledger-first crash protocol holds verbatim.
+          // A category-partitioned replace manifests each `<key>=<v>`
+          // subdir under its logical key (the appendPartitioned layout,
+          // so `isin` partition pruning keeps working), REPLACING the
+          // whole previous entry map rather than folding into it.
+          val entries: Map[String, Seq[String]] = partitionBy.get(t) match {
+            case None =>
+              if (hasDataFiles(new Path(dir(t), rel))) Map("" -> Seq(rel)) else Map.empty
+            case Some(_) =>
+              val top = new Path(dir(t), rel)
+              if (!fs.exists(top)) Map.empty
+              else fs.listStatus(top).toSeq
+                .filter(st => st.isDirectory && st.getPath.getName.contains('=') &&
+                  hasDataFiles(st.getPath))
+                .map(st => st.getPath.getName -> Seq(s"$rel/${st.getPath.getName}"))
+                .toMap
+          }
+          commitManifest(t, entries)
           refresh(t)
         }
         tables.foreach { case (t, _) => invalidate(t) }
@@ -768,9 +811,10 @@ final case class TableStore(spark: SparkSession, root: String,
       val tmp    = sibling(target, "_tmp")
       (t, df, target, tmp)
     }
-    val stage = staged.map { case (_, df, _, tmp) => () => {
+    val stage = staged.map { case (t, df, _, tmp) => () => {
       deleteRecursive(tmp)
-      df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val w = df.write.mode(SaveMode.Overwrite)
+      partitionBy.get(t).fold(w)(w.partitionBy(_)).parquet(tmp.toString)
     }}
     val promoteAll = () => {
       staged.foreach { case (t, _, target, tmp) =>
@@ -928,4 +972,16 @@ object TableStore {
     */
   def ManifestDefault: Boolean =
     sys.env.get("GRAFT_STORE_MANIFEST").exists(v => v == "1" || v.equalsIgnoreCase("true"))
+
+  /** Default reader-grace window for manifest-mode GC: how many STALE
+    * generations (manifests + the physical dirs only they reference)
+    * survive past each commit, so a second cluster serving reads off the
+    * same object-store root — the obvious deployment: one ingest writer,
+    * N query readers — can resolve generation N and finish scanning N's
+    * dirs while the writer commits up to `retain` further generations.
+    * 0 restores immediate GC (single-process deployments).
+    * `GRAFT_STORE_MANIFEST_RETAIN` overrides.
+    */
+  def ManifestRetainDefault: Int =
+    sys.env.get("GRAFT_STORE_MANIFEST_RETAIN").flatMap(_.toIntOption).getOrElse(2)
 }

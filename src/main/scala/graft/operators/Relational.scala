@@ -152,6 +152,15 @@ object Relational {
     * `streaming.StreamingSessions` (Structured Streaming `session_window`),
     * which produces the same session boundaries incrementally.
     *
+    * Boundary convention: an event at EXACTLY `gap` after the previous
+    * one STAYS in-session (`delta > gap` breaks). This matches Structured
+    * Streaming's `session_window`, whose merge test is inclusive — a
+    * window starting exactly at an open window's end merges into it
+    * (measured empirically, within-batch AND across the state-merge path;
+    * round 14's scaladoc claimed the opposite). The batch and streaming
+    * faces therefore agree row-for-row even on exact-boundary events,
+    * pinned both ways by SessionParitySpec.
+    *
     * `order` must be a total order within a key (timestamp + unique
     * tiebreaker) so the session numbering is deterministic.
     */

@@ -16,12 +16,15 @@ import graft.chain.TableStore
   * a session's state the moment it can no longer change, which is what
   * lets this run forever against a 100 TB/day event feed.
   *
-  * Boundary convention: `session_window` treats a window as half-open
-  * [start, last + gap), so an event at EXACTLY last + gap starts a new
-  * session, where the batch face's `delta > gap` test keeps it. At
-  * microsecond resolution an exact-boundary event is a measure-zero
-  * difference, but callers comparing the two faces row-for-row should
-  * know it exists.
+  * Boundary convention: `session_window`'s MERGE test is inclusive — a
+  * window starting exactly at an open window's end merges into it, so an
+  * event at EXACTLY last + gap CONTINUES the session (measured
+  * empirically in SessionParitySpec, within-batch and across the
+  * state-merge path; this scaladoc claimed the opposite in round 14).
+  * That is the same `delta > gap` break the batch face
+  * (`Relational.sessionize`) uses, so the two faces agree row-for-row
+  * even on exact-boundary events — pinned both ways by SessionParitySpec,
+  * not just prose.
   */
 object StreamingSessions {
 
@@ -46,6 +49,10 @@ object StreamingSessions {
 
   val SessionsTable = "sessions"
 
+  /** The sessions-table shape for LONG user ids (the fixture default).
+    * The store itself takes the batch's actual schema — a string-keyed
+    * deployment (UUID users) lands user_id as STRING unchanged.
+    */
   val sessionsSchema: StructType = StructType(Seq(
     StructField("batch_id", LongType),
     StructField("user_id", LongType),

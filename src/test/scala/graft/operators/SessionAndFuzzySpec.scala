@@ -27,10 +27,10 @@ class SessionAndFuzzySpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
   }
 
-  test("sessionize keeps a gap of exactly the threshold in-session (strict >)") {
+  test("sessionize keeps a gap of exactly the threshold in-session (session_window convention)") {
     val ev = Seq(
       (1L, ts("2024-01-01 00:00:00"), 1L),
-      (1L, ts("2024-01-01 00:30:00"), 2L), // exactly 1800s later
+      (1L, ts("2024-01-01 00:30:00"), 2L), // exactly 1800s later → stays
       (1L, ts("2024-01-01 01:00:01"), 3L)  // 1801s later → breaks
     ).toDF("user_id", "ts", "event_id")
     val got = Relational.sessionize(ev, Seq("user_id"), col("ts"),

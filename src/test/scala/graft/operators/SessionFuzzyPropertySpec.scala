@@ -15,7 +15,7 @@ class SessionFuzzyPropertySpec extends SparkSpec {
   private def lcg(seed: Long): Iterator[Long] =
     Iterator.iterate(seed)(x => x * 6364136223846793005L + 1442695040888963407L).drop(1)
 
-  test("sessionize == brute-force gap walk, gap boundary inclusive") {
+  test("sessionize == brute-force gap walk, exact-gap boundary stays in-session") {
     // events at coarse second offsets so exact-gap ties actually occur
     val gap = 10L
     val rows = lcg(7).take(400).zipWithIndex.map { case (x, i) =>

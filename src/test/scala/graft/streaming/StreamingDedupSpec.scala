@@ -278,13 +278,19 @@ class StreamingDedupSpec extends SparkSpec {
       val names = Files.list(root).iterator().asScala
         .map(_.getFileName.toString).toSeq
       val manifests = names.filter(_.startsWith(".manifest."))
-      assert(manifests.size <= 2,
+      // current generation + ≤ manifestRetain stale ones (reader grace)
+      assert(manifests.size <= 1 + store.manifestRetain,
         s"$table superseded manifests not GC'd: $manifests")
       val gen = Files.readString(root.resolve(".gen")).trim.toLong
       val live = Files.readString(root.resolve(s".manifest.$gen")).linesIterator
         .filter(l => l.nonEmpty && l != "#end").toSeq
-      // every physical dir is referenced (rel paths look like ".d-x/sp=3")
-      val referenced = live.map(_.split('\t')(1).split('/')(0)).toSet
+      // every physical dir is referenced by SOME retained manifest (rel
+      // paths look like ".d-x/sp=3"); anything else is an orphan that
+      // would accumulate one per append forever
+      val referenced = manifests.flatMap(m =>
+        Files.readString(root.resolve(m)).linesIterator
+          .filter(l => l.nonEmpty && l != "#end" && l.contains('\t'))
+          .map(_.split('\t')(1).split('/')(0))).toSet
       val physical = names.filter(_.startsWith(".d-")).toSet
       assert(physical == referenced,
         s"$table orphan dirs survive GC: ${physical -- referenced}")
