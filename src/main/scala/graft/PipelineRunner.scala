@@ -50,11 +50,14 @@ import graft.streaming._
   * quantileIdCol: doc_id
   * manifestCommit: false                 # true on object stores
   * eventsDir: /var/lib/graft/events      # sessions' event drop dir
+  * eventsSchema: "user_id STRING, ts TIMESTAMP"   # optional DDL; else
+  *                                       # inferred from files in eventsDir
   * sessionGap: 30 minutes                # sessions ...
   * sessionWatermark: 0 seconds
   * sessionUserCol: user_id
   * sessionTsCol: ts
   * embeddingsDir: /var/lib/graft/embeds  # ivfIndex's drop dir
+  * embeddingsSchema: "vec_id LONG, embedding ARRAY<FLOAT>"  # optional DDL
   * centroidsPath: /var/lib/graft/centroids.parquet
   * ivfIdCol: vec_id
   * ivfVecCol: embedding
@@ -77,15 +80,21 @@ object PipelineRunner {
   /** Faces sharing the document foreachBatch, in run order. */
   val BatchFaceNames: Seq[String] = Seq("chunkDedup", "lshDedup", "hllSketch", "quantiles")
 
-  /** All selectable faces. Two are NOT document-foreachBatch faces and
-    * run as their own queries (own checkpoint, same trigger cadence):
+  /** All selectable faces. Three are NOT document-foreachBatch faces:
     * `sessions` is Spark's stateful `session_window` aggregation, which
     * only exists on a streaming DataFrame, over `eventsDir`; `ivfIndex`
     * maintains the IVF ANN posting lists over an `embeddingsDir` drop
     * (embeddings arrive on their own cadence from the embedding service,
-    * not with the raw documents).
+    * not with the raw documents); `retrain` (requires `ivfIndex`) runs
+    * the quantizer-maintenance check after each embedding batch — when
+    * cell imbalance crosses `retrainThreshold`, [[streaming.IvfRetrain]]
+    * re-trains on a sample and swaps centroids + postings through the
+    * store's staged-swap discipline, gated on recall not dropping. With
+    * `retrain` on, centroids live in the store's `ivf_centroids` table
+    * (seeded from `centroidsPath` at first start) so a swap takes effect
+    * on the next batch.
     */
-  val FaceNames: Seq[String] = BatchFaceNames ++ Seq("sessions", "ivfIndex")
+  val FaceNames: Seq[String] = BatchFaceNames ++ Seq("sessions", "ivfIndex", "retrain")
 
   final case class Config(
       inputDir: String,
@@ -110,14 +119,21 @@ object PipelineRunner {
       compactFiles: Int = 64,
       manifestCommit: Boolean = false,
       eventsDir: Option[String] = None,
+      eventsSchema: Option[String] = None,
       sessionGap: String = "30 minutes",
       sessionWatermark: String = "0 seconds",
       sessionUserCol: String = "user_id",
       sessionTsCol: String = "ts",
       embeddingsDir: Option[String] = None,
+      embeddingsSchema: Option[String] = None,
       centroidsPath: Option[String] = None,
       ivfIdCol: String = "vec_id",
-      ivfVecCol: String = "embedding")
+      ivfVecCol: String = "embedding",
+      retrainThreshold: Double = 3.0,
+      retrainRounds: Int = 3,
+      retrainSamplePermille: Int = 250,
+      retrainProbes: Int = 16,
+      retrainEvery: Int = 1)
 
   def parseConfig(text: String): Config = {
     import scala.jdk.CollectionConverters._
@@ -132,9 +148,10 @@ object PipelineRunner {
       "numHashes", "bands", "simThreshold", "hllM", "hllGroupCol",
       "hllValueCol", "quantileK", "quantileGroupCol", "quantileValueCol",
       "quantileIdCol", "compactFiles", "manifestCommit",
-      "eventsDir", "sessionGap", "sessionWatermark", "sessionUserCol",
-      "sessionTsCol", "embeddingsDir", "centroidsPath", "ivfIdCol",
-      "ivfVecCol")
+      "eventsDir", "eventsSchema", "sessionGap", "sessionWatermark",
+      "sessionUserCol", "sessionTsCol", "embeddingsDir", "embeddingsSchema",
+      "centroidsPath", "ivfIdCol", "ivfVecCol", "retrainThreshold",
+      "retrainRounds", "retrainSamplePermille", "retrainProbes", "retrainEvery")
     val unknown = m.keySet -- known
     require(unknown.isEmpty,
       s"unknown config keys: ${unknown.toSeq.sorted.mkString(", ")}")
@@ -160,6 +177,8 @@ object PipelineRunner {
     require(!faces.contains("ivfIndex") ||
         (m.contains("embeddingsDir") && m.contains("centroidsPath")),
       "the 'ivfIndex' face requires 'embeddingsDir' and 'centroidsPath'")
+    require(!faces.contains("retrain") || faces.contains("ivfIndex"),
+      "the 'retrain' face maintains the index 'ivfIndex' builds — enable both")
     val base = Config(inputDir = str("inputDir"), dataDir = str("dataDir"),
       checkpointDir = str("checkpointDir"), faces = faces)
     base.copy(
@@ -181,15 +200,47 @@ object PipelineRunner {
       compactFiles     = opt("compactFiles", _.toInt, base.compactFiles),
       manifestCommit   = opt("manifestCommit", _.toBoolean, base.manifestCommit),
       eventsDir        = m.get("eventsDir").map(String.valueOf),
+      eventsSchema     = m.get("eventsSchema").map(String.valueOf),
       sessionGap       = opt("sessionGap", identity, base.sessionGap),
       sessionWatermark = opt("sessionWatermark", identity, base.sessionWatermark),
       sessionUserCol   = opt("sessionUserCol", identity, base.sessionUserCol),
       sessionTsCol     = opt("sessionTsCol", identity, base.sessionTsCol),
       embeddingsDir    = m.get("embeddingsDir").map(String.valueOf),
+      embeddingsSchema = m.get("embeddingsSchema").map(String.valueOf),
       centroidsPath    = m.get("centroidsPath").map(String.valueOf),
       ivfIdCol         = opt("ivfIdCol", identity, base.ivfIdCol),
-      ivfVecCol        = opt("ivfVecCol", identity, base.ivfVecCol))
+      ivfVecCol        = opt("ivfVecCol", identity, base.ivfVecCol),
+      retrainThreshold = opt("retrainThreshold", _.toDouble, base.retrainThreshold),
+      retrainRounds    = opt("retrainRounds", _.toInt, base.retrainRounds),
+      retrainSamplePermille =
+        opt("retrainSamplePermille", _.toInt, base.retrainSamplePermille),
+      retrainProbes    = opt("retrainProbes", _.toInt, base.retrainProbes),
+      retrainEvery     = opt("retrainEvery", _.toInt, base.retrainEvery))
   }
+
+  /** Schema for a file-source stream over `dir`: the explicit DDL from
+    * the config when given (`eventsSchema` / `embeddingsSchema`, e.g.
+    * `"user_id STRING, ts TIMESTAMP"`), else inference from the files
+    * already in the drop dir. A freshly provisioned deployment's drop dir
+    * is empty or missing — the NORMAL state at first start — so inference
+    * alone would crash the runner; with no files and no DDL the error
+    * says which config key fixes it instead of surfacing Spark's
+    * "unable to infer schema".
+    */
+  private[graft] def streamSchema(spark: SparkSession, dir: String,
+                                  ddl: Option[String], key: String)
+      : org.apache.spark.sql.types.StructType =
+    ddl match {
+      case Some(s) => org.apache.spark.sql.types.StructType.fromDDL(s)
+      case None =>
+        try spark.read.parquet(dir).schema
+        catch { case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"cannot infer the stream schema from '$dir' (empty or missing — " +
+            s"normal for a fresh deployment); set '$key' in the config, e.g. " +
+            s"""$key: "user_id STRING, ts TIMESTAMP"""", e)
+        }
+    }
 
   /** Driver-side operational counters, served as Prometheus text. */
   final class PipelineMetrics extends Serializable {
@@ -197,6 +248,7 @@ object PipelineRunner {
     val docs     = new AtomicLong
     val sessions = new AtomicLong
     val vectors  = new AtomicLong
+    val retrains = new AtomicLong
     val batchSeconds = new LatencyHistogram
     def render(): String = {
       val sb = new StringBuilder
@@ -208,6 +260,7 @@ object PipelineRunner {
       metric("graft_pipeline_docs", "counter", docs.get())
       metric("graft_pipeline_sessions", "counter", sessions.get())
       metric("graft_pipeline_vectors", "counter", vectors.get())
+      metric("graft_pipeline_retrains", "counter", retrains.get())
       MetricsServer.renderHistogram(sb, "graft_pipeline_batch_seconds", batchSeconds)
       sb.toString
     }
@@ -222,10 +275,12 @@ object PipelineRunner {
     * side's [[graft.chain.Par]] bracket — a micro-batch's wall clock is
     * dominated by Spark job-launch latency, not data volume, and the
     * overlap is what keeps a small trigger from serializing four faces'
-    * job chains on the driver. Failure contract: each face is
-    * replay-idempotent on its own (batch tags / algebraic state), so a
-    * partially-completed concurrent bracket converges on the foreachBatch
-    * replay exactly as a sequential prefix would.
+    * job chains on the driver. Failure contract: the bracket SETTLES —
+    * every face finishes (success or failure) before the first failure
+    * propagates — so by the time a replay of batch N begins (in-process
+    * query restart or JVM restart alike) no stale sibling append for N
+    * is still in flight; each face's own replay idempotency (batch tags /
+    * algebraic state) then converges the composition.
     */
   def processBatch(store: TableStore, cfg: Config,
                    metrics: Option[PipelineMetrics] = None)
@@ -250,6 +305,8 @@ object PipelineRunner {
         () // stateful session_window face: its own query, wired in start()
       case "ivfIndex" => () =>
         () // embeddings-drop face: its own query, wired in start()
+      case "retrain" => () =>
+        () // maintenance check inside the ivfIndex batch: wired in start()
       case other => throw new IllegalArgumentException(s"unknown face: $other")
     }
     graft.chain.Par.run(thunks)
@@ -309,9 +366,12 @@ object PipelineRunner {
       else {
         val evDir = cfg.eventsDir.getOrElse(throw new IllegalArgumentException(
           "the 'sessions' face requires eventsDir"))
-        val evSchema = spark.read.parquet(evDir).schema
+        val evSchema = streamSchema(spark, evDir, cfg.eventsSchema, "eventsSchema")
+        // no cast on the user column: a long cast would silently null
+        // string ids (UUIDs) and collapse those users into one null-keyed
+        // session stream; session_window groups any key type
         val events = spark.readStream.schema(evSchema).parquet(evDir)
-          .select(col(cfg.sessionUserCol).cast("long").as("user_id"),
+          .select(col(cfg.sessionUserCol).as("user_id"),
             col(cfg.sessionTsCol).as("ts"))
         val sessions = StreamingSessions.sessionStream(
           events, cfg.sessionGap, cfg.sessionWatermark)
@@ -336,12 +396,19 @@ object PipelineRunner {
           "the 'ivfIndex' face requires embeddingsDir"))
         val centPath = cfg.centroidsPath.getOrElse(throw new IllegalArgumentException(
           "the 'ivfIndex' face requires centroidsPath"))
-        // centroids are the index's fixed coarse quantizer: a small batch
-        // relation, broadcast into every assignment (see assignToCentroids)
-        val centroids = spark.read.parquet(centPath)
+        // centroids are the index's coarse quantizer: a small relation,
+        // broadcast into every assignment (see assignToCentroids). With
+        // the retrain face OFF they are FIXED (read once from the path);
+        // with it ON they live in the store's ivf_centroids table (seeded
+        // from the path at first start) so a recall-gated swap takes
+        // effect on the very next batch.
+        val seedCentroids = spark.read.parquet(centPath)
           .select(col(cfg.ivfIdCol).cast("long").as("vec_id"),
             col(cfg.ivfVecCol).as("embedding"))
-        val embSchema = spark.read.parquet(embDir).schema
+        val retrainOn = cfg.faces.contains("retrain")
+        if (retrainOn && !store.exists(IvfRetrain.CentroidsTable))
+          store.replace(IvfRetrain.CentroidsTable, seedCentroids)
+        val embSchema = streamSchema(spark, embDir, cfg.embeddingsSchema, "embeddingsSchema")
         val emb = spark.readStream.schema(embSchema).parquet(embDir)
           .select(col(cfg.ivfIdCol).cast("long").as("vec_id"),
             col(cfg.ivfVecCol).as("embedding"))
@@ -351,7 +418,19 @@ object PipelineRunner {
             cfg.triggerSeconds.toLong * 1000))
           .foreachBatch { (batch: DataFrame, bid: Long) =>
             val b = batch.localCheckpoint(true) // landed AND counted
+            val centroids =
+              if (retrainOn) store.readOr(IvfRetrain.CentroidsTable, seedCentroids)
+              else seedCentroids
             StreamingSimilarity.processEmbeddingBatch(store, centroids)(b, bid)
+            // the maintenance probe costs one centroid_id-column count
+            // aggregation of the postings; `retrainEvery` amortizes it
+            // for large indexes (every batch by default)
+            if (retrainOn && bid % math.max(1, cfg.retrainEvery) == 0) {
+              val rep = IvfRetrain.maybeRetrain(spark, store,
+                cfg.retrainThreshold, cfg.retrainRounds,
+                cfg.retrainSamplePermille, cfg.retrainProbes)
+              if (rep.swapped) { metrics.retrains.incrementAndGet(); () }
+            }
             metrics.vectors.addAndGet(b.count())
             ()
           }

@@ -169,6 +169,50 @@ class PipelineRunnerSpec extends SparkSpec {
     } finally w.close()
   }
 
+  test("the retrain face: drift → sampled re-train → recall-checked swap, end-to-end") {
+    val (in, data, ckpt) = freshDirs()
+    val emb = Files.createTempDirectory("pr-emb2").toString
+    val cent = Files.createTempDirectory("pr-cent2").toString + "/centroids.parquet"
+    docsDf(0L until 5L).write.mode("append").parquet(in)
+    def vec(a: Double) = Array(math.cos(a).toFloat, math.sin(a).toFloat)
+    // DRIFTED quantizer: both centroids inside cluster A's fan, so the
+    // A/B corpus drops with A split 5/5 and all of B lumped into one cell
+    Seq((100L, vec(0.0)), (101L, vec(0.09)))
+      .toDF("vec_id", "embedding").write.parquet(cent)
+    val vecs = (0L until 10L).map(i => (i, vec(0.02 * i))) ++
+      (10L until 20L).map(i => (i, vec(math.Pi / 2 + 0.02 * (i - 10))))
+    vecs.toDF("vec_id", "embedding").write.mode("append").parquet(emb)
+    val cfg = Config(inputDir = in, dataDir = data, checkpointDir = ckpt,
+      faces = Seq("chunkDedup", "ivfIndex", "retrain"), metricsPort = -1,
+      triggerSeconds = 1, embeddingsDir = Some(emb), centroidsPath = Some(cent),
+      retrainThreshold = 1.4, retrainRounds = 3, retrainSamplePermille = 1000,
+      retrainProbes = 8)
+    val w = PipelineRunner.start(spark, cfg)
+    try {
+      w.query.processAllAvailable()
+      w.ivfQuery.get.processAllAvailable()
+      assert(w.metrics.retrains.get() >= 1L,
+        "the drifted drop must have triggered a recall-checked retrain")
+      // the swapped quantizer re-balanced the index...
+      val postings = w.store.readOr(IvfRetrain.PostingsTable, null)
+      val (n, _, imb) = IvfRetrain.imbalance(postings)
+      assert(n == 20L, "the rebuild must preserve every vector")
+      assert(imb <= 1.4, s"the maintained index must be re-balanced, imbalance $imb")
+      // ...the pair is consistent under the STORE's (new) centroids...
+      val liveCents = w.store.readOr(IvfRetrain.CentroidsTable, null)
+      assert(IvfRetrain.consistent(postings, liveCents, auditPermille = 1000))
+      // ...and a further drop assigns under the NEW centroids (the face
+      // reads centroids from the store, so the swap took effect)
+      Seq((50L, vec(math.Pi / 2))).toDF("vec_id", "embedding")
+        .write.mode("append").parquet(emb)
+      w.ivfQuery.get.processAllAvailable()
+      val again = w.store.readOr(IvfRetrain.PostingsTable, null)
+      assert(again.count() == 21L)
+      assert(IvfRetrain.consistent(again, w.store.readOr(IvfRetrain.CentroidsTable, null),
+        auditPermille = 1000), "post-swap appends must assign under the new centroids")
+    } finally w.close()
+  }
+
   test("the ivfIndex face maintains the ANN posting lists from an embeddings drop") {
     val (in, data, ckpt) = freshDirs()
     val emb = Files.createTempDirectory("pr-emb").toString
