@@ -302,14 +302,18 @@ object Curation {
     * One per-row projection (translate + a fixed regexp chain, all
     * codegen); no join, no shuffle.
     */
-  def robustCanonicalize(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def robustCanonicalize(df: DataFrame, idCol: String, textCol: String,
+                         extraCols: Seq[String] = Nil): DataFrame = {
     val zw = regexp_replace(col(textCol), "[\\u200B-\\u200F\\u2060\\uFEFF]", "")
     val folded = translate(zw, HomoglyphFrom, HomoglyphTo)
     val squeezed = Seq("!", "\\?", "\\.", ",", "-").foldLeft(folded) {
       (c, p) => regexp_replace(c, s"$p{3,}", p.replace("\\", ""))
     }
-    df.select(col(idCol), squeezed.as("canon"),
-        (squeezed =!= col(textCol)).cast("int").as("changed"))
+    // extraCols pass through the projection so a composed pipeline
+    // (Release.releasePipeline) keeps its working columns without a
+    // corpus-sized self-join back onto the input
+    df.select(col(idCol) +: extraCols.map(col) :+ squeezed.as("canon") :+
+        (squeezed =!= col(textCol)).cast("int").as("changed"): _*)
       .withColumn("canon_md5", md5(col("canon")))
       .withColumn("canon_len", length(col("canon")).cast("long"))
   }

@@ -414,10 +414,21 @@ object Dedup {
     */
   def winnowEdges(df: DataFrame, idCol: String, textCol: String,
                   shingleSize: Int = 3, window: Int = 4, minShared: Int = 2,
-                  maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame = {
+                  maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame =
+    winnowEdgesFromTokens(
+      df.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks")),
+      idCol, "__toks", shingleSize, window, minShared, maxBucket)
+
+  /** [[winnowEdges]] over a PRE-MATERIALIZED token-array column — the
+    * face a composed pipeline uses so the working text is tokenized ONCE
+    * and every downstream stage (clustering, decontamination, token
+    * accounting) consumes the same array (see Release.releasePipeline).
+    */
+  def winnowEdgesFromTokens(df: DataFrame, idCol: String, toksCol: String,
+                            shingleSize: Int = 3, window: Int = 4, minShared: Int = 2,
+                            maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame = {
     val wf = df
-      .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), TextOps.shingleHashArray(col("__toks"), shingleSize).as("__hs"))
+      .select(col(idCol), TextOps.shingleHashArray(col(toksCol), shingleSize).as("__hs"))
       .select(col(idCol),
         explode(TextOps.winnowedFingerprintsOfHashes(col("__hs"), window)).as("fp"))
     val buckets = gatedBuckets(wf, Seq("fp"), col(idCol), maxBucket)
@@ -585,6 +596,21 @@ object Dedup {
                     extraCols: Seq[String] = Nil): DataFrame = {
     val comp = connectedComponents(
       winnowEdges(df, idCol, textCol, shingleSize, window, minShared),
+      "id_a", "id_b")
+    df.select((idCol +: extraCols).map(col): _*)
+      .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("component", coalesce(col("label"), col(idCol)))
+      .drop("label")
+  }
+
+  /** [[clusterLabels]] over a PRE-MATERIALIZED token-array column (the
+    * single-tokenization face — see [[winnowEdgesFromTokens]]).
+    */
+  def clusterLabelsFromTokens(df: DataFrame, idCol: String, toksCol: String,
+                              shingleSize: Int = 3, window: Int = 4, minShared: Int = 2,
+                              extraCols: Seq[String] = Nil): DataFrame = {
+    val comp = connectedComponents(
+      winnowEdgesFromTokens(df, idCol, toksCol, shingleSize, window, minShared),
       "id_a", "id_b")
     df.select((idCol +: extraCols).map(col): _*)
       .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")

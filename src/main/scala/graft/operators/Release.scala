@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The composed end-to-end "data release" DAG — every curation stage the
+  * library ships, run as ONE pipeline over one corpus, the way a user
+  * actually runs them (the r11 query). Each stage exists and is
+  * oracle-checked alone (t29/t30/t31, d1, d10, d7, r6, r8); what only
+  * composition can catch is the COLUMN CONTRACTS between them —
+  * tokenization done twice, id columns renamed, a stage consuming raw
+  * text where its predecessor already produced the canonical form. This
+  * is the corpus-side analogue of the reference's `insertBlock` composing
+  * every per-block transform in one transaction
+  * (store/store.go:215-316), which has its own e2e coverage for the same
+  * reason.
+  *
+  * Stage order (the standard pretraining-release recipe):
+  *   1. quality gates — Gopher hard rules (Rae et al. 2021) AND C4 line
+  *      rules (Raffel et al. 2020), both over the planted multi-line
+  *      fixtures (the synthetic corpus is single-line; the planting is
+  *      md5-derived so the oracle rebuilds identical pages);
+  *   2. robust canonicalization of the survivors' text → the pipeline's
+  *      WORKING TEXT from here on, tokenized ONCE into a shared array;
+  *   3. exact dedup on the canonical fingerprint (min-id representative);
+  *   4. near-dup clustering (winnow → connected components) over the
+  *      SHARED token arrays, one canonical per cluster by n_chars;
+  *   5. decontamination against the held-out eval slice (4-gram hash
+  *      semi-join, eval grams broadcast), again over the shared arrays;
+  *   6. epoch-capped temperature mixture over the released strata, fed
+  *      the PRE-COMPUTED n_tokens column (never re-tokenizing);
+  *   7. deterministic shard-and-shuffle of the released ids — the final
+  *      materialization shape.
+  *
+  * Single-tokenization contract: the working text is tokenized at
+  * EXACTLY ONE site (stage 2); clustering, decontamination and token
+  * accounting all consume that array column. ReleasePipelineSpec pins
+  * this via TextOps.tokenizeSites — the whole composed build may create
+  * only 3 tokenization sites (Gopher fixture text, working text, eval
+  * text; C4 splits lines, not tokens).
+  *
+  * 100 TB shape: stages 1-3 are per-row projections + one map-side-
+  * combining aggregation; stage 4 is the count-gated winnow/CC machinery
+  * (see Dedup.clusterLabels); stage 5 broadcasts only the EVAL gram set
+  * (benchmarks are tiny by construction — the corpus-sized side stays
+  * partitioned); stage 6 aggregates to one row per stratum before any
+  * window; stage 7 is the repartition+sortWithinPartitions write shape.
+  * No stage joins corpus-sized relations on both sides except the
+  * bucketed candidate stage inside winnowing, which is gated.
+  */
+object Release {
+
+  /** One released-corpus row per surviving document:
+    * (doc_id, source, n_tokens, weight, alloc_tokens, shard, pos).
+    */
+  def releasePipeline(docs: DataFrame,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      sourceCol: String = "source", qualityCol: String = "n_chars",
+                      evalSource: String = "src0",
+                      alpha: Double = 0.5, tokenBudget: Long = 1000000L,
+                      maxEpochs: Double = 4.0, gramSize: Int = 4,
+                      nShards: Int = 8, seed: String = "release1"): DataFrame = {
+    val id = col(idCol)
+
+    // 1. quality gates. Both batteries are one per-row projection; the
+    // keep sets join back as broadcastable id lists (survivor ids are a
+    // fraction of a corpus that itself aggregated to ids only).
+    val gopherKeep = Curation.gopherRules(
+        Curation.plantStructuredLines(docs, idCol, textCol), idCol, textCol)
+      .filter(col("keep") === 1).select(id)
+    val c4Keep = Curation.c4Filters(
+        Curation.plantC4Lines(docs, idCol, textCol), idCol, textCol)
+      .filter(col("keep") === 1).select(id)
+    val corpus = docs.filter(col(sourceCol) =!= evalSource)
+      .select(id, col(textCol), col(sourceCol), col(qualityCol))
+    val survivors = corpus
+      .join(gopherKeep, Seq(idCol), "left_semi")
+      .join(c4Keep, Seq(idCol), "left_semi")
+
+    // 2. canonicalization → working text; tokenize ONCE (the only
+    // tokenization site for the working text in the whole DAG). The
+    // source/quality columns ride the canonicalization projection —
+    // no corpus-sized self-join to re-attach them. The result is
+    // MATERIALIZED once (localCheckpoint): four downstream branches
+    // (exact reps, the exact semi-join, clustering, decontamination)
+    // consume it, and Spark's logical plan would otherwise re-run the
+    // gates+canon chain once per branch — at 100 TB this artifact is
+    // exactly what materializeClusters persists for the dedup family.
+    val canon = Curation.robustCanonicalize(survivors, idCol, textCol,
+        extraCols = Seq(sourceCol, qualityCol))
+      .select(id, col(sourceCol), col(qualityCol), col("canon"))
+      .withColumn("__toks", TextOps.tokens(col("canon")))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      .localCheckpoint(true)
+
+    // 3. exact dedup on the canonical fingerprint (aggregation, not
+    // window — map-side combine; one row per distinct fingerprint)
+    val exactReps = canon
+      .select(id, TextOps.fingerprint(col("canon")).as("__fp"))
+      .groupBy("__fp").agg(min(id).as(idCol))
+      .select(id)
+    // materialized: consumed by the clustering label/select pair AND the
+    // canonical semi-join AND the decontamination gram explode
+    val exact = canon.join(exactReps, Seq(idCol), "left_semi").localCheckpoint(true)
+
+    // 4. near-dup clustering over the SHARED token arrays; keep the
+    // per-cluster canonical (highest n_chars, ties to the lower id)
+    val labeled = Dedup.clusterLabelsFromTokens(exact, idCol, "__toks",
+      extraCols = Seq(qualityCol))
+    val nearKeep = Dedup.canonicalFromLabels(labeled, idCol, qualityCol)
+      .filter(col("is_canonical") === 1).select(id)
+    val deduped = exact.join(nearKeep, Seq(idCol), "left_semi")
+
+    // 5. decontamination: any released doc sharing a gramSize-gram with
+    // the eval slice is dropped. Eval grams are the broadcast side.
+    val evalGrams = docs.filter(col(sourceCol) === evalSource)
+      .select(TextOps.tokens(col(textCol)).as("__et"))
+      .select(explode(TextOps.shingleHashArray(col("__et"), gramSize)).as("__g"))
+      .distinct()
+    val contaminated = deduped
+      .select(id, explode(TextOps.shingleHashArray(col("__toks"), gramSize)).as("__g"))
+      .join(broadcast(evalGrams), Seq("__g"), "left_semi")
+      .select(id).distinct()
+    // materialized: consumed by the mixture aggregation, the shard
+    // window, and the final projection
+    val released = deduped.join(contaminated, Seq(idCol), "left_anti").localCheckpoint(true)
+
+    // 6. mixture allocation per stratum from the PRE-COMPUTED n_tokens —
+    // the mixture stage never re-tokenizes. One row per source: broadcast.
+    val mix = Curation.epochCappedMixture(released, sourceCol,
+      col("n_tokens"), alpha, tokenBudget, maxEpochs)
+
+    // 7. shard-and-shuffle the released ids (write shape)
+    val shards = Curation.shardShuffle(released, idCol, nShards, seed)
+
+    released.select(id, col(sourceCol), col("n_tokens"))
+      .join(broadcast(mix.select(col(sourceCol), col("weight"), col("alloc_tokens"))),
+        Seq(sourceCol))
+      .join(shards, Seq(idCol))
+      .select(id, col(sourceCol), col("n_tokens"), col("weight"),
+        col("alloc_tokens"), col("shard"), col("pos"))
+  }
+}

@@ -10,8 +10,22 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Construction-site counter for [[tokens]] — incremented once per
+    * CALL while a plan is being BUILT (not per row, not per execution).
+    * ReleasePipelineSpec reads it around the composed release-pipeline
+    * build to assert the single-tokenization contract: the number of
+    * tokenization sites in the DAG equals the number of distinct working
+    * strings, so no stage silently re-tokenizes text a prior stage
+    * already tokenized (the column-contract bug class composition
+    * exists to catch). Negligible cost: one atomic add per plan-build.
+    */
+  private[graft] val tokenizeSites = new java.util.concurrent.atomic.AtomicLong
+
   /** Whitespace tokenization (the "whitespace + BPE-ish regex" baseline). */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  def tokens(text: Column): Column = {
+    tokenizeSites.incrementAndGet()
+    split(trim(text), "\\s+")
+  }
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Curation, Dedup, Flac, Jpeg, Mjpeg, Multimodal, Similarity, Sketches, TextOps}
+import graft.operators.{Curation, Dedup, Flac, Jpeg, Mjpeg, Multimodal, Release, Similarity, Sketches, TextOps}
 import graft.sources.Tables
 
 /** Training-data pipeline operators over documents/embeddings: dedup,
@@ -144,6 +144,162 @@ object PipelineQueries {
        | comp AS (SELECT id AS doc_id, min(label) AS component FROM cc GROUP BY id),
        | labeled AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component$extra
        |   FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)""".stripMargin
+
+  /** The r11 composed-release oracle: every stage's established SQL
+    * mirror (t29 Gopher, t30 C4, t31 canon, d1 fingerprint dedup, the
+    * d6/d10 winnow→CC→canonical chain, d7's 4-gram decontamination, r6's
+    * capped mixture, r8's shard shuffle) chained over ONE corpus in the
+    * same order as `Release.releasePipeline`. The intermediate CTEs carry
+    * the canonical text's token array forward exactly once, mirroring the
+    * Spark side's single-tokenization contract.
+    */
+  private def r11Sql: String = {
+    val p = Dedup.MersennePrime
+    s"""WITH RECURSIVE
+       | gaug AS (SELECT doc_id,
+       |    text || repeat(chr(10) || '- ' || substr(h, 2, 4),
+       |        (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 2)
+       |      || chr(10) || substr(h, 7, 6)
+       |      || CASE WHEN substr(h, 6, 1) IN ('0','2','4','6','8','a','c','e')
+       |         THEN '...' ELSE '' END AS t
+       |  FROM (SELECT doc_id, text, md5(text) AS h FROM documents)),
+       | gfl AS (SELECT doc_id, regexp_split_to_array(trim(t), '\\s+') AS toks,
+       |    string_split(t, chr(10)) AS lines, t FROM gaug),
+       | gg AS (SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_words,
+       |    round(CAST(list_reduce(list_transform(toks, x -> CAST(len(x) AS BIGINT)),
+       |        (a, b) -> a + b) AS DOUBLE)
+       |      / greatest(CAST(len(toks) AS DOUBLE), 1.0), 6) AS mean_word_len,
+       |    round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+       |      / greatest(CAST(len(toks) AS DOUBLE), 1.0), 6) AS frac_alpha_words,
+       |    round(CAST(len(regexp_extract_all(t, '#'))
+       |        + len(regexp_extract_all(t, '\\.\\.\\.')) AS DOUBLE)
+       |      / greatest(CAST(len(toks) AS DOUBLE), 1.0), 6) AS symbol_ratio,
+       |    round(CAST(len(list_filter(lines, x -> starts_with(x, '- '))) AS DOUBLE)
+       |      / greatest(CAST(len(lines) AS DOUBLE), 1.0), 6) AS frac_bullet_lines,
+       |    round(CAST(len(list_filter(lines, x -> ends_with(x, '...'))) AS DOUBLE)
+       |      / greatest(CAST(len(lines) AS DOUBLE), 1.0), 6) AS frac_ellipsis_lines,
+       |    CAST(len(list_filter(toks, x -> list_contains(
+       |      ['the','a','an','and','or','of','to','in','is','it'], x))) AS BIGINT)
+       |      AS n_stopwords
+       |  FROM gfl),
+       | gkeep AS (SELECT doc_id FROM gg
+       |   WHERE n_words >= 50 AND n_words <= 100000
+       |     AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+       |     AND symbol_ratio < 0.1 AND frac_bullet_lines <= 0.9
+       |     AND frac_ellipsis_lines <= 0.3 AND frac_alpha_words >= 0.8
+       |     AND n_stopwords >= 2),
+       | caug AS (SELECT doc_id,
+       |    (CASE WHEN (instr('0123456789abcdef', substr(h, 1, 1)) - 1) % 2 = 0
+       |       THEN text || '.' ELSE text END)
+       |    || chr(10) || 'c4 keeps this sentence about ' || substr(h, 1, 6) || ' tokens.'
+       |    || chr(10) || substr(h, 7, 4) || ' short.'
+       |    || chr(10) || 'this line has five words minimum but no terminal punctuation'
+       |    || CASE WHEN (instr('0123456789abcdef', substr(h, 2, 1)) - 1) < 8
+       |       THEN chr(10) || 'please enable javascript to view the content here.' ELSE '' END
+       |    || CASE WHEN (instr('0123456789abcdef', substr(h, 3, 1)) - 1) = 0
+       |       THEN chr(10) || 'lorem ipsum dolor sit amet consectetur.' ELSE '' END
+       |    || CASE WHEN (instr('0123456789abcdef', substr(h, 4, 1)) - 1) = 0
+       |       THEN chr(10) || 'function f() { return ' || substr(h, 11, 2) || ' }' ELSE '' END
+       |    || CASE WHEN (instr('0123456789abcdef', substr(h, 5, 1)) - 1) < 12
+       |       THEN chr(10) || 'first sentence here is fine. second sentence also fine. third sentence ends properly.' ELSE '' END
+       |      AS t
+       |  FROM (SELECT doc_id, text, md5(text) AS h FROM documents)),
+       | cfl AS (SELECT doc_id, t, string_split(t, chr(10)) AS lines FROM caug),
+       | ckl AS (SELECT doc_id, t,
+       |    list_filter(lines, l -> regexp_matches(trim(l), '[.!?"]$$')
+       |      AND len(regexp_split_to_array(trim(l), '\\s+')) >= 5
+       |      AND NOT contains(lower(trim(l)), 'javascript')) AS kept
+       |   FROM cfl),
+       | ckeep AS (SELECT doc_id FROM (
+       |    SELECT doc_id,
+       |      CAST(len(regexp_extract_all(array_to_string(kept, chr(10)), '[.!?]')) AS BIGINT) AS n_sentences,
+       |      CAST(contains(lower(t), 'lorem ipsum') AS INTEGER) AS has_lorem,
+       |      CAST(contains(t, '{') AS INTEGER) AS has_brace
+       |    FROM ckl)
+       |   WHERE n_sentences >= 3 AND has_lorem = 0 AND has_brace = 0),
+       | surv AS (SELECT d.doc_id, d.text, d.source, d.n_chars FROM documents d
+       |   JOIN gkeep USING (doc_id) JOIN ckeep USING (doc_id)
+       |   WHERE d.source <> 'src0'),
+       | cz0 AS (SELECT doc_id, source, n_chars, regexp_replace(text,
+       |    '[' || chr(8203) || '-' || chr(8207) || chr(8288) || chr(65279) || ']',
+       |    '', 'g') AS c0 FROM surv),
+       | cf0 AS (SELECT doc_id, source, n_chars,
+       |    translate(c0, '${Curation.HomoglyphFrom}', '${Curation.HomoglyphTo}') AS c1
+       |   FROM cz0),
+       | cq0 AS (SELECT doc_id, source, n_chars,
+       |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |      c1, '!{3,}', '!', 'g'), '\\?{3,}', '?', 'g'), '\\.{3,}', '.', 'g'),
+       |      ',{3,}', ',', 'g'), '-{3,}', '-', 'g') AS canon
+       |   FROM cf0),
+       | ctk0 AS (SELECT doc_id, source, n_chars, canon,
+       |    regexp_split_to_array(trim(canon), '\\s+') AS t FROM cq0),
+       | ctk AS (SELECT *, CAST(len(t) AS BIGINT) AS n_tokens FROM ctk0),
+       | freps AS (SELECT md5(regexp_replace(lower(trim(canon)), '\\s+', ' ', 'g')) AS fp,
+       |    min(doc_id) AS doc_id FROM ctk GROUP BY 1),
+       | ex AS (SELECT c.* FROM ctk c JOIN freps r ON r.doc_id = c.doc_id),
+       | grams AS (SELECT doc_id,
+       |     [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] AS gs
+       |   FROM ex),
+       | hss AS (SELECT doc_id,
+       |     [${hex8("md5(g)", 0)} % $p for g in gs] AS h
+       |   FROM grams),
+       | wins AS (SELECT doc_id,
+       |     list_distinct([list_min(h[i:i+3]) for i in range(1, len(h) - 2)]) AS fps
+       |   FROM hss WHERE len(h) >= 4),
+       | wfp AS (SELECT doc_id, unnest(fps) AS fp FROM wins),
+       | prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |   FROM wfp a JOIN wfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |   GROUP BY 1, 2 HAVING count(*) >= 2),
+       | edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+       |   UNION SELECT id_b, id_a FROM prs),
+       | cc(id, label) AS (
+       |   SELECT src, src FROM edges
+       |   UNION
+       |   SELECT e.dst, c.label FROM cc c JOIN edges e ON e.src = c.id),
+       | comp AS (SELECT id AS doc_id, min(label) AS component FROM cc GROUP BY id),
+       | labeled AS (SELECT e.doc_id, coalesce(c.component, e.doc_id) AS component,
+       |    e.n_chars
+       |   FROM ex e LEFT JOIN comp c ON c.doc_id = e.doc_id),
+       | rr AS (SELECT component, doc_id AS rep_id,
+       |    row_number() OVER (PARTITION BY component
+       |      ORDER BY n_chars DESC, doc_id ASC) AS rn FROM labeled),
+       | nreps AS (SELECT rep_id FROM rr WHERE rn = 1),
+       | dd AS (SELECT e.* FROM ex e JOIN nreps n ON n.rep_id = e.doc_id),
+       | cg AS (SELECT doc_id,
+       |     unnest([${hex8("md5(array_to_string(t[j:j+3], ' '))", 0)} % $p
+       |             for j in range(1, len(t) - 2)]) AS g
+       |   FROM dd),
+       | etk AS (SELECT $toksSql AS t FROM documents WHERE source = 'src0'),
+       | eg AS (SELECT DISTINCT unnest([${hex8("md5(array_to_string(t[j:j+3], ' '))", 0)} % $p
+       |             for j in range(1, len(t) - 2)]) AS g
+       |   FROM etk),
+       | contam AS (SELECT DISTINCT doc_id FROM cg WHERE g IN (SELECT g FROM eg)),
+       | rel AS (SELECT * FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+       | per AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS s_tokens
+       |   FROM rel GROUP BY source),
+       | ppw AS (SELECT source, s_tokens,
+       |    CAST(round(pow(CAST(s_tokens AS DOUBLE), 0.5), 6) AS DECIMAL(28,6)) AS pw
+       |   FROM per),
+       | tot AS (SELECT sum(pw) AS tt FROM ppw),
+       | wts AS (SELECT source, s_tokens,
+       |    round(CAST(pw AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS weight
+       |   FROM ppw, tot),
+       | mix AS (SELECT source, weight,
+       |    least(CAST(floor(CAST(weight AS DECIMAL(12,6)) * 1000000) AS BIGINT),
+       |      CAST(floor(CAST(s_tokens AS DECIMAL(28,6)) * CAST(4.0 AS DECIMAL(12,6))) AS BIGINT))
+       |      AS alloc_tokens
+       |   FROM wts),
+       | shs AS (SELECT doc_id,
+       |    ${hex8("md5(CAST(doc_id AS VARCHAR) || 'release1')", 0)} % $p AS hv
+       |   FROM rel)
+       | SELECT r.doc_id, r.source, r.n_tokens, m.weight, m.alloc_tokens,
+       |   CAST(s.hv % 8 AS INT) AS shard,
+       |   CAST(row_number() OVER (PARTITION BY s.hv % 8 ORDER BY s.hv, s.doc_id) - 1
+       |     AS BIGINT) AS pos
+       | FROM rel r JOIN mix m USING (source) JOIN shs s ON s.doc_id = r.doc_id
+       | ORDER BY r.doc_id""".stripMargin
+  }
 
   /** Full MinHash-LSH oracle: the same shingle→hash→sign→band→candidate→
     * verify pipeline as Dedup.minHashLshNearDups, with the hash constants
@@ -2465,6 +2621,43 @@ object PipelineQueries {
          |   round(CAST(least(raw, cap_tokens) AS DOUBLE)
          |     / CAST(n_tokens AS DOUBLE), 6) AS epochs
          | FROM a ORDER BY source""".stripMargin
+    ),
+
+    // R11 — the COMPOSED end-to-end data release: Gopher+C4 quality gates
+    // → robust canonicalization (tokenized ONCE) → exact dedup → near-dup
+    // clustering with canonical selection → decontamination → epoch-capped
+    // temperature mixture → shard-shuffle, as ONE DAG over one corpus (the
+    // thing a user actually runs; operators.Release). The oracle mirrors
+    // the whole composition stage-for-stage — the d2/d14 discipline at
+    // pipeline scope — so a column-contract break between any two stages
+    // (double tokenization, renamed ids, raw-text leak past canon) fails
+    // the hash, not just a unit test.
+    "r11_release_pipeline" -> QueryDef.sql(
+      (s, d) => Release.releasePipeline(Tables(s, d).documents).orderBy("doc_id"),
+      r11Sql
+    ),
+
+    // A18 — full-range uint256 sum + max over big-endian binary values,
+    // via the native Uint256SumAgg/Uint256MaxAgg pair (exact decimal-
+    // string results at ANY width — the query that retires SURVEY §7's
+    // Decimal(38) ceiling). Fixture values are 96-bit md5 slices so the
+    // oracle can mirror the arithmetic in HUGEINT (exact ≤ 127 bits);
+    // the beyond-128-bit range is covered against BigInteger in
+    // Uint256AggSpec, where no SQL engine can follow.
+    "a18_uint256_sum" -> QueryDef.sql(
+      (s, d) => Tables(s, d).documents
+        .select(col("source"), unhex(substring(md5(col("text")), 1, 24)).as("__v"))
+        .groupBy("source")
+        .agg(graft.functions.Uint256Agg.sum(col("__v")).as("total_dec"),
+          graft.functions.Uint256Agg.max(col("__v")).as("max_dec"))
+        .orderBy("source"),
+      """WITH v AS (SELECT source, list_reduce(list_transform(range(1, 25),
+        |    i -> CAST(instr('0123456789abcdef', substr(md5(text), i, 1)) - 1 AS HUGEINT)),
+        |    (a, b) -> a * 16 + b) AS val
+        |  FROM documents)
+        | SELECT source, CAST(sum(val) AS VARCHAR) AS total_dec,
+        |   CAST(max(val) AS VARCHAR) AS max_dec
+        | FROM v GROUP BY source ORDER BY source""".stripMargin
     ),
 
     // D17 — canonical-URL dedup over messy provenance URLs (uppercase

@@ -79,7 +79,12 @@ class PlanContractSpec extends SparkSpec {
           "r9_dsir_weights", "a15_cms_heavy", "s18_power_iteration",
           // s19 recomputes s1 (broadcast-probe exact side) and s3
           // (broadcast-centroid assignment) — both sanctioned shapes
-          "r10_data_budget", "s19_ann_recall").contains(q))
+          // r11 composes r6's mixture stage, inheriting its broadcast
+          // ONE-ROW weight-total scalar joined keylessly onto the
+          // ≤#sources strata relation — the r4/t11 shape; every other
+          // join in the composition is an equi/semi/anti hash join
+          "r10_data_budget", "s19_ann_recall",
+          "r11_release_pipeline").contains(q))
         assert(count(plan, "BroadcastNestedLoopJoin") == 0, s"$q plans a nested-loop join")
     }
   }
