@@ -333,7 +333,12 @@ object Bench {
         Console.err.println(s"[bench] requiescing ${flagged.size} wide-spread " +
           s"queries in a fresh JVM: ${flagged.mkString(", ")}")
         val p = pb.start()
-        if (!p.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)) {
+        // sf1 + top-10 dominators at local[4] legitimately needs ~20 min;
+        // the cap exists for HUNG children, so it scales by env instead
+        // of silently discarding a slow-but-live child's readings
+        val childCapMin = sys.env.get("SPARK_GRAFT_REQUIESCE_TIMEOUT_MIN")
+          .flatMap(_.toLongOption).getOrElse(10L)
+        if (!p.waitFor(childCapMin, java.util.concurrent.TimeUnit.MINUTES)) {
           Console.err.println("[bench] requiesce child hung; killing it")
           p.destroyForcibly()
           p.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)
@@ -421,7 +426,10 @@ object Bench {
     // components path the clustering queries took, the symmetrized edge
     // count, and the propagation round count — the three numbers that
     // attribute a d6/d10/d11 floor move to data shape vs loop behavior.
-    val cc = graft.operators.Dedup.lastCcStats
+    // the MAX-edge invocation, not the last one: r11's post-gate CC runs
+    // after the d-family alphabetically and would otherwise shadow the
+    // corpus-level clustering this key exists to attribute
+    val cc = graft.operators.Dedup.maxCcStats
     val ccJson = s""","cc":{"path":"${cc.path}","edges":${cc.edges},"rounds":${cc.rounds}}"""
     // STREAMING-STATE SOAK (file artifact only): the 500-batch duration
     // evidence for the state tables. The full soak costs ~2h of wall

@@ -37,6 +37,19 @@ object Dedup {
   final case class CcStats(path: String, edges: Long, rounds: Int)
   @volatile var lastCcStats: CcStats = CcStats("none", 0L, 0)
 
+  /** The LARGEST-edge invocation since JVM start — what the bench emits:
+    * the corpus-level d6/d10 clustering is the attribution target, and
+    * `lastCcStats` alone started shadowing it once r11 (whose CC runs
+    * over the much smaller post-gate survivor set) joined the sweep
+    * after the d-family in sorted order.
+    */
+  @volatile var maxCcStats: CcStats = CcStats("none", 0L, 0)
+
+  private def recordCc(s: CcStats): Unit = {
+    lastCcStats = s
+    if (s.edges >= maxCcStats.edges) maxCcStats = s
+  }
+
   /** Exact dedup: keep the lowest-id representative per normalized text.
     * Aggregation (not window) so map-side combine kicks in — at 100 TB the
     * reducer sees one row per distinct fingerprint, not per document.
@@ -511,7 +524,7 @@ object Dedup {
         undBase.as[(Long, Long)].limit(driverMaxEdges + 1).collect()
       } else Array.empty[(Long, Long)]
     if (tryDriver && probed.length <= driverMaxEdges) {
-      lastCcStats = CcStats("driver-union-find", probed.length.toLong, 0)
+      recordCc(CcStats("driver-union-find", probed.length.toLong, 0))
       val parent = new java.util.HashMap[java.lang.Long, java.lang.Long](probed.length * 2 + 16)
       def find(x: Long): Long = {
         var r = x
@@ -559,7 +572,7 @@ object Dedup {
     // Spark job to every PRODUCTION call of the distributed path purely
     // for telemetry; the round count is the attribution signal here (the
     // driver path reports its exact edge count for free).
-    lastCcStats = CcStats("min-label", -1L, it)
+    recordCc(CcStats("min-label", -1L, it))
     labels
   }
 
