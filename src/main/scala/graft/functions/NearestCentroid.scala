@@ -35,19 +35,23 @@ import org.apache.spark.sql.types._
   * ordering ranks NaN ABOVE every real number, so a window would pick a
   * NaN-similarity centroid first; this loop's `sim > bestSim` never
   * selects NaN (every comparison with NaN is false), so NaN-scoring
-  * centroids are skipped, and an input whose EVERY centroid scores
-  * NaN/ragged returns the Long.MaxValue sentinel (a nonexistent id,
-  * which narrows under an idType cast). NaN can only arise from
-  * NaN/Infinite vector components — the embedding ingestion paths
-  * round() all components to finite decimals, so no in-repo caller can
-  * reach the divergence; a caller feeding raw unvalidated floats should
-  * screen them first.
+  * centroids are skipped, and an input for which EVERY centroid scores
+  * NaN (or an empty centroid array) returns SQL NULL — no centroid was
+  * comparable, and "no answer" must be representable as no answer, not
+  * a wrapping sentinel (rounds ≤14 returned Long.MaxValue here, which
+  * narrows under an idType cast). NaN can only arise from NaN/Infinite
+  * vector components — the embedding ingestion paths round() all
+  * components to finite decimals, so no in-repo caller can produce the
+  * NULL; a caller feeding raw unvalidated floats gets nulls to filter
+  * instead of phantom centroid ids.
   */
 case class NearestCentroidExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = LongType
-  override def nullable: Boolean  = left.nullable || right.nullable
+  // nullable regardless of the children: the all-NaN / empty-centroid
+  // input evaluates to NULL (see the class doc's NaN note)
+  override def nullable: Boolean  = true
   override def prettyName: String = "nearest_centroid"
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
@@ -66,8 +70,12 @@ case class NearestCentroidExpr(left: Expression, right: Expression)
     NearestCentroid.assign(vec.asInstanceOf[ArrayData], cents.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (v, c) =>
-      s"${ev.value} = graft.functions.NearestCentroid.assign($v, $c);")
+    nullSafeCodeGen(ctx, ev, (v, c) => {
+      val boxed = ctx.freshName("cid")
+      s"""java.lang.Long $boxed = graft.functions.NearestCentroid.assign($v, $c);
+         |${ev.isNull} = $boxed == null;
+         |${ev.value} = ${ev.isNull} ? -1L : $boxed.longValue();""".stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): NearestCentroidExpr =
     copy(left = newLeft, right = newRight)
@@ -85,7 +93,7 @@ case class NearestCentroidSimExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean  = left.nullable || right.nullable
+  override def nullable: Boolean  = true // all-NaN/empty input → NULL, like the id twin
   override def prettyName: String = "nearest_centroid_sim"
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -95,8 +103,12 @@ case class NearestCentroidSimExpr(left: Expression, right: Expression)
     NearestCentroid.assignSim(vec.asInstanceOf[ArrayData], cents.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (v, c) =>
-      s"${ev.value} = graft.functions.NearestCentroid.assignSim($v, $c);")
+    nullSafeCodeGen(ctx, ev, (v, c) => {
+      val boxed = ctx.freshName("sim")
+      s"""java.lang.Double $boxed = graft.functions.NearestCentroid.assignSim($v, $c);
+         |${ev.isNull} = $boxed == null;
+         |${ev.value} = ${ev.isNull} ? 0.0 : $boxed.doubleValue();""".stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): NearestCentroidSimExpr =
     copy(left = newLeft, right = newRight)
@@ -107,16 +119,18 @@ object NearestCentroid {
   /** Static argmax target for both interpreted and generated code.
     * `cents` rows are (cid: long, cvec: float[], cnorm: double) with
     * cnorm = ‖cvec‖ precomputed once at broadcast build (saves k·dim
-    * FLOPs per row vs re-deriving it here).
+    * FLOPs per row vs re-deriving it here). Returns null (boxed) when NO
+    * centroid was comparable — all-NaN similarities or an empty array.
     */
-  def assign(vec: ArrayData, cents: ArrayData): Long = best(vec, cents, wantSim = false)
-    .asInstanceOf[Long]
+  def assign(vec: ArrayData, cents: ArrayData): java.lang.Long =
+    best(vec, cents, wantSim = false).asInstanceOf[java.lang.Long]
 
-  def assignSim(vec: ArrayData, cents: ArrayData): Double = best(vec, cents, wantSim = true)
-    .asInstanceOf[Double]
+  def assignSim(vec: ArrayData, cents: ArrayData): java.lang.Double =
+    best(vec, cents, wantSim = true).asInstanceOf[java.lang.Double]
 
-  /** Shared argmax loop; boxes exactly one value at the end (Long cid or
-    * Double sim), keeping the per-centroid hot loop allocation-free.
+  /** Shared argmax loop; boxes exactly one value at the end (Long cid,
+    * Double sim, or null), keeping the per-centroid hot loop
+    * allocation-free.
     */
   private def best(vec: ArrayData, cents: ArrayData, wantSim: Boolean): Any = {
     val dim = vec.numElements()
@@ -126,6 +140,7 @@ object NearestCentroid {
     val na = math.sqrt(n2a)
     var bestSim = Double.NegativeInfinity
     var bestCid = Long.MaxValue
+    var found = false // at least one comparable (non-NaN) centroid seen
     val k = cents.numElements()
     var j = 0
     while (j < k) {
@@ -148,11 +163,15 @@ object NearestCentroid {
                 .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
       }
       if (sim > bestSim || (sim == bestSim && cid < bestCid)) {
-        bestSim = sim; bestCid = cid
+        bestSim = sim; bestCid = cid; found = true
       }
       j += 1
     }
-    if (wantSim) bestSim else bestCid
+    // nothing comparable (every sim NaN, or k == 0) → SQL NULL, never a
+    // sentinel id that survives casts as a phantom centroid
+    if (!found) null
+    else if (wantSim) java.lang.Double.valueOf(bestSim)
+    else java.lang.Long.valueOf(bestCid)
   }
 
   def apply(vec: Column, cents: Column): Column =

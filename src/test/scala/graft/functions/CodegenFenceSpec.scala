@@ -136,6 +136,26 @@ class CodegenFenceSpec extends SparkSpec {
     // and the argmax semantics themselves: vec8's own direction wins (sim 1)
     assert(NearestCentroidExpr(vecIn, centIn).eval(InternalRow(vec8, cents)) == 7L)
     assert(NearestCentroidSimExpr(vecIn, centIn).eval(InternalRow(vec8, cents)) == 1.0)
+    // NO comparable centroid → SQL NULL, not a wrapping sentinel: a NaN
+    // input vector scores every centroid NaN, and an empty centroid
+    // array has nothing to rank. Generated and interpreted must agree
+    // (the round-14 advisory: Long.MaxValue narrowed under idType casts)
+    val nanVec = new GenericArrayData(
+      Array(Float.NaN, 0f, 0f, 0f, 0f, 0f, 0f, 0f))
+    val empty  = new GenericArrayData(Array.empty[Any])
+    val nullRows = Seq(InternalRow(nanVec, cents), InternalRow(vec8, empty))
+    assertCodegenMatchesInterpreted("nearest_centroid (null contract)",
+      NearestCentroidExpr(vecIn, centIn), nullRows)
+    assertCodegenMatchesInterpreted("nearest_centroid_sim (null contract)",
+      NearestCentroidSimExpr(vecIn, centIn), nullRows)
+    nullRows.foreach { r =>
+      assert(NearestCentroidExpr(vecIn, centIn).eval(r) == null)
+      assert(NearestCentroidSimExpr(vecIn, centIn).eval(r) == null)
+    }
+    // a RAGGED-only centroid set still resolves (ties at -inf pick the
+    // lowest id — the windowed original's null-similarity ordering)
+    val ragged = new GenericArrayData(Array[Any](cent(5L, Array(1f, 0f))))
+    assert(NearestCentroidExpr(vecIn, centIn).eval(InternalRow(vec8, ragged)) == 5L)
   }
 
   test("JaroWinklerExpr compiles and generated eval matches interpreted") {
