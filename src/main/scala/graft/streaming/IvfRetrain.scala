@@ -48,21 +48,29 @@ object IvfRetrain {
       triggered: Boolean, swapped: Boolean,
       recallBefore: Option[Double], recallAfter: Option[Double])
 
-  /** Cell imbalance of the maintained postings: max occupied-cell size
-    * over the MEAN occupied-cell size. 1.0 = perfectly balanced; a
-    * drifted quantizer funnels new mass into few cells and the ratio
-    * grows without bound (the s16 telemetry, reduced to one trigger
-    * number). Cost: one combine-friendly count aggregation, ≤ |centroids|
-    * rows to the driver.
+  /** Cell imbalance of the maintained postings: max cell size over the
+    * mean cell size, where the mean's denominator is `totalCells` — the
+    * CENTROID count, not the occupied-cell count — when given. The
+    * distinction is total collapse: a fully-drifted quantizer that
+    * funnels ALL mass into ONE cell has max = total and ONE occupied
+    * cell, so an occupied-cell mean reads imbalance = 1.0 (perfectly
+    * balanced) and the trigger never fires; with the centroid count in
+    * the denominator the empty cells drag the mean down and the same
+    * state reads imbalance = |centroids| — the worst value, as it should.
+    * 1.0 = perfectly balanced; the ratio grows without bound under drift
+    * (the s16 telemetry, reduced to one trigger number). Cost: one
+    * combine-friendly count aggregation, ≤ |centroids| rows to the
+    * driver. Returns (nVectors, occupiedCells, imbalance).
     */
-  def imbalance(postings: DataFrame): (Long, Long, Double) = {
+  def imbalance(postings: DataFrame, totalCells: Option[Long] = None): (Long, Long, Double) = {
     val counts = postings.groupBy("centroid_id").count()
       .collect().map(_.getLong(1))
     if (counts.isEmpty) (0L, 0L, 1.0)
     else {
       val total = counts.sum
+      val cells = math.max(totalCells.getOrElse(counts.length.toLong), counts.length.toLong)
       (total, counts.length.toLong,
-        counts.max.toDouble * counts.length / total.toDouble)
+        counts.max.toDouble * cells / total.toDouble)
     }
   }
 
@@ -73,13 +81,21 @@ object IvfRetrain {
     * containment alone can't see it). The audit runs on a
     * `auditPermille` hash sample — a crashed pair misassigns essentially
     * every row, so a thin deterministic sample catches it while keeping
-    * the per-check cost a fraction of one index pass.
+    * the per-check cost a fraction of one index pass. A sample that
+    * selects ZERO rows (a small index under the default 10‰) must not
+    * pass vacuously — a crashed pair would read consistent until
+    * imbalance happened to cross the threshold — so the audit falls back
+    * to the full postings table when the sample is empty (an index small
+    * enough to empty the sample is small enough to audit whole).
     */
   def consistent(postings: DataFrame, centroids: DataFrame,
                  auditPermille: Int = 10): Boolean = {
-    val sampled = postings
+    val base = postings
       .filter(pmod(xxhash64(col("vec_id")), lit(1000L)) < auditPermille)
       .select(col("vec_id"), col("embedding"), col("centroid_id"))
+    val sampled =
+      (if (base.isEmpty) postings.select(col("vec_id"), col("embedding"), col("centroid_id"))
+       else base).localCheckpoint(true)
     val misassigned = Similarity
       .assignToCentroids(sampled.drop("centroid_id"), centroids, "vec_id", "embedding")
       .withColumnRenamed("centroid_id", "__true_cid")
@@ -144,18 +160,37 @@ object IvfRetrain {
       swapped = false, None, None)
     // the no-op path pays only the centroid_id-column count aggregation
     // plus the thin sampled audit — the full corpus is NOT materialized
-    // until a trigger fires
-    val (nVec, nCells, imb) = imbalance(postings)
+    // until a trigger fires. The imbalance denominator is the CENTROID
+    // count (a tiny-table count), so a totally collapsed quantizer (all
+    // mass in one cell, every other cell empty) reads |centroids|, not a
+    // vacuous 1.0. The consistency audit runs INDEPENDENTLY of the drift
+    // trigger: a pair that is both drifted and crash-inconsistent must
+    // take the unconditional-rebuild path, not the recall gate — the
+    // mixed-generation postings are not a coherent recall baseline, and
+    // a baseline that happened to grade well would refuse the swap
+    // forever, serving the crashed pair indefinitely.
+    val (nVec, nCells, imb) = imbalance(postings, Some(cents.count()))
     val drifted = imb > threshold
-    val crashed = !drifted && !consistent(postings, cents, auditPermille)
+    val crashed = !consistent(postings, cents, auditPermille)
     if (!drifted && !crashed)
       return Report(nVec, nCells, imb, triggered = false, swapped = false, None, None)
 
+    // dropDuplicates: a crash between the postings promote and a batch
+    // replay can land the SAME vec_id under two generations' cells (the
+    // replay's anti-join probes only the batch's new-cid partitions);
+    // without the dedup the rebuild would bake both copies in forever —
+    // inflated counts and duplicate top-k neighbors
     val corpus = postings.select(col("vec_id"), col("embedding"))
+      .dropDuplicates("vec_id")
       .localCheckpoint(true) // read once; consumed by sample/assign/recall
     val sample = corpus.filter(pmod(xxhash64(col("vec_id")), lit(1000L)) < samplePermille)
     val newCents = lloydRounds(sample, cents, rounds)
-    val probes = corpus.orderBy("vec_id").limit(nProbes).localCheckpoint(true)
+    // probes: the nProbes lowest xxhash64 values — a deterministic
+    // distribution-representative slice (TakeOrderedAndProject, bounded
+    // heap per partition, no full sort). orderBy(vec_id) would grade
+    // recall on the lowest-id (oldest) vectors — the slice LEAST affected
+    // by the drift that triggered the retrain.
+    val probes = corpus.orderBy(xxhash64(col("vec_id"))).limit(nProbes).localCheckpoint(true)
     val before = meanRecall(corpus, probes, cents, k, nProbe)
     val after  = meanRecall(corpus, probes, newCents, k, nProbe)
     // the recall gate: a retrain that grades worse than the live index

@@ -100,6 +100,79 @@ class IvfRetrainSpec extends SparkSpec {
       store.readOr(IvfRetrain.CentroidsTable, null), auditPermille = 1000))
   }
 
+  test("total collapse — ALL mass in ONE cell — still triggers") {
+    // one centroid inside cluster A, the other pointing away from every
+    // vector: the whole corpus assigns to cell 100 and cell 101 is EMPTY.
+    // Over occupied cells this reads imbalance = 1.0 (perfectly balanced);
+    // the centroid-count denominator reads |centroids| = 2.0 — the trigger
+    // must fire on exactly this state.
+    val store = freshStore()
+    val collapsed = Seq((100L, vec(0.0)), (101L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    store.replace(IvfRetrain.CentroidsTable, collapsed)
+    val aOnly = (0L until 10L).map(i => (i, vec(0.02 * i))).toDF("vec_id", "embedding")
+    StreamingSimilarity.processEmbeddingBatch(store, collapsed)(aOnly, 0L)
+    val postings = store.readOr(IvfRetrain.PostingsTable, null)
+    val (_, occupied, occImb) = IvfRetrain.imbalance(postings)
+    assert(occupied == 1L && occImb == 1.0,
+      "the occupied-cell metric is blind to collapse — that is the point of the fixture")
+    val (_, _, imb) = IvfRetrain.imbalance(postings, Some(2L))
+    assert(imb == 2.0, s"empty cells must drag the mean down: $imb")
+    val rep = IvfRetrain.maybeRetrain(spark, store,
+      threshold = 1.5, rounds = 2, samplePermille = 1000,
+      nProbes = 8, k = 5, nProbe = 1, auditPermille = 1000)
+    assert(rep.triggered, s"a collapsed quantizer must trigger maintenance: $rep")
+  }
+
+  test("an empty audit sample falls back to a full audit, not a vacuous pass") {
+    val store = freshStore()
+    seed(store)
+    IvfRetrain.maybeRetrain(spark, store, threshold = 1.4, rounds = 2,
+      samplePermille = 1000, nProbes = 8, k = 5, nProbe = 1, auditPermille = 1000)
+    // cross the centroid embeddings: every posting's assignment is stale
+    val cents = store.readOr(IvfRetrain.CentroidsTable, null)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val crossed = Seq((cents(0)._1, cents(1)._2), (cents(1)._1, cents(0)._2))
+      .toDF("vec_id", "embedding")
+    val postings = store.readOr(IvfRetrain.PostingsTable, null)
+    // auditPermille = 0 selects zero rows — the old code reported the
+    // crashed pair CONSISTENT (misassigned == 0 over an empty sample)
+    assert(!IvfRetrain.consistent(postings, crossed, auditPermille = 0),
+      "an empty sample must not grade a crashed pair consistent")
+  }
+
+  test("a rebuild dedups vec_ids a crashed replay double-landed") {
+    val store = freshStore()
+    seed(store)
+    IvfRetrain.maybeRetrain(spark, store, threshold = 1.4, rounds = 2,
+      samplePermille = 1000, nProbes = 8, k = 5, nProbe = 1, auditPermille = 1000)
+    // simulate the crash+replay window: vec_id 0 lands a SECOND copy under
+    // the other cell (the replay's anti-join probed only its new-cid
+    // partitions, missing the first copy)
+    val postings0 = store.readOr(IvfRetrain.PostingsTable, null).localCheckpoint(true)
+    val cids = postings0.select("centroid_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val cid0 = postings0.filter(col("vec_id") === 0L)
+      .collect().head.getAs[Long]("centroid_id")
+    val otherCid = cids.find(_ != cid0).get
+    store.appendPartitioned(IvfRetrain.PostingsTable,
+      postings0.filter(col("vec_id") === 0L)
+        .withColumn("centroid_id", lit(otherCid)),
+      "centroid_id")
+    val withDup = store.readOr(IvfRetrain.PostingsTable, null)
+    assert(withDup.count() == 21L, "the fixture must hold the duplicate")
+    // the duplicate sits in the wrong cell → the audit reads inconsistent
+    // → unconditional rebuild; the rebuilt index must carry each vec_id once
+    val rep = IvfRetrain.maybeRetrain(spark, store,
+      threshold = 1.4, rounds = 2, samplePermille = 1000,
+      nProbes = 8, k = 5, nProbe = 1, auditPermille = 1000)
+    assert(rep.triggered && rep.swapped, s"the inconsistent pair must rebuild: $rep")
+    val rebuilt = store.readOr(IvfRetrain.PostingsTable, null)
+    assert(rebuilt.count() == 20L &&
+      rebuilt.select("vec_id").distinct().count() == 20L,
+      "the rebuild must bake in each vec_id exactly once")
+  }
+
   test("lloydRounds reseeds empty cells by holding position") {
     // one centroid far from every vector: it gets no members and must
     // keep its coordinates instead of becoming null/NaN
