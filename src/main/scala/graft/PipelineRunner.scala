@@ -48,6 +48,10 @@ import graft.streaming._
   * quantileGroupCol: lang
   * quantileValueCol: n_chars
   * quantileIdCol: doc_id
+  * dedupRetentionBatches: 1000           # optional: sliding-window dedup —
+  *                                       # chunk/LSH state prunes to the
+  *                                       # last N batches (absent = exact,
+  *                                       # unbounded — see the faces' docs)
   * manifestCommit: false                 # true on object stores
   * eventsDir: /var/lib/graft/events      # sessions' event drop dir
   * eventsSchema: "user_id STRING, ts TIMESTAMP"   # optional DDL; else
@@ -92,9 +96,17 @@ object PipelineRunner {
     * store's staged-swap discipline, gated on recall not dropping. With
     * `retrain` on, centroids live in the store's `ivf_centroids` table
     * (seeded from `centroidsPath` at first start) so a swap takes effect
-    * on the next batch.
+    * on the next batch. `release` is the ONE-SHOT BATCH face: the
+    * composed data-release DAG ([[graft.operators.Release]], the r11
+    * query — gates → canon → dedup → decontaminate → mixture → shard) run
+    * over `inputDir` as a single batch job, its output replaced into the
+    * store's `releaseTable` partitioned by shard, then exit. It runs
+    * ALONE (a release is a job, not a resident stream), making the
+    * composed DAG deployable from a config file like every streaming
+    * face — the reference's config-wired composition,
+    * cmd/indexer/root.go:88-177.
     */
-  val FaceNames: Seq[String] = BatchFaceNames ++ Seq("sessions", "ivfIndex", "retrain")
+  val FaceNames: Seq[String] = BatchFaceNames ++ Seq("sessions", "ivfIndex", "retrain", "release")
 
   final case class Config(
       inputDir: String,
@@ -117,6 +129,7 @@ object PipelineRunner {
       quantileValueCol: String = "n_chars",
       quantileIdCol: String = "doc_id",
       compactFiles: Int = 64,
+      dedupRetentionBatches: Option[Long] = None,
       manifestCommit: Boolean = false,
       eventsDir: Option[String] = None,
       eventsSchema: Option[String] = None,
@@ -133,7 +146,19 @@ object PipelineRunner {
       retrainRounds: Int = 3,
       retrainSamplePermille: Int = 250,
       retrainProbes: Int = 16,
-      retrainEvery: Int = 1)
+      retrainEvery: Int = 1,
+      releaseTable: String = "release",
+      releaseIdCol: String = "doc_id",
+      releaseTextCol: String = "text",
+      releaseSourceCol: String = "source",
+      releaseQualityCol: String = "n_chars",
+      releaseEvalSource: String = "src0",
+      releaseAlpha: Double = 0.5,
+      releaseTokenBudget: Long = 1000000L,
+      releaseMaxEpochs: Double = 4.0,
+      releaseGramSize: Int = 4,
+      releaseShards: Int = 8,
+      releaseSeed: String = "release1")
 
   def parseConfig(text: String): Config = {
     import scala.jdk.CollectionConverters._
@@ -147,11 +172,15 @@ object PipelineRunner {
       "metricsPort", "master", "triggerSeconds", "chunkTokens", "shingleSize",
       "numHashes", "bands", "simThreshold", "hllM", "hllGroupCol",
       "hllValueCol", "quantileK", "quantileGroupCol", "quantileValueCol",
-      "quantileIdCol", "compactFiles", "manifestCommit",
+      "quantileIdCol", "compactFiles", "dedupRetentionBatches", "manifestCommit",
       "eventsDir", "eventsSchema", "sessionGap", "sessionWatermark",
       "sessionUserCol", "sessionTsCol", "embeddingsDir", "embeddingsSchema",
       "centroidsPath", "ivfIdCol", "ivfVecCol", "retrainThreshold",
-      "retrainRounds", "retrainSamplePermille", "retrainProbes", "retrainEvery")
+      "retrainRounds", "retrainSamplePermille", "retrainProbes", "retrainEvery",
+      "releaseTable", "releaseIdCol", "releaseTextCol", "releaseSourceCol",
+      "releaseQualityCol", "releaseEvalSource", "releaseAlpha",
+      "releaseTokenBudget", "releaseMaxEpochs", "releaseGramSize",
+      "releaseShards", "releaseSeed")
     val unknown = m.keySet -- known
     require(unknown.isEmpty,
       s"unknown config keys: ${unknown.toSeq.sorted.mkString(", ")}")
@@ -179,6 +208,8 @@ object PipelineRunner {
       "the 'ivfIndex' face requires 'embeddingsDir' and 'centroidsPath'")
     require(!faces.contains("retrain") || faces.contains("ivfIndex"),
       "the 'retrain' face maintains the index 'ivfIndex' builds — enable both")
+    require(!faces.contains("release") || faces == Seq("release"),
+      "the 'release' face is a one-shot batch job and runs alone")
     val base = Config(inputDir = str("inputDir"), dataDir = str("dataDir"),
       checkpointDir = str("checkpointDir"), faces = faces)
     base.copy(
@@ -198,6 +229,8 @@ object PipelineRunner {
       quantileValueCol = opt("quantileValueCol", identity, base.quantileValueCol),
       quantileIdCol    = opt("quantileIdCol", identity, base.quantileIdCol),
       compactFiles     = opt("compactFiles", _.toInt, base.compactFiles),
+      dedupRetentionBatches = m.get("dedupRetentionBatches")
+        .map(v => String.valueOf(v).toLong),
       manifestCommit   = opt("manifestCommit", _.toBoolean, base.manifestCommit),
       eventsDir        = m.get("eventsDir").map(String.valueOf),
       eventsSchema     = m.get("eventsSchema").map(String.valueOf),
@@ -215,7 +248,43 @@ object PipelineRunner {
       retrainSamplePermille =
         opt("retrainSamplePermille", _.toInt, base.retrainSamplePermille),
       retrainProbes    = opt("retrainProbes", _.toInt, base.retrainProbes),
-      retrainEvery     = opt("retrainEvery", _.toInt, base.retrainEvery))
+      retrainEvery     = opt("retrainEvery", _.toInt, base.retrainEvery),
+      releaseTable     = opt("releaseTable", identity, base.releaseTable),
+      releaseIdCol     = opt("releaseIdCol", identity, base.releaseIdCol),
+      releaseTextCol   = opt("releaseTextCol", identity, base.releaseTextCol),
+      releaseSourceCol = opt("releaseSourceCol", identity, base.releaseSourceCol),
+      releaseQualityCol = opt("releaseQualityCol", identity, base.releaseQualityCol),
+      releaseEvalSource = opt("releaseEvalSource", identity, base.releaseEvalSource),
+      releaseAlpha     = opt("releaseAlpha", _.toDouble, base.releaseAlpha),
+      releaseTokenBudget = opt("releaseTokenBudget", _.toLong, base.releaseTokenBudget),
+      releaseMaxEpochs = opt("releaseMaxEpochs", _.toDouble, base.releaseMaxEpochs),
+      releaseGramSize  = opt("releaseGramSize", _.toInt, base.releaseGramSize),
+      releaseShards    = opt("releaseShards", _.toInt, base.releaseShards),
+      releaseSeed      = opt("releaseSeed", identity, base.releaseSeed))
+  }
+
+  /** The `release` face: the composed data-release DAG as one batch job —
+    * read the corpus from `inputDir`, run every curation stage
+    * ([[graft.operators.Release.releasePipeline]]), REPLACE the store's
+    * `releaseTable` with the result partitioned by shard (staged write,
+    * one commit — a crashed release leaves the previous release live, the
+    * store's usual discipline), and return the released row count. The
+    * shard partitioning is the write shape downstream consumers prune on.
+    */
+  def runRelease(spark: SparkSession, cfg: Config): Long = {
+    val store = TableStore(spark, cfg.dataDir, manifestCommit = cfg.manifestCommit)
+    val docs = spark.read.parquet(cfg.inputDir)
+    val out = graft.operators.Release.releasePipeline(docs,
+      cfg.releaseIdCol, cfg.releaseTextCol, cfg.releaseSourceCol,
+      cfg.releaseQualityCol, cfg.releaseEvalSource, cfg.releaseAlpha,
+      cfg.releaseTokenBudget, cfg.releaseMaxEpochs, cfg.releaseGramSize,
+      cfg.releaseShards, cfg.releaseSeed)
+    val (stage, promote) = store.stageReplaceAll(
+      Seq(cfg.releaseTable -> out),
+      partitionBy = Map(cfg.releaseTable -> "shard"))
+    stage.foreach(_.apply())
+    promote()
+    store.readOr(cfg.releaseTable, null).count()
   }
 
   /** Schema for a file-source stream over `dir`: the explicit DDL from
@@ -291,10 +360,12 @@ object PipelineRunner {
     val b = batch.localCheckpoint(true)
     val thunks: Seq[() => Unit] = cfg.faces.map {
       case "chunkDedup" => () =>
-        StreamingText.processChunkBatch(store, cfg.chunkTokens, cfg.compactFiles)(b, bid)
+        StreamingText.processChunkBatch(store, cfg.chunkTokens, cfg.compactFiles,
+          cfg.dedupRetentionBatches)(b, bid)
       case "lshDedup" => () =>
         StreamingDedup.processLshBatch(store, cfg.shingleSize, cfg.numHashes,
-          cfg.bands, cfg.simThreshold, compactFiles = cfg.compactFiles)(b, bid)
+          cfg.bands, cfg.simThreshold, compactFiles = cfg.compactFiles,
+          retentionBatches = cfg.dedupRetentionBatches)(b, bid)
       case "hllSketch" => () =>
         StreamingSketch.processSketchBatch(store, cfg.hllGroupCol,
           cfg.hllValueCol, cfg.hllM)(b, bid)
@@ -346,7 +417,32 @@ object PipelineRunner {
     * the same contract as any file-source pipeline.
     */
   def start(spark: SparkSession, cfg: Config): Wiring = {
+    require(!cfg.faces.contains("release"),
+      "the 'release' face is a one-shot batch job — use runRelease, not start")
     val store = TableStore(spark, cfg.dataDir, manifestCommit = cfg.manifestCommit)
+    // fail-fast validation BEFORE any query or server starts — a type
+    // mismatch discovered inside the sessions branch would leak the
+    // already-running document query. An EXISTING sessions table written
+    // under a different user-id type (e.g. the pre-round-15 build's long
+    // cast) must refuse to start: appending the new type would mix
+    // parquet schemas under one bucketed table, and reads with the
+    // remembered sidecar would fail or corrupt on the new files.
+    if (cfg.faces.contains("sessions")) {
+      val evDir = cfg.eventsDir.getOrElse(throw new IllegalArgumentException(
+        "the 'sessions' face requires eventsDir"))
+      val evSchema = streamSchema(spark, evDir, cfg.eventsSchema, "eventsSchema")
+      val existingSessions = store.readOr(StreamingSessions.SessionsTable, null)
+      if (existingSessions != null) {
+        val remembered = existingSessions.schema("user_id").dataType
+        val incoming = evSchema(cfg.sessionUserCol).dataType
+        require(remembered == incoming,
+          s"sessions table at '${cfg.dataDir}' remembers user_id: $remembered " +
+          s"but the event stream's '${cfg.sessionUserCol}' is $incoming — " +
+          "appending would mix parquet schemas under one table; to migrate " +
+          "the type, wipe the sessions table AND the sessions checkpoint " +
+          s"('${cfg.checkpointDir}-sessions') together")
+      }
+    }
     val metrics = new PipelineMetrics
     val server =
       if (cfg.metricsPort < 0) None
@@ -369,7 +465,9 @@ object PipelineRunner {
         val evSchema = streamSchema(spark, evDir, cfg.eventsSchema, "eventsSchema")
         // no cast on the user column: a long cast would silently null
         // string ids (UUIDs) and collapse those users into one null-keyed
-        // session stream; session_window groups any key type
+        // session stream; session_window groups any key type (the
+        // remembered-type mismatch was refused up front, before any
+        // query started)
         val events = spark.readStream.schema(evSchema).parquet(evDir)
           .select(col(cfg.sessionUserCol).as("user_id"),
             col(cfg.sessionTsCol).as("ts"))
@@ -449,6 +547,13 @@ object PipelineRunner {
         Runtime.getRuntime.availableProcessors.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (cfg.faces == Seq("release")) {
+      // one-shot batch job: run the composed DAG and exit
+      val n = runRelease(spark, cfg)
+      println(s"""{"release_rows":$n,"table":"${cfg.releaseTable}"}""")
+      spark.stop()
+      return
+    }
     val wiring = start(spark, cfg)
     sys.addShutdownHook(wiring.close())
     // either query dying (doc faces or sessions) should surface, not hang

@@ -30,8 +30,21 @@ import org.apache.spark.sql.types.StructType
   *     leaves only unreferenced staging dirs, garbage-collected on the
   *     next commit. GC retains a `manifestRetain`-generation reader-grace
   *     window, so EXTERNAL READER PROCESSES off the same root are safe
-  *     (an ingest-writer + query-readers deployment); single-WRITER is
-  *     still the contract — concurrent writers need a Delta/Iceberg log.
+  *     (an ingest-writer + query-readers deployment). Single-WRITER is
+  *     still the contract, and in manifest mode it is ENFORCED by a
+  *     writer-epoch fence in the marker: each store instance claims
+  *     epoch = (observed + 1) at its first commit to a table, every
+  *     commit re-reads the marker first and FAILS LOUDLY
+  *     ([[TableStore.WriterSupersededException]]) when a newer epoch (or
+  *     a same-epoch foreign writer id, via post-write read-back) is
+  *     observed — so a misconfigured second ingest job crashes instead of
+  *     silently interleaving generations (the reference's duplicate-key-
+  *     as-benign-concurrency-signal discipline, common/errors.go:48-57,
+  *     service/indexer/indexer.go:151-163, translated to object stores:
+  *     latest writer wins, superseded writers die). The residual window —
+  *     two writers claiming the same epoch and committing within one
+  *     read-back round-trip — needs a conditional PUT (Delta/Iceberg log)
+  *     to close; every longer interleaving is detected.
   *     Same staged-write-then-promote ORDER as rename mode,
   *     so the ingest ledger's crash-recovery protocol is unchanged.
   *     Set `GRAFT_STORE_MANIFEST=1` to force the mode on for every store
@@ -129,8 +142,34 @@ final case class TableStore(spark: SparkSession, root: String,
   private val manCache =
     new java.util.concurrent.ConcurrentHashMap[String, Map[String, Seq[String]]]()
 
+  /** This store instance's identity for the writer fence — the marker
+    * carries it so a same-epoch interloper is detectable by read-back.
+    */
+  private val writerId = java.util.UUID.randomUUID().toString
+
+  /** Per-table claimed writer epoch: observed + 1 at this instance's
+    * FIRST commit to the table, fixed thereafter. A restarted writer is a
+    * new instance and claims a higher epoch, superseding its predecessor.
+    */
+  private val claimedEpochs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   private def genPath(table: String)               = new Path(dir(table), ".gen")
   private def manPath(table: String, v: Long)      = new Path(dir(table), s".manifest.$v")
+
+  /** (version, epoch, writerId) from the marker; epoch/writerId default to
+    * (0, "") for pre-fence markers that carried only the version. None on
+    * an absent or torn (unparseable-version) marker.
+    */
+  private def readMarkerParts(table: String): Option[(Long, Long, String)] =
+    readSmallFile(genPath(table)).flatMap { s =>
+      val parts = s.trim.split("\\s+")
+      parts.headOption.flatMap(_.toLongOption).map { v =>
+        (v,
+          if (parts.length > 1) parts(1).toLongOption.getOrElse(0L) else 0L,
+          if (parts.length > 2) parts(2) else "")
+      }
+    }
 
   private def readSmallFile(p: Path): Option[String] =
     if (fs.exists(p)) {
@@ -178,7 +217,7 @@ final case class TableStore(spark: SparkSession, root: String,
     *     manifest exists only if every earlier table's marker landed).
     */
   private def currentVersion(table: String): Long = {
-    var v = readSmallFile(genPath(table)).flatMap(_.trim.toLongOption).getOrElse {
+    var v = readMarkerParts(table).map(_._1).getOrElse {
       val d = dir(table)
       if (!fs.exists(d)) 0L
       else fs.listStatus(d).flatMap { st =>
@@ -218,14 +257,40 @@ final case class TableStore(spark: SparkSession, root: String,
     * (the MVCC the reference gets for free from MySQL transactions,
     * store/sqldb/db.go:63-91, priced here as ≤retain stale generations
     * of garbage per table). `manifestRetain = 0` is the old immediate GC.
+    *
+    * WRITER FENCE (see the class doc): the marker is re-read at the top of
+    * every commit — a newer epoch than this instance's claim, or the same
+    * epoch under a foreign writer id, means another writer has taken the
+    * table and THIS writer must die loudly instead of overwriting its
+    * generations. After the marker lands it is read BACK and must carry
+    * exactly (version, epoch, writerId) — a concurrent overwrite between
+    * the write and the read-back is a detected loss, not a silent one —
+    * and GC runs only after the read-back verifies, so a fenced writer
+    * never deletes a winner's dirs.
     */
   private def commitManifest(table: String, next: Map[String, Seq[String]]): Unit = {
+    val observed = readMarkerParts(table)
+    val observedEpoch = observed.map(_._2).getOrElse(0L)
+    val myEpoch: Long = claimedEpochs.computeIfAbsent(table, _ => observedEpoch + 1L)
+    if (observedEpoch > myEpoch ||
+        (observedEpoch == myEpoch && observed.exists(m => m._3.nonEmpty && m._3 != writerId)))
+      throw new TableStore.WriterSupersededException(
+        s"writer fenced out of table '$table': this store holds epoch $myEpoch " +
+        s"(writer $writerId) but the marker carries epoch $observedEpoch" +
+        observed.map(m => s" (writer ${m._3})").getOrElse("") +
+        " — another writer has taken the table; refusing to commit")
     val v = currentVersion(table)
     fs.mkdirs(dir(table))
     val body = (next.toSeq.sortBy(_._1)
       .flatMap { case (k, ds) => ds.map(d => s"$k\t$d") } :+ ManifestEnd).mkString("\n")
     writeSmallFile(manPath(table, v + 1), body)
-    writeSmallFile(genPath(table), (v + 1).toString)
+    writeSmallFile(genPath(table), s"${v + 1} $myEpoch $writerId")
+    val back = readMarkerParts(table)
+    if (!back.contains((v + 1, myEpoch, writerId)))
+      throw new TableStore.WriterSupersededException(
+        s"writer lost a marker race on table '$table': wrote (${v + 1}, $myEpoch, " +
+        s"$writerId) but read back $back — a concurrent writer overwrote the " +
+        "commit point; refusing to proceed")
     // GC: manifests older than the grace window, then physical dirs no
     // REMAINING manifest references. Referenced rel-paths are either a
     // whole .d-* dir or ".d-*/<sub>" leaf dirs; an unreferenced subtree
@@ -909,6 +974,28 @@ final case class TableStore(spark: SparkSession, root: String,
     n
   }
 
+  /** Retention prune for a CATEGORY-partitioned state table: rewrite it
+    * keeping only rows with `rangeCol >= keepFrom`, atomically (staged
+    * write, one promote — a crash leaves the un-pruned generation live).
+    * The streaming dedup state tables (`chunk_hashes`, `lsh_sigs`,
+    * `lsh_postings`) grow one row per distinct chunk/canonical FOREVER —
+    * inherent to exact dedup — and this is the knob that bounds them when
+    * a deployment accepts sliding-window semantics (dedup against the
+    * last N batches) instead: callers invoke it once per retention window,
+    * so the amortized per-batch cost is O(state / window). Rows keep their
+    * batch_id replay tags; a replayed prune recomputes the identical
+    * result. No-op when the table is absent.
+    */
+  def retainFrom(table: String, rangeCol: String, keepFrom: Long,
+                 partCol: String): Unit = {
+    if (!exists(table)) return
+    val pruned = readOr(table, null).filter(col(rangeCol) >= keepFrom)
+    val (stage, promote) = stageReplaceAll(Seq(table -> pruned),
+      partitionBy = Map(table -> partCol))
+    stage.foreach(_.apply())
+    promote()
+  }
+
   /** Remove a table entirely — for state tables that drain to empty (the
     * ingest side pool): unlike replacing with an empty DataFrame, a dropped
     * table reads as absent, so steady-state paths that branch on `exists`
@@ -965,6 +1052,13 @@ final case class TableStore(spark: SparkSession, root: String,
 }
 
 object TableStore {
+  /** Thrown by a manifest-mode commit when another writer has taken the
+    * table (newer epoch, foreign same-epoch writer id, or a lost marker
+    * read-back). The store that threw must be treated as dead for the
+    * table — re-instantiate to claim a fresh epoch and supersede back.
+    */
+  final class WriterSupersededException(msg: String) extends IllegalStateException(msg)
+
   /** Default commit mode: rename (local/HDFS). `GRAFT_STORE_MANIFEST=1`
     * forces every store constructed without an explicit `manifestCommit`
     * into manifest mode — how the spec suites run the whole ingest stack

@@ -70,12 +70,23 @@ object StreamingDedup {
 
   /** foreachBatch body. `maxBucket` is the usual hot-bucket valve on both
     * the index probe and the within-batch candidate stage.
+    *
+    * State growth pricing: `lsh_sigs` holds one row per CANONICAL doc
+    * (numHashes longs + doc_id ≈ 8·numHashes B/row) and `lsh_postings`
+    * `bands` rows per canonical — both linear in distinct-canonical mass
+    * forever, inherent to dedup-against-everything-kept. `retentionBatches`
+    * trades that for SLIDING-WINDOW near-dup semantics: once per window
+    * both index tables prune to the last N batches (one atomic partitioned
+    * rewrite each, amortized O(index/N) per batch), after which a near-dup
+    * of a canonical older than the window reads as NEW — the documented
+    * semantic change. None (default) keeps the unbounded exact behavior.
     */
   def processLshBatch(store: TableStore,
                       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
                       simThreshold: Double = 0.7,
                       maxBucket: Int = Dedup.DefaultMaxBucket,
-                      compactFiles: Int = 64)
+                      compactFiles: Int = 64,
+                      retentionBatches: Option[Long] = None)
                      (batch: DataFrame, bid: Long): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
@@ -231,6 +242,14 @@ object StreamingDedup {
     //    above see the identical index.
     store.compactPartitions(SigsTable, "sp", Some(keptSps), compactFiles)
     store.compactPartitions(PostingsTable, "bp", Some(keptBps), compactFiles)
+    // sliding-window retention (see the scaladoc pricing note): prune once
+    // per window — idempotent under replay (same keepFrom → same result)
+    retentionBatches.foreach { r =>
+      if (r > 0 && bid > 0 && bid % r == 0) {
+        store.retainFrom(SigsTable, "batch_id", bid - r, "sp")
+        store.retainFrom(PostingsTable, "batch_id", bid - r, "bp")
+      }
+    }
   }
 
   /** The processor wired as a streaming query. */

@@ -113,9 +113,22 @@ object StreamingText {
     * Replay idempotency is append-only-missing: the same pruned scan
     * tells the batch which of its hashes a crashed attempt already
     * landed, so a crash LOOP converges instead of growing the table.
+    *
+    * State growth pricing: `chunk_hashes` holds EXACTLY one row per
+    * distinct chunk ever kept — rows ≈ distinct chunks, ~(32-char md5 +
+    * long + int ≈ 50 B/row raw, ~25 B parquet-encoded) — growing linearly
+    * with distinct-chunk mass forever, which is inherent to exact dedup
+    * (forgetting a hash re-admits its duplicates). `retentionBatches`
+    * trades that for SLIDING-WINDOW semantics when a deployment accepts
+    * it: once per window the state table is pruned to the last N batches
+    * (one atomic partitioned rewrite, amortized O(state/N) per batch),
+    * after which a duplicate of a chunk older than the window reads as
+    * fresh — the documented semantic change, not a bug. None (default)
+    * keeps the unbounded exact behavior.
     */
   def processChunkBatch(store: graft.chain.TableStore, chunkTokens: Int,
-                        compactFiles: Int = 64)
+                        compactFiles: Int = 64,
+                        retentionBatches: Option[Long] = None)
                        (batch: DataFrame, bid: Long): Unit = {
     import graft.operators.Dedup
     val seenSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -175,6 +188,12 @@ object StreamingText {
     // exactly the partitions this batch touched (rows and batch_id replay
     // tags unchanged — see TableStore.compactPartitions)
     store.compactPartitions("chunk_hashes", "hp", Some(prefixes), compactFiles)
+    // sliding-window retention (see the scaladoc pricing note): prune once
+    // per window — idempotent under replay (same keepFrom → same result)
+    retentionBatches.foreach { r =>
+      if (r > 0 && bid > 0 && bid % r == 0)
+        store.retainFrom("chunk_hashes", "batch_id", bid - r, "hp")
+    }
   }
 
   /** First two hex chars of an md5 hash as the partition category 0..255. */

@@ -58,6 +58,76 @@ class PipelineRunnerSpec extends SparkSpec {
     assert(withEv.eventsDir.contains("/ev") && withEv.sessionGap == "10 minutes")
   }
 
+  test("the release face runs the composed DAG end-to-end from a config file") {
+    val (_, data, _) = freshDirs()
+    // the composed DAG must run alone — a release is a job, not a stream
+    val mixed = intercept[IllegalArgumentException](PipelineRunner.parseConfig(
+      "inputDir: /in\ndataDir: /d\ncheckpointDir: /c\nfaces:\n  - release\n  - chunkDedup\n"))
+    assert(mixed.getMessage.contains("alone"))
+    val cfgFile = Files.createTempFile("pr-release", ".yaml")
+    Files.writeString(cfgFile,
+      s"""inputDir: /root/testdata/sf0.001/documents.parquet
+         |dataDir: $data
+         |checkpointDir: /unused-for-a-batch-face
+         |faces:
+         |  - release
+         |releaseShards: 4
+         |releaseTokenBudget: 500000
+         |""".stripMargin)
+    val cfg = PipelineRunner.parseConfig(Files.readString(cfgFile))
+    assert(cfg.faces == Seq("release") && cfg.releaseShards == 4 &&
+      cfg.releaseTokenBudget == 500000L)
+    // start() refuses the batch face — the main dispatches to runRelease
+    val wrong = intercept[IllegalArgumentException](PipelineRunner.start(spark, cfg))
+    assert(wrong.getMessage.contains("runRelease"))
+    val n = PipelineRunner.runRelease(spark, cfg)
+    assert(n > 0L, "the release must keep a non-empty corpus")
+    val store = graft.chain.TableStore(spark, data)
+    val rel = store.readOr(cfg.releaseTable, null)
+    assert(rel.count() == n)
+    assert(rel.columns.toSet ==
+      Set("doc_id", "source", "n_tokens", "weight", "alloc_tokens", "shard", "pos"))
+    // no eval docs released; the shard layout landed (partition pruning)
+    assert(rel.filter(col("source") === cfg.releaseEvalSource).count() == 0L)
+    assert(rel.select("shard").distinct().count() <= 4L)
+    // re-running REPLACES (a release is a rebuild, not an append). The
+    // reader is a FRESH store instance: the first reader's caches are
+    // only invalidated by mutations through ITS OWN instance (the store's
+    // single-writer contract), and runRelease commits through its own.
+    val n2 = PipelineRunner.runRelease(spark, cfg)
+    assert(n2 == n)
+    assert(graft.chain.TableStore(spark, data)
+      .readOr(cfg.releaseTable, null).count() == n)
+  }
+
+  test("the sessions face fails fast on a remembered user-id type mismatch") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val (in, data, ckpt) = freshDirs()
+    val ev = Files.createTempDirectory("pr-ev-mig").toString
+    docsDf(0L until 3L).write.mode("append").parquet(in)
+    Seq((1L, ts("2024-01-01 00:00:00"), 1L))
+      .toDF("user_id", "ts", "event_id").write.mode("append").parquet(ev)
+    // an existing sessions table written under LONG user ids (the
+    // pre-round-15 build's cast): remember the schema via one write
+    val store = graft.chain.TableStore(spark, data)
+    StreamingSessions.processSessionBatch(store)(
+      Seq((7L, ts("2024-03-01 00:00:00"), ts("2024-03-01 00:10:00"),
+          2L, ts("2024-03-01 00:05:00")))
+        .toDF("user_id", "session_start", "session_end", "n_events", "last_ts"), 1L)
+    // the upgraded deployment's events now carry STRING user ids
+    val cfg = Config(inputDir = in, dataDir = data, checkpointDir = ckpt,
+      faces = Seq("chunkDedup", "sessions"), metricsPort = -1, triggerSeconds = 1,
+      eventsDir = Some(ev), sessionGap = "10 minutes",
+      eventsSchema = Some("user_id STRING, ts TIMESTAMP, event_id LONG"))
+    val ex = intercept[IllegalArgumentException](PipelineRunner.start(spark, cfg))
+    assert(ex.getMessage.contains("user_id") && ex.getMessage.contains("wipe"),
+      s"the mismatch must name the migration, got: ${ex.getMessage}")
+    // matching DDL starts cleanly
+    val ok = cfg.copy(eventsSchema = Some("user_id LONG, ts TIMESTAMP, event_id LONG"))
+    val w = PipelineRunner.start(spark, ok)
+    try w.query.processAllAvailable() finally w.close()
+  }
+
   test("the wired query drives every face end-to-end, incrementally, with metrics") {
     val (in, data, ckpt) = freshDirs()
     docsDf(0L until 40L).write.mode("append").parquet(in)

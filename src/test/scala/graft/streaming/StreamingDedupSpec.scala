@@ -75,6 +75,40 @@ class StreamingDedupSpec extends SparkSpec {
       "replayed postings must not duplicate any (doc, band) row")
   }
 
+  test("retentionBatches bounds the LSH index to a sliding window (documented semantics)") {
+    val store = mkStore()
+    def proc(bid: Long, docs: Seq[(Long, String)]): Unit =
+      StreamingDedup.processLshBatch(store, retentionBatches = Some(2L))(
+        docs.toDF("doc_id", "text"), bid)
+    proc(0L, Seq(1L -> baseA))
+    proc(1L, Seq(2L -> baseC))
+    proc(2L, Seq(3L -> baseE)) // prune at keepFrom = 0: nothing drops
+    assert(store.readOr(StreamingDedup.SigsTable, null).count() == 3L)
+    // NB "epsilon15" matches exactly one word ("epsilon5" would also hit
+    // epsilon50..epsilon59 and sink the similarity below the threshold)
+    proc(3L, Seq(4L -> baseE.replace("epsilon15", "edited"))) // dups 3 (in window)
+    assert(verdicts(store, 3L)(4L)._2.contains(3L))
+    // bid 4 prunes to keepFrom = 2: batch-0/1 canonicals leave the index —
+    // bounded state, the priced trade
+    proc(4L, Seq(5L -> baseC.replace("gamma7", "shifted")))
+    val sigs = store.readOr(StreamingDedup.SigsTable, null)
+    assert(sigs.filter(col("batch_id") < 2L).count() == 0L,
+      "index rows older than the window must be pruned")
+    assert(store.readOr(StreamingDedup.PostingsTable, null)
+      .filter(col("batch_id") < 2L).count() == 0L)
+    // the SEMANTIC trade, pinned: a near-dup of the batch-0 canonical now
+    // reads as NEW (outside the window); one of the batch-2 canonical
+    // still dedups (inside it)
+    proc(5L, Seq(
+      20L -> baseA.replace("alpha9", "altered"),
+      21L -> baseE.replace("epsilon9", "turned")))
+    val v5 = verdicts(store, 5L)
+    assert(v5(20L)._1 == 1 && v5(20L)._2.isEmpty,
+      s"outside-window near-dup must read as new: $v5")
+    assert(v5(21L)._1 == 0 && v5(21L)._2.contains(3L),
+      s"inside-window near-dup must still resolve: $v5")
+  }
+
   test("within-batch chain keeps exactly its minimum; est_jaccard is a computed estimator") {
     val store = mkStore()
     // three near-identical docs: the chain must collapse to doc 5
@@ -281,7 +315,9 @@ class StreamingDedupSpec extends SparkSpec {
       // current generation + ≤ manifestRetain stale ones (reader grace)
       assert(manifests.size <= 1 + store.manifestRetain,
         s"$table superseded manifests not GC'd: $manifests")
-      val gen = Files.readString(root.resolve(".gen")).trim.toLong
+      // first marker token: the fence extended the marker to
+      // "version epoch writerId"
+      val gen = Files.readString(root.resolve(".gen")).trim.split("\\s+")(0).toLong
       val live = Files.readString(root.resolve(s".manifest.$gen")).linesIterator
         .filter(l => l.nonEmpty && l != "#end").toSeq
       // every physical dir is referenced by SOME retained manifest (rel

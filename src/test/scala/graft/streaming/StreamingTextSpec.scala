@@ -117,6 +117,35 @@ class StreamingTextSpec extends SparkSpec {
     assert(err.getMessage.contains("wiped together"))
   }
 
+  test("retentionBatches bounds chunk_hashes to a sliding window (documented semantics)") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunkret").toString
+    val store = graft.chain.TableStore(spark, dir, bucketSize = 1L)
+    val proc = StreamingText.processChunkBatch(store, chunkTokens = 2,
+      retentionBatches = Some(2L)) _
+    proc(Seq((1L, "a b c d")).toDF("doc_id", "text"), 0L)
+    proc(Seq((2L, "e f g h")).toDF("doc_id", "text"), 1L)
+    // bid 2 triggers a prune at keepFrom = 0: nothing drops yet
+    proc(Seq((3L, "i j k l")).toDF("doc_id", "text"), 2L)
+    assert(store.readOr("chunk_hashes", null).count() == 6L)
+    proc(Seq((4L, "m n o p")).toDF("doc_id", "text"), 3L)
+    // bid 4 prunes to keepFrom = 2: batches 0-1's hashes drop — the state
+    // table is bounded by the window, the priced trade
+    proc(Seq((5L, "q r s t")).toDF("doc_id", "text"), 4L)
+    val kept = store.readOr("chunk_hashes", null)
+    assert(kept.filter(col("batch_id") < 2L).count() == 0L,
+      "hashes older than the window must be pruned")
+    assert(kept.count() == 6L) // batches 2, 3, 4 × 2 chunks
+    // the SEMANTIC trade, pinned: a duplicate of a batch-0 chunk now
+    // reads as fresh (outside the window), while a batch-3 chunk still
+    // dedups (inside it)
+    proc(Seq((6L, "a b m n")).toDF("doc_id", "text"), 5L)
+    val r6 = store.readOr("chunk_dedup", null)
+      .filter(col("batch_id") === 5L).collect().head
+    assert(r6.getAs[Long]("dup_chunks") == 1L,
+      "inside-window chunk must dedup; outside-window chunk must read fresh")
+  }
+
   test("chunk-dedup state probe prunes to the batch's hash-prefix partitions") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.execution.FileSourceScanExec
