@@ -213,10 +213,17 @@ object Bench {
         Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
           .map(_.getName).filter(_.matches("BENCH_r\\d+\\.json")).sorted.reverse.toSeq ++
         Seq("BENCH_SF1.json") // the sf1 runs' prior (sf-tag-matched below)
+      // a prior is comparable only at the same sf AND (when it records
+      // one) the same thread count: a local[32] run graded against
+      // local[4] medians would flag half the inventory as "improved" and
+      // nothing as regressed — or vice versa. Artifacts that predate the
+      // cpus key are accepted (the per-round sf conventions are stable).
+      def cpusOk(t: String): Boolean =
+        """"cpus":\s*"?(\d+)""".r.findFirstMatchIn(t).forall(_.group(1) == cpus)
       names.iterator.flatMap { p =>
         try {
           val t = Files.readString(Paths.get(p)).replace("\\\"", "\"")
-          if (t.contains(s""""sf":"$sfTag"""")) Some(t) else None
+          if (t.contains(s""""sf":"$sfTag"""") && cpusOk(t)) Some(t) else None
         } catch { case _: Throwable => None }
       }.nextOption()
     }
@@ -596,7 +603,7 @@ object Bench {
         ""","soak_source":"missing SOAK_BASELINE.json""""
       }
     val fileLine = mkLine(2, all).dropRight(1) +
-      s""","spread":$spread$correctedJson$requiescedJson$ccJson$ingest$soak}"""
+      s""","cpus":$cpus,"spread":$spread$correctedJson$requiescedJson$ccJson$ingest$soak}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try Files.writeString(Paths.get(out), fileLine + "\n")
     catch { case _: Throwable => () }
