@@ -509,8 +509,12 @@ object Curation {
     * consumer divides in whatever precision domain it ranks in.
     */
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // materialized: the tf relation feeds BOTH the vocabulary rollup and
+    // the scoring join — without the checkpoint each consumer re-ran the
+    // tokenize+explode corpus pass (the bigramLogProb discipline)
     val tf = df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val vocab = tf.groupBy("term").agg(sum("tf").as("__cnt"))
     val total = vocab.agg(sum("__cnt").as("__total"))
     // operand precisions stay small (18,9)×(10,0) → decimal(29,9): a wider
@@ -560,6 +564,10 @@ object Curation {
           xxhash64(w).as("ctxh")))).as("__b"))
       .groupBy(col(idCol), col("__b.bgh").as("bgh"), col("__b.ctxh").as("ctxh"))
       .agg(count(lit(1)).as("tf"))
+      // materialized: bg feeds BOTH the bigram-count rollup and the
+      // scoring join — without this each consumer re-ran the bigram
+      // explode+aggregate over the (checkpointed) token arrays
+      .localCheckpoint(true)
     val c2 = bg.groupBy("bgh").agg(sum("tf").as("__c2"))
     val uni = toked.select(explode(col("__t")).as("w"))
       .groupBy(xxhash64(col("w")).as("ctxh")).agg(count(lit(1)).as("__c1"))
@@ -728,18 +736,26 @@ object Curation {
   def boilerplateNgrams(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, minDocs: Int = 3): DataFrame = {
     require(n >= 1 && minDocs >= 2, "n ≥ 1; boilerplate needs ≥ 2 docs")
-    val toked = df.select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
-    val grams = toked.select(col(idCol),
-      explode(transform(TextOps.shinglesOfTokens(col("__t"), n),
-        g => xxhash64(g))).as("gh"))
-    val boiler = grams.dropDuplicates(idCol, "gh")
+    // Per-doc gram-hash ARRAYS, materialized once (the minHashLshNearDups
+    // persistIntermediates discipline): the exploded gram relation had
+    // THREE consumers (doc-freq, per-doc totals, the flag count) and
+    // Catalyst re-ran the tokenize+shingle+hash corpus pass for each.
+    // With the array form the per-doc total is a free size() projection,
+    // the doc-distinct relation is an in-row array_distinct (identical to
+    // dropDuplicates(id, gh) — one row per doc either way), and the
+    // corpus tokenizes exactly once.
+    val ghs = df.select(col(idCol),
+        transform(TextOps.shinglesOfTokens(TextOps.tokens(col(textCol)), n),
+          g => xxhash64(g)).as("__ghs"))
+      .localCheckpoint(true)
+    val boiler = ghs.select(col(idCol), explode(array_distinct(col("__ghs"))).as("gh"))
       .groupBy("gh").agg(count(lit(1)).as("doc_freq"))
       .filter(col("doc_freq") >= minDocs).select("gh")
-    val perDoc = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
-    val flagged = grams.join(boiler, Seq("gh"), "left_semi")
+    val perDoc = ghs.select(col(idCol), size(col("__ghs")).cast("long").as("n_grams"))
+    val flagged = ghs.select(col(idCol), explode(col("__ghs")).as("gh"))
+      .join(boiler, Seq("gh"), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("boiler_grams"))
-    df.select(col(idCol))
-      .join(perDoc, Seq(idCol), "left")
+    perDoc
       .join(flagged, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
@@ -978,16 +994,22 @@ object Curation {
     * line that ends in an ellipsis for half the corpus — all derived from
     * md5(text), so the oracle rebuilds the identical string.
     */
-  def plantStructuredLines(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val h  = md5(col(textCol))
+  /** [[plantStructuredLines]] as a per-row Column (the composed release
+    * pipeline fuses the gate into one corpus projection — see
+    * [[gopherKeepExpr]]).
+    */
+  private[graft] def plantStructuredText(text: Column): Column = {
+    val h  = md5(text)
     val d1 = conv(substring(h, 1, 1), 16, 10).cast("int")
     val bullets = call_function("repeat",
       concat(lit("\n- "), substring(h, 2, 4)), d1 * lit(2))
     val ell = when(substring(h, 6, 1).isin("0", "2", "4", "6", "8", "a", "c", "e"),
       lit("...")).otherwise(lit(""))
-    df.select(col(idCol),
-      concat(col(textCol), bullets, lit("\n"), substring(h, 7, 6), ell).as(textCol))
+    concat(text, bullets, lit("\n"), substring(h, 7, 6), ell)
   }
+
+  def plantStructuredLines(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), plantStructuredText(col(textCol)).as(textCol))
 
   /** Gopher rule battery (t29, Rae et al. 2021, arXiv:2112.11446 — the
     * canonical pretraining HARD-filter set, where [[linearQualityScore]]
@@ -1003,11 +1025,14 @@ object Curation {
     * exact integer counts rounded at 6 decimals, and the keep verdict
     * compares the ROUNDED values — both engine-deterministic.
     */
-  def gopherRules(df: DataFrame, idCol: String, textCol: String,
-                  stopwords: Seq[String] =
-                    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it"))
-      : DataFrame = {
-    val toks   = TextOps.tokens(col(textCol))
+  /** The Gopher battery's feature expressions over a text Column — the
+    * single construction site [[gopherRules]] and [[gopherKeepExpr]]
+    * share, so the per-query face and the composed release pipeline can
+    * never drift apart.
+    */
+  private def gopherFeatureExprs(text: Column, stopwords: Seq[String])
+      : Seq[(String, Column)] = {
+    val toks   = TextOps.tokens(text)
     val nWords = size(toks).cast("long")
     val nW     = greatest(nWords, lit(1L)).cast("double")
     val sumLen = aggregate(transform(toks, t => length(t).cast("long")),
@@ -1015,10 +1040,10 @@ object Curation {
     val meanLen   = round(sumLen.cast("double") / nW, 6)
     val nAlpha    = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
     val fracAlpha = round(nAlpha.cast("double") / nW, 6)
-    val nSymbols = (regexp_count(col(textCol), lit("#")) +
-      regexp_count(col(textCol), lit("\\.\\.\\."))).cast("long")
+    val nSymbols = (regexp_count(text, lit("#")) +
+      regexp_count(text, lit("\\.\\.\\."))).cast("long")
     val symbolRatio = round(nSymbols.cast("double") / nW, 6)
-    val lines  = split(col(textCol), "\n")
+    val lines  = split(text, "\n")
     val nLines = size(lines).cast("long")
     val nL     = greatest(nLines, lit(1L)).cast("double")
     val fracBullet = round(
@@ -1026,19 +1051,43 @@ object Curation {
     val fracEllipsis = round(
       size(filter(lines, l => l.endsWith("..."))).cast("double") / nL, 6)
     val nStop = size(filter(toks, t => t.isin(stopwords.map(lit): _*))).cast("long")
-    df.select(col(idCol),
-        nWords.as("n_words"), meanLen.as("mean_word_len"),
-        fracAlpha.as("frac_alpha_words"), symbolRatio.as("symbol_ratio"),
-        nLines.as("n_lines"), fracBullet.as("frac_bullet_lines"),
-        fracEllipsis.as("frac_ellipsis_lines"), nStop.as("n_stopwords"))
-      .withColumn("keep",
-        (col("n_words") >= 50L && col("n_words") <= 100000L &&
-          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
-          col("symbol_ratio") < 0.1 &&
-          col("frac_bullet_lines") <= 0.9 &&
-          col("frac_ellipsis_lines") <= 0.3 &&
-          col("frac_alpha_words") >= 0.8 &&
-          col("n_stopwords") >= 2L).cast("int"))
+    Seq("n_words" -> nWords, "mean_word_len" -> meanLen,
+      "frac_alpha_words" -> fracAlpha, "symbol_ratio" -> symbolRatio,
+      "n_lines" -> nLines, "frac_bullet_lines" -> fracBullet,
+      "frac_ellipsis_lines" -> fracEllipsis, "n_stopwords" -> nStop)
+  }
+
+  /** The combined Gopher keep verdict over the named feature columns —
+    * identical comparisons in [[gopherRules]] and the fused form.
+    */
+  private def gopherKeepOf(f: String => Column): Column =
+    f("n_words") >= 50L && f("n_words") <= 100000L &&
+      f("mean_word_len") >= 3.0 && f("mean_word_len") <= 10.0 &&
+      f("symbol_ratio") < 0.1 &&
+      f("frac_bullet_lines") <= 0.9 &&
+      f("frac_ellipsis_lines") <= 0.3 &&
+      f("frac_alpha_words") >= 0.8 &&
+      f("n_stopwords") >= 2L
+
+  /** The Gopher keep verdict as ONE per-row boolean Column over a text
+    * Column — the shape the composed release pipeline (Release) fuses
+    * into its survivor projection so the gate costs zero joins.
+    */
+  private[graft] def gopherKeepExpr(text: Column,
+                                    stopwords: Seq[String] =
+                                      Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it"))
+      : Column = {
+    val feats = gopherFeatureExprs(text, stopwords).toMap
+    gopherKeepOf(feats)
+  }
+
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  stopwords: Seq[String] =
+                    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it"))
+      : DataFrame = {
+    val feats = gopherFeatureExprs(col(textCol), stopwords)
+    df.select(col(idCol) +: feats.map { case (n, c) => c.as(n) }: _*)
+      .withColumn("keep", gopherKeepOf(col).cast("int"))
   }
 
   /** Deterministic multi-line fixture for the t30 oracle (C4 is a
@@ -1055,11 +1104,12 @@ object Curation {
     *   - a 3-sentence line for nibble 5 < 12 (without it most pages fall
     *     below the ≥ 3 retained-sentences floor).
     */
-  def plantC4Lines(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val h = md5(col(textCol))
+  /** [[plantC4Lines]] as a per-row Column (see [[plantStructuredText]]). */
+  private[graft] def plantC4Text(text: Column): Column = {
+    val h = md5(text)
     def nib(i: Int): Column = conv(substring(h, i, 1), 16, 10).cast("int")
-    val base = when(nib(1) % 2 === 0, concat(col(textCol), lit(".")))
-      .otherwise(col(textCol))
+    val base = when(nib(1) % 2 === 0, concat(text, lit(".")))
+      .otherwise(text)
     val l1 = concat(lit("\nc4 keeps this sentence about "),
       substring(h, 1, 6), lit(" tokens."))
     val l2 = concat(lit("\n"), substring(h, 7, 4), lit(" short."))
@@ -1074,8 +1124,11 @@ object Curation {
     val l7 = when(nib(5) < 12,
       lit("\nfirst sentence here is fine. second sentence also fine. third sentence ends properly."))
       .otherwise(lit(""))
-    df.select(col(idCol), concat(base, l1, l2, l3, l4, l5, l6, l7).as(textCol))
+    concat(base, l1, l2, l3, l4, l5, l6, l7)
   }
+
+  def plantC4Lines(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), plantC4Text(col(textCol)).as(textCol))
 
   /** C4 heuristic cleaning (t30, Raffel et al. 2020, arXiv:1910.10683
     * §2.2 — the rule set behind the C4 corpus, where [[gopherRules]] is
@@ -1095,8 +1148,11 @@ object Curation {
     * retained text), `has_lorem`, `has_brace`, `clean_len`, `clean_text`
     * (retained lines re-joined), `keep`.
     */
-  def c4Filters(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val lines = split(col(textCol), "\n")
+  /** The C4 per-row feature expressions over a text Column — the single
+    * construction site [[c4Filters]] and [[c4KeepExpr]] share.
+    */
+  private def c4FeatureExprs(text: Column): Seq[(String, Column)] = {
+    val lines = split(text, "\n")
     val kept = filter(lines, l => {
       val t = trim(l)
       t.rlike("[.!?\"]$") &&
@@ -1104,17 +1160,30 @@ object Curation {
         !contains(lower(t), lit("javascript"))
     })
     val cleanText = array_join(kept, "\n")
-    df.select(col(idCol),
-        size(lines).cast("long").as("n_lines"),
-        size(kept).cast("long").as("n_kept"),
-        regexp_count(cleanText, lit("[.!?]")).cast("long").as("n_sentences"),
-        contains(lower(col(textCol)), lit("lorem ipsum")).cast("int").as("has_lorem"),
-        contains(col(textCol), lit("{")).cast("int").as("has_brace"),
-        length(cleanText).cast("long").as("clean_len"),
-        cleanText.as("clean_text"))
-      .withColumn("keep",
-        (col("n_sentences") >= 3L && col("has_lorem") === 0 && col("has_brace") === 0)
-          .cast("int"))
+    Seq("n_lines" -> size(lines).cast("long"),
+      "n_kept" -> size(kept).cast("long"),
+      "n_sentences" -> regexp_count(cleanText, lit("[.!?]")).cast("long"),
+      "has_lorem" -> contains(lower(text), lit("lorem ipsum")).cast("int"),
+      "has_brace" -> contains(text, lit("{")).cast("int"),
+      "clean_len" -> length(cleanText).cast("long"),
+      "clean_text" -> cleanText)
+  }
+
+  private def c4KeepOf(f: String => Column): Column =
+    f("n_sentences") >= 3L && f("has_lorem") === 0 && f("has_brace") === 0
+
+  /** The C4 keep verdict as ONE per-row boolean Column (the composed
+    * release pipeline's fused-gate shape — see [[gopherKeepExpr]]).
+    */
+  private[graft] def c4KeepExpr(text: Column): Column = {
+    val feats = c4FeatureExprs(text).toMap
+    c4KeepOf(feats)
+  }
+
+  def c4Filters(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val feats = c4FeatureExprs(col(textCol))
+    df.select(col(idCol) +: feats.map { case (n, c) => c.as(n) }: _*)
+      .withColumn("keep", c4KeepOf(col).cast("int"))
   }
 
   /** BM25 relevance scores (t28) for a fixed probe-term set — the lexical
@@ -1190,8 +1259,20 @@ object Curation {
       .select(explode(TextOps.tokens(col(textCol))).as("__term"))
       .select(pmod(Dedup.portableHashLo(col("__term")), lit(buckets)).as("__b"))
     def hist(df: DataFrame) = df.groupBy("__b").agg(count(lit(1)).as("__cnt"))
-    val tHist = hist(bucketed(target))
-    val rHist = hist(bucketed(corpus))
+    // The per-doc (id, bucket, tf) relation is tokenized ONCE and
+    // materialized (eager localCheckpoint, ≤ |docs|·distinct-buckets rows
+    // of three integers); the raw corpus histogram is its re-aggregation,
+    // so the corpus pays one tokenize+md5 pass instead of three (rHist,
+    // rTot, and the final scoring scan each re-derived it). The target
+    // histogram is ≤ `buckets` rows — checkpointing it stops its own two
+    // consumers (ratios, tTot) from re-tokenizing the target.
+    val dtf = corpus
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("__term"))
+      .select(col(idCol), pmod(Dedup.portableHashLo(col("__term")), lit(buckets)).as("__b"))
+      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__tf"))
+      .localCheckpoint(true)
+    val tHist = hist(bucketed(target)).localCheckpoint(true)
+    val rHist = dtf.groupBy("__b").agg(sum("__tf").as("__cnt"))
     val tTot  = broadcast(tHist.agg(sum("__cnt").as("__ttot")))
     val rTot  = broadcast(rHist.agg(sum("__cnt").as("__rtot")))
     // ln ratio per OCCURRING bucket (raw count ≥ 1 by construction; the
@@ -1206,9 +1287,7 @@ object Curation {
         log((col("__cnt").cast("double") + 1.0) /
           (col("__rtot").cast("double") + buckets)), 9)
         .cast("decimal(18,9)").as("__lnr")))
-    corpus.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("__term"))
-      .select(col(idCol), pmod(Dedup.portableHashLo(col("__term")), lit(buckets)).as("__b"))
-      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__tf"))
+    dtf
       .join(ratios, "__b")
       .groupBy(col(idCol))
       .agg(sum("__tf").as("n_tokens"),

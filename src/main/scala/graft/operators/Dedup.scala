@@ -375,12 +375,21 @@ object Dedup {
     */
   def hamming64NearDups(df: DataFrame, idCol: String, hashCol: String,
                         maxHamming: Int = 3,
-                        maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame = {
+                        maxBucket: Option[Int] = Some(DefaultMaxBucket),
+                        persistIntermediates: Boolean = true): DataFrame = {
+    // The (id, hash) relation is 16 bytes per row but its UPSTREAM is the
+    // expensive part (the SimHash 64-sum aggregation for d3; a full image
+    // decode per asset for m14's aHash), and the count-gate below has two
+    // consumers — materialize the hashes once (eager localCheckpoint, the
+    // minHashLshNearDups discipline; this is exactly the guide's
+    // "lightweight proxy" relation) so the hash computation never re-runs.
+    val hashed0 = df.filter(col(hashCol).isNotNull)
+      .select(col(idCol).as("__hid"), col(hashCol).as("__hval"))
+    val hashed = if (persistIntermediates) hashed0.localCheckpoint(true) else hashed0
     val chunkVals = array((0 until 4).map(i =>
-      shiftrightunsigned(col(hashCol), 16 * i).bitwiseAND(lit(0xFFFFL))): _*)
-    val chunked = df
-      .filter(col(hashCol).isNotNull)
-      .select(struct(col(idCol).as("id"), col(hashCol).as("h")).as("__doc"),
+      shiftrightunsigned(col("__hval"), 16 * i).bitwiseAND(lit(0xFFFFL))): _*)
+    val chunked = hashed
+      .select(struct(col("__hid").as("id"), col("__hval").as("h")).as("__doc"),
         posexplode(chunkVals).as(Seq("chunk", "chunk_val")))
     val buckets = gatedBuckets(chunked, Seq("chunk", "chunk_val"), col("__doc"), maxBucket)
     buckets.select(explode(orderedPairs(col("__ids"))).as("__p"))
@@ -439,11 +448,23 @@ object Dedup {
     */
   def winnowEdgesFromTokens(df: DataFrame, idCol: String, toksCol: String,
                             shingleSize: Int = 3, window: Int = 4, minShared: Int = 2,
-                            maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame = {
-    val wf = df
+                            maxBucket: Option[Int] = Some(DefaultMaxBucket),
+                            persistIntermediates: Boolean = true): DataFrame = {
+    // Per-doc fingerprint arrays materialize ONCE (the minHashLshNearDups
+    // persistIntermediates discipline — eager localCheckpoint, blocks
+    // ContextCleaner-reclaimed): the count-gate inside gatedBuckets has
+    // two consumers of this relation (the bucket-size count and the
+    // gated rows), and Catalyst re-runs the tokenize→shingle-hash→winnow
+    // chain once per consumer — at 100 TB that is two full corpus passes
+    // where one suffices. Checkpoint payload is one (id, fps) row per doc
+    // (hashes only, ~8 B per fingerprint), the same shape the minHash
+    // per-doc relation persists.
+    val fpArr0 = df
       .select(col(idCol), TextOps.shingleHashArray(col(toksCol), shingleSize).as("__hs"))
       .select(col(idCol),
-        explode(TextOps.winnowedFingerprintsOfHashes(col("__hs"), window)).as("fp"))
+        TextOps.winnowedFingerprintsOfHashes(col("__hs"), window).as("__fps"))
+    val fpArr = if (persistIntermediates) fpArr0.localCheckpoint(true) else fpArr0
+    val wf = fpArr.select(col(idCol), explode(col("__fps")).as("fp"))
     val buckets = gatedBuckets(wf, Seq("fp"), col(idCol), maxBucket)
     buckets.select(explode(orderedPairs(col("__ids"))).as("__p"))
       .select(col("__p.a").as("id_a"), col("__p.b").as("id_b"))
@@ -504,7 +525,18 @@ object Dedup {
       if (integralIds)
         edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       else edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val undBase = sym.union(sym.select(col("dst"), col("src"))).distinct()
+    // Symmetrize IN-ROW (each edge explodes to itself + its reverse), not
+    // via union(sym, sym.swapped): the union form references the edge
+    // subtree twice, and Catalyst expands — not dedupes — shared subtrees,
+    // so the caller's whole candidate pipeline (tokenize → shingle →
+    // bucket → verify at 100 TB) executed twice just to flip two columns.
+    // One explode halves every CC caller's upstream work for free.
+    val undBase = sym
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
+      .distinct()
     // Small-graph fast path: a near-dup edge list is orders of magnitude
     // smaller than its corpus (candidates survive banding AND verification),
     // so it routinely fits the driver even when the corpus is 100 TB. Under
@@ -830,13 +862,23 @@ object Dedup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        shingleSize: Int = 3, minShared: Int = 2,
                        threshold: Double = 0.5,
-                       maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame = {
-    val sh = df
+                       maxBucket: Option[Int] = Some(DefaultMaxBucket),
+                       persistIntermediates: Boolean = true): DataFrame = {
+    // Per-doc DISTINCT shingle-hash arrays, materialized once (the
+    // minHashLshNearDups persistIntermediates discipline). The old shape
+    // exploded and `.distinct()`ed a corpus-sized (id, hash) relation that
+    // three consumers (sizes, the gate count, the gated rows) each
+    // re-derived — three tokenize+md5 corpus passes plus a corpus-wide
+    // distinct SHUFFLE. array_distinct is in-row (set semantics per doc,
+    // identical to the relation-level distinct on (id, hash)), sizes
+    // become a free size() projection, and the shuffle disappears.
+    val sets0 = df
       .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
       .select(col(idCol),
-        explode(TextOps.shingleHashArray(col("__toks"), shingleSize)).as("sh"))
-      .distinct() // set semantics: a repeated shingle counts once
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
+        array_distinct(TextOps.shingleHashArray(col("__toks"), shingleSize)).as("__set"))
+    val sets = if (persistIntermediates) sets0.localCheckpoint(true) else sets0
+    val sh = sets.select(col(idCol), explode(col("__set")).as("sh"))
+    val sizes = sets.select(col(idCol), size(col("__set")).cast("long").as("__sz"))
     val buckets = gatedBuckets(sh, Seq("sh"), col(idCol), maxBucket)
     val shared = buckets
       .select(explode(orderedPairs(col("__ids"))).as("__p"))

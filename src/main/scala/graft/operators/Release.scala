@@ -62,20 +62,23 @@ object Release {
                       nShards: Int = 8, seed: String = "release1"): DataFrame = {
     val id = col(idCol)
 
-    // 1. quality gates. Both batteries are one per-row projection; the
-    // keep sets join back as broadcastable id lists (survivor ids are a
-    // fraction of a corpus that itself aggregated to ids only).
-    val gopherKeep = Curation.gopherRules(
-        Curation.plantStructuredLines(docs, idCol, textCol), idCol, textCol)
-      .filter(col("keep") === 1).select(id)
-    val c4Keep = Curation.c4Filters(
-        Curation.plantC4Lines(docs, idCol, textCol), idCol, textCol)
-      .filter(col("keep") === 1).select(id)
+    // 1. quality gates, FUSED into the corpus scan as one per-row
+    // conjunction: both batteries are pure per-row projections over the
+    // (md5-derived, hence also per-row) planted texts, so the keep
+    // verdicts are Column predicates — no keep-id relation ever exists
+    // and no corpus-sized semi-join runs. The earlier shape computed each
+    // battery as a separate corpus pass and re-attached the ids with two
+    // semi-joins; at 100 TB those are two extra corpus scans plus two
+    // corpus-keyed exchanges for what one projection decides. The
+    // predicates come from the SAME construction sites gopherRules /
+    // c4Filters use (Curation.gopherKeepExpr / c4KeepExpr), so the fused
+    // gate cannot drift from the oracle-checked per-query faces.
     val corpus = docs.filter(col(sourceCol) =!= evalSource)
       .select(id, col(textCol), col(sourceCol), col(qualityCol))
     val survivors = corpus
-      .join(gopherKeep, Seq(idCol), "left_semi")
-      .join(c4Keep, Seq(idCol), "left_semi")
+      .filter(
+        Curation.gopherKeepExpr(Curation.plantStructuredText(col(textCol))) &&
+        Curation.c4KeepExpr(Curation.plantC4Text(col(textCol))))
 
     // 2. canonicalization → working text; tokenize ONCE (the only
     // tokenization site for the working text in the whole DAG). The

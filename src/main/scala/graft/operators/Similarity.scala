@@ -26,12 +26,17 @@ object Similarity {
   def norm2(a: Column): Column =
     aggregate(transform(a, x => x.cast("double") * x.cast("double")), lit(0.0), (acc, v) => acc + v)
 
-  /** Cosine similarity; 0 when either vector has zero norm. */
-  def cosine(a: Column, b: Column): Column = {
-    val d  = dot(a, b)
-    val nn = sqrt(norm2(a)) * sqrt(norm2(b))
-    when(nn === 0.0, 0.0).otherwise(d / nn)
-  }
+  /** Cosine similarity; 0 when either vector has zero norm. Evaluated by
+    * the native codegen'd [[graft.functions.CosineSimExpr]] — the
+    * declarative `when(nn === 0, 0)/otherwise(dot/nn)` HOF chain this
+    * replaces ran interpreted (higher-order functions never enter
+    * whole-stage codegen) and cosine is the per-candidate kernel of the
+    * entire similarity tier. Same arithmetic, branch for branch:
+    * left-to-right double folds, zero-norm → 0.0, length mismatch or
+    * null element → NULL.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSim(a, b)
 
   /** Bounded per-probe top-k — `groupBy(probe_id).agg(CollectTopK)` in
     * place of a `row_number` window. The window form moved the FULL

@@ -125,8 +125,15 @@ object Sketches {
     */
   def hllOverlap(a: DataFrame, b: DataFrame, groupCols: Seq[String],
                  value: Column, m: Int = 1024): DataFrame = {
-    val ra = hllRegisters(a, groupCols, value, m)
-    val rb = hllRegisters(b, groupCols, value, m)
+    // Each register relation has TWO consumers (its own estimate + the
+    // max-merge union), and Catalyst expands shared subtrees, so without
+    // materialization each corpus was scanned-and-hashed TWICE. The
+    // registers are ≤ groups×m rows — an eager localCheckpoint costs one
+    // trivial job and halves the corpus passes from four to two (blocks
+    // are ContextCleaner-reclaimed; the Dedup.minHashLshNearDups
+    // discipline applied to a tiny relation).
+    val ra = hllRegisters(a, groupCols, value, m).localCheckpoint(true)
+    val rb = hllRegisters(b, groupCols, value, m).localCheckpoint(true)
     val merged = ra.unionByName(rb)
       .groupBy(groupCols.head, groupCols.tail :+ "__b": _*)
       .agg(max(col("__r")).as("__r"))

@@ -136,8 +136,12 @@ object TextOps {
   def bpeApplyCounts(docs: DataFrame, idCol: String, textCol: Column,
                      nMerges: Int): DataFrame = {
     val rules = bpeTrain(docs, textCol, nMerges)
+    // materialized: wc feeds BOTH the distinct-word vocab and the final
+    // scoring join — without the checkpoint each consumer re-ran the
+    // tokenize+explode corpus pass (the bigramLogProb discipline)
     val wc = docs.select(col(idCol), explode(tokens(textCol)).as("w"))
       .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val vocab = wc.select("w").distinct()
       .withColumn("syms", expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
     val applied = rules.foldLeft(vocab) { case (v, (_, a, b, _)) =>

@@ -16,11 +16,11 @@ final case class Tables(spark: SparkSession, dir: String) {
 
   def region: DataFrame     = t("region")
   def nation: DataFrame     = t("nation")
-  def customer: DataFrame   = t("customer")
+  def customer: DataFrame   = fannedOut("customer")
   def supplier: DataFrame   = t("supplier")
   def part: DataFrame       = t("part")
-  def orders: DataFrame     = t("orders")
-  def lineitem: DataFrame   = t("lineitem")
+  def orders: DataFrame     = fannedOut("orders")
+  def lineitem: DataFrame   = fannedOut("lineitem")
   /** events.parquet has shipped `ts` in two physical layouts across driver
     * corpus regenerations: parquet TIMESTAMP(NANOS) — which Spark's
     * vectorized reader only loads as a long under the legacy conf — and
@@ -33,28 +33,36 @@ final case class Tables(spark: SparkSession, dir: String) {
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = t("events")
-    df.schema("ts").dataType match {
+    fanned(df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case _ =>
         // TIMESTAMP_NTZ or TIMESTAMP; normalize to the session TimestampType
         // so downstream comparisons/arithmetic behave identically either way.
         df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
-    }
+    })
   }
-  /** documents/embeddings ship as ONE parquet row group, so a plain scan
-    * gives every downstream query a single input partition — all shingle/
-    * hash/signature map work would run on one core before the first
-    * shuffle. A 100 TB corpus arrives in thousands of splits; a ~600 KB
-    * test file does not, so fan the rows out once (a sub-MB round-robin
-    * exchange) and let the heavy map stages use the whole machine.
+  /** The driver tables each ship as ONE parquet row group, so a plain scan
+    * gives every downstream query a single input partition — all map-side
+    * work (shingling, hashing, partial aggregation over lineitem) would
+    * run on one core before the first shuffle. A 100 TB corpus arrives in
+    * thousands of splits; a single-row-group test file does not, so fan
+    * the rows out once (a small round-robin exchange) and let the heavy
+    * map stages use the whole machine. SCALE-ADAPTIVE by construction:
+    * the repartition only fires when the scan has fewer partitions than
+    * the cluster has slots — at production split counts the condition is
+    * false and the plan is untouched (no gratuitous corpus shuffle).
+    * Deterministic filters still push below the repartition to the scan
+    * (PushedFilters is unaffected), so point lookups shuffle ~matching
+    * rows, not the table. Applied to the big relational tables
+    * (lineitem/orders/events/customer) and the corpus tables
+    * (documents/embeddings); the sub-100 KB dimension tables stay direct.
     */
-  private def fannedOut(name: String): DataFrame = {
-    val df = t(name)
+  private def fanned(df: DataFrame): DataFrame =
     if (df.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
       df.repartition(spark.sparkContext.defaultParallelism)
     else df
-  }
+  private def fannedOut(name: String): DataFrame = fanned(t(name))
 
   def documents: DataFrame  = fannedOut("documents")
   def embeddings: DataFrame = fannedOut("embeddings")
