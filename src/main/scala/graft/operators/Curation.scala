@@ -114,8 +114,12 @@ object Curation {
     */
   def characteristicTerms(df: DataFrame, idCol: String, textCol: String,
                           k: Int = 3): DataFrame = {
+    // materialized: tf feeds BOTH the document-frequency rollup and the
+    // ranking join — without the checkpoint each consumer re-ran the
+    // tokenize+explode corpus pass (the bigramLogProb discipline)
     val tf = df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(idCol)
       .orderBy(col("tf").desc, col("df").asc, col("term").asc)
@@ -435,7 +439,10 @@ object Curation {
     val path = regexp_replace(coalesce(parse_url(url, lit("PATH")), lit("")), "/$", "")
     val canon = when(host.isNull || host === "", lit(""))
       .otherwise(concat(lit("https://"), host, path))
-    val docs = df.select(col(idCol), canon.as("canon_url"))
+    // materialized: the canon projection (regex extract + parse_url per
+    // row) has THREE consumers (the group rollup, the join-back, the
+    // singleton branch) — without the checkpoint it ran once per consumer
+    val docs = df.select(col(idCol), canon.as("canon_url")).localCheckpoint(true)
     val withUrl = docs.filter(col("canon_url") =!= "")
     val groups = withUrl.groupBy("canon_url")
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("rep_id"))
@@ -1207,13 +1214,22 @@ object Curation {
                  b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     val toks = df.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+    // materialized (2 longs per doc / probe-filtered rows): lens has two
+    // consumers (the avgdl fold, the scoring join) and tf two (the idf
+    // rollup, the scoring join) — without the checkpoints the corpus was
+    // tokenized four times instead of twice
     val lens = toks.select(col(idCol), size(col("__toks")).cast("long").as("__dl"))
+      .localCheckpoint(true)
     // avgdl as ONE double division of two exact integer aggregates — a
     // float avg() would sum in partition order and could differ from the
     // oracle engine by an ulp that survives the 9-decimal term rounding
     val stats = broadcast(lens.agg(count(lit(1)).as("__n"), sum("__dl").as("__sumdl"))
       .select(col("__n"),
         (col("__sumdl").cast("double") / col("__n").cast("double")).as("__avgdl")))
+    // tf stays UN-materialized deliberately: its probe-set isin filter and
+    // (doc, term) aggregation are plan contracts (PlanContractSpec) that a
+    // checkpoint would hide behind a LocalTableScan; its two consumers
+    // re-tokenize one extra corpus pass, accepted for plan auditability
     val tf = toks
       .select(col(idCol), explode(col("__toks")).as("__term"))
       .filter(col("__term").isin(queryTerms: _*))

@@ -251,10 +251,13 @@ object Dedup {
       .select(col("__vid"),
         array_distinct(transform(TextOps.shinglesOfTokens(col("__toks"), shingleSize),
           g => pmod(portableHashLo(g), lit(MersennePrime)))).as("__set"))
+    // Materialized (one (id, hash-set) row per doc — the minHash per-doc
+    // shape): both join sides consume this plan, and ReuseExchange only
+    // MAY dedupe the exchanges (it cannot when a broadcast side skips the
+    // exchange entirely) — the checkpoint makes the tokenize+md5 pass
+    // run exactly once unconditionally.
     val sized = sets.select(col("__vid"), col("__set"), size(col("__set")).as("__sz"))
-    // Join the SAME `sized` plan for both sides, renaming AFTER each join —
-    // keeps the exchange subtrees canonically equal so the planner MAY
-    // dedupe them (ReuseExchange); pre-renamed copies can never be reused.
+      .localCheckpoint(true)
     pairs
       .join(sized, pairs("id_a") === sized("__vid"))
       .withColumnRenamed("__set", "set_a").withColumnRenamed("__sz", "sz_a").drop("__vid")
@@ -759,7 +762,10 @@ object Dedup {
     */
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,
                  chunkTokens: Int = 16): DataFrame = {
-    val chunks = chunkHashes(df, idCol, textCol, chunkTokens)
+    // materialized: the (id, idx, hash) chunk relation feeds BOTH the
+    // per-doc totals and the first-occurrence rollup — without the
+    // checkpoint each consumer re-ran the tokenize+chunk+md5 corpus pass
+    val chunks = chunkHashes(df, idCol, textCol, chunkTokens).localCheckpoint(true)
     val totals = chunks.groupBy(col(idCol)).agg(count(lit(1)).as("n_chunks"))
     val uniques = chunks
       .groupBy("__h")
@@ -801,6 +807,9 @@ object Dedup {
            |  i -> array_join(slice(__t, i * $chunkTokens + 1, $chunkTokens), ' '))"""
           .stripMargin)).as(Seq("__ci", "__chunk")))
       .withColumn("__h", md5(col("__chunk")))
+      // materialized: feeds BOTH the first-occurrence rollup and the
+      // keep-test join — one tokenize+chunk+md5 pass instead of two
+      .localCheckpoint(true)
     val firsts = chunks
       .groupBy("__h")
       .agg(min(struct(col(idCol).as("i"), col("__ci").as("c"))).as("__first"))
@@ -1047,14 +1056,21 @@ object Dedup {
   def dupSpanCoverage(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 20): DataFrame = {
     require(k > 0, "k must be positive")
-    val grams = df
+    val base = df
       .select(col(idCol), col(textCol).as("__txt"))
       .filter(length(col("__txt")) >= k)
-      .select(col(idCol), posexplode(expr(
-        s"transform(sequence(1, length(__txt) - ${k - 1}), i -> xxhash64(substring(__txt, i, $k)))"))
-        .as(Seq("__pos", "__h")))
-    // cross-doc frequency over per-doc-DISTINCT grams; keep hashes seen in ≥2 docs
-    val shared = grams.select(col(idCol), col("__h")).distinct()
+    val harr =
+      expr(s"transform(sequence(1, length(__txt) - ${k - 1}), i -> xxhash64(substring(__txt, i, $k)))")
+    val grams = base
+      .select(col(idCol), posexplode(harr).as(Seq("__pos", "__h")))
+    // cross-doc frequency over per-doc-DISTINCT grams; keep hashes seen in
+    // ≥2 docs. The per-doc dedup is an IN-ROW array_distinct (identical to
+    // the old relation-level `.distinct()` on (id, hash) — each hash
+    // counts once per doc either way), so the corpus-sized distinct
+    // EXCHANGE this stage used to pay is gone; only the (hash, count)
+    // aggregation shuffles, with map-side combine.
+    val shared = base
+      .select(explode(array_distinct(harr)).as("__h"))
       .groupBy("__h").agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= 2)
       .select("__h")
@@ -1112,9 +1128,13 @@ object Dedup {
                     maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame = {
     require(keyLen > 0 && sliceLen > 0, "keyLen and sliceLen must be positive")
     val nSlices = (keyLen + sliceLen - 1) / sliceLen
+    // materialized (id + ≤keyLen chars per row): the normalized-key
+    // projection (regex per row over the corpus) has three consumers —
+    // the slice blocking and both verify joins — and re-ran per consumer
     val keys = df.select(col(idCol),
       regexp_replace(lower(substring(col(textCol), 1, keyLen)),
         "[^\\x20-\\x7e]", "").as("__key"))
+      .localCheckpoint(true)
     val slices = keys
       .select(col(idCol), posexplode(expr(
         s"transform(sequence(0, ${nSlices - 1}), i -> substring(__key, 1 + i * $sliceLen, $sliceLen))"))

@@ -644,7 +644,11 @@ object Similarity {
       .groupBy("dim", "__b").agg(count(lit(1)).as(tag))
     val r = bucketCounts(ref, "__cr")
     val c = bucketCounts(cur, "__cc")
-    val joined = r.join(c, Seq("dim", "__b"), "full_outer")
+    // materialized: `joined` is ≤ dims×buckets rows but its upstream is
+    // two corpus-wide posexplode aggregations, and it has two consumers
+    // (the grid key list and the grid join) — without the checkpoint both
+    // corpora were bucket-counted twice
+    val joined = r.join(c, Seq("dim", "__b"), "full_outer").localCheckpoint(true)
     val grid = joined.select("dim").distinct()
       .select(col("dim"), explode(sequence(lit(0), lit(nBuckets - 1))).as("__b"))
     val wDim = Window.partitionBy("dim")
@@ -823,10 +827,14 @@ object Similarity {
     val x0 = round(element_at(col(vecCol), 1).cast("double"), 4).cast("decimal(18,4)")
     val ex = df.select(x0.as("__x0"), posexplode(col(vecCol)).as(Seq("dim", "__c")))
       .select(col("dim"), e4.as("__e"), col("__x0"))
-    // pass 1: w = A·e0 (exact) + the trace on the same scan
+    // pass 1: w = A·e0 (exact) + the trace on the same scan. Materialized
+    // (#dims rows): w has two consumers (the norm/trace fold and v1) and
+    // u below likewise two (its norm and the final join) — without the
+    // checkpoints each consumer re-ran its full corpus pass.
     val w = ex.groupBy("dim").agg(
       sum((col("__e") * col("__x0")).cast("decimal(28,8)")).as("__w"),
       sum((col("__e") * col("__e")).cast("decimal(28,8)")).as("__tr_d"))
+      .localCheckpoint(true)
     // narrow the summed (38,8) back to (19,8) before squaring: a
     // (38,8)×(38,8) product exceeds DECIMAL precision and Spark would
     // silently drop scale; |w_d| ≤ n·max|x̂|² keeps (19,8) exact
@@ -871,6 +879,7 @@ object Similarity {
       .agg(sum((e4 * col("__t")).cast("decimal(38,13)")).as("__u_raw"))
       .select(col("dim"),
         round(col("__u_raw").cast("double"), 9).cast("decimal(18,9)").as("__u"))
+      .localCheckpoint(true)
     val un = u.agg(sum((col("__u") * col("__u")).cast("decimal(38,18)")).as("__un2"))
     u.crossJoin(broadcast(un)).join(v1, "dim")
       .select(col("dim"),

@@ -27,7 +27,10 @@ object Sketches {
     */
   private def rho48(h: Column, from: Int): Column = {
     val w    = substring(h, from, 12)
-    val zHex = length(regexp_extract(w, "^(0*)", 1))
+    // leading-zero run length via ltrim (codegen'd charAt loop) instead of
+    // a regexp engine invocation per value — same count by construction:
+    // ltrim(w, "0") strips exactly the leading '0' characters
+    val zHex = lit(12) - length(ltrim(w, "0"))
     val d1   = w.substr(zHex + 1, lit(1))
     val inDigit = when(d1 === "1", 3)
       .when(d1.isin("2", "3"), 2)
@@ -182,8 +185,13 @@ object Sketches {
       conv(substring(md5(concat(row.cast("string"), lit(":"), v)), 1, 5), 16, 10)
         .cast("long") % w
 
+    // materialized: the vocab rollup has THREE consumers (totals, the
+    // cell build, the probe truth lookup) — without the checkpoint each
+    // re-ran the corpus tokenize+count pass; the relation itself is the
+    // distinct-value vocabulary, orders of magnitude under the stream
     val counts = df.select(value.cast("string").as("__v"))
       .groupBy("__v").agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
     val totals = counts.agg(sum(col("__c")).as("__n"))
     val sketch = counts
       .select(explode(array((0 until d).map(j => lit(j.toLong)): _*)).as("__j"),

@@ -16,11 +16,11 @@ final case class Tables(spark: SparkSession, dir: String) {
 
   def region: DataFrame     = t("region")
   def nation: DataFrame     = t("nation")
-  def customer: DataFrame   = fannedOut("customer")
+  def customer: DataFrame   = t("customer")
   def supplier: DataFrame   = t("supplier")
   def part: DataFrame       = t("part")
-  def orders: DataFrame     = fannedOut("orders")
-  def lineitem: DataFrame   = fannedOut("lineitem")
+  def orders: DataFrame     = t("orders")
+  def lineitem: DataFrame   = t("lineitem")
   /** events.parquet has shipped `ts` in two physical layouts across driver
     * corpus regenerations: parquet TIMESTAMP(NANOS) — which Spark's
     * vectorized reader only loads as a long under the legacy conf — and
@@ -33,7 +33,7 @@ final case class Tables(spark: SparkSession, dir: String) {
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = t("events")
-    fanned(df.schema("ts").dataType match {
+    (df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case _ =>
