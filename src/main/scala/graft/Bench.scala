@@ -211,7 +211,11 @@ object Bench {
       val names = sys.env.get("SPARK_GRAFT_BENCH_PRIOR").toSeq ++
         Seq("bench_out.json") ++
         Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-          .map(_.getName).filter(_.matches("BENCH_r\\d+\\.json")).sorted.reverse.toSeq ++
+          .map(_.getName).filter(_.matches("BENCH_r\\d+\\.json"))
+          // numeric round order, not lexicographic: "BENCH_r9" would
+          // outrank "BENCH_r16" under a string sort once rounds pass 9
+          // of a zero-padded era (advisor note, round 16)
+          .sortBy(n => "\\d+".r.findFirstIn(n).fold(0)(_.toInt)).reverse.toSeq ++
         Seq("BENCH_SF1.json") // the sf1 runs' prior (sf-tag-matched below)
       // a prior is comparable only at the same sf AND (when it records
       // one) the same thread count: a local[32] run graded against

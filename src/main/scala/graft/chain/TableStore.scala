@@ -123,7 +123,11 @@ final case class TableStore(spark: SparkSession, root: String,
   // ---- manifest commit mode ----------------------------------------------
   // Layout per table (all hidden — invisible to exists()'s data-file scan
   // and to any Spark listing):
-  //   .gen                marker: ASCII version number N (THE commit point)
+  //   .gen                marker: ASCII "version epoch writerId" — three
+  //                       space-separated tokens; THE commit point. Readers
+  //                       take the FIRST token as the version; the epoch +
+  //                       writerId pair is the writer fence (see
+  //                       WriterSupersededException below)
   //   .manifest.N         immutable: one "<logicalKey>\t<relDir>" line per
   //                       live physical dir; logicalKey is "" (plain),
   //                       "bucket=N" (range tables) or "<partCol>=v"

@@ -751,9 +751,10 @@ object Curation {
     // the doc-distinct relation is an in-row array_distinct (identical to
     // dropDuplicates(id, gh) — one row per doc either way), and the
     // corpus tokenizes exactly once.
-    val ghs = df.select(col(idCol),
-        transform(TextOps.shinglesOfTokens(TextOps.tokens(col(textCol)), n),
-          g => xxhash64(g)).as("__ghs"))
+    val ghs = df
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
+      .select(col(idCol),
+        transform(TextOps.shinglesOfTokens(col("__t"), n), g => xxhash64(g)).as("__ghs"))
       .localCheckpoint(true)
     val boiler = ghs.select(col(idCol), explode(array_distinct(col("__ghs"))).as("gh"))
       .groupBy("gh").agg(count(lit(1)).as("doc_freq"))

@@ -104,10 +104,11 @@ object Dedup {
     */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int, numHashes: Int): DataFrame = {
+    // explode the NATIVE hash array (8-byte rows) instead of shingle
+    // strings re-hashed per row — same pmod(md5-lo) values by construction
     val shingled = df
       .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), explode(TextOps.shinglesOfTokens(col("__toks"), shingleSize)).as("__sh"))
-      .withColumn("__h", pmod(portableHashLo(col("__sh")), lit(MersennePrime)))
+      .select(col(idCol), explode(TextOps.shingleHashArray(col("__toks"), shingleSize)).as("__h"))
     val minExprs = (0 until numHashes).map { i =>
       min(pmod(col("__h") * lit(hashA(i)) + lit(hashB(i)), lit(MersennePrime))).as(s"mh_$i")
     }
@@ -223,9 +224,11 @@ object Dedup {
                           minOverlap: Double = 0.0): DataFrame = {
     def grams(df: DataFrame) = df
       .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), explode(TextOps.shinglesOfTokens(col("__toks"), shingleSize)).as("__sh"))
-      .withColumn("__h", pmod(portableHashLo(col("__sh")), lit(MersennePrime)))
-      .select(col(idCol), col("__h")).distinct()
+      // in-row distinct of the NATIVE hash array: same (id, hash) set as
+      // the old explode-strings→hash→relation-distinct, minus the string
+      // explode and the corpus-wide distinct exchange
+      .select(col(idCol),
+        explode(array_distinct(TextOps.shingleHashArray(col("__toks"), shingleSize))).as("__h"))
     val bench = broadcast(grams(benchmark).select("__h").distinct()
       .withColumn("__hit", lit(1)))
     grams(corpus)
@@ -294,8 +297,7 @@ object Dedup {
                          persistIntermediates: Boolean = true): DataFrame = {
     val shingled = df
       .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), explode(TextOps.shinglesOfTokens(col("__toks"), shingleSize)).as("__sh"))
-      .withColumn("__h", pmod(portableHashLo(col("__sh")), lit(MersennePrime)))
+      .select(col(idCol), explode(TextOps.shingleHashArray(col("__toks"), shingleSize)).as("__h"))
     val aggs = (0 until numHashes).map { i =>
       min(pmod(col("__h") * lit(hashA(i)) + lit(hashB(i)), lit(MersennePrime))).as(s"mh_$i")
     } :+ collect_set(col("__h")).as("__set")
