@@ -103,8 +103,15 @@ object Release {
       .groupBy("__fp").agg(min(id).as(idCol))
       .select(id)
     // materialized: consumed by the clustering label/select pair AND the
-    // canonical semi-join AND the decontamination gram explode
-    val exact = canon.join(exactReps, Seq(idCol), "left_semi").localCheckpoint(true)
+    // canonical semi-join AND the decontamination gram explode. The canon
+    // STRING is dropped before the checkpoint — every stage past the
+    // exact fingerprint consumes the TOKEN ARRAY (clustering,
+    // decontamination) or scalars (n_tokens, the quality column), so
+    // materializing the text again would roughly double the checkpoint's
+    // bytes for nothing.
+    val exact = canon.join(exactReps, Seq(idCol), "left_semi")
+      .select(id, col(sourceCol), col(qualityCol), col("__toks"), col("n_tokens"))
+      .localCheckpoint(true)
 
     // 4. near-dup clustering over the SHARED token arrays; keep the
     // per-cluster canonical (highest n_chars, ties to the lower id)
@@ -125,8 +132,13 @@ object Release {
       .join(broadcast(evalGrams), Seq("__g"), "left_semi")
       .select(id).distinct()
     // materialized: consumed by the mixture aggregation, the shard
-    // window, and the final projection
-    val released = deduped.join(contaminated, Seq(idCol), "left_anti").localCheckpoint(true)
+    // window, and the final projection — all three read only
+    // (id, source, n_tokens), so the checkpoint carries exactly those
+    // three columns (the token arrays are done working after the
+    // decontamination explode above)
+    val released = deduped.join(contaminated, Seq(idCol), "left_anti")
+      .select(id, col(sourceCol), col("n_tokens"))
+      .localCheckpoint(true)
 
     // 6. mixture allocation per stratum from the PRE-COMPUTED n_tokens —
     // the mixture stage never re-tokenizes. One row per source: broadcast.
