@@ -49,7 +49,8 @@ object QProf {
       }
     })
     def reset(): Unit = { jobs.set(0); stages.set(0); tasks.set(0)
-      taskNanos.set(0); shufRead.set(0); shufWrite.set(0); gcMs.set(0) }
+      taskNanos.set(0); shufRead.set(0); shufWrite.set(0); gcMs.set(0)
+      stageDetail.clear() }
 
     val names =
       if (args.length > 1) args.drop(1).toSeq
