@@ -28,6 +28,21 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Sort-based shuffle writer for EVERY shuffle, not just R > 200:
+      // with R = cpus = 32 reduce partitions, every no-map-side-agg
+      // exchange (joins, windows, repartitions, distincts) took the
+      // bypass-merge writer, which opens R files + R compression streams
+      // PER MAP TASK — M×R file opens per exchange of KB-scale data, the
+      // dominant fixed cost this bench measures (round-17 scaling block:
+      // 8 cores beat 32 by 1.8× at sf0.1). The sort writer opens ONE
+      // spill file per map task regardless of R. Scale-neutral by
+      // construction: at production partition counts (R > 200) the bypass
+      // writer is already disqualified and this setting changes nothing —
+      // it only removes the small-R penalty the default threshold (200)
+      // re-introduces on exactly the sub-MB shuffles AQE coalescing
+      // cannot help (the cost is map-side). Measured (round 18, 20-query
+      // subset, ABA): 30.5 / 22.5 / 29.6 s — a 26% subset win.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

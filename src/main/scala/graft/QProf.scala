@@ -20,6 +20,9 @@ object QProf {
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // match Bench's shuffle-writer config so profiles attribute the
+      // same execution the bench times (rationale in Bench.scala)
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .config("spark.ui.enabled", "false")
     sys.env.get("QPROF_CONF").foreach(_.split(',').foreach { kv =>
       val Array(k, v) = kv.split('='); builder.config(k, v)
@@ -67,7 +70,7 @@ object QProf {
       (System.nanoTime() - t0) / 1e9
     }
     run(names.head, warmDir) // session warm
-    println(f"${"query"}%-26s ${"wall"}%7s ${"jobs"}%5s ${"stg"}%4s ${"tasks"}%6s ${"taskT"}%7s ${"gc"}%5s ${"shW"}%8s")
+    println(f"${"query"}%-26s ${"wall"}%7s ${"build"}%6s ${"jobs"}%5s ${"stg"}%4s ${"tasks"}%6s ${"taskT"}%7s ${"gc"}%5s ${"shW"}%8s")
     names.foreach { name =>
       run(name, warmDir) // codegen warm
       Thread.sleep(100)

@@ -170,29 +170,30 @@ object Dedup {
     * `groupBy(key).agg(collect_set(id))`. A naive collect_set materializes
     * the FULL id array per bucket key before any size filter can drop it,
     * so one boilerplate fingerprint shared by 10⁶ docs builds a multi-MB
-    * aggregation buffer on a single reducer — an OOM at corpus scale. Here
-    * the sizes come FIRST as a combine-friendly count (the reducer sees one
-    * partial per map task, never a row list), buckets outside
-    * [2, maxBucket] are dropped, and only the survivors' rows are
-    * semi-joined back and collected — the array build touches nothing a hot
-    * key could inflate. Two shuffles on the same key instead of one; the
-    * rows-side exchange is identical in both and eligible for reuse.
+    * aggregation buffer on a single reducer — an OOM at corpus scale.
+    * [[graft.functions.BoundedSortedSetAgg]] keeps the size gate INSIDE the
+    * aggregation buffer (a bucket past `maxBucket` poisons to a flag and
+    * stops accumulating), so the whole gate+collect is ONE aggregation:
+    * one Exchange on the bucket key where the previous shape (combine-
+    * friendly count → [2, maxBucket] filter → left-semi join back →
+    * collect_set over the survivors) paid two Exchanges plus a join for
+    * identical output. maxBucket = None keeps the historical exact
+    * contract: no size cap (count > 1 still applies), and — as before —
+    * no memory bound on a pathological bucket.
     *
     * Contract: `rows` must be DISTINCT per (keyCols, payload) — every
     * caller here guarantees it (posexplode emits each id once per band/
     * chunk, the winnow/shingle relations are array_distinct/.distinct()) —
-    * so count(*) equals the collected set size exactly.
+    * so the historical count(*) gate and this distinct-set size gate agree
+    * exactly.
     */
   private def gatedBuckets(rows: DataFrame, keyCols: Seq[String],
                            payload: Column, maxBucket: Option[Int]): DataFrame = {
     val keys = keyCols.map(col)
-    val eligible = rows.groupBy(keys: _*).agg(count(lit(1)).as("__cnt"))
-      .filter(col("__cnt") > 1 &&
-        maxBucket.fold(lit(true))(m => col("__cnt") <= m))
-      .select(keys: _*)
-    rows.join(eligible, keyCols, "left_semi")
-      .groupBy(keys: _*)
-      .agg(sort_array(collect_set(payload)).as("__ids"))
+    rows.groupBy(keys: _*)
+      .agg(graft.functions.BoundedSortedSetAgg(
+        payload, 2, maxBucket.getOrElse(Int.MaxValue)).as("__ids"))
+      .filter(col("__ids").isNotNull)
   }
 
   /** Candidate pairs from shared LSH buckets: count-gate the bucket key
@@ -536,12 +537,21 @@ object Dedup {
     // so the caller's whole candidate pipeline (tokenize → shingle →
     // bucket → verify at 100 TB) executed twice just to flip two columns.
     // One explode halves every CC caller's upstream work for free.
+    // NO .distinct() here: every caller feeds edges that are already
+    // distinct (a,b) pairs (winnow/candidate pairs come out of a groupBy
+    // or an explicit .distinct()), so the symmetrized explode is distinct
+    // by construction and a corpus-keyed distinct Exchange would be pure
+    // overhead on the driver fast path below (its limit-probed collect
+    // then runs with NO shuffle at all). Duplicate edges would anyway be
+    // harmless to both paths — union-find and min-label are idempotent in
+    // edge multiplicity — they only inflate the probe volume, so the
+    // distributed path (which iterates joins over the edge list) still
+    // dedupes before checkpointing.
     val undBase = sym
       .select(explode(array(
         struct(col("src"), col("dst")),
         struct(col("dst").as("src"), col("src").as("dst")))).as("__e"))
       .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
-      .distinct()
     // Small-graph fast path: a near-dup edge list is orders of magnitude
     // smaller than its corpus (candidates survive banding AND verification),
     // so it routinely fits the driver even when the corpus is 100 TB. Under
@@ -582,7 +592,7 @@ object Dedup {
       return parent.keySet().asScala.toSeq.map(_.longValue).sorted
         .map(k => (k, find(k))).toDF("id", "label")
     }
-    val und = undBase.localCheckpoint(true)
+    val und = undBase.distinct().localCheckpoint(true)
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(true)
     var changed = 1L
@@ -793,8 +803,15 @@ object Dedup {
     * hash aggregation as [[chunkDedup]] (one row per distinct hash on the
     * build side), the keep test is a hash equi-join of the chunk relation
     * against it (each hash appears once on the build side — no quadratic
-    * bucket even under billion-fold repetition), and the per-doc
-    * reassembly is a bounded `collect_list` (≤ the doc's own chunks).
+    * bucket even under billion-fold repetition), and the per-doc keep
+    * DECISION aggregates to a bounded int array (≤ the doc's own chunk
+    * count). The chunk TEXT never enters the materialized relation, any
+    * exchange, or any aggregation buffer: the decision pass works on
+    * (id, idx, hash) rows only (§"shuffle keys, not payloads"), and the
+    * cleaned text re-derives IN-ROW by re-slicing the doc's token array
+    * against the kept indexes — one more corpus text scan in exchange for
+    * corpus-width strings staying out of executor-storage checkpoints and
+    * out of two corpus-keyed shuffles.
     *
     * Output: (id, n_chunks, n_kept, clean_text) — docs whose every chunk
     * is a duplicate keep an EMPTY clean_text row (counted, not dropped).
@@ -802,29 +819,28 @@ object Dedup {
   def chunkClean(df: DataFrame, idCol: String, textCol: String,
                  chunkTokens: Int = 16): DataFrame = {
     require(chunkTokens > 0, "chunkTokens must be positive")
-    val chunks = df.select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
-      .filter(size(col("__t")) >= 1)
-      .select(col(idCol), posexplode(expr(
-        s"""transform(sequence(0, CAST((size(__t) - 1) DIV $chunkTokens AS INT)),
-           |  i -> array_join(slice(__t, i * $chunkTokens + 1, $chunkTokens), ' '))"""
-          .stripMargin)).as(Seq("__ci", "__chunk")))
-      .withColumn("__h", md5(col("__chunk")))
-      // materialized: feeds BOTH the first-occurrence rollup and the
-      // keep-test join — one tokenize+chunk+md5 pass instead of two
-      .localCheckpoint(true)
+    // materialized: feeds BOTH the first-occurrence rollup and the
+    // keep-test join — one tokenize+chunk+md5 pass instead of two. The
+    // payload is hashes and ints ONLY (no chunk strings — see scaladoc).
+    val chunks = chunkHashes(df, idCol, textCol, chunkTokens).localCheckpoint(true)
     val firsts = chunks
       .groupBy("__h")
       .agg(min(struct(col(idCol).as("i"), col("__ci").as("c"))).as("__first"))
-    chunks.join(firsts, Seq("__h"))
+    val kept = chunks.join(firsts, Seq("__h"))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_chunks"),
-        sum(when(col("__first.i") === col(idCol) && col("__first.c") === col("__ci"), 1L)
-          .otherwise(0L)).as("n_kept"),
-        array_join(transform(sort_array(collect_list(
+        sort_array(collect_list(
           when(col("__first.i") === col(idCol) && col("__first.c") === col("__ci"),
-            struct(col("__ci").as("ci"), col("__chunk").as("chunk"))))),
-          s => s.getField("chunk")), " ").as("clean_text"))
+            col("__ci")))).as("__keep"))
+    df.select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= 1)
+      .join(kept, Seq(idCol))
+      .select(col(idCol), col("n_chunks"),
+        size(col("__keep")).cast("long").as("n_kept"),
+        array_join(transform(col("__keep"), ci =>
+          array_join(slice(col("__t"), ci * lit(chunkTokens) + lit(1), lit(chunkTokens)), " ")),
+          " ").as("clean_text"))
   }
 
   /** Canonical-representative selection — the step AFTER clustering that
@@ -980,45 +996,62 @@ object Dedup {
     * t7's repetition ratios see token-level repetition rates; this sees
     * exactly WHERE and HOW MUCH of the byte stream is literal re-run.
     *
-    * Scale shape: first occurrence is a min-position window over
-    * (doc, gram-hash) — partitioned by doc, so it's doc-local work sharing
-    * the same doc-keyed shuffle as the islands stage, never a corpus-global
-    * relation; a gram repeated across a billion docs costs nothing here
-    * (that's d15's job). Repeat positions then merge via the same
-    * single-sort gaps-and-islands as d15.
+    * Scale shape: the metric is doc-local end to end, so it computes
+    * IN-ROW over the per-doc gram array — zero shuffles, O(docs) rows, a
+    * pure map over the corpus scan; a gram repeated across a billion docs
+    * costs nothing here (that's d15's job). First occurrence falls out of
+    * one in-row lexicographic (hash, pos) sort; the repeat spans merge via
+    * the same gaps-and-islands arithmetic as d15, as a left-to-right fold.
     *
     * Output: (id, n_repeat_grams, covered_chars, self_rep_fraction).
     */
   def selfRepetitionCoverage(df: DataFrame, idCol: String, textCol: String,
                              k: Int = 20): DataFrame = {
     require(k > 0, "k must be positive")
-    val grams = df
-      .select(col(idCol), col(textCol).as("__txt"))
-      .filter(length(col("__txt")) >= k)
-      .select(col(idCol), posexplode(expr(
-        s"transform(sequence(1, length(__txt) - ${k - 1}), i -> xxhash64(substring(__txt, i, $k)))"))
-        .as(Seq("__pos", "__h")))
-    // a repeat = any position after the gram's first occurrence in THIS doc
-    val wFirst = Window.partitionBy(col(idCol), col("__h"))
-    val hits = grams
-      .withColumn("__minpos", min(col("__pos")).over(wFirst))
-      .filter(col("__pos") > col("__minpos"))
-      .select(col(idCol), col("__pos"), (col("__pos") + k).as("__end"))
-    val wOrd    = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
-    val prevMax = max(col("__end")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
-    val perDoc = hits
-      .withColumn("__brk", when(prevMax.isNull || col("__pos") > prevMax, 1L).otherwise(0L))
-      .withColumn("__isl", sum(col("__brk")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col(idCol), col("__isl"))
-      .agg(count(lit(1)).as("__n"), (max(col("__end")) - min(col("__pos"))).as("__extent"))
-      .groupBy(col(idCol))
-      .agg(sum(col("__n")).as("n_repeat_grams"), sum(col("__extent")).as("covered_chars"))
-    df.select(col(idCol), length(col(textCol)).cast("long").as("__len"))
-      .join(perDoc, Seq(idCol), "left")
+    // Fully IN-ROW: the whole metric is doc-local (d15 owns the cross-doc
+    // face), so nothing here ever needs a shuffle — the previous shape
+    // exploded every char position into a row and paid two doc-keyed
+    // window Exchanges + sorts + a rejoin for what one projection over the
+    // per-doc gram array computes. Zero Exchanges, O(docs) rows end to end.
+    //   1. (hash, pos) structs per position, sorted lexicographically —
+    //      within one hash's run the FIRST element is its min position;
+    //   2. repeats = every element equal in hash to its predecessor in
+    //      that sort (≡ pos > min pos of its (doc, hash) group);
+    //   3. the repeat positions re-sort ascending and the gaps-and-islands
+    //      merge of [pos, pos+k) spans is one left-to-right fold:
+    //      covered += island extent whenever a gap closes an island.
+    // Identical arithmetic to the exploded/window form, branch for branch
+    // (extent = running-max end − island start; a doc below length k, or
+    // with no repeats, reports zeros via the CASE/empty-fold path).
+    val grams = // guarded: sequence(1, negative) would DESCEND (step −1)
+      s"""CASE WHEN length(__txt) >= $k THEN
+         |  array_sort(transform(sequence(1, length(__txt) - ${k - 1}),
+         |    i -> named_struct('h', xxhash64(substring(__txt, i, $k)), 'p', i)))
+         |ELSE CAST(array() AS ARRAY<STRUCT<h: BIGINT, p: INT>>) END""".stripMargin
+    val repeats = // positions whose gram already occurred earlier in the doc
+      s"""array_sort(transform(
+         |  filter(__srt, (x, i) -> i > 0 AND x.h = element_at(__srt, i).h),
+         |  x -> x.p))""".stripMargin
+    val covered = // gaps-and-islands fold over the ascending repeat positions
+      s"""aggregate(__rep,
+         |  named_struct('st', -1, 'en', -1, 'cov', CAST(0 AS BIGINT)),
+         |  (a, p) -> CASE
+         |    WHEN a.st = -1 THEN named_struct('st', p, 'en', p + $k, 'cov', a.cov)
+         |    WHEN p > a.en  THEN named_struct('st', p, 'en', p + $k,
+         |                          'cov', a.cov + CAST(a.en - a.st AS BIGINT))
+         |    ELSE named_struct('st', a.st, 'en', greatest(a.en, p + $k), 'cov', a.cov)
+         |  END,
+         |  a -> CASE WHEN a.st = -1 THEN CAST(0 AS BIGINT)
+         |            ELSE a.cov + CAST(a.en - a.st AS BIGINT) END)""".stripMargin
+    df.select(col(idCol), col(textCol).as("__txt"))
+      .withColumn("__srt", expr(grams))
+      .withColumn("__rep", expr(repeats))
       .select(col(idCol),
-        coalesce(col("n_repeat_grams"), lit(0L)).as("n_repeat_grams"),
-        coalesce(col("covered_chars"), lit(0L)).as("covered_chars"),
-        round(coalesce(col("covered_chars"), lit(0L)).cast("double") /
+        size(col("__rep")).cast("long").as("n_repeat_grams"),
+        expr(covered).as("covered_chars"),
+        length(col("__txt")).cast("long").as("__len"))
+      .select(col(idCol), col("n_repeat_grams"), col("covered_chars"),
+        round(col("covered_chars").cast("double") /
           greatest(col("__len"), lit(1L)).cast("double"), 6).as("self_rep_fraction"))
   }
 

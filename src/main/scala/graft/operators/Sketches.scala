@@ -22,8 +22,8 @@ object Sketches {
   /** Rank of the first set bit (ρ) over a 48-bit window taken from hex
     * chars [from, from+12) of an md5 digest column: 1 + the number of
     * leading zero BITS, 49 when the whole window is zero. Pure string +
-    * CASE math (leading-zero hex run via regexp, a 4-way lookup inside the
-    * first non-zero digit), identical in the SQL oracle.
+    * CASE math (leading-zero hex run via ltrim length arithmetic, a 4-way
+    * lookup inside the first non-zero digit), identical in the SQL oracle.
     */
   private def rho48(h: Column, from: Int): Column = {
     val w    = substring(h, from, 12)

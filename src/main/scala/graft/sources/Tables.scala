@@ -54,9 +54,11 @@ final case class Tables(spark: SparkSession, dir: String) {
     * false and the plan is untouched (no gratuitous corpus shuffle).
     * Deterministic filters still push below the repartition to the scan
     * (PushedFilters is unaffected), so point lookups shuffle ~matching
-    * rows, not the table. Applied to the big relational tables
-    * (lineitem/orders/events/customer) and the corpus tables
-    * (documents/embeddings); the sub-100 KB dimension tables stay direct.
+    * rows, not the table. Applied to the CORPUS tables only
+    * (documents/embeddings — heavy per-row work downstream); extending it
+    * to the relational tables (lineitem/orders/events/customer) was
+    * measured in round 17 and REJECTED — the round-robin exchange's fixed
+    * cost exceeded the single-thread scan savings on all but one query.
     */
   private def fanned(df: DataFrame): DataFrame =
     if (df.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
