@@ -73,6 +73,22 @@ object KernelBench {
     println(s"cosine pairs: ${pairs.count()}")
     time("cosine NATIVE")(pairs.select(sum(graft.functions.CosineSim(col("va"), col("vb")))))
     time("cosine declarative")(pairs.select(sum(refCos(col("va"), col("vb")))))
+
+    // MinHash signature agreement (StreamingDedup's per-candidate kernel):
+    // native SigEqCount vs the aggregate/zip_with HOF chain it replaced
+    val sigs = Dedup.minHashSignatureArray(docs, "doc_id", "text", 3, 64)
+      .localCheckpoint(true)
+    val sigPairs = sigs.select(col("doc_id").as("ia"), col("sig").as("sa"))
+      .join(sigs.select(col("doc_id").as("ib"), col("sig").as("sb")),
+        expr("ib between ia - 8 and ia + 8 and ia <> ib"))
+      .localCheckpoint(true)
+    def refSigAgree(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      round(aggregate(zip_with(a, b, (x, y) => when(x === y, 1L).otherwise(0L)),
+        lit(0L), _ + _).cast("double") / 64, 6)
+    println(s"sig pairs: ${sigPairs.count()}")
+    time("sigAgreement NATIVE")(sigPairs.select(
+      sum(round(graft.functions.SigEqCount(col("sa"), col("sb")).cast("double") / 64, 6))))
+    time("sigAgreement declarative")(sigPairs.select(sum(refSigAgree(col("sa"), col("sb")))))
     spark.stop()
   }
 }

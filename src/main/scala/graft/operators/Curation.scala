@@ -113,13 +113,18 @@ object Curation {
     * cut saves when groups are small and group count is huge.
     */
   def characteristicTerms(df: DataFrame, idCol: String, textCol: String,
-                          k: Int = 3): DataFrame = {
+                          k: Int = 3,
+                          persistIntermediates: Boolean = true): DataFrame = {
     // materialized: tf feeds BOTH the document-frequency rollup and the
     // ranking join — without the checkpoint each consumer re-ran the
-    // tokenize+explode corpus pass (the bigramLogProb discipline)
-    val tf = df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("term"))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+    // tokenize+explode corpus pass (the bigramLogProb discipline).
+    // persistIntermediates=false keeps lazy fault-tolerant lineage; the
+    // size valve inside pivot() skips materialization past the byte
+    // threshold either way (Materialize scaladoc).
+    val tf = Materialize.pivot(
+      df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("term"))
+        .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf")),
+      persistIntermediates)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(idCol)
       .orderBy(col("tf").desc, col("df").asc, col("term").asc)
@@ -432,7 +437,8 @@ object Curation {
     *
     * Output: (id, canon_url, n_docs, rep_id, is_canonical).
     */
-  def canonicalUrlDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def canonicalUrlDedup(df: DataFrame, idCol: String, textCol: String,
+                        persistIntermediates: Boolean = true): DataFrame = {
     // (?i): crawl data writes schemes in any case (HTTPS://…)
     val url  = regexp_extract(col(textCol), "(?i)https?://[^\\s]+", 0)
     val host = lower(parse_url(url, lit("HOST")))
@@ -442,7 +448,8 @@ object Curation {
     // materialized: the canon projection (regex extract + parse_url per
     // row) has THREE consumers (the group rollup, the join-back, the
     // singleton branch) — without the checkpoint it ran once per consumer
-    val docs = df.select(col(idCol), canon.as("canon_url")).localCheckpoint(true)
+    val docs = Materialize.pivot(
+      df.select(col(idCol), canon.as("canon_url")), persistIntermediates)
     val withUrl = docs.filter(col("canon_url") =!= "")
     val groups = withUrl.groupBy("canon_url")
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("rep_id"))
@@ -515,13 +522,15 @@ object Curation {
     * engines disagree there by one ulp of the rounding scale — the
     * consumer divides in whatever precision domain it ranks in.
     */
-  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String,
+                     persistIntermediates: Boolean = true): DataFrame = {
     // materialized: the tf relation feeds BOTH the vocabulary rollup and
     // the scoring join — without the checkpoint each consumer re-ran the
     // tokenize+explode corpus pass (the bigramLogProb discipline)
-    val tf = df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("term"))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+    val tf = Materialize.pivot(
+      df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("term"))
+        .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf")),
+      persistIntermediates)
     val vocab = tf.groupBy("term").agg(sum("tf").as("__cnt"))
     val total = vocab.agg(sum("__cnt").as("__total"))
     // operand precisions stay small (18,9)×(10,0) → decimal(29,9): a wider
@@ -555,11 +564,13 @@ object Curation {
     * merges two grams' counts; absent at test scale (the oracle agrees),
     * negligible bias at corpus scale, same tradeoff as [[Dedup.dupSpanCoverage]].
     */
-  def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
+                    persistIntermediates: Boolean = true): DataFrame = {
     // checkpointed: `toked` feeds BOTH the bigram and the unigram scans —
     // without it each consumer re-runs the tokenization over the corpus
-    val toked = df.select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
-      .localCheckpoint(true)
+    val toked = Materialize.pivot(
+      df.select(col(idCol), TextOps.tokens(col(textCol)).as("__t")),
+      persistIntermediates)
     // (bigram hash, context-word hash) pairs — hashed in the scan, before
     // any shuffle; ctxh rides along (it is a function of bgh) so the
     // context join needs no string split downstream
@@ -571,11 +582,11 @@ object Curation {
           xxhash64(w).as("ctxh")))).as("__b"))
       .groupBy(col(idCol), col("__b.bgh").as("bgh"), col("__b.ctxh").as("ctxh"))
       .agg(count(lit(1)).as("tf"))
-      // materialized: bg feeds BOTH the bigram-count rollup and the
-      // scoring join — without this each consumer re-ran the bigram
-      // explode+aggregate over the (checkpointed) token arrays
-      .localCheckpoint(true)
-    val c2 = bg.groupBy("bgh").agg(sum("tf").as("__c2"))
+    // materialized: bg feeds BOTH the bigram-count rollup and the
+    // scoring join — without this each consumer re-ran the bigram
+    // explode+aggregate over the (checkpointed) token arrays
+    val bgM = Materialize.pivot(bg, persistIntermediates)
+    val c2 = bgM.groupBy("bgh").agg(sum("tf").as("__c2"))
     val uni = toked.select(explode(col("__t")).as("w"))
       .groupBy(xxhash64(col("w")).as("ctxh")).agg(count(lit(1)).as("__c1"))
     val vocab = uni.agg(count(lit(1)).as("__v"))
@@ -583,7 +594,7 @@ object Curation {
         (col("__c2").cast("double") + 1.0) /
           (col("__c1").cast("double") + col("__v").cast("double"))), 9)
       .cast("decimal(18,9)")
-    val scored = bg.join(c2, "bgh")
+    val scored = bgM.join(c2, "bgh")
       .join(uni, "ctxh")
       .crossJoin(broadcast(vocab))
       .groupBy(col(idCol))
@@ -741,7 +752,8 @@ object Curation {
     * negligible at corpus scale — see [[Dedup.dupSpanCoverage]]).
     */
   def boilerplateNgrams(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, minDocs: Int = 3): DataFrame = {
+                        n: Int = 3, minDocs: Int = 3,
+                        persistIntermediates: Boolean = true): DataFrame = {
     require(n >= 1 && minDocs >= 2, "n ≥ 1; boilerplate needs ≥ 2 docs")
     // Per-doc gram-hash ARRAYS, materialized once (the minHashLshNearDups
     // persistIntermediates discipline): the exploded gram relation had
@@ -751,11 +763,11 @@ object Curation {
     // the doc-distinct relation is an in-row array_distinct (identical to
     // dropDuplicates(id, gh) — one row per doc either way), and the
     // corpus tokenizes exactly once.
-    val ghs = df
-      .select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
-      .select(col(idCol),
-        transform(TextOps.shinglesOfTokens(col("__t"), n), g => xxhash64(g)).as("__ghs"))
-      .localCheckpoint(true)
+    val ghs = Materialize.pivot(
+      df.select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
+        .select(col(idCol),
+          transform(TextOps.shinglesOfTokens(col("__t"), n), g => xxhash64(g)).as("__ghs")),
+      persistIntermediates)
     val boiler = ghs.select(col(idCol), explode(array_distinct(col("__ghs"))).as("gh"))
       .groupBy("gh").agg(count(lit(1)).as("doc_freq"))
       .filter(col("doc_freq") >= minDocs).select("gh")
@@ -1212,15 +1224,17 @@ object Curation {
     */
   def bm25Scores(df: DataFrame, idCol: String, textCol: String,
                  queryTerms: Seq[String], k1: Double = 1.2,
-                 b: Double = 0.75): DataFrame = {
+                 b: Double = 0.75,
+                 persistIntermediates: Boolean = true): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     val toks = df.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
     // materialized (2 longs per doc / probe-filtered rows): lens has two
     // consumers (the avgdl fold, the scoring join) and tf two (the idf
     // rollup, the scoring join) — without the checkpoints the corpus was
     // tokenized four times instead of twice
-    val lens = toks.select(col(idCol), size(col("__toks")).cast("long").as("__dl"))
-      .localCheckpoint(true)
+    val lens = Materialize.pivot(
+      toks.select(col(idCol), size(col("__toks")).cast("long").as("__dl")),
+      persistIntermediates)
     // avgdl as ONE double division of two exact integer aggregates — a
     // float avg() would sum in partition order and could differ from the
     // oracle engine by an ulp that survives the 9-decimal term rounding
@@ -1270,7 +1284,8 @@ object Curation {
     * order-independent). Totals ride one-row broadcasts.
     */
   def dsirWeights(corpus: DataFrame, target: DataFrame, idCol: String,
-                  textCol: String, buckets: Int = 1024): DataFrame = {
+                  textCol: String, buckets: Int = 1024,
+                  persistIntermediates: Boolean = true): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     def bucketed(df: DataFrame) = df
       .select(explode(TextOps.tokens(col(textCol))).as("__term"))
@@ -1283,12 +1298,12 @@ object Curation {
     // rTot, and the final scoring scan each re-derived it). The target
     // histogram is ≤ `buckets` rows — checkpointing it stops its own two
     // consumers (ratios, tTot) from re-tokenizing the target.
-    val dtf = corpus
+    val dtf = Materialize.pivot(corpus
       .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("__term"))
       .select(col(idCol), pmod(Dedup.portableHashLo(col("__term")), lit(buckets)).as("__b"))
-      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__tf"))
-      .localCheckpoint(true)
-    val tHist = hist(bucketed(target)).localCheckpoint(true)
+      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__tf")),
+      persistIntermediates)
+    val tHist = Materialize.pivot(hist(bucketed(target)), persistIntermediates)
     val rHist = dtf.groupBy("__b").agg(sum("__tf").as("__cnt"))
     val tTot  = broadcast(tHist.agg(sum("__cnt").as("__ttot")))
     val rTot  = broadcast(rHist.agg(sum("__cnt").as("__rtot")))

@@ -249,7 +249,8 @@ object Dedup {
     * deterministic and mirrored by the SQL oracle (same md5 construction).
     */
   def verifyJaccard(df: DataFrame, pairs: DataFrame, idCol: String, textCol: String,
-                    shingleSize: Int): DataFrame = {
+                    shingleSize: Int,
+                    persistIntermediates: Boolean = true): DataFrame = {
     val sets = df
       .select(col(idCol).as("__vid"), TextOps.tokens(col(textCol)).as("__toks"))
       .select(col("__vid"),
@@ -260,8 +261,9 @@ object Dedup {
     // MAY dedupe the exchanges (it cannot when a broadcast side skips the
     // exchange entirely) — the checkpoint makes the tokenize+md5 pass
     // run exactly once unconditionally.
-    val sized = sets.select(col("__vid"), col("__set"), size(col("__set")).as("__sz"))
-      .localCheckpoint(true)
+    val sized = Materialize.pivot(
+      sets.select(col("__vid"), col("__set"), size(col("__set")).as("__sz")),
+      persistIntermediates)
     pairs
       .join(sized, pairs("id_a") === sized("__vid"))
       .withColumnRenamed("__set", "set_a").withColumnRenamed("__sz", "sz_a").drop("__vid")
@@ -302,10 +304,9 @@ object Dedup {
     val aggs = (0 until numHashes).map { i =>
       min(pmod(col("__h") * lit(hashA(i)) + lit(hashB(i)), lit(MersennePrime))).as(s"mh_$i")
     } :+ collect_set(col("__h")).as("__set")
-    val perDoc0 = shingled.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-    val perDoc =
-      if (persistIntermediates) perDoc0.localCheckpoint(true)
-      else perDoc0
+    val perDoc = Materialize.pivot(
+      shingled.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*),
+      persistIntermediates)
 
     val sigs  = perDoc.select(col(idCol),
       array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("sig"))
@@ -389,9 +390,10 @@ object Dedup {
     // consumers — materialize the hashes once (eager localCheckpoint, the
     // minHashLshNearDups discipline; this is exactly the guide's
     // "lightweight proxy" relation) so the hash computation never re-runs.
-    val hashed0 = df.filter(col(hashCol).isNotNull)
-      .select(col(idCol).as("__hid"), col(hashCol).as("__hval"))
-    val hashed = if (persistIntermediates) hashed0.localCheckpoint(true) else hashed0
+    val hashed = Materialize.pivot(
+      df.filter(col(hashCol).isNotNull)
+        .select(col(idCol).as("__hid"), col(hashCol).as("__hval")),
+      persistIntermediates)
     val chunkVals = array((0 until 4).map(i =>
       shiftrightunsigned(col("__hval"), 16 * i).bitwiseAND(lit(0xFFFFL))): _*)
     val chunked = hashed
@@ -465,11 +467,11 @@ object Dedup {
     // where one suffices. Checkpoint payload is one (id, fps) row per doc
     // (hashes only, ~8 B per fingerprint), the same shape the minHash
     // per-doc relation persists.
-    val fpArr0 = df
+    val fpArr = Materialize.pivot(df
       .select(col(idCol), TextOps.shingleHashArray(col(toksCol), shingleSize).as("__hs"))
       .select(col(idCol),
-        TextOps.winnowedFingerprintsOfHashes(col("__hs"), window).as("__fps"))
-    val fpArr = if (persistIntermediates) fpArr0.localCheckpoint(true) else fpArr0
+        TextOps.winnowedFingerprintsOfHashes(col("__hs"), window).as("__fps")),
+      persistIntermediates)
     val wf = fpArr.select(col(idCol), explode(col("__fps")).as("fp"))
     val buckets = gatedBuckets(wf, Seq("fp"), col(idCol), maxBucket)
     buckets.select(explode(orderedPairs(col("__ids"))).as("__p"))
@@ -776,8 +778,11 @@ object Dedup {
                  chunkTokens: Int = 16): DataFrame = {
     // materialized: the (id, idx, hash) chunk relation feeds BOTH the
     // per-doc totals and the first-occurrence rollup — without the
-    // checkpoint each consumer re-ran the tokenize+chunk+md5 corpus pass
-    val chunks = chunkHashes(df, idCol, textCol, chunkTokens).localCheckpoint(true)
+    // checkpoint each consumer re-ran the tokenize+chunk+md5 corpus pass.
+    // Size-valved (Materialize.pivot): past the byte threshold the plan
+    // stays lazy instead of writing a corpus-rows relation to
+    // non-replayable executor storage.
+    val chunks = Materialize.pivot(chunkHashes(df, idCol, textCol, chunkTokens))
     val totals = chunks.groupBy(col(idCol)).agg(count(lit(1)).as("n_chunks"))
     val uniques = chunks
       .groupBy("__h")
@@ -821,8 +826,9 @@ object Dedup {
     require(chunkTokens > 0, "chunkTokens must be positive")
     // materialized: feeds BOTH the first-occurrence rollup and the
     // keep-test join — one tokenize+chunk+md5 pass instead of two. The
-    // payload is hashes and ints ONLY (no chunk strings — see scaladoc).
-    val chunks = chunkHashes(df, idCol, textCol, chunkTokens).localCheckpoint(true)
+    // payload is hashes and ints ONLY (no chunk strings — see scaladoc),
+    // and size-valved like chunkDedup's.
+    val chunks = Materialize.pivot(chunkHashes(df, idCol, textCol, chunkTokens))
     val firsts = chunks
       .groupBy("__h")
       .agg(min(struct(col(idCol).as("i"), col("__ci").as("c"))).as("__first"))
@@ -899,11 +905,11 @@ object Dedup {
     // distinct SHUFFLE. array_distinct is in-row (set semantics per doc,
     // identical to the relation-level distinct on (id, hash)), sizes
     // become a free size() projection, and the shuffle disappears.
-    val sets0 = df
+    val sets = Materialize.pivot(df
       .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
       .select(col(idCol),
-        array_distinct(TextOps.shingleHashArray(col("__toks"), shingleSize)).as("__set"))
-    val sets = if (persistIntermediates) sets0.localCheckpoint(true) else sets0
+        array_distinct(TextOps.shingleHashArray(col("__toks"), shingleSize)).as("__set")),
+      persistIntermediates)
     val sh = sets.select(col(idCol), explode(col("__set")).as("sh"))
     val sizes = sets.select(col(idCol), size(col("__set")).cast("long").as("__sz"))
     val buckets = gatedBuckets(sh, Seq("sh"), col(idCol), maxBucket)
@@ -956,13 +962,16 @@ object Dedup {
     */
   def semanticDedup(df: DataFrame, centroids: DataFrame,
                     idCol: String, vecCol: String, tau: Double,
-                    maxCell: Option[Int] = Some(DefaultMaxCell)): DataFrame = {
+                    maxCell: Option[Int] = Some(DefaultMaxCell),
+                    persistIntermediates: Boolean = true): DataFrame = {
     // three consumers (both pairwise sides + the output) — materialize the
     // assignment once (eager localCheckpoint, the clusterLabels
     // discipline: no session-lifetime cache entry, lineage cut) instead of
-    // re-running the broadcast-centroid corpus pass per consumer
-    val posted = Similarity.assignToCentroids(df, centroids, idCol, vecCol)
-      .localCheckpoint(true)
+    // re-running the broadcast-centroid corpus pass per consumer.
+    // valve = false: the broadcast-join upstream defeats the size estimate
+    val posted = Materialize.pivot(
+      Similarity.assignToCentroids(df, centroids, idCol, vecCol),
+      persistIntermediates, valve = false)
     val salted = maxCell match {
       case None => posted.withColumn("__salt", lit(0L))
       case Some(m) =>
@@ -1160,16 +1169,18 @@ object Dedup {
   def recordLinkage(df: DataFrame, idCol: String, textCol: String,
                     keyLen: Int = 32, sliceLen: Int = 8,
                     threshold: Double = 0.9,
-                    maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame = {
+                    maxBucket: Option[Int] = Some(DefaultMaxBucket),
+                    persistIntermediates: Boolean = true): DataFrame = {
     require(keyLen > 0 && sliceLen > 0, "keyLen and sliceLen must be positive")
     val nSlices = (keyLen + sliceLen - 1) / sliceLen
     // materialized (id + ≤keyLen chars per row): the normalized-key
     // projection (regex per row over the corpus) has three consumers —
     // the slice blocking and both verify joins — and re-ran per consumer
-    val keys = df.select(col(idCol),
-      regexp_replace(lower(substring(col(textCol), 1, keyLen)),
-        "[^\\x20-\\x7e]", "").as("__key"))
-      .localCheckpoint(true)
+    val keys = Materialize.pivot(
+      df.select(col(idCol),
+        regexp_replace(lower(substring(col(textCol), 1, keyLen)),
+          "[^\\x20-\\x7e]", "").as("__key")),
+      persistIntermediates)
     val slices = keys
       .select(col(idCol), posexplode(expr(
         s"transform(sequence(0, ${nSlices - 1}), i -> substring(__key, 1 + i * $sliceLen, $sliceLen))"))

@@ -634,7 +634,8 @@ object Similarity {
     * term identically on every engine.
     */
   def dimensionPsi(ref: DataFrame, cur: DataFrame, vecCol: String,
-                   nBuckets: Int = 8): DataFrame = {
+                   nBuckets: Int = 8,
+                   persistIntermediates: Boolean = true): DataFrame = {
     require(nBuckets > 1, "psi needs at least 2 buckets")
     def bucketCounts(df: DataFrame, tag: String) = df
       .select(posexplode(col(vecCol)).as(Seq("dim", "__v")))
@@ -648,7 +649,11 @@ object Similarity {
     // two corpus-wide posexplode aggregations, and it has two consumers
     // (the grid key list and the grid join) — without the checkpoint both
     // corpora were bucket-counted twice
-    val joined = r.join(c, Seq("dim", "__b"), "full_outer").localCheckpoint(true)
+    // valve = false: ≤ dims×buckets rows by construction, but the
+    // full_outer join upstream makes Catalyst's size ESTIMATE a child
+    // product — the valve would misread it (Materialize scaladoc)
+    val joined = Materialize.pivot(r.join(c, Seq("dim", "__b"), "full_outer"),
+      persistIntermediates, valve = false)
     val grid = joined.select("dim").distinct()
       .select(col("dim"), explode(sequence(lit(0), lit(nBuckets - 1))).as("__b"))
     val wDim = Window.partitionBy("dim")
@@ -822,7 +827,8 @@ object Similarity {
     * `lambda` (= ‖A·v₁‖) and `mass_frac` (= λ/trace), both repeated on
     * every row for relational convenience.
     */
-  def powerIterationTop(df: DataFrame, vecCol: String): DataFrame = {
+  def powerIterationTop(df: DataFrame, vecCol: String,
+                        persistIntermediates: Boolean = true): DataFrame = {
     val e4 = round(col("__c").cast("double"), 4).cast("decimal(18,4)")
     val x0 = round(element_at(col(vecCol), 1).cast("double"), 4).cast("decimal(18,4)")
     val ex = df.select(x0.as("__x0"), posexplode(col(vecCol)).as(Seq("dim", "__c")))
@@ -831,10 +837,10 @@ object Similarity {
     // (#dims rows): w has two consumers (the norm/trace fold and v1) and
     // u below likewise two (its norm and the final join) — without the
     // checkpoints each consumer re-ran its full corpus pass.
-    val w = ex.groupBy("dim").agg(
+    val w = Materialize.pivot(ex.groupBy("dim").agg(
       sum((col("__e") * col("__x0")).cast("decimal(28,8)")).as("__w"),
-      sum((col("__e") * col("__e")).cast("decimal(28,8)")).as("__tr_d"))
-      .localCheckpoint(true)
+      sum((col("__e") * col("__e")).cast("decimal(28,8)")).as("__tr_d")),
+      persistIntermediates, valve = false) // #dims rows by construction
     // narrow the summed (38,8) back to (19,8) before squaring: a
     // (38,8)×(38,8) product exceeds DECIMAL precision and Spark would
     // silently drop scale; |w_d| ≤ n·max|x̂|² keeps (19,8) exact
@@ -873,13 +879,13 @@ object Similarity {
       // and silently lose scale)
       .select(col(vecCol),
         round(col("__traw").cast("double"), 9).cast("decimal(18,9)").as("__t"))
-    val u = withT
+    val u = Materialize.pivot(withT
       .select(col("__t"), posexplode(col(vecCol)).as(Seq("dim", "__c")))
       .groupBy("dim")
       .agg(sum((e4 * col("__t")).cast("decimal(38,13)")).as("__u_raw"))
       .select(col("dim"),
-        round(col("__u_raw").cast("double"), 9).cast("decimal(18,9)").as("__u"))
-      .localCheckpoint(true)
+        round(col("__u_raw").cast("double"), 9).cast("decimal(18,9)").as("__u")),
+      persistIntermediates, valve = false) // #dims rows; crossJoin upstream
     val un = u.agg(sum((col("__u") * col("__u")).cast("decimal(38,18)")).as("__un2"))
     u.crossJoin(broadcast(un)).join(v1, "dim")
       .select(col("dim"),

@@ -127,7 +127,8 @@ object Sketches {
     * 0.
     */
   def hllOverlap(a: DataFrame, b: DataFrame, groupCols: Seq[String],
-                 value: Column, m: Int = 1024): DataFrame = {
+                 value: Column, m: Int = 1024,
+                 persistIntermediates: Boolean = true): DataFrame = {
     // Each register relation has TWO consumers (its own estimate + the
     // max-merge union), and Catalyst expands shared subtrees, so without
     // materialization each corpus was scanned-and-hashed TWICE. The
@@ -135,8 +136,8 @@ object Sketches {
     // trivial job and halves the corpus passes from four to two (blocks
     // are ContextCleaner-reclaimed; the Dedup.minHashLshNearDups
     // discipline applied to a tiny relation).
-    val ra = hllRegisters(a, groupCols, value, m).localCheckpoint(true)
-    val rb = hllRegisters(b, groupCols, value, m).localCheckpoint(true)
+    val ra = Materialize.pivot(hllRegisters(a, groupCols, value, m), persistIntermediates)
+    val rb = Materialize.pivot(hllRegisters(b, groupCols, value, m), persistIntermediates)
     val merged = ra.unionByName(rb)
       .groupBy(groupCols.head, groupCols.tail :+ "__b": _*)
       .agg(max(col("__r")).as("__r"))
@@ -177,7 +178,8 @@ object Sketches {
     */
   def cmsHeavyHitters(df: DataFrame, value: Column, probes: Seq[String],
                       d: Int = 4, w: Int = 1024,
-                      phiNum: Long = 1L, phiDenom: Long = 100L): DataFrame = {
+                      phiNum: Long = 1L, phiDenom: Long = 100L,
+                      persistIntermediates: Boolean = true): DataFrame = {
     require(d >= 1 && d <= 8 && w >= 8, s"bad CMS geometry d=$d w=$w")
     val spark = df.sparkSession
     import spark.implicits._
@@ -189,9 +191,10 @@ object Sketches {
     // cell build, the probe truth lookup) — without the checkpoint each
     // re-ran the corpus tokenize+count pass; the relation itself is the
     // distinct-value vocabulary, orders of magnitude under the stream
-    val counts = df.select(value.cast("string").as("__v"))
-      .groupBy("__v").agg(count(lit(1)).as("__c"))
-      .localCheckpoint(true)
+    val counts = Materialize.pivot(
+      df.select(value.cast("string").as("__v"))
+        .groupBy("__v").agg(count(lit(1)).as("__c")),
+      persistIntermediates)
     val totals = counts.agg(sum(col("__c")).as("__n"))
     val sketch = counts
       .select(explode(array((0 until d).map(j => lit(j.toLong)): _*)).as("__j"),

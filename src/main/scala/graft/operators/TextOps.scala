@@ -134,14 +134,20 @@ object TextOps {
     * never per rule.
     */
   def bpeApplyCounts(docs: DataFrame, idCol: String, textCol: Column,
-                     nMerges: Int): DataFrame = {
+                     nMerges: Int,
+                     persistIntermediates: Boolean = true): DataFrame = {
     val rules = bpeTrain(docs, textCol, nMerges)
     // materialized: wc feeds BOTH the distinct-word vocab and the final
     // scoring join — without the checkpoint each consumer re-ran the
-    // tokenize+explode corpus pass (the bigramLogProb discipline)
-    val wc = docs.select(col(idCol), explode(tokens(textCol)).as("w"))
-      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("n"))
-      .localCheckpoint(true)
+    // tokenize+explode corpus pass (the bigramLogProb discipline).
+    // (bpeTrain's own per-round checkpoints are NOT threaded: its rounds
+    // collect an argmax to the driver anyway — construction is inherently
+    // eager — and the checkpoint is what stops round k's plan replaying
+    // rounds 1..k−1.)
+    val wc = graft.operators.Materialize.pivot(
+      docs.select(col(idCol), explode(tokens(textCol)).as("w"))
+        .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("n")),
+      persistIntermediates)
     val vocab = wc.select("w").distinct()
       .withColumn("syms", expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
     val applied = rules.foldLeft(vocab) { case (v, (_, a, b, _)) =>

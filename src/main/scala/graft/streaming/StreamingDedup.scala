@@ -62,11 +62,15 @@ object StreamingDedup {
   private def bandPrefix(h: org.apache.spark.sql.Column) = pmod(h, lit(256L)).cast("int")
   private def docPrefix(id: org.apache.spark.sql.Column) = pmod(id, lit(256L)).cast("int")
 
-  /** Estimated Jaccard: fraction of equal MinHash components. */
+  /** Estimated Jaccard: fraction of equal MinHash components. The equal-
+    * component count is the native codegen kernel
+    * [[graft.functions.SigEqCount]] (bit-identical to the former
+    * aggregate/zip_with HOF chain — see its scaladoc for the branch
+    * mapping); divide and round stay declarative built-ins.
+    */
   private def sigAgreement(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
                            numHashes: Int) =
-    round(aggregate(zip_with(a, b, (x, y) => when(x === y, 1L).otherwise(0L)),
-      lit(0L), _ + _).cast("double") / numHashes, 6)
+    round(graft.functions.SigEqCount(a, b).cast("double") / numHashes, 6)
 
   /** foreachBatch body. `maxBucket` is the usual hot-bucket valve on both
     * the index probe and the within-batch candidate stage.
