@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// DEFAULT test run excludes the multi-minute duration-contract tests
+// (tagged org.scalatest.tags.Slow: the StreamingDedup 40/50-batch soaks,
+// the randomized span-equivalence sweep) so `sbt test` fits a CI window
+// (~15 min instead of ~58); `sbt testFull` runs the whole suite,
+// duration contracts included.
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-l", "org.scalatest.tags.Slow")
+addCommandAlias("testFull", "; set Test / testOptions := Seq(); test")
 // Forked run output goes straight to stdout, NOT through sbt's logger —
 // the bench/verify drivers parse bare JSON lines and an "[info] " prefix
 // breaks them. Suppressing the "[success] Total time" banner keeps the

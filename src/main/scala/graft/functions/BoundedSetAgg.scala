@@ -43,8 +43,11 @@ case class BoundedSortedSetAgg(child: Expression,
                                inputAggBufferOffset: Int = 0)
     extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[BoundedSortedSetAgg.Buffer] {
 
-  require(minSize >= 0 && maxSize >= minSize,
-    s"bounded_sorted_set needs 0 <= minSize <= maxSize, got [$minSize, $maxSize]")
+  // maxSize < minSize is legal and yields an empty result (every group
+  // either poisons past maxSize or stays under minSize) — the historical
+  // count-gate accepted e.g. [2, 1] as "drop every bucket"
+  require(minSize >= 0 && maxSize >= 0,
+    s"bounded_sorted_set needs non-negative sizes, got [$minSize, $maxSize]")
 
   override def prettyName: String = "bounded_sorted_set"
   override def children: Seq[Expression] = Seq(child)

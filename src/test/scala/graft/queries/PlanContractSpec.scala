@@ -250,7 +250,9 @@ class PlanContractSpec extends SparkSpec {
     // count and the surviving ≤2^nPlanes bucket ids broadcast into a
     // semi-join — a degenerate bucket (all-zero vectors sign identically)
     // must never reach the probe join, and the gate itself must neither
-    // shuffle nor sort the corpus
+    // shuffle nor sort the corpus. (This is annLsh's ID-level gate — the
+    // bucket-ARRAY stages' gate lives inside bounded_sorted_set, covered
+    // by the candidate-buckets contract below.)
     val plan = planOf("s2_ann_lsh")
     assert(count(plan, "BroadcastHashJoin") >= 2,
       s"gate semi-join + probe join must both broadcast:\n$plan")
@@ -414,15 +416,18 @@ class PlanContractSpec extends SparkSpec {
       s"WHT must not shuffle (only the presentation sort range-partitions):\n$plan")
   }
 
-  test("candidate buckets are count-gated: the semi-join precedes every collect_set") {
+  test("candidate buckets are count-gated: every bucket array is the bounded aggregate") {
     // the memory contract for the whole near-dup family: bucket membership
-    // arrays (collect_set) may only aggregate rows that SURVIVED the
-    // combine-friendly count gate (groupBy key → count → filter ≤ maxBucket
-    // → left-semi back). A collect_set with no semi join below it builds
-    // the full id array of a hot fingerprint BEFORE any valve can drop it —
-    // a single-reducer OOM at corpus scale. The executed plan prints
-    // parent-above-child, so the gate shows as a LeftSemi join at a higher
-    // string offset than its consuming collect_set aggregate.
+    // arrays may only be built by bounded_sorted_set, whose [2, maxBucket]
+    // gate lives INSIDE the aggregation buffer — a bucket crossing the cap
+    // poisons to a flag and stops accumulating, so per-key state is
+    // bounded no matter how hot the fingerprint (the property the old
+    // count → filter → left-semi → collect_set pipeline bought with two
+    // extra Exchanges and a join). A raw collect_set keyed on a BUCKET
+    // would materialize a hot bucket's full id array before any valve —
+    // a single-reducer OOM at corpus scale. (d2's remaining collect_set
+    // is the per-DOC shingle set — bounded by the document's own length,
+    // not by bucket heat — so it is exempt.)
     val direct = {
       val docs = graft.sources.Tables(spark, sf).documents
       Seq(
@@ -436,21 +441,22 @@ class PlanContractSpec extends SparkSpec {
     }
     val fromInventory = Seq("d2_minhash_lsh", "m14_image_neardup").map(q => q -> planOf(q))
     (direct ++ fromInventory).foreach { case (name, plan) =>
-      val setIdx = plan.indexOf("collect_set")
-      assert(setIdx >= 0, s"$name must build bucket arrays via collect_set:\n$plan")
-      assert(plan.indexOf("LeftSemi", setIdx) > setIdx,
-        s"$name: no count-gate semi join below the collect_set aggregate — " +
-          s"hot buckets would materialize before the valve:\n$plan")
+      assert(plan.contains("bounded_sorted_set"),
+        s"$name must build bucket arrays via the bounded aggregate:\n$plan")
+      if (name != "d2_minhash_lsh") // d2: per-doc signature set is exempt
+        assert(!plan.contains("collect_set"),
+          s"$name: un-gated collect_set — hot buckets would materialize " +
+            s"before the valve:\n$plan")
     }
   }
 
   test("d18 record linkage: count-gated buckets, string-free slice shuffle, no cartesian") {
     val plan = planOf("d18_record_linkage")
     // same gate discipline as the LSH stages
-    val setIdx = plan.indexOf("collect_set")
-    assert(setIdx >= 0, s"d18 must build slice buckets via collect_set:\n$plan")
-    assert(plan.indexOf("LeftSemi", setIdx) > setIdx,
-      s"d18: no count-gate semi join below the collect_set aggregate:\n$plan")
+    assert(plan.contains("bounded_sorted_set"),
+      s"d18 must build slice buckets via the bounded aggregate:\n$plan")
+    assert(!plan.contains("collect_set"),
+      s"d18: un-gated collect_set in the bucket stage:\n$plan")
     assert(count(plan, "CartesianProduct") == 0, s"d18 must never go all-pairs:\n$plan")
     // the candidate shuffle keys on (band, xxhash64), never the slice string
     assert(plan.contains("xxhash64"),

@@ -26,6 +26,7 @@ import graft.chain.Schemas._
   * Scripts are seed-pinned (deterministic `scala.util.Random`) so a
   * failure reproduces exactly.
   */
+@org.scalatest.tags.Slow // ~10 min of randomized seeds: testFull territory
 class SpanEquivalencePropertySpec extends SparkSpec {
   import spark.implicits._
 

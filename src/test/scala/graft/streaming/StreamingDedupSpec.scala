@@ -221,7 +221,8 @@ class StreamingDedupSpec extends SparkSpec {
       s"postings scan must carry a bp partition filter:\n$plan")
   }
 
-  test("50 batches keep bounded file counts per partition; verdicts stay correct") {
+  test("50 batches keep bounded file counts per partition; verdicts stay correct",
+      graft.Slow) {
     val store = mkStore()
     val threshold = 6
     // every batch: one FRESH doc (kept, id ≡ 0 mod 256 so all sigs land in
@@ -277,7 +278,8 @@ class StreamingDedupSpec extends SparkSpec {
     assert(store.readOr(StreamingDedup.SigsTable, null).count() == 50L)
   }
 
-  test("manifest mode at duration: 40 batches, GC leaves no orphans, manifests stay minimal") {
+  test("manifest mode at duration: 40 batches, GC leaves no orphans, manifests stay minimal",
+      graft.Slow) {
     import scala.jdk.CollectionConverters._
     // the rename-mode 50-batch contract bounds FILE counts; this is the
     // same drive in MANIFEST commit mode, asserting the properties that
