@@ -539,21 +539,23 @@ object Dedup {
     // so the caller's whole candidate pipeline (tokenize → shingle →
     // bucket → verify at 100 TB) executed twice just to flip two columns.
     // One explode halves every CC caller's upstream work for free.
-    // NO .distinct() here: every caller feeds edges that are already
-    // distinct (a,b) pairs (winnow/candidate pairs come out of a groupBy
-    // or an explicit .distinct()), so the symmetrized explode is distinct
-    // by construction and a corpus-keyed distinct Exchange would be pure
-    // overhead on the driver fast path below (its limit-probed collect
-    // then runs with NO shuffle at all). Duplicate edges would anyway be
-    // harmless to both paths — union-find and min-label are idempotent in
-    // edge multiplicity — they only inflate the probe volume, so the
-    // distributed path (which iterates joins over the edge list) still
-    // dedupes before checkpointing.
+    // The .distinct() looks redundant (every caller feeds already-distinct
+    // (a,b) pairs, so the symmetrized explode is distinct by construction,
+    // and CC is edge-multiplicity-invariant anyway) — removing it was
+    // MEASURED this round and REVERTED: the driver-path probe below is an
+    // executeTake, which ramps through final-stage partitions (1 → 4 → 16
+    // → …) and so runs the caller's expensive upstream (d19's linkage
+    // verify at sf1: seconds per task) at 1-core parallelism in its first
+    // waves — d19 at sf1 went 16.2 → 21.6 s without the exchange. The
+    // distinct's shuffle boundary is what lets the upstream run fully
+    // parallel exactly once, its map side combines to nearly nothing, and
+    // at sf0.1 the cluster family measured identical with or without it.
     val undBase = sym
       .select(explode(array(
         struct(col("src"), col("dst")),
         struct(col("dst").as("src"), col("src").as("dst")))).as("__e"))
       .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
+      .distinct()
     // Small-graph fast path: a near-dup edge list is orders of magnitude
     // smaller than its corpus (candidates survive banding AND verification),
     // so it routinely fits the driver even when the corpus is 100 TB. Under
@@ -594,7 +596,7 @@ object Dedup {
       return parent.keySet().asScala.toSeq.map(_.longValue).sorted
         .map(k => (k, find(k))).toDF("id", "label")
     }
-    val und = undBase.distinct().localCheckpoint(true)
+    val und = undBase.localCheckpoint(true)
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(true)
     var changed = 1L
@@ -1020,48 +1022,23 @@ object Dedup {
     // Fully IN-ROW: the whole metric is doc-local (d15 owns the cross-doc
     // face), so nothing here ever needs a shuffle — the previous shape
     // exploded every char position into a row and paid two doc-keyed
-    // window Exchanges + sorts + a rejoin for what one projection over the
-    // per-doc gram array computes. Zero Exchanges, O(docs) rows end to end.
-    //   1. (hash, pos) structs per position, sorted lexicographically —
-    //      within one hash's run the FIRST element is its min position;
-    //   2. repeats = every element equal in hash to its predecessor in
-    //      that sort (≡ pos > min pos of its (doc, hash) group);
-    //   3. the repeat positions re-sort ascending and the gaps-and-islands
-    //      merge of [pos, pos+k) spans is one left-to-right fold:
-    //      covered += island extent whenever a gap closes an island.
-    // Identical arithmetic to the exploded/window form, branch for branch
-    // (extent = running-max end − island start; a doc below length k, or
-    // with no repeats, reports zeros via the CASE/empty-fold path).
-    val grams = // guarded: sequence(1, negative) would DESCEND (step −1)
-      s"""CASE WHEN length(__txt) >= $k THEN
-         |  array_sort(transform(sequence(1, length(__txt) - ${k - 1}),
-         |    i -> named_struct('h', xxhash64(substring(__txt, i, $k)), 'p', i)))
-         |ELSE CAST(array() AS ARRAY<STRUCT<h: BIGINT, p: INT>>) END""".stripMargin
-    val repeats = // positions whose gram already occurred earlier in the doc
-      s"""array_sort(transform(
-         |  filter(__srt, (x, i) -> i > 0 AND x.h = element_at(__srt, i).h),
-         |  x -> x.p))""".stripMargin
-    val covered = // gaps-and-islands fold over the ascending repeat positions
-      s"""aggregate(__rep,
-         |  named_struct('st', -1, 'en', -1, 'cov', CAST(0 AS BIGINT)),
-         |  (a, p) -> CASE
-         |    WHEN a.st = -1 THEN named_struct('st', p, 'en', p + $k, 'cov', a.cov)
-         |    WHEN p > a.en  THEN named_struct('st', p, 'en', p + $k,
-         |                          'cov', a.cov + CAST(a.en - a.st AS BIGINT))
-         |    ELSE named_struct('st', a.st, 'en', greatest(a.en, p + $k), 'cov', a.cov)
-         |  END,
-         |  a -> CASE WHEN a.st = -1 THEN CAST(0 AS BIGINT)
-         |            ELSE a.cov + CAST(a.en - a.st AS BIGINT) END)""".stripMargin
+    // window Exchanges + sorts + a rejoin for what one pass over the doc
+    // computes. Zero Exchanges, O(docs) rows end to end. The pass itself
+    // is the native kernel [[graft.functions.SelfRepStats]] (one hash-set
+    // sweep; positions arrive ascending so the gaps-and-islands merge
+    // folds inline) — a declarative in-row form (array_sort over
+    // (hash, pos) structs + HOF folds) was measured 35% SLOWER than even
+    // the old window shape at sf1 (interpreted struct comparator per
+    // gram) and replaced; semantics are pinned branch-for-branch in the
+    // kernel's scaladoc and SelfRepStatsSpec.
     df.select(col(idCol), col(textCol).as("__txt"))
-      .withColumn("__srt", expr(grams))
-      .withColumn("__rep", expr(repeats))
+      .withColumn("__s", graft.functions.SelfRepStats(col("__txt"), k))
       .select(col(idCol),
-        size(col("__rep")).cast("long").as("n_repeat_grams"),
-        expr(covered).as("covered_chars"),
-        length(col("__txt")).cast("long").as("__len"))
-      .select(col(idCol), col("n_repeat_grams"), col("covered_chars"),
-        round(col("covered_chars").cast("double") /
-          greatest(col("__len"), lit(1L)).cast("double"), 6).as("self_rep_fraction"))
+        col("__s.n_repeat_grams").as("n_repeat_grams"),
+        col("__s.covered_chars").as("covered_chars"),
+        round(col("__s.covered_chars").cast("double") /
+          greatest(length(col("__txt")).cast("long"), lit(1L)).cast("double"), 6)
+          .as("self_rep_fraction"))
   }
 
   /** Exact duplicated-SPAN coverage — the substring-level dedup metric from
